@@ -1,0 +1,79 @@
+"""Testdata table registry (parquet sources).
+
+Mirrors the reference's source registration (VolgaTableProvider per source —
+reference src/api/planner.rs:176-186): each table is declared with an explicit
+schema-bearing parquet scan and registered as a temp view so both the
+DataFrame and SQL entry points see the same catalog.
+
+At 100 TB these would be partitioned/bucketed external tables; the scan path
+(predicate pushdown + column pruning into the parquet reader) is identical.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+@lru_cache(maxsize=None)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] (Spark can't read those natively)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(
+        field.name
+        for field in schema
+        if str(field.type) == "timestamp[ns]"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan with explicit nanosecond-timestamp handling.
+
+    ``events.ts`` is timestamp[ns]; Spark rejects it, DuckDB truncates it to
+    microseconds. We read nanos as long (``nanosAsLong``) and truncate to
+    microseconds ourselves so both engines see identical values. The column
+    stays a projection over the scan — pushdown/pruning are unaffected.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_ts_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer div — float division would round near µs boundaries
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table and register temp views.
+
+    Returns the dict of DataFrames keyed by table name.
+    """
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

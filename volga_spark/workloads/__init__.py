@@ -1,0 +1,66 @@
+"""Query inventory (driver contract).
+
+Every implemented capability from SURVEY.md §2 registers here as a named
+workload: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) an equivalent DuckDB oracle SQL string. ``__spark_entry__``
+exposes this registry to the driver.
+
+Float-parity rule (applies to every workload): float aggregates are computed
+via EXACT integer/decimal accumulation and converted to double with the same
+arithmetic expression on both the Spark and DuckDB side, so value hashes
+match bit-for-bit regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Workload:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Workload] = {}
+
+
+def workload(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a workload under ``name``."""
+
+    def deco(fn):
+        REGISTRY[name] = Workload(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+_MODULES = [
+    "volga_spark.workloads.relational",
+    "volga_spark.workloads.window",
+    "volga_spark.workloads.ml_udafs",
+    "volga_spark.workloads.streaming",
+    "volga_spark.workloads.dedup",
+    "volga_spark.workloads.similarity",
+    "volga_spark.workloads.text",
+    "volga_spark.workloads.multimodal",
+    "volga_spark.workloads.request",
+]
+
+
+def load_all() -> dict[str, Workload]:
+    """Import every workload module (idempotent) and return the registry."""
+    for mod in _MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Module not built yet (incremental rounds) — skip, don't fail.
+            if e.name is None or not e.name.startswith("volga_spark"):
+                raise
+    return REGISTRY

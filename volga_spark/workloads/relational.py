@@ -1,0 +1,443 @@
+"""Relational surface (SURVEY §2.1-2.7, §2.3 scalar exprs).
+
+Covers the reference's 18 e2e SQL cases (reference src/sql_testing/
+sql_tests.rs:215-475: SELECT */cols, WHERE =,!=,<,>,AND,OR,IN,BETWEEN,LIKE,
+GROUP BY COUNT/SUM/AVG/MIN/MAX, HAVING, computed cols, CASE WHEN, aliases),
+the multi-stage CTE group-by (src/api/planner.rs:808-832), and the join
+surface the reference advertises but stubs (README.md:143-148,
+src/runtime/functions/join/join_function.rs:14-37) — here real Spark joins.
+
+Scale notes: every query below is pure DataFrame API → Catalyst plans it
+(pushdown, partial aggregation, broadcast joins for dims). No Python in the
+hot path anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.tables import load_table
+from volga_spark.workloads import workload
+from volga_spark.workloads._util import davg, dec, dsum, duck_davg, duck_dsum
+
+
+# --- scans / filters / scalar expressions -------------------------------------
+
+@workload(
+    "q_select_all",
+    oracle="SELECT * FROM region",
+    tags=("scan",),
+)
+def q_select_all(spark, sf_dir):
+    """SELECT * (sql_tests 'select_all')."""
+    return load_table(spark, sf_dir, "region")
+
+
+@workload(
+    "q_filter_scan",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 25
+    """,
+    tags=("scan", "filter"),
+)
+def q_filter_scan(spark, sf_dir):
+    """Projection + predicate; both push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 25)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+@workload(
+    "q_filter_complex",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+           OR (o_orderpriority IN ('1-URGENT', '2-HIGH')
+               AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+               AND o_orderpriority LIKE '%H%')
+    """,
+    tags=("filter",),
+)
+def q_filter_complex(spark, sf_dir):
+    """AND/OR/IN/BETWEEN/LIKE (sql_tests WHERE matrix)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000.0))
+        | (
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderdate").between("1996-01-01", "1998-12-31")
+            & F.col("o_orderpriority").like("%H%")
+        )
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@workload(
+    "q_scalar_exprs",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice * 2.0 AS double_price,
+               upper(o_orderpriority) AS prio_upper,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+               length(o_orderpriority) AS prio_len,
+               year(o_orderdate) AS order_year,
+               month(o_orderdate) AS order_month,
+               date_trunc('month', o_orderdate) AS order_month_start
+        FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    tags=("scalar",),
+)
+def q_scalar_exprs(spark, sf_dir):
+    """Scalar expression surface (arith, string, date — SURVEY §2.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2.0).alias("double_price"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+    )
+
+
+@workload(
+    "q_case_when",
+    oracle="""
+        SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'medium'
+                    ELSE 'large' END AS qty_bucket,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY 1
+    """,
+    tags=("scalar", "agg"),
+)
+def q_case_when(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_bucket")
+    )
+    return li.groupBy(bucket).agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("total_qty")
+    )
+
+
+# --- aggregation --------------------------------------------------------------
+
+@workload(
+    "q_tpch_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {duck_dsum('l_quantity')} AS sum_qty,
+               {duck_dsum('l_extendedprice')} AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               {duck_davg('l_quantity')} AS avg_qty,
+               {duck_davg('l_extendedprice')} AS avg_price,
+               {duck_davg('l_discount')} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape — the flagship GROUP BY (maps sql_tests group-by cases
+    and the word-count benchmark, reference word_count_benchmark.rs:172-201)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@workload(
+    "q_groupby_count",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    tags=("agg",),
+)
+def q_groupby_count(spark, sf_dir):
+    """Word-count shape (reference F7)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@workload(
+    "q_groupby_minmax_having",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               {duck_dsum('o_totalprice')} AS sum_price,
+               {duck_davg('o_totalprice')} AS avg_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+        HAVING count(*) > 10
+    """,
+    tags=("agg",),
+)
+def q_groupby_minmax_having(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+@workload(
+    "q_distinct_agg",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_distinct_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@workload(
+    "q_conditional_agg",
+    oracle="""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def q_conditional_agg(spark, sf_dir):
+    """Pivot-style conditional aggregation (map-side combinable, no pivot pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.sum(F.when(F.col("event_type") == "purchase", dec("value")))
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+@workload(
+    "q_multi_stage_cte",
+    oracle="""
+        WITH per_supp AS (
+            SELECT l_suppkey, l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_suppkey, l_returnflag
+        )
+        SELECT l_returnflag,
+               count(*) AS n_supps,
+               min(avg_qty) AS min_avg_qty,
+               max(avg_qty) AS max_avg_qty
+        FROM per_supp GROUP BY l_returnflag
+    """,
+    tags=("agg", "cte"),
+)
+def q_multi_stage_cte(spark, sf_dir):
+    """Chained shuffle+agg stages (reference planner CTE test,
+    src/api/planner.rs:808-832)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey", "l_returnflag").agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return per_supp.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_supps"),
+        F.min("avg_qty").alias("min_avg_qty"),
+        F.max("avg_qty").alias("max_avg_qty"),
+    )
+
+
+# --- joins (reference intends these; execution stubbed there — real here) -----
+
+@workload(
+    "q_join_inner",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               {duck_dsum('o.o_totalprice')} AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def q_join_inner(spark, sf_dir):
+    """Equi-join + agg; customer is a dim → broadcast (no shuffle of orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@workload(
+    "q_join_multi_broadcast",
+    oracle="""
+        SELECT n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('REGION_0', 'REGION_1')
+        GROUP BY n.n_name
+    """,
+    tags=("join",),
+)
+def q_join_multi_broadcast(spark, sf_dir):
+    """TPC-H Q5 shape: fact ⋈ chain of dims, all dims broadcast — the only
+    shuffle is the final partial/final agg on n_name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("REGION_0", "REGION_1"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@workload(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+    tags=("join",),
+)
+def q_join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@workload(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@workload(
+    "q_join_outer",
+    oracle=f"""
+        SELECT c.c_custkey,
+               coalesce(count(o.o_orderkey), 0) AS n_orders,
+               {duck_dsum('o.o_totalprice')} AS total_spent
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.count("o_orderkey"), F.lit(0)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+    )
+
+
+@workload(
+    "q_topk_per_group",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+        FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rk <= 3
+    """,
+    tags=("join", "window"),
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-K per group via ranking window (deterministic tiebreak on key)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )
