@@ -1,0 +1,162 @@
+"""Per-key sliding sweep for cate/top window UDAFs (batch path).
+
+The reference evaluates these UDAFs inside its WindowOperator with
+retractable accumulators advanced along the (ts, seq_no) cursor (reference
+src/runtime/operators/window/exec/advance.rs). The idiomatic Spark batch
+equivalent for UDAFs Catalyst can't express is ``applyInPandas`` per
+partition key: each group arrives as one Arrow batch, we sort by event time
+and run a two-pointer sweep — every row added once and retracted once, so a
+group of n rows costs O(n · cost(acc)) regardless of window length (same
+incremental property as the reference's retractable design, without its
+tiling because nothing is ever rescanned).
+
+Scale notes:
+- The shuffle is the same hash-partition-by-key a groupBy would do.
+- A single hot key must fit in one task's memory; for 100 TB skewed keys,
+  pre-split by (key, coarse time bucket) with window-length overlap, sweep
+  each bucket, and drop the warm-up rows — the operator below accepts
+  pre-bucketed input via ``partition_by`` for exactly that.
+- Condition/category expressions are evaluated JVM-side *before* the sweep
+  (they arrive as materialized columns), so Python only does accumulator
+  arithmetic on Arrow-transferred columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from volga_spark.operators.window import Frame, RangeFrame, RowsFrame
+
+
+def _self_contained_udfs() -> None:
+    """Pickle our accumulator/format modules by value so executor Python
+    workers don't need volga_spark on their sys.path (the driver may import
+    this repo from an arbitrary location)."""
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        import volga_spark.formatting
+        import volga_spark.functions.accumulators
+
+        import volga_spark.functions.cate_top
+
+        register_pickle_by_value(volga_spark.formatting)
+        register_pickle_by_value(volga_spark.functions.accumulators)
+        register_pickle_by_value(volga_spark.functions.cate_top)
+    except Exception:  # best effort — PYTHONPATH-propagated setups still work
+        pass
+
+
+@dataclass
+class SlidingSpec:
+    """One output column: an accumulator factory + its input column names.
+
+    ``inputs`` name columns of the prepared DataFrame; the accumulator's
+    add/retract receive them positionally. ``out_type`` is a Spark SQL type
+    string ("string" or "double").
+    """
+
+    name: str
+    factory: Callable[[], object]
+    inputs: list[str]
+    out_type: str = "string"
+    # result() by default; override e.g. lambda acc: acc.top1_ratio()
+    finish: Callable[[object], object] | None = None
+
+
+def apply_sliding_aggs(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: str,
+    frame: Frame,
+    specs: list[SlidingSpec],
+    passthrough: list[str],
+    prepared: dict[str, Column] | None = None,
+    tiebreak: str | list[str] | None = None,
+) -> DataFrame:
+    """Compute all ``specs`` over the sliding frame, one row per input row.
+
+    ``prepared`` maps extra input column names to Spark expressions (e.g.
+    cond booleans, integer-scaled values) evaluated JVM-side first.
+    Returns ``passthrough`` columns + one column per spec.
+    """
+    _self_contained_udfs()
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    work = df
+    for name, expr in (prepared or {}).items():
+        work = work.withColumn(name, expr)
+
+    input_cols = sorted({c for s in specs for c in s.inputs})
+    ts_col = "__ts_micros"
+    work = work.withColumn(ts_col, F.unix_micros(F.col(order_by)))
+    cols = list(dict.fromkeys(keys + passthrough + ties + input_cols + [ts_col]))
+    work = work.select(*cols)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in work.schema.fields
+        if f.name in passthrough
+    )
+    spec_fields = ", ".join(f"`{s.name}` {s.out_type}" for s in specs)
+    out_schema = f"{out_fields}, {spec_fields}"
+
+    is_range = isinstance(frame, RangeFrame)
+    length = frame.micros if is_range else frame.preceding
+    spec_data = [(s.name, s.factory, s.inputs, s.finish) for s in specs]
+
+    sort_cols = [ts_col] + ties
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        ts = pdf[ts_col].to_numpy()
+        accs = [factory() for _, factory, _, _ in spec_data]
+        arg_arrays = [
+            [pdf[c].to_numpy() for c in inputs] for _, _, inputs, _ in spec_data
+        ]
+        outs: list[list] = [[None] * n for _ in spec_data]
+
+        def add(i):
+            for a, arrs in zip(accs, arg_arrays):
+                a.add(*(arr[i] for arr in arrs))
+
+        def retract(i):
+            for a, arrs in zip(accs, arg_arrays):
+                a.retract(*(arr[i] for arr in arrs))
+
+        if is_range:
+            lo = 0
+            hi = 0
+            for i in range(n):
+                while hi < n and ts[hi] <= ts[i]:
+                    add(hi)
+                    hi += 1
+                bound = ts[i] - length
+                while lo < hi and ts[lo] < bound:
+                    retract(lo)
+                    lo += 1
+                for k, (_, _, _, finish) in enumerate(spec_data):
+                    a = accs[k]
+                    outs[k][i] = finish(a) if finish else a.result()
+        else:
+            for i in range(n):
+                add(i)
+                if i - length - 1 >= 0:
+                    retract(i - length - 1)
+                for k, (_, _, _, finish) in enumerate(spec_data):
+                    a = accs[k]
+                    outs[k][i] = finish(a) if finish else a.result()
+
+        res = pdf[passthrough].copy()
+        for (name, _, _, _), vals in zip(spec_data, outs):
+            res[name] = vals
+        return res
+
+    return work.groupBy(*keys).applyInPandas(sweep, schema=out_schema)

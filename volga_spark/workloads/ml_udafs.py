@@ -1,0 +1,403 @@
+"""ML window-UDAF workloads (SURVEY §2.9) over `events`.
+
+Maps the reference's 30-UDAF product surface: the ``_where`` family runs
+fully native (when() compositions, codegen'd); the cate/top families run on
+the incremental sweep engine (functions/sliding.py). Every query here has a
+DuckDB oracle built from a range self-join + string_agg that reproduces the
+reference's CSV formats exactly (format rules: reference
+src/runtime/operators/window/top/format.rs:3-41,
+cate/accumulator.rs:273-296).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.formatting import DUCK_FMT
+from volga_spark.functions.cate_top import (
+    avg_cate,
+    count_cate,
+    max_cate,
+    min_cate,
+    sum_cate,
+    top,
+    top1_ratio,
+    top_n_cate_where,
+    top_n_ratio_cate,
+    topn_frequency,
+)
+from volga_spark.functions.sliding import apply_sliding_aggs
+from volga_spark.functions.where_funcs import count_where, max_where, min_where
+from volga_spark.operators.window import cents, event_window, range_frame, rows_frame
+from volga_spark.tables import load_table
+from volga_spark.workloads import workload
+
+PASS = ["event_id", "user_id", "ts"]
+_COND = 100.0  # condition: value > 100.0
+
+
+def fmt(expr: str) -> str:
+    return DUCK_FMT.format(expr=expr)
+
+
+# 1h RANGE pairs: one row per (event, window-member) — DuckDB planner turns
+# the inequality pair into an IEJoin, fine at oracle scale.
+_PAIRS = f"""
+    pairs AS (
+        SELECT e.event_id AS eid, e2.event_type AS cat, e2.value AS v,
+               CAST(round(e2.value * 100) AS BIGINT) AS vc,
+               (e2.value > {_COND}) AS cond
+        FROM events e JOIN events e2
+          ON e2.user_id = e.user_id
+         AND e2.ts >= e.ts - INTERVAL 1 HOUR AND e2.ts <= e.ts
+    )
+"""
+
+
+def _left_join_tail(cols: list[str], default: str = "''") -> str:
+    sel = ", ".join(f"coalesce(s.{c}, {default}) AS {c}" for c in cols)
+    return f"""
+        SELECT e.event_id, e.user_id, e.ts, {sel}
+        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
+    """
+
+
+@workload(
+    "q_ml_where_family",
+    oracle=f"""
+        SELECT event_id, user_id, ts,
+               sum(CASE WHEN value > {_COND} THEN CAST(round(value*100) AS BIGINT) END)
+                   OVER w / 100.0 AS sum_where_1h,
+               count(CASE WHEN value > {_COND} THEN value END) OVER w AS count_where_1h,
+               sum(CASE WHEN value > {_COND} THEN CAST(round(value*100) AS BIGINT) END)
+                   OVER w / 100.0
+                 / count(CASE WHEN value > {_COND} THEN value END) OVER w AS avg_where_1h,
+               min(CASE WHEN value > {_COND} THEN value END) OVER w AS min_where_1h,
+               max(CASE WHEN value > {_COND} THEN value END) OVER w AS max_where_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_where_family(spark, sf_dir):
+    """{sum,count,avg,min,max}_where — fully native (no Python in the plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = event_window("user_id", "ts", range_frame("1 hour"))
+    cond = F.col("value") > _COND
+    sum_w = F.sum(F.when(cond, cents("value"))).over(w) / F.lit(100.0)
+    cnt_w = count_where("value", cond).over(w)
+    return ev.select(
+        *PASS,
+        sum_w.alias("sum_where_1h"),
+        cnt_w.alias("count_where_1h"),
+        (sum_w / cnt_w).alias("avg_where_1h"),
+        min_where("value", cond).over(w).alias("min_where_1h"),
+        max_where("value", cond).over(w).alias("max_where_1h"),
+    )
+
+
+@workload(
+    "q_ml_cate_basic",
+    oracle=f"""
+        WITH {_PAIRS},
+        per_cat AS (
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c
+            FROM pairs GROUP BY eid, cat
+        ),
+        parts AS (
+            SELECT eid,
+                   cat || ':' || {fmt("s / 100.0")} AS p_sum,
+                   cat || ':' || CAST(c AS VARCHAR) AS p_cnt,
+                   cat || ':' || {fmt("s / 100.0 / c")} AS p_avg
+            FROM per_cat
+        ),
+        strs AS (
+            SELECT eid,
+                   string_agg(p_sum, ',' ORDER BY p_sum) AS sum_cate_1h,
+                   string_agg(p_cnt, ',' ORDER BY p_cnt) AS count_cate_1h,
+                   string_agg(p_avg, ',' ORDER BY p_avg) AS avg_cate_1h
+            FROM parts GROUP BY eid
+        )
+        {_left_join_tail(["sum_cate_1h", "count_cate_1h", "avg_cate_1h"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_cate_basic(spark, sf_dir):
+    """sum_cate / count_cate / avg_cate over RANGE 1h (CSV per-category)."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            sum_cate("sum_cate_1h", "vc", "event_type", scale=100.0),
+            count_cate("count_cate_1h", "vc", "event_type", scale=100.0),
+            avg_cate("avg_cate_1h", "vc", "event_type", scale=100.0),
+        ],
+        passthrough=PASS,
+        prepared={"vc": cents("value")},
+    )
+
+
+@workload(
+    "q_ml_cate_minmax",
+    oracle=f"""
+        WITH {_PAIRS},
+        per_cat AS (
+            SELECT eid, cat, min(v) AS mn, max(v) AS mx
+            FROM pairs GROUP BY eid, cat
+        ),
+        parts AS (
+            SELECT eid,
+                   cat || ':' || {fmt("mn")} AS p_min,
+                   cat || ':' || {fmt("mx")} AS p_max
+            FROM per_cat
+        ),
+        strs AS (
+            SELECT eid,
+                   string_agg(p_min, ',' ORDER BY p_min) AS min_cate_1h,
+                   string_agg(p_max, ',' ORDER BY p_max) AS max_cate_1h
+            FROM parts GROUP BY eid
+        )
+        {_left_join_tail(["min_cate_1h", "max_cate_1h"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_cate_minmax(spark, sf_dir):
+    """min_cate / max_cate (plain-accumulator kind, retractable via
+    lazy-deletion heaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            min_cate("min_cate_1h", "value", "event_type"),
+            max_cate("max_cate_1h", "value", "event_type"),
+        ],
+        passthrough=PASS,
+    )
+
+
+@workload(
+    "q_ml_cate_where",
+    oracle=f"""
+        WITH {_PAIRS},
+        per_cat AS (
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c
+            FROM pairs WHERE cond GROUP BY eid, cat
+        ),
+        parts AS (
+            SELECT eid,
+                   cat || ':' || {fmt("s / 100.0")} AS p_sum,
+                   cat || ':' || CAST(c AS VARCHAR) AS p_cnt
+            FROM per_cat
+        ),
+        strs AS (
+            SELECT eid,
+                   string_agg(p_sum, ',' ORDER BY p_sum) AS sum_cate_where_1h,
+                   string_agg(p_cnt, ',' ORDER BY p_cnt) AS count_cate_where_1h
+            FROM parts GROUP BY eid
+        )
+        {_left_join_tail(["sum_cate_where_1h", "count_cate_where_1h"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_cate_where(spark, sf_dir):
+    """sum_cate_where / count_cate_where — condition evaluated JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            sum_cate("sum_cate_where_1h", "vc", "event_type", cond="cond", scale=100.0),
+            count_cate("count_cate_where_1h", "vc", "event_type", cond="cond", scale=100.0),
+        ],
+        passthrough=PASS,
+        prepared={"vc": cents("value"), "cond": F.col("value") > _COND},
+    )
+
+
+@workload(
+    "q_ml_top_family",
+    oracle=f"""
+        WITH {_PAIRS},
+        ranked_v AS (
+            SELECT eid, v,
+                   row_number() OVER (PARTITION BY eid ORDER BY v DESC) AS rk
+            FROM pairs
+        ),
+        top_v AS (
+            SELECT eid, string_agg({fmt("v")}, ',' ORDER BY v DESC) AS top3_value
+            FROM ranked_v WHERE rk <= 3 GROUP BY eid
+        ),
+        freq AS (
+            SELECT eid, cat, count(*) AS c FROM pairs GROUP BY eid, cat
+        ),
+        ranked_f AS (
+            SELECT eid, cat, c,
+                   row_number() OVER (PARTITION BY eid ORDER BY c DESC, cat DESC) AS rk,
+                   sum(c) OVER (PARTITION BY eid) AS total
+            FROM freq
+        ),
+        top_f AS (
+            SELECT eid,
+                   string_agg(cat, ',' ORDER BY c DESC, cat DESC) AS top3_type
+            FROM ranked_f WHERE rk <= 3 GROUP BY eid
+        ),
+        ratio AS (
+            SELECT eid, CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+                        / max(total) AS top1_ratio_type
+            FROM ranked_f GROUP BY eid
+        ),
+        strs AS (
+            SELECT t.eid, t.top3_value, f.top3_type, r.top1_ratio_type
+            FROM top_v t JOIN top_f f ON f.eid = t.eid JOIN ratio r ON r.eid = t.eid
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               coalesce(s.top3_value, '') AS top3_value,
+               coalesce(s.top3_type, '') AS top3_type,
+               coalesce(s.top1_ratio_type, 0.0) AS top1_ratio_type
+        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_top_family(spark, sf_dir):
+    """top(value,3), topn_frequency(event_type,3), top1_ratio(event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            top("top3_value", "value", 3),
+            topn_frequency("top3_type", "event_type", 3),
+            top1_ratio("top1_ratio_type", "event_type"),
+        ],
+        passthrough=PASS,
+    )
+
+
+@workload(
+    "q_ml_top_n_cate",
+    oracle=f"""
+        WITH {_PAIRS},
+        agg_cat AS (
+            SELECT eid, cat, sum(vc) AS s
+            FROM pairs WHERE cond GROUP BY eid, cat
+        ),
+        agg_ranked AS (
+            SELECT eid, cat, s,
+                   row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key,
+                   row_number() OVER (PARTITION BY eid ORDER BY s DESC, cat DESC) AS rk_val
+            FROM agg_cat
+        ),
+        key_sum AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0")}, ',' ORDER BY cat DESC)
+                       AS top2_key_sum
+            FROM agg_ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_sum AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0")}, ',' ORDER BY s DESC, cat DESC)
+                       AS top2_val_sum
+            FROM agg_ranked WHERE rk_val <= 2 GROUP BY eid
+        ),
+        ratio_cat AS (
+            SELECT eid, cat,
+                   CAST(count(CASE WHEN cond THEN 1 END) AS DOUBLE) / count(*) AS r
+            FROM pairs GROUP BY eid, cat
+        ),
+        ratio_ranked AS (
+            SELECT eid, cat, r,
+                   row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key,
+                   row_number() OVER (PARTITION BY eid ORDER BY r DESC, cat DESC) AS rk_val
+            FROM ratio_cat
+        ),
+        key_ratio AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("r")}, ',' ORDER BY cat DESC)
+                       AS top2_key_ratio
+            FROM ratio_ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_ratio AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("r")}, ',' ORDER BY r DESC, cat DESC)
+                       AS top2_val_ratio
+            FROM ratio_ranked WHERE rk_val <= 2 GROUP BY eid
+        ),
+        strs AS (
+            SELECT r.eid,
+                   k.top2_key_sum, v.top2_val_sum, kr.top2_key_ratio, vr.top2_val_ratio
+            FROM ratio_ranked r
+            LEFT JOIN key_sum k ON k.eid = r.eid
+            LEFT JOIN val_sum v ON v.eid = r.eid
+            LEFT JOIN key_ratio kr ON kr.eid = r.eid
+            LEFT JOIN val_ratio vr ON vr.eid = r.eid
+            GROUP BY ALL
+        )
+        {_left_join_tail(["top2_key_sum", "top2_val_sum", "top2_key_ratio", "top2_val_ratio"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_top_n_cate(spark, sf_dir):
+    """top_n_{key,value}_sum_cate_where + top_n_{key,value}_ratio_cate."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            top_n_cate_where("top2_key_sum", "sum", "key", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_val_sum", "sum", "value", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_ratio_cate("top2_key_ratio", "key", "value", "cond", "event_type", 2),
+            top_n_ratio_cate("top2_val_ratio", "value", "value", "cond", "event_type", 2),
+        ],
+        passthrough=PASS,
+        prepared={"vc": cents("value"), "cond": F.col("value") > _COND},
+    )
+
+
+@workload(
+    "q_ml_cate_rows",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        pairs AS (
+            SELECT o1.event_id AS eid, o2.event_type AS cat,
+                   CAST(round(o2.value * 100) AS BIGINT) AS vc
+            FROM ordered o1 JOIN ordered o2
+              ON o2.user_id = o1.user_id AND o2.rn BETWEEN o1.rn - 50 AND o1.rn
+        ),
+        per_cat AS (
+            SELECT eid, cat, sum(vc) AS s FROM pairs GROUP BY eid, cat
+        ),
+        strs AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0")}, ','
+                       ORDER BY cat || ':' || {fmt("s / 100.0")}) AS sum_cate_50r
+            FROM per_cat GROUP BY eid
+        )
+        {_left_join_tail(["sum_cate_50r"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_cate_rows(spark, sf_dir):
+    """sum_cate over a ROWS 50 PRECEDING frame (tiebreak on event_id —
+    reference (ts, __seq_no) cursor semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=rows_frame(50),
+        specs=[sum_cate("sum_cate_50r", "vc", "event_type", scale=100.0)],
+        passthrough=PASS,
+        prepared={"vc": cents("value")},
+        tiebreak="event_id",
+    )
