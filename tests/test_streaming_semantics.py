@@ -1,0 +1,78 @@
+"""Streaming semantics tests beyond oracle equality: late-data drop and
+watermark-driven emission (reference window_operator_tests.rs:519-593
+late-data keep/drop cases)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from volga_spark.functions.sliding import SlidingSpec
+from volga_spark.operators.window import range_frame
+from volga_spark.streaming.runner import run_available_now_to_memory
+from volga_spark.streaming.stateful_window import sliding_window_stream
+
+
+def _write(path, rows, i):
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+    p = os.path.join(path, f"chunk_{i:04d}.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+    os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+@pytest.fixture()
+def late_stream_dir(tmp_path):
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    base = 1_700_000_000
+    # batch 0: rows at t=0..2min; batch 1 advances watermark to ~1h and
+    # carries one LATE row (t=+30s, far behind wm - lateness) plus sentinels.
+    _write(d, [(1, 1, base, 1.0), (2, 1, base + 60, 1.0), (3, 1, base + 120, 1.0)], 0)
+    _write(d, [(4, 1, base + 3600, 1.0), (90, 1, base + 30, 9.0)], 1)
+    _write(d, [(-1, 1, base + 7200, 0.0)], 2)
+    _write(d, [(-1, 1, base + 10800, 0.0)], 3)
+    return d
+
+
+def test_late_row_dropped_and_emission_watermark_driven(spark, late_stream_dir):
+    class _Cnt:  # local class → cloudpickle serializes it by value
+        def __init__(self):
+            self.n = 0
+
+        def add(self, v):
+            self.n += 1
+
+        def retract(self, v):
+            self.n -= 1
+
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_stream_dir)
+    )
+    out = sliding_window_stream(
+        stream,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("1 hour"),
+        specs=[SlidingSpec("cnt", _Cnt, ["value"], "bigint", finish=lambda a: a.n)],
+        passthrough=["event_id"],
+        lateness="0 seconds",
+    )
+    res = run_available_now_to_memory(out, output_mode="append").toPandas()
+    real = res[res.event_id > 0].sort_values("event_id")
+    # late row 90 (ts far behind the emitted cursor) must be dropped
+    assert 90 not in set(real.event_id)
+    # rows 1..3 all in the 1h frame; row 4 one hour later sees rows 2..4
+    assert real[real.event_id == 1].cnt.iloc[0] == 1
+    assert real[real.event_id == 2].cnt.iloc[0] == 2
+    assert real[real.event_id == 3].cnt.iloc[0] == 3
+    assert real[real.event_id == 4].cnt.iloc[0] == 4  # frame [base, +3600] inclusive

@@ -45,10 +45,12 @@ def _self_contained_udfs() -> None:
         import volga_spark.functions.accumulators
 
         import volga_spark.functions.cate_top
+        import volga_spark.functions.sliding
 
         register_pickle_by_value(volga_spark.formatting)
         register_pickle_by_value(volga_spark.functions.accumulators)
         register_pickle_by_value(volga_spark.functions.cate_top)
+        register_pickle_by_value(volga_spark.functions.sliding)
     except Exception:  # best effort — PYTHONPATH-propagated setups still work
         pass
 
@@ -115,48 +117,63 @@ def apply_sliding_aggs(
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        n = len(pdf)
-        ts = pdf[ts_col].to_numpy()
-        accs = [factory() for _, factory, _, _ in spec_data]
-        arg_arrays = [
-            [pdf[c].to_numpy() for c in inputs] for _, _, inputs, _ in spec_data
-        ]
-        outs: list[list] = [[None] * n for _ in spec_data]
-
-        def add(i):
-            for a, arrs in zip(accs, arg_arrays):
-                a.add(*(arr[i] for arr in arrs))
-
-        def retract(i):
-            for a, arrs in zip(accs, arg_arrays):
-                a.retract(*(arr[i] for arr in arrs))
-
-        if is_range:
-            lo = 0
-            hi = 0
-            for i in range(n):
-                while hi < n and ts[hi] <= ts[i]:
-                    add(hi)
-                    hi += 1
-                bound = ts[i] - length
-                while lo < hi and ts[lo] < bound:
-                    retract(lo)
-                    lo += 1
-                for k, (_, _, _, finish) in enumerate(spec_data):
-                    a = accs[k]
-                    outs[k][i] = finish(a) if finish else a.result()
-        else:
-            for i in range(n):
-                add(i)
-                if i - length - 1 >= 0:
-                    retract(i - length - 1)
-                for k, (_, _, _, finish) in enumerate(spec_data):
-                    a = accs[k]
-                    outs[k][i] = finish(a) if finish else a.result()
-
+        outs = run_sweep(pdf, ts_col, is_range, length, spec_data)
         res = pdf[passthrough].copy()
         for (name, _, _, _), vals in zip(spec_data, outs):
             res[name] = vals
         return res
 
     return work.groupBy(*keys).applyInPandas(sweep, schema=out_schema)
+
+
+def run_sweep(
+    pdf: pd.DataFrame,
+    ts_col: str,
+    is_range: bool,
+    length: int,
+    spec_data: list[tuple],
+) -> list[list]:
+    """Core two-pointer sweep over an already-sorted frame.
+
+    ``spec_data`` = [(name, factory, input_cols, finish)]. Returns one output
+    list per spec, aligned with ``pdf`` rows. Shared by the batch
+    ``applyInPandas`` path and the streaming stateful handler.
+    """
+    n = len(pdf)
+    ts = pdf[ts_col].to_numpy()
+    accs = [factory() for _, factory, _, _ in spec_data]
+    arg_arrays = [[pdf[c].to_numpy() for c in inputs] for _, _, inputs, _ in spec_data]
+    outs: list[list] = [[None] * n for _ in spec_data]
+
+    def add(i):
+        for a, arrs in zip(accs, arg_arrays):
+            a.add(*(arr[i] for arr in arrs))
+
+    def retract(i):
+        for a, arrs in zip(accs, arg_arrays):
+            a.retract(*(arr[i] for arr in arrs))
+
+    def emit(i):
+        for k, (_, _, _, finish) in enumerate(spec_data):
+            a = accs[k]
+            outs[k][i] = finish(a) if finish else a.result()
+
+    if is_range:
+        lo = 0
+        hi = 0
+        for i in range(n):
+            while hi < n and ts[hi] <= ts[i]:
+                add(hi)
+                hi += 1
+            bound = ts[i] - length
+            while lo < hi and ts[lo] < bound:
+                retract(lo)
+                lo += 1
+            emit(i)
+    else:
+        for i in range(n):
+            add(i)
+            if i - length - 1 >= 0:
+                retract(i - length - 1)
+            emit(i)
+    return outs

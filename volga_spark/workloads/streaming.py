@@ -1,0 +1,195 @@
+"""Streaming-mode workloads (SURVEY §2.12, §3.1 Streaming execution mode).
+
+Each callable runs a real Structured Streaming query to completion
+(availableNow — the reference's MAX_WATERMARK end-of-stream flush) over a
+deterministic multi-micro-batch file stream, then returns the result as a
+batch DataFrame, so streaming execution sits inside the same DuckDB
+correctness gate as batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.functions.cate_top import sum_cate
+from volga_spark.functions.sliding import SlidingSpec
+from volga_spark.operators.window import cents, range_frame
+from volga_spark.streaming.runner import run_available_now_to_memory, upsert_by_key
+from volga_spark.streaming.sources import SENTINEL_ID, chunked_file_stream
+from volga_spark.streaming.stateful_window import sliding_window_stream
+from volga_spark.workloads import workload
+from volga_spark.workloads._util import duck_dsum
+
+
+@workload(
+    "q_stream_groupby_count",
+    oracle="""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def q_stream_groupby_count(spark, sf_dir):
+    """Streaming GROUP BY over 5 micro-batches, complete mode — equals the
+    batch aggregate once the stream is drained (reference word-count
+    pipeline, emit-at-MAX_WATERMARK semantics)."""
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return run_available_now_to_memory(agg, output_mode="complete")
+
+
+@workload(
+    "q_stream_tumbling_day",
+    oracle=f"""
+        SELECT date_trunc('day', ts) AS day_start, event_type,
+               count(*) AS n, {duck_dsum("value")} AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_tumbling_day(spark, sf_dir):
+    """Watermarked tumbling event-time window (group window — beyond the
+    reference's OVER-only surface; native in Spark)."""
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    res = run_available_now_to_memory(agg, output_mode="complete")
+    return res.select(
+        F.col("win.start").alias("day_start"), "event_type", "n", "total_value"
+    )
+
+
+@workload(
+    "q_stream_sliding_window",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS cnt_1h,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_sliding_window(spark, sf_dir):
+    """Per-row sliding window computed STATEFULLY over the stream
+    (applyInPandasWithState), flushed by punctuation rows — must equal the
+    batch window query exactly (reference brute-force model test,
+    window_operator_tests.rs:894-1012)."""
+
+    class _CntSum:
+        def __init__(self):
+            self.n = 0
+            self.s = 0
+
+        def add(self, vc):
+            self.n += 1
+            self.s += vc
+
+        def retract(self, vc):
+            self.n -= 1
+            self.s -= vc
+
+    stream, _ = chunked_file_stream(
+        spark, sf_dir, "events", "ts", n_chunks=5,
+        key_col="user_id", id_col="event_id", flush=True,
+    )
+    out = sliding_window_stream(
+        stream,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            SlidingSpec("cnt_1h", _CntSum, ["vc"], "bigint", finish=lambda a: a.n),
+            SlidingSpec("sum_1h", _CntSum, ["vc"], "double", finish=lambda a: a.s / 100.0),
+        ],
+        passthrough=["event_id"],
+        lateness="0 seconds",
+        prepared={"vc": cents("value")},
+    )
+    res = run_available_now_to_memory(out, output_mode="append")
+    return res.filter(F.col("event_id") != SENTINEL_ID).select(
+        "event_id", "user_id", "ts", "cnt_1h", "sum_1h"
+    )
+
+
+@workload(
+    "q_stream_sliding_cate",
+    oracle="""
+        WITH pairs AS (
+            SELECT e.event_id AS eid, e2.event_type AS cat,
+                   CAST(round(e2.value * 100) AS BIGINT) AS vc
+            FROM events e JOIN events e2
+              ON e2.user_id = e.user_id
+             AND e2.ts >= e.ts - INTERVAL 1 HOUR AND e2.ts <= e.ts
+        ),
+        per_cat AS (SELECT eid, cat, sum(vc) AS s FROM pairs GROUP BY eid, cat),
+        strs AS (
+            SELECT eid, string_agg(
+                cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
+                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END,
+                ',' ORDER BY cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
+                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END
+            ) AS sum_cate_1h
+            FROM per_cat GROUP BY eid
+        )
+        SELECT e.event_id, e.user_id, e.ts, coalesce(s.sum_cate_1h, '') AS sum_cate_1h
+        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
+    """,
+    tags=("streaming", "stateful", "ml_udaf"),
+)
+def q_stream_sliding_cate(spark, sf_dir):
+    """ML UDAF (sum_cate) evaluated statefully on the stream — the reference's
+    headline capability (README.md:107-150) end to end in streaming mode."""
+    stream, _ = chunked_file_stream(
+        spark, sf_dir, "events", "ts", n_chunks=5,
+        key_col="user_id", id_col="event_id", flush=True,
+    )
+    out = sliding_window_stream(
+        stream,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("1 hour"),
+        specs=[sum_cate("sum_cate_1h", "vc", "event_type", scale=100.0)],
+        passthrough=["event_id"],
+        lateness="0 seconds",
+        prepared={"vc": cents("value")},
+    )
+    res = run_available_now_to_memory(out, output_mode="append")
+    return res.filter(F.col("event_id") != SENTINEL_ID).select(
+        "event_id", "user_id", "ts", "sum_cate_1h"
+    )
+
+
+@workload(
+    "q_stream_upsert_sink",
+    oracle="""
+        SELECT user_id, event_id, event_type, value
+        FROM (
+            SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events
+        ) WHERE rk = 1
+    """,
+    tags=("streaming", "sink"),
+)
+def q_stream_upsert_sink(spark, sf_dir):
+    """Keyed upsert sink via foreachBatch (reference in-memory upsert sink):
+    final state = latest row per key."""
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    final = upsert_by_key(
+        stream.select("user_id", "event_id", "event_type", "value", "ts"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return spark.createDataFrame(final.drop(columns=["ts"]))
