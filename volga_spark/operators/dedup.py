@@ -1,0 +1,230 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a standard LLM-corpus technique:
+
+1. **Exact** — group on a content fingerprint (md5), keep the smallest id.
+   At 100 TB: shuffle keys are 16-byte digests, never the documents
+   themselves; partial aggregation makes the shuffle ~|unique| sized.
+2. **MinHash + LSH** — word-shingle signatures, banded into buckets; only
+   same-bucket pairs are candidates (the classic near-linear near-dup join).
+   Signatures are computed in one mapInPandas pass (numpy, Arrow-batched);
+   banding/bucketing/joining stay DataFrame ops, so the candidate join is a
+   plain shuffle join on (band, bucket-hash) — no pairwise blowup.
+3. **SimHash** — 64-bit weighted-token signature; near-dups = signatures
+   within a Hamming radius, candidates via band-of-bits buckets.
+4. **n-gram Jaccard verify** — exact similarity on candidate pairs only.
+
+Hashing is a fixed-seed 61-bit multiplicative scheme over md5 digests —
+deterministic across engines/processes (Python's builtin hash() is salted;
+never use it in distributed code).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from volga_spark._pickle import register_by_value
+
+MERSENNE = (1 << 61) - 1
+_MAX = (1 << 61) - 2
+
+
+def _stable_h61(s: str) -> int:
+    """Deterministic 61-bit hash of a string (md5-based, unsalted)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") % MERSENNE
+
+
+def _perm_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MAX, size=k, dtype=np.int64)
+    b = rng.randint(0, _MAX, size=k, dtype=np.int64)
+    return a, b
+
+
+def word_shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def minhash_signature(text: str, k: int, a: np.ndarray, b: np.ndarray, n: int = 3) -> np.ndarray:
+    sh = {_stable_h61(s) for s in word_shingles(text, n)}
+    if not sh:
+        return np.full(k, MERSENNE, dtype=np.int64)
+    hv = np.fromiter(sh, dtype=np.int64, count=len(sh))
+    # (a*h + b) mod p for each permutation — vectorized over shingles
+    m = (hv[None, :].astype(object) * a[:, None].astype(object) + b[:, None].astype(object)) % MERSENNE
+    return np.min(m, axis=1).astype(np.int64)
+
+
+def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int = 3) -> DataFrame:
+    """Append a `signature: array<bigint>` column (one mapInPandas pass)."""
+    import volga_spark.operators.dedup as _self
+
+    register_by_value(_self)
+    a, b = _perm_params(k)
+    schema = f"{id_col} bigint, signature array<bigint>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                minhash_signature(t, k, a, b, n).tolist() for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+
+    sigs = df.mapInPandas(gen, schema=schema)
+    return df.join(sigs, id_col)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (a, b) id pairs.
+
+    bands*rows must equal the signature length. Collision probability for
+    jaccard s is 1-(1-s^rows)^bands — 16x4 targets s ≳ 0.5.
+    """
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(F.col("signature"), i * rows + 1, rows),
+            )
+        ).alias("band", "chunk"),
+    ).select(id_col, "band", F.hash("band", "chunk").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (unweighted)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in set(text.split()):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # signed for bigint storage
+
+
+def add_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    import volga_spark.operators.dedup as _self
+
+    register_by_value(_self)
+    schema = f"{id_col} bigint, simhash bigint"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": [simhash64(t) for t in pdf[text_col]]}
+            )
+
+    return df.join(df.mapInPandas(gen, schema=schema), id_col)
+
+
+def simhash_candidates(sim_df: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Hamming-radius candidates: split 64 bits into `bands` chunks; pairs
+    equal in ≥1 chunk are candidates (radius < bands guaranteed caught)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = sim_df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard (explode shingles →
+    count intersections DataFrame-side; no pairwise text shipping)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # intersection counts via join on (pair, shingle)
+    sh_a = sh.withColumnRenamed(id_col, "id_a")
+    sh_b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    nb = counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

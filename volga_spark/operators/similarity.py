@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``cosine(a, b)`` — pure higher-order-function expression (zip_with +
+  aggregate in double precision): JVM-side, no UDF.
+- ``brute_force_topk`` — the exactness baseline: broadcast the (small) query
+  set against the corpus, score map-side, take top-k per query with a
+  ranking window. At 100 TB the scoring pass is embarrassingly parallel and
+  shuffles only (n_queries × corpus_partitions × k) candidate rows after the
+  per-partition pre-prune.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH (deterministic seeded
+  planes evaluated as expressions), bucket-join on band signatures, score
+  only same-bucket candidates. Recall tunable by (planes, bands).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast; ranking ties
+    break on neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias(qid_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(qid_col)).select(
+        qid_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "neighbor_id", "rank", "score")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature: array<int> of 0/1 per hyperplane, computed as
+    native expressions (one dot product per plane)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            1,
+        ).otherwise(0)
+        for plane in planes
+    ]
+    return F.array(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing ≥1 LSH band with the
+    query. Collision pruning happens in the join, so the scoring volume is
+    ~corpus/2^rows_per_band per band instead of the full corpus."""
+    planes = _hyperplanes(dim, n_planes)
+    width = n_planes // bands
+
+    def banded(df: DataFrame, ident: str) -> DataFrame:
+        sig = lsh_signature(F.col(vec_col), planes)
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(f"__vec_{ident}"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.slice(sig, i * width + 1, width),
+                )
+            ).alias("band", "chunk"),
+        )
+
+    qb = banded(queries, "qid")
+    cb = banded(corpus, "cid")
+    cand = (
+        qb.join(cb, ["band", "chunk"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "__vec_qid", "__vec_cid")
+        .distinct()
+    )
+    scored = cand.select(
+        F.col("qid").alias(qid_col),
+        F.col("cid").alias("neighbor_id"),
+        cosine(F.col("__vec_qid"), F.col("__vec_cid")).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "neighbor_id", "rank", "score")
+    )
+
+
+def blocked_neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks (cosine ≥ threshold).
+    Blocking bounds the pair count; swap ``block_col`` for an LSH band at
+    100 TB (same join shape)."""
+    a = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,108 @@
+"""Deduplication workloads over `documents`.
+
+Exact dedup has a DuckDB oracle; MinHash/SimHash/Jaccard pipelines are
+approximate-by-construction (deterministic, but not SQL-expressible) — the
+driver records rows-only checks and tests/test_dedup.py validates them
+against independent Python recomputation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.operators.dedup import (
+    add_minhash,
+    add_simhash,
+    exact_jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_candidates,
+)
+from volga_spark.operators.text import fingerprint
+from volga_spark.tables import load_table
+from volga_spark.workloads import workload
+
+
+@workload(
+    "q_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group on the 16-byte fingerprint (never the raw text —
+    the shuffle carries digests only), keep the smallest id."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@workload("q_dedup_minhash", tags=("dedup", "approx"))
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(64) + LSH(16x4) candidates → exact 3-gram Jaccard ≥ 0.7
+    verification. Near-linear near-dup detection (no pairwise scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = add_minhash(d, "text", "doc_id", k=64, n=3)
+    cands = lsh_candidate_pairs(sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4)
+    verified = exact_jaccard_pairs(d, cands, "text", "doc_id", n=3)
+    return verified.filter(F.col("jaccard") >= 0.7).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@workload("q_dedup_simhash", tags=("dedup", "approx"))
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash64 banded candidates within Hamming radius ≤ 3 bits."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = add_simhash(d, "text", "doc_id")
+    cands = simhash_candidates(sh.select("doc_id", "simhash"), "doc_id", bands=4)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@workload(
+    "q_ngram_jaccard",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+            FROM toks
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS ni,
+                   CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        )
+        SELECT id_a, id_b, round(ni / (na + nb - ni), 6) AS jaccard FROM p
+    """,
+    tags=("dedup",),
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard on a deterministic candidate slice (every pair of
+    consecutive doc_ids) — exercises the shingle-join verifier standalone."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    )
+    pairs = pairs.join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return exact_jaccard_pairs(d, pairs, "text", "doc_id", n=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

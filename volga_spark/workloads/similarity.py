@@ -1,0 +1,82 @@
+"""Similarity-search workloads over `embeddings` (array<float>, 64-dim).
+
+Cosine arithmetic runs in double precision via sequential left-fold on both
+engines (Spark F.aggregate ≡ DuckDB list_dot_product over DOUBLE[]), so
+scores are bit-identical and rankings compare exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.operators.similarity import (
+    blocked_neardup_pairs,
+    brute_force_topk,
+    lsh_topk,
+)
+from volga_spark.tables import load_table
+from volga_spark.workloads import workload
+
+_DUCK_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@workload(
+    "q_ann_brute_topk",
+    oracle=f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_DUCK_COS} AS score
+            FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < 10
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def q_ann_brute_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 10 query vectors (the ANN
+    correctness baseline; broadcast queries, map-side scoring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@workload(
+    "q_embed_neardup",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DUCK_COS} >= 0.8
+    """,
+    tags=("similarity", "dedup"),
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding near-duplicate pairs, blocked by label (cosine ≥ 0.8).
+    At scale the block key becomes an LSH band — identical join shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_neardup_pairs(emb, "label", 0.8)
+
+
+@workload("q_ann_lsh_topk", tags=("similarity", "approx"))
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH bucketing (the scale path
+    — scores only same-bucket candidates). Approximate → rows-only check;
+    tests/test_similarity.py measures recall vs the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, n_planes=16, bands=8, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
