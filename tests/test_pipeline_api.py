@@ -1,0 +1,93 @@
+"""PipelineSpec front-end tests: the reference README example shape
+(README.md:107-150 — multi-window SQL mixing built-in aggs, _where rewrites
+and cate/top UDAFs) compiled and executed end to end."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from volga_spark.api import PipelineSpec, SourceSpec
+
+SQL = """
+SELECT event_id, user_id, ts, value,
+       count(value) OVER w_short AS cnt_short,
+       sum_where(value, value > 100.0) OVER w_short AS sum_big,
+       sum_cate(vc, event_type) OVER w_long AS sum_cate_long,
+       top(value, 3) OVER w_rows AS top3,
+       top_n_key_count_cate_where(value, value > 0, event_type, 2) OVER w_long AS topk
+FROM events
+WINDOW w_short AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '600' SECOND PRECEDING AND CURRENT ROW),
+       w_long AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '6' HOUR PRECEDING AND CURRENT ROW),
+       w_rows AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)
+"""
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    events = (
+        __import__("volga_spark.tables", fromlist=["load_table"])
+        .load_table(spark, sf_dir, "events")
+        .withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+    )
+    spec = PipelineSpec(sql=SQL, sources=[SourceSpec("events", dataframe=events)])
+    return spec.build(spark).toPandas()
+
+
+def test_pipeline_runs_and_has_all_columns(result):
+    assert set(result.columns) == {
+        "event_id", "user_id", "ts", "value",
+        "cnt_short", "sum_big", "sum_cate_long", "top3", "topk",
+    }
+    assert len(result) > 0
+
+
+def test_native_window_matches_direct(spark, sf_dir, result):
+    from volga_spark.operators.window import event_window, range_frame
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = event_window("user_id", "ts", range_frame("600 seconds"))
+    direct = (
+        ev.select("event_id", F.count("value").over(w).alias("cnt_short"))
+        .toPandas()
+        .set_index("event_id")["cnt_short"]
+    )
+    got = result.set_index("event_id")["cnt_short"]
+    pd.testing.assert_series_equal(got.sort_index(), direct.sort_index())
+
+
+def test_sweep_column_matches_direct(spark, sf_dir, result):
+    from volga_spark.functions.cate_top import sum_cate
+    from volga_spark.functions.sliding import apply_sliding_aggs
+    from volga_spark.operators.window import cents, range_frame
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = (
+        apply_sliding_aggs(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            frame=range_frame("6 hours"),
+            specs=[sum_cate("sum_cate_long", "vc", "event_type", scale=1.0)],
+            passthrough=["event_id"],
+            prepared={"vc": cents("value")},
+        )
+        .toPandas()
+        .set_index("event_id")["sum_cate_long"]
+    )
+    got = result.set_index("event_id")["sum_cate_long"]
+    pd.testing.assert_series_equal(got.sort_index(), direct.sort_index())
+
+
+def test_where_rewrite_is_native(spark):
+    from volga_spark.api.pipeline import _rewrite_where_family
+
+    out = _rewrite_where_family("SELECT sum_where(v, c > 2 AND d < 1) OVER w FROM t")
+    assert "sum(CASE WHEN c > 2 AND d < 1 THEN v END)" in out

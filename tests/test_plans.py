@@ -1,0 +1,76 @@
+"""Physical-plan audits: the plans must be the ones we'd want at 100 TB —
+filters/projections pushed to the parquet scan, dims broadcast, partial
+aggregation before the shuffle, one shuffle per window partitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from volga_spark.workloads import load_all
+
+REG = load_all()
+
+
+def plan(spark, sf_dir, name) -> str:
+    import contextlib
+    import io
+
+    df = REG[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_filter_scan")
+    assert "PushedFilters" in p
+    assert "l_quantity" in p.split("PushedFilters")[1][:200]
+    # projection pruned to the selected + filter columns only
+    read = p.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read and "l_tax" not in read
+
+
+def test_broadcast_joins_for_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_join_multi_broadcast")
+    assert p.count("BroadcastHashJoin") >= 3, p[:2000]
+    # the fact table never hash-shuffles for the join itself
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_partial_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q1")
+    assert "partial_sum" in p and "partial_count" in p  # map-side combine
+    assert p.count("hashpartitioning(") == 1  # single group-by shuffle
+
+
+def test_single_shuffle_for_multi_agg_window(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_window_range_sum_cnt_avg")
+    # one exchange on user_id feeds all three window aggregates
+    assert p.count("hashpartitioning(") == 1, p[:3000]
+
+
+def test_multi_frame_window_shares_partitioning(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_window_multi")
+    # frames share the user_id partitioning: ≤2 exchanges for 3 frames
+    # (range frames order by unix_micros, the rows frame by (ts, event_id))
+    assert p.count("hashpartitioning(") <= 2, p[:3000]
+
+
+def test_sweep_is_single_pandas_stage(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_ml_cate_basic")
+    assert p.count("FlatMapGroupsInPandas (") == 1  # tree occurrence only
+    assert p.count("hashpartitioning(") == 1
+    # condition/scaling evaluated JVM-side before the Python stage
+    assert "round((value" in p
+
+
+def test_where_family_stays_native(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_ml_where_family")
+    for marker in ("Python", "Pandas", "BatchEvalPython"):
+        assert marker not in p, f"_where family must not leave the JVM: {marker}"
+
+
+def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_dedup_exact")
+    assert p.count("HashAggregate") >= 2  # partial agg before shuffle

@@ -1,0 +1,240 @@
+"""PipelineSpec front end (SURVEY §3.1 — the reference's product path).
+
+Reference: ``PipelineSpec { execution_mode, sources[], sql, sink, ... }``
+(reference src/api/spec/pipeline.rs:33-54) compiled by planner.rs into a
+dataflow graph. Here the "compiler" is:
+
+  sources → temp views → SQL rewrite → Catalyst
+
+The rewrite handles the reference's window-UDAF dialect (reference
+README.md:107-150): ``fn(args) OVER w AS alias`` with named
+``WINDOW w AS (PARTITION BY k ORDER BY ts RANGE BETWEEN INTERVAL 'N'
+MILLISECOND PRECEDING AND CURRENT ROW | ROWS BETWEEN N PRECEDING AND
+CURRENT ROW)`` clauses:
+
+- built-in aggs (sum/avg/count/min/max/stddev/variance) pass straight
+  through — Spark SQL evaluates interval RANGE frames natively;
+- ``*_where(v, cond)`` rewrites to ``agg(CASE WHEN cond THEN v END)``
+  (pure text transform, stays native — SURVEY §4 conclusion);
+- cate/top family calls are extracted, compiled to sliding sweep specs
+  (functions/cate_top) and computed via apply_sliding_aggs; the SQL text
+  then references the precomputed columns.
+
+Execution modes: ``batch`` returns the result DataFrame; ``streaming``
+wraps the same pipeline over a streaming source and returns the streaming
+DataFrame (caller picks trigger/sink); ``request`` pairs with
+operators/request.point_in_time_lookup.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from volga_spark.functions import cate_top
+from volga_spark.functions.sliding import apply_sliding_aggs
+from volga_spark.operators.window import Frame, range_frame, rows_frame
+
+_WHERE_FNS = ("sum", "avg", "count", "min", "max")
+_CATE_FNS = {f"{a}_cate" for a in _WHERE_FNS} | {f"{a}_cate_where" for a in _WHERE_FNS}
+_TOP_FNS = {"top", "topn_frequency", "top1_ratio"}
+_TOPN_RE = re.compile(
+    r"top_n_(key|value)_(sum|avg|count|min|max|ratio)_cate(?:_where)?$"
+)
+
+_WINDOW_CLAUSE_RE = re.compile(
+    r"WINDOW\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_WINDOW_DEF_RE = re.compile(
+    r"(\w+)\s+AS\s*\(\s*PARTITION\s+BY\s+([\w,\s]+?)\s+ORDER\s+BY\s+(\w+)\s+"
+    r"(?:RANGE\s+BETWEEN\s+INTERVAL\s+'?(\d+)'?\s+(\w+)\s+PRECEDING"
+    r"|ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING)\s+AND\s+CURRENT\s+ROW\s*\)",
+    re.IGNORECASE,
+)
+_OVER_CALL_RE = re.compile(
+    r"(\w+)\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+OVER\s+(\w+)\s+AS\s+(\w+)",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class SourceSpec:
+    """A named source: parquet path (batch) or streaming DataFrame factory."""
+
+    name: str
+    parquet: str | None = None
+    dataframe: DataFrame | None = None
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if self.dataframe is not None:
+            return self.dataframe
+        if self.parquet:
+            from volga_spark.tables import _nanos_ts_columns
+
+            path = self.parquet
+            ns = _nanos_ts_columns(path) if path.endswith(".parquet") else ()
+            df = spark.read.parquet(path) if not ns else None
+            if ns:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path)
+                for c in ns:
+                    df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            return df
+        raise ValueError(f"source {self.name} has no parquet path or dataframe")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Comma split at paren depth 0 (conditions may contain calls/parens)."""
+    out, depth, cur = [], 0, []
+    for ch in argstr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _parse_windows(sql: str) -> dict[str, tuple[list[str], str, Frame]]:
+    m = _WINDOW_CLAUSE_RE.search(sql)
+    if not m:
+        return {}
+    windows = {}
+    for w in _WINDOW_DEF_RE.finditer(m.group(1)):
+        name, part, order, qty, unit, rows_n = w.groups()
+        keys = [p.strip() for p in part.split(",")]
+        if rows_n is not None:
+            frame: Frame = rows_frame(int(rows_n))
+        else:
+            frame = range_frame(f"{qty} {unit.lower()}")
+        windows[name] = (keys, order, frame)
+    return windows
+
+
+def _compile_sweep_call(fn: str, args: list[str], alias: str, prepared: dict):
+    """Map one cate/top call to a SlidingSpec, registering prepared exprs."""
+
+    def prep(expr: str, cast: str | None = None) -> str:
+        key = f"__p{len(prepared)}_{alias}"
+        col = F.expr(expr)
+        if cast:
+            col = col.cast(cast)
+        prepared[key] = col
+        return key
+
+    fnl = fn.lower()
+    m = _TOPN_RE.match(fnl)
+    if m:
+        order, agg = m.group(1), m.group(2)
+        v, cond, cat, k = args
+        if agg == "ratio":
+            return cate_top.top_n_ratio_cate(
+                alias, order, prep(v), prep(cond, "boolean"), prep(cat), int(k)
+            )
+        return cate_top.top_n_cate_where(
+            alias, agg, order, prep(v), prep(cond, "boolean"), prep(cat), int(k)
+        )
+    if fnl in _CATE_FNS:
+        agg = fnl.split("_")[0]
+        maker = getattr(cate_top, f"{agg}_cate")
+        if fnl.endswith("_cate_where"):
+            v, cond, cat = args
+            return maker(alias, prep(v), prep(cat), cond=prep(cond, "boolean"))
+        v, cat = args
+        return maker(alias, prep(v), prep(cat))
+    if fnl == "top":
+        v, k = args
+        return cate_top.top(alias, prep(v), int(k))
+    if fnl == "topn_frequency":
+        v, k = args
+        return cate_top.topn_frequency(alias, prep(v), int(k))
+    if fnl == "top1_ratio":
+        (v,) = args
+        return cate_top.top1_ratio(alias, prep(v))
+    raise ValueError(f"unsupported UDAF: {fn}")
+
+
+def _rewrite_where_family(sql: str) -> str:
+    """sum_where(v, c) → sum(CASE WHEN c THEN v END) — stays native."""
+
+    def repl(m: re.Match) -> str:
+        fn, args = m.group(1), _split_args(m.group(2))
+        base = fn.lower().removesuffix("_where")
+        if base in _WHERE_FNS and fn.lower().endswith("_where") and len(args) == 2:
+            return f"{base}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        return m.group(0)
+
+    return re.sub(r"(\w+_where)\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)", repl, sql)
+
+
+@dataclass
+class PipelineSpec:
+    """Declarative pipeline: sources + SQL (+ mode), compiled Spark-first."""
+
+    sql: str
+    sources: list[SourceSpec] = field(default_factory=list)
+    execution_mode: str = "batch"  # batch | streaming
+
+    def build(self, spark: SparkSession) -> DataFrame:
+        for src in self.sources:
+            src.load(spark).createOrReplaceTempView(src.name)
+
+        sql = self.sql
+        windows = _parse_windows(sql)
+
+        # extract ML sweep calls per (window, table)
+        sweep_calls = []
+        for m in _OVER_CALL_RE.finditer(sql):
+            fn, args, wname, alias = m.groups()
+            fnl = fn.lower()
+            if fnl in _CATE_FNS or fnl in _TOP_FNS or _TOPN_RE.match(fnl):
+                sweep_calls.append((m.group(0), fn, _split_args(args), wname, alias))
+
+        if sweep_calls:
+            table_m = re.search(r"FROM\s+(\w+)", sql, re.IGNORECASE)
+            if not table_m:
+                raise ValueError("cannot find FROM table for sweep rewrite")
+            table = table_m.group(1)
+            by_window: dict[str, list] = {}
+            for text, fn, args, wname, alias in sweep_calls:
+                by_window.setdefault(wname, []).append((text, fn, args, alias))
+            df = spark.table(table)
+            for wname, calls in by_window.items():
+                if wname not in windows:
+                    raise ValueError(f"WINDOW {wname} not defined")
+                keys, order, frame = windows[wname]
+                prepared: dict = {}
+                specs = [
+                    _compile_sweep_call(fn, args, alias, prepared)
+                    for _, fn, args, alias in calls
+                ]
+                passthrough = list(df.columns)  # keys included; recomputed per
+                # window so earlier sweep outputs survive later stages
+                df = apply_sliding_aggs(
+                    df,
+                    partition_by=keys,
+                    order_by=order,
+                    frame=frame,
+                    specs=specs,
+                    passthrough=passthrough,
+                    prepared=prepared,
+                )
+                for text, _, _, alias in calls:
+                    sql = sql.replace(text, f"{alias} AS {alias}")
+            staged = f"__vs_pipeline_{table}"
+            df.createOrReplaceTempView(staged)
+            sql = re.sub(
+                rf"(FROM\s+){table}\b", rf"\g<1>{staged}", sql, flags=re.IGNORECASE
+            )
+
+        sql = _rewrite_where_family(sql)
+        return spark.sql(sql)

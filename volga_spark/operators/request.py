@@ -1,0 +1,76 @@
+"""Request mode — point-in-time feature lookup (SURVEY §2.10, §3.3).
+
+The reference's WindowRequestOperator evaluates window aggregates at
+*virtual points* (request timestamps) against the window operator's shared
+state (reference src/runtime/operators/window/window_request_operator.rs:
+110-120, aggregates/{plain_points,retractable_points}.rs).
+
+Spark-first restatement: a request is a row (key, ts) carrying no data;
+union it with the state rows, order by event time, and evaluate the same
+sliding frame with request rows excluded from the aggregation inputs
+(``when(is_request, NULL)`` never contributes). One shuffle on the key —
+identical plan shape to the write-path window. For continuous serving, keep
+the state table maintained by the streaming query and run this lookup per
+request batch; single-key lookups prune to one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from volga_spark.operators.window import Frame, event_window
+
+REQ_FLAG = "__is_request"
+
+
+def point_in_time_lookup(
+    state: DataFrame,
+    requests: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    frame: Frame,
+    agg_builder,
+    request_id_col: str = "request_id",
+) -> DataFrame:
+    """Evaluate window aggregates at each request's (key, ts) point.
+
+    ``agg_builder(w: WindowSpec) -> dict[name, Column]`` builds the output
+    expressions (use ``masked(col)`` for inputs so request rows never
+    contribute). Returns one row per request. ``requests`` must carry the
+    key columns, ``ts_col`` and a request id.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    state_cols = [c for c in state.columns if c not in keys and c != ts_col]
+
+    s = state.select(
+        *keys,
+        ts_col,
+        *state_cols,
+        F.lit(0).alias(REQ_FLAG),
+        F.lit(None).cast("long").alias(request_id_col),
+    )
+    r = requests.select(
+        *keys,
+        ts_col,
+        *[F.lit(None).cast(dict(state.dtypes)[c]).alias(c) for c in state_cols],
+        F.lit(1).alias(REQ_FLAG),
+        F.col(request_id_col).cast("long"),
+    )
+    combined = s.unionByName(r)
+    w = event_window(keys, ts_col, frame)
+    out = combined.select(
+        *keys,
+        ts_col,
+        F.col(request_id_col),
+        F.col(REQ_FLAG),
+        *[expr.alias(name) for name, expr in agg_builder(w).items()],
+    )
+    return out.filter(F.col(REQ_FLAG) == 1).drop(REQ_FLAG)
+
+
+def masked(value: str | Column) -> Column:
+    """State-rows-only input for request-mode aggregates: NULL on request
+    rows so they never contribute to their own window."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.when(F.col(REQ_FLAG) == 0, v)

@@ -1,0 +1,58 @@
+"""Request-mode workloads (SURVEY §2.10): point-in-time window aggregates at
+virtual request timestamps, matching a DuckDB range-join oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.operators.request import masked, point_in_time_lookup
+from volga_spark.operators.window import cents, range_frame
+from volga_spark.tables import load_table
+from volga_spark.workloads import workload
+
+
+@workload(
+    "q_request_point_lookup",
+    oracle="""
+        WITH req AS (
+            SELECT event_id AS request_id, user_id,
+                   ts + INTERVAL 1 SECOND AS rts
+            FROM events WHERE event_id % 10 = 0
+        )
+        SELECT q.request_id, q.user_id,
+               count(e.value) AS cnt_1h,
+               sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_1h,
+               min(e.value) AS min_1h,
+               max(e.value) AS max_1h
+        FROM req q LEFT JOIN events e
+          ON e.user_id = q.user_id
+         AND e.ts >= q.rts - INTERVAL 1 HOUR AND e.ts <= q.rts
+        GROUP BY q.request_id, q.user_id
+    """,
+    tags=("request",),
+)
+def q_request_point_lookup(spark, sf_dir):
+    """Every 10th event +1s becomes a request point; SUM/COUNT/MIN/MAX over
+    the trailing 1h of state evaluated at that virtual timestamp (reference
+    request_source_e2e_test shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.select("user_id", "ts", "value")
+    requests = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("request_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    return point_in_time_lookup(
+        state,
+        requests,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("1 hour"),
+        agg_builder=lambda w: {
+            "cnt_1h": F.count(masked("value")).over(w),
+            "sum_1h": F.sum(F.round(masked("value") * 100).cast("long")).over(w)
+            / F.lit(100.0),
+            "min_1h": F.min(masked("value")).over(w),
+            "max_1h": F.max(masked("value")).over(w),
+        },
+    ).select("request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h")
