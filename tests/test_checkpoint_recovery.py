@@ -1,0 +1,102 @@
+"""Fault tolerance: a stateful sliding-window stream killed mid-stream and
+restarted from its checkpoint produces exactly the batch-equivalent output
+(reference checkpoint_tests — kill+recovery with sink oracle,
+src/runtime/tests/checkpoint_tests/)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from volga_spark.functions.sliding import SlidingSpec
+from volga_spark.operators.window import range_frame
+from volga_spark.streaming.stateful_window import sliding_window_stream
+
+
+def _write_chunk(d, rows, i):
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+    p = os.path.join(d, f"chunk_{i:04d}.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+    os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def test_stateful_stream_recovers_from_checkpoint(spark, tmp_path):
+    class _Sum:
+        def __init__(self):
+            self.s = 0
+
+        def add(self, v):
+            self.s += int(round(v * 100))
+
+        def retract(self, v):
+            self.s -= int(round(v * 100))
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    outp = str(tmp_path / "out")
+    os.makedirs(src)
+    base = 1_700_000_000
+
+    def run():
+        schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = sliding_window_stream(
+            stream,
+            key_cols="user_id",
+            ts_col="ts",
+            frame=range_frame("10 minutes"),
+            specs=[
+                SlidingSpec("sum_c", _Sum, ["value"], "double", finish=lambda a: a.s / 100.0)
+            ],
+            passthrough=["event_id"],
+            lateness="0 seconds",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    # phase 1: two batches, then the query terminates (simulated kill: the
+    # remaining data arrives while the query is down)
+    _write_chunk(src, [(1, 1, base + 0, 1.0), (2, 1, base + 60, 2.0)], 0)
+    _write_chunk(src, [(3, 1, base + 120, 3.0), (4, 2, base + 120, 4.0)], 1)
+    run()
+
+    # phase 2: more data incl. rows whose window spans the restart boundary,
+    # plus flush punctuation; restart from the same checkpoint
+    _write_chunk(src, [(5, 1, base + 180, 5.0), (6, 2, base + 240, 6.0)], 2)
+    _write_chunk(src, [(-1, 1, base + 3600, 0.0), (-2, 2, base + 3600, 0.0)], 3)
+    _write_chunk(src, [(-3, 1, base + 7200, 0.0), (-4, 2, base + 7200, 0.0)], 4)
+    run()
+
+    res = (
+        spark.read.parquet(outp)
+        .filter(F.col("event_id") > 0)
+        .select("event_id", "sum_c")
+        .toPandas()
+        .set_index("event_id")["sum_c"]
+        .sort_index()
+    )
+    # batch-equivalent expectation: 10-minute trailing sums per user
+    expected = {1: 1.0, 2: 3.0, 3: 6.0, 4: 4.0, 5: 11.0, 6: 10.0}
+    assert res.to_dict() == expected
+    # no duplicates across the restart (exactly-once sink semantics)
+    assert res.index.is_unique

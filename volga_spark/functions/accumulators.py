@@ -140,6 +140,10 @@ class CateAccumulator:
         self.kind = kind
         self.scale = scale
         self.cats: dict = {}
+        # per-category rendered "cat:val" part, invalidated only when that
+        # category's accumulator changes — a sliding step touches one or two
+        # categories, so result() re-formats O(changed), not O(categories)
+        self._parts: dict = {}
 
     def add(self, value, cond, cat):
         if cat is None or value is None or not cond:
@@ -148,6 +152,7 @@ class CateAccumulator:
         if acc is None:
             acc = self.cats[cat] = SubAcc(self.kind)
         acc.add(value)
+        self._parts[cat] = None
 
     def retract(self, value, cond, cat):
         if cat is None or value is None or not cond:
@@ -158,18 +163,24 @@ class CateAccumulator:
         acc.retract(value)
         if acc.empty:
             del self.cats[cat]
+            self._parts.pop(cat, None)
+        else:
+            self._parts[cat] = None
 
     def result(self) -> str:
         parts = []
         for cat, acc in self.cats.items():
-            cat_s = scalar_to_string(cat)
-            if cat_s is None:
-                continue
-            m = acc.metric(self.scale)
-            m_s = scalar_to_string(m)
-            if m_s is None:
-                continue
-            parts.append(f"{cat_s}:{m_s}")
+            p = self._parts.get(cat)
+            if p is None:
+                cat_s = scalar_to_string(cat)
+                if cat_s is None:
+                    continue
+                m_s = scalar_to_string(acc.metric(self.scale))
+                if m_s is None:
+                    continue
+                p = f"{cat_s}:{m_s}"
+                self._parts[cat] = p
+            parts.append(p)
         parts.sort()
         return join_csv(parts)
 
@@ -259,6 +270,7 @@ class GroupedAggTopK:
         self.kind = kind
         self.scale = scale
         self.cats: dict = {}
+        self._rendered: dict = {}  # cat -> (metric, "cat:metric") cache
 
     def add(self, value, cond, cat):
         if cat is None or value is None or not cond:
@@ -267,6 +279,7 @@ class GroupedAggTopK:
         if acc is None:
             acc = self.cats[cat] = SubAcc(self.kind)
         acc.add(value)
+        self._rendered[cat] = None
 
     def retract(self, value, cond, cat):
         if cat is None or value is None or not cond:
@@ -277,21 +290,29 @@ class GroupedAggTopK:
         acc.retract(value)
         if acc.empty:
             del self.cats[cat]
+            self._rendered.pop(cat, None)
+        else:
+            self._rendered[cat] = None
 
     def result(self) -> str:
-        items = [(cat, acc.metric(self.scale)) for cat, acc in self.cats.items()]
-        items = [(c, m) for c, m in items if m is not None]
+        items = []
+        for cat, acc in self.cats.items():
+            r = self._rendered.get(cat)
+            if r is None:
+                m = acc.metric(self.scale)
+                if m is None:
+                    continue
+                cs, ms = scalar_to_string(cat), scalar_to_string(m)
+                if cs is None or ms is None:
+                    continue
+                r = (m, f"{cs}:{ms}")
+                self._rendered[cat] = r
+            items.append((cat, r[0], r[1]))
         if self.order == "key":
-            items.sort(key=lambda cm: cm[0], reverse=True)
+            items.sort(key=lambda it: it[0], reverse=True)
         else:
-            items.sort(key=lambda cm: (cm[1], cm[0]), reverse=True)
-        parts = []
-        for cat, m in items[: self.k]:
-            cs, ms = scalar_to_string(cat), scalar_to_string(m)
-            if cs is None or ms is None:
-                continue
-            parts.append(f"{cs}:{ms}")
-        return join_csv(parts)
+            items.sort(key=lambda it: (it[1], it[0]), reverse=True)
+        return join_csv([p for _, _, p in items[: self.k]])
 
 
 class RatioTopK:

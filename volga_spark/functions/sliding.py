@@ -113,17 +113,41 @@ def apply_sliding_aggs(
     length = frame.micros if is_range else frame.preceding
     spec_data = [(s.name, s.factory, s.inputs, s.finish) for s in specs]
 
-    sort_cols = [ts_col] + ties
-
-    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    def sweep_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.reset_index(drop=True)
         outs = run_sweep(pdf, ts_col, is_range, length, spec_data)
         res = pdf[passthrough].copy()
         for (name, _, _, _), vals in zip(spec_data, outs):
             res[name] = vals
         return res
 
-    return work.groupBy(*keys).applyInPandas(sweep, schema=out_schema)
+    # mapInPandas over key-sorted partitions instead of per-group
+    # applyInPandas: one Python call per partition (not per key), which
+    # matters when keys are many and small. Groups never span partitions
+    # (hash repartition on keys); they can span Arrow batches, so incomplete
+    # trailing groups are carried into the next batch.
+    def gen(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last_key = tuple(pdf.iloc[-1][k] for k in keys)
+            mask_last = pd.Series(True, index=pdf.index)
+            for k, v in zip(keys, last_key):
+                mask_last &= pdf[k] == v
+            carry = pdf[mask_last]
+            done = pdf[~mask_last]
+            if len(done):
+                parts = [sweep_one(g) for _, g in done.groupby(keys, sort=False)]
+                yield pd.concat(parts, ignore_index=True)
+        if carry is not None and len(carry):
+            yield sweep_one(carry)
+
+    work = work.repartition(*keys).sortWithinPartitions(*keys, ts_col, *ties)
+    return work.mapInPandas(gen, schema=out_schema)
 
 
 def run_sweep(

@@ -32,12 +32,15 @@ from pyspark.sql import functions as F
 
 from volga_spark._pickle import register_by_value
 
-MERSENNE = (1 << 61) - 1
-_MAX = (1 << 61) - 2
+# 31-bit Mersenne prime domain: (a*h + b) stays < 2^62, so the permutation
+# sweep vectorizes in plain int64 (61-bit would need object-dtype bigints,
+# ~10x slower). 2^31 slots vs ~10^3 shingles/doc → collision-negligible.
+MERSENNE = (1 << 31) - 1
+_MAX = (1 << 31) - 2
 
 
 def _stable_h61(s: str) -> int:
-    """Deterministic 61-bit hash of a string (md5-based, unsalted)."""
+    """Deterministic 31-bit hash of a string (md5-based, unsalted)."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") % MERSENNE
 
 
@@ -60,9 +63,9 @@ def minhash_signature(text: str, k: int, a: np.ndarray, b: np.ndarray, n: int = 
     if not sh:
         return np.full(k, MERSENNE, dtype=np.int64)
     hv = np.fromiter(sh, dtype=np.int64, count=len(sh))
-    # (a*h + b) mod p for each permutation — vectorized over shingles
-    m = (hv[None, :].astype(object) * a[:, None].astype(object) + b[:, None].astype(object)) % MERSENNE
-    return np.min(m, axis=1).astype(np.int64)
+    # (a*h + b) mod p for each permutation — vectorized, fits int64
+    m = (hv[None, :] * a[:, None] + b[:, None]) % MERSENNE
+    return np.min(m, axis=1)
 
 
 def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int = 3) -> DataFrame:

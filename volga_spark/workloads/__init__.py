@@ -51,6 +51,7 @@ _MODULES = [
     "volga_spark.workloads.text",
     "volga_spark.workloads.multimodal",
     "volga_spark.workloads.request",
+    "volga_spark.workloads.sinks",
 ]
 
 

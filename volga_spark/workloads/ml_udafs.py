@@ -401,3 +401,113 @@ def q_ml_cate_rows(spark, sf_dir):
         prepared={"vc": cents("value")},
         tiebreak="event_id",
     )
+
+
+@workload(
+    "q_ml_cate_where_full",
+    oracle=f"""
+        WITH {_PAIRS},
+        per_cat AS (
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
+            FROM pairs WHERE cond GROUP BY eid, cat
+        ),
+        parts AS (
+            SELECT eid,
+                   cat || ':' || {fmt("s / 100.0 / c")} AS p_avg,
+                   cat || ':' || {fmt("mn")} AS p_min,
+                   cat || ':' || {fmt("mx")} AS p_max
+            FROM per_cat
+        ),
+        strs AS (
+            SELECT eid,
+                   string_agg(p_avg, ',' ORDER BY p_avg) AS avg_cate_where_1h,
+                   string_agg(p_min, ',' ORDER BY p_min) AS min_cate_where_1h,
+                   string_agg(p_max, ',' ORDER BY p_max) AS max_cate_where_1h
+            FROM parts GROUP BY eid
+        )
+        {_left_join_tail(["avg_cate_where_1h", "min_cate_where_1h", "max_cate_where_1h"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_cate_where_full(spark, sf_dir):
+    """avg/min/max_cate_where — completes the 15-function _cate(_where)
+    matrix (reference cate/udf.rs:287-380)."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            avg_cate("avg_cate_where_1h", "vc", "event_type", cond="cond", scale=100.0),
+            min_cate("min_cate_where_1h", "value", "event_type", cond="cond"),
+            max_cate("max_cate_where_1h", "value", "event_type", cond="cond"),
+        ],
+        passthrough=PASS,
+        prepared={"vc": cents("value"), "cond": F.col("value") > _COND},
+    )
+
+
+@workload(
+    "q_ml_top_n_more",
+    oracle=f"""
+        WITH {_PAIRS},
+        per_cat AS (
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
+            FROM pairs WHERE cond GROUP BY eid, cat
+        ),
+        ranked AS (
+            SELECT eid, cat, s, c, mn, mx,
+                   row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key,
+                   row_number() OVER (PARTITION BY eid
+                       ORDER BY s / 100.0 / c DESC, cat DESC) AS rk_avg,
+                   row_number() OVER (PARTITION BY eid ORDER BY mx DESC, cat DESC) AS rk_max
+            FROM per_cat
+        ),
+        key_cnt AS (
+            SELECT eid, string_agg(cat || ':' || CAST(c AS VARCHAR), ',' ORDER BY cat DESC)
+                       AS top2_key_count
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_avg AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0 / c")}, ','
+                       ORDER BY s / 100.0 / c DESC, cat DESC) AS top2_val_avg
+            FROM ranked WHERE rk_avg <= 2 GROUP BY eid
+        ),
+        val_max AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mx")}, ','
+                       ORDER BY mx DESC, cat DESC) AS top2_val_max
+            FROM ranked WHERE rk_max <= 2 GROUP BY eid
+        ),
+        strs AS (
+            SELECT r.eid, k.top2_key_count, a.top2_val_avg, m.top2_val_max
+            FROM (SELECT DISTINCT eid FROM ranked) r
+            LEFT JOIN key_cnt k ON k.eid = r.eid
+            LEFT JOIN val_avg a ON a.eid = r.eid
+            LEFT JOIN val_max m ON m.eid = r.eid
+        )
+        {_left_join_tail(["top2_key_count", "top2_val_avg", "top2_val_max"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_top_n_more(spark, sf_dir):
+    """top_n_key_count / top_n_value_avg / top_n_value_max variants —
+    completes the cate-top 12-function matrix (reference cate/udf.rs:380-417)."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            top_n_cate_where("top2_key_count", "count", "key", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_val_avg", "avg", "value", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_val_max", "max", "value", "valraw", "cond", "event_type", 2),
+        ],
+        passthrough=PASS,
+        prepared={
+            "vc": cents("value"),
+            "valraw": F.col("value"),
+            "cond": F.col("value") > _COND,
+        },
+    )
