@@ -59,7 +59,7 @@ def test_multi_frame_window_shares_partitioning(spark, sf_dir):
 
 def test_sweep_is_single_pandas_stage(spark, sf_dir):
     p = plan(spark, sf_dir, "q_ml_cate_basic")
-    assert p.count("FlatMapGroupsInPandas (") == 1  # tree occurrence only
+    assert p.count("MapInPandas (") == 1  # tree occurrence only
     assert p.count("hashpartitioning(") == 1
     # condition/scaling evaluated JVM-side before the Python stage
     assert "round((value" in p

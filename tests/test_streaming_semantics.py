@@ -76,3 +76,53 @@ def test_late_row_dropped_and_emission_watermark_driven(spark, late_stream_dir):
     assert real[real.event_id == 2].cnt.iloc[0] == 2
     assert real[real.event_id == 3].cnt.iloc[0] == 3
     assert real[real.event_id == 4].cnt.iloc[0] == 4  # frame [base, +3600] inclusive
+
+
+def test_rate_source_datagen(spark):
+    """Datagen stand-in (reference DatagenSourceConfig): rate source emits
+    monotonically increasing (timestamp, value) rows."""
+    from volga_spark.streaming.sources import rate_stream
+
+    stream = rate_stream(spark, rows_per_second=500)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("rate_smoke").count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    row = spark.table("rate_smoke").orderBy("value").first()
+    assert row.value >= 0 and row.timestamp is not None
+
+
+def test_feature_service_lookup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from volga_spark.operators.request import REQ_FLAG, FeatureService, masked
+    from volga_spark.operators.window import range_frame
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    svc = FeatureService(
+        ev.select("user_id", "ts", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("1 hour"),
+        agg_builder=lambda w: {"cnt_1h": F.count(masked("value")).over(w)},
+    )
+    anchor = ev.orderBy("event_id").first()
+    feats = svc.get_features(spark, [(1, anchor.user_id, anchor.ts)])
+    assert len(feats) == 1
+    assert feats[0]["cnt_1h"] >= 1  # at least the anchor event in its window

@@ -31,7 +31,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from volga_spark.operators.window import Frame, RangeFrame, RowsFrame
+from volga_spark.operators.window import (
+    Frame,
+    RangeFrame,
+    RowsFrame,
+    interval_to_micros,
+)
 
 
 def _self_contained_udfs() -> None:
@@ -81,12 +86,22 @@ def apply_sliding_aggs(
     passthrough: list[str],
     prepared: dict[str, Column] | None = None,
     tiebreak: str | list[str] | None = None,
+    bucket_by: str | None = None,
 ) -> DataFrame:
     """Compute all ``specs`` over the sliding frame, one row per input row.
 
     ``prepared`` maps extra input column names to Spark expressions (e.g.
     cond booleans, integer-scaled values) evaluated JVM-side first.
     Returns ``passthrough`` columns + one column per spec.
+
+    ``bucket_by`` (RANGE frames only, e.g. "1 day", must be ≥ the frame
+    length): the hot-key splitter for 100 TB scale. Each key's timeline is
+    cut into time buckets processed as independent groups; rows within one
+    frame-length before a bucket boundary are replicated into the next bucket
+    as warm-up context (swept but not emitted). A single hot key then
+    parallelizes across buckets and no task ever holds more than one bucket
+    of rows — the batch analogue of the reference's time-bucketed state
+    (reference src/storage/batch_store.rs:18-24).
     """
     _self_contained_udfs()
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
@@ -101,6 +116,24 @@ def apply_sliding_aggs(
     cols = list(dict.fromkeys(keys + passthrough + ties + input_cols + [ts_col]))
     work = work.select(*cols)
 
+    warm_col = "__warm"
+    if bucket_by is not None:
+        if not isinstance(frame, RangeFrame):
+            raise ValueError("bucket_by requires a RANGE frame")
+        wlen = frame.micros
+        blen = interval_to_micros(bucket_by)
+        if blen < wlen:
+            raise ValueError("bucket_by must be >= the frame length")
+        bucket = (F.col(ts_col) / F.lit(blen)).cast("long")
+        main = work.withColumn("__bucket", bucket).withColumn(warm_col, F.lit(0))
+        dup = (
+            work.filter(F.col(ts_col) % F.lit(blen) >= F.lit(blen - wlen))
+            .withColumn("__bucket", bucket + 1)
+            .withColumn(warm_col, F.lit(1))
+        )
+        work = main.unionByName(dup)
+        keys = keys + ["__bucket"]
+
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in work.schema.fields
@@ -113,9 +146,17 @@ def apply_sliding_aggs(
     length = frame.micros if is_range else frame.preceding
     spec_data = [(s.name, s.factory, s.inputs, s.finish) for s in specs]
 
+    bucketed = bucket_by is not None
+
     def sweep_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.reset_index(drop=True)
-        outs = run_sweep(pdf, ts_col, is_range, length, spec_data)
+        emit = None
+        if bucketed:
+            emit = (pdf[warm_col] == 0).to_numpy()
+        outs = run_sweep(pdf, ts_col, is_range, length, spec_data, emit_mask=emit)
+        if emit is not None:
+            pdf = pdf[emit]
+            outs = [[v for v, m in zip(vals, emit) if m] for vals in outs]
         res = pdf[passthrough].copy()
         for (name, _, _, _), vals in zip(spec_data, outs):
             res[name] = vals
@@ -156,12 +197,18 @@ def run_sweep(
     is_range: bool,
     length: int,
     spec_data: list[tuple],
+    emit_mask=None,
 ) -> list[list]:
     """Core two-pointer sweep over an already-sorted frame.
 
     ``spec_data`` = [(name, factory, input_cols, finish)]. Returns one output
     list per spec, aligned with ``pdf`` rows. Shared by the batch
     ``applyInPandas`` path and the streaming stateful handler.
+
+    ``emit_mask`` (bool array aligned with rows): rows with False are swept
+    through the accumulators (they're window context) but their outputs are
+    not materialized — result() formatting dominates sweep cost, so skipping
+    it for warm-up/already-emitted rows matters.
     """
     n = len(pdf)
     ts = pdf[ts_col].to_numpy()
@@ -178,6 +225,8 @@ def run_sweep(
             a.retract(*(arr[i] for arr in arrs))
 
     def emit(i):
+        if emit_mask is not None and not emit_mask[i]:
+            return
         for k, (_, _, _, finish) in enumerate(spec_data):
             a = accs[k]
             outs[k][i] = finish(a) if finish else a.result()

@@ -74,3 +74,41 @@ def masked(value: str | Column) -> Column:
     rows so they never contribute to their own window."""
     v = F.col(value) if isinstance(value, str) else value
     return F.when(F.col(REQ_FLAG) == 0, v)
+
+
+class FeatureService:
+    """Request-serving front end (reference HTTP request path, SURVEY §3.3).
+
+    Wraps a maintained state table (in production: continuously upserted by
+    the streaming write path) and answers batched point-in-time feature
+    lookups. The reference serves each HTTP request through
+    RequestSource → keyby → WindowRequestOperator → RequestSink; here a
+    request batch is one lookup DataFrame job. An HTTP wrapper would simply
+    call ``lookup`` per request batch — sub-ms single-row serving is out of
+    scope for Spark (SURVEY §2.10), point-in-time *correctness* is the
+    contract.
+    """
+
+    def __init__(self, state: DataFrame, key_cols, ts_col: str, frame, agg_builder):
+        self.state = state
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.ts_col = ts_col
+        self.frame = frame
+        self.agg_builder = agg_builder
+
+    def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+        return point_in_time_lookup(
+            self.state,
+            requests,
+            key_cols=self.key_cols,
+            ts_col=self.ts_col,
+            frame=self.frame,
+            agg_builder=self.agg_builder,
+            request_id_col=request_id_col,
+        )
+
+    def get_features(self, spark, points: list[tuple]) -> list[dict]:
+        """points = [(request_id, key..., ts)] → list of feature dicts."""
+        cols = ["request_id", *self.key_cols, self.ts_col]
+        req = spark.createDataFrame(points, cols)
+        return [r.asDict() for r in self.lookup(req).collect()]

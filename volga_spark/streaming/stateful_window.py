@@ -121,9 +121,10 @@ def sliding_window_stream(
         allrows = allrows.sort_values(TS, kind="mergesort").reset_index(drop=True)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        outs = run_sweep(allrows, TS, is_range, length, spec_data)
         ts_arr = allrows[TS].to_numpy()
         emit_mask = (ts_arr <= wm_us) & (ts_arr > max_emitted)
+        # context rows are swept (add/retract) but not re-formatted
+        outs = run_sweep(allrows, TS, is_range, length, spec_data, emit_mask=emit_mask)
 
         if emit_mask.any():
             emitted = allrows[emit_mask]

@@ -52,6 +52,7 @@ _MODULES = [
     "volga_spark.workloads.multimodal",
     "volga_spark.workloads.request",
     "volga_spark.workloads.sinks",
+    "volga_spark.workloads.sessionize",
 ]
 
 
