@@ -53,6 +53,7 @@ _MODULES = [
     "volga_spark.workloads.request",
     "volga_spark.workloads.sinks",
     "volga_spark.workloads.sessionize",
+    "volga_spark.workloads.asof",
 ]
 
 

@@ -1,0 +1,64 @@
+"""As-of join workload: enrich each event with the latest order of the same
+customer at or before the event time (oracle: DuckDB native ASOF JOIN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from volga_spark.operators.asof import asof_join
+from volga_spark.tables import load_table
+from volga_spark.workloads import workload
+
+
+@workload(
+    "q_asof_join",
+    oracle="""
+        WITH od AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                             ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS last_orderkey,
+               o.o_totalprice AS last_totalprice
+        FROM events e ASOF LEFT JOIN od o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def q_asof_join(spark, sf_dir):
+    """Union-and-carry-forward as-of join (one shuffle on the key; right side
+    deduped to unique (key, ts) for determinism)."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    od = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts").withColumnRenamed("user_id", "custkey"),
+        od.withColumnRenamed("o_custkey", "custkey"),
+        on="custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_orderkey", "last_totalprice"],
+    ).select(
+        "event_id",
+        F.col("custkey").alias("user_id"),
+        "ts",
+        "last_orderkey",
+        "last_totalprice",
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from volga_spark.functions.cate_top import sum_cate
 from volga_spark.functions.sliding import SlidingSpec
-from volga_spark.operators.window import cents, range_frame
+from volga_spark.operators.window import cents, range_frame, rows_frame
 from volga_spark.streaming.runner import run_available_now_to_memory, upsert_by_key
 from volga_spark.streaming.sources import SENTINEL_ID, chunked_file_stream
 from volga_spark.streaming.stateful_window import sliding_window_stream
@@ -193,3 +193,57 @@ def q_stream_upsert_sink(spark, sf_dir):
         order_cols=["ts", "event_id"],
     )
     return spark.createDataFrame(final.drop(columns=["ts"]))
+
+
+@workload(
+    "q_stream_sliding_rows",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS cnt_50r,
+               min(value) OVER w AS min_50r
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_sliding_rows(spark, sf_dir):
+    """ROWS-frame sliding aggregates computed statefully on the stream
+    ((user_id, ts) pairs are unique in this corpus, so ts order is total)."""
+
+    class _CntMin:
+        def __init__(self):
+            self.n = 0
+            self.vals = []
+
+        def add(self, v):
+            self.n += 1
+            self.vals.append(v)
+
+        def retract(self, v):
+            self.n -= 1
+            self.vals.remove(v)
+
+    stream, _ = chunked_file_stream(
+        spark, sf_dir, "events", "ts", n_chunks=5,
+        key_col="user_id", id_col="event_id", flush=True,
+    )
+    out = sliding_window_stream(
+        stream,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=rows_frame(50),
+        specs=[
+            SlidingSpec("cnt_50r", _CntMin, ["value"], "bigint", finish=lambda a: a.n),
+            SlidingSpec(
+                "min_50r", _CntMin, ["value"], "double",
+                finish=lambda a: min(a.vals) if a.vals else None,
+            ),
+        ],
+        passthrough=["event_id"],
+        lateness="0 seconds",
+    )
+    res = run_available_now_to_memory(out, output_mode="append")
+    return res.filter(F.col("event_id") != SENTINEL_ID).select(
+        "event_id", "user_id", "ts", "cnt_50r", "min_50r"
+    )
