@@ -54,10 +54,29 @@ _WINDOW_DEF_RE = re.compile(
     r"|ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING)\s+AND\s+CURRENT\s+ROW\s*\)",
     re.IGNORECASE,
 )
-_OVER_CALL_RE = re.compile(
-    r"(\w+)\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+OVER\s+(\w+)\s+AS\s+(\w+)",
-    re.IGNORECASE,
-)
+_CALL_START_RE = re.compile(r"\b(\w+)\s*\(")
+_OVER_TAIL_RE = re.compile(r"\s+OVER\s+(\w+)\s+AS\s+(\w+)", re.IGNORECASE)
+
+
+def _find_calls(sql: str):
+    """Yield (start, end, fn, argstr, m_over) for every balanced fn(...) call,
+    where m_over matches a trailing 'OVER w AS alias' if present. Handles
+    arbitrary paren nesting (regex alone cannot)."""
+    for m in _CALL_START_RE.finditer(sql):
+        fn = m.group(1)
+        depth = 1
+        i = m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            continue
+        argstr = sql[m.end() : i - 1]
+        m_over = _OVER_TAIL_RE.match(sql, i)
+        yield (m.start(), i, fn, argstr, m_over)
 
 
 @dataclass
@@ -165,15 +184,24 @@ def _compile_sweep_call(fn: str, args: list[str], alias: str, prepared: dict):
 
 def _rewrite_where_family(sql: str) -> str:
     """sum_where(v, c) → sum(CASE WHEN c THEN v END) — stays native."""
-
-    def repl(m: re.Match) -> str:
-        fn, args = m.group(1), _split_args(m.group(2))
-        base = fn.lower().removesuffix("_where")
-        if base in _WHERE_FNS and fn.lower().endswith("_where") and len(args) == 2:
-            return f"{base}(CASE WHEN {args[1]} THEN {args[0]} END)"
-        return m.group(0)
-
-    return re.sub(r"(\w+_where)\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)", repl, sql)
+    out = sql
+    changed = True
+    while changed:
+        changed = False
+        for start, end, fn, argstr, _ in _find_calls(out):
+            fnl = fn.lower()
+            base = fnl.removesuffix("_where")
+            if fnl.endswith("_where") and base in _WHERE_FNS:
+                args = _split_args(argstr)
+                if len(args) == 2:
+                    out = (
+                        out[:start]
+                        + f"{base}(CASE WHEN {args[1]} THEN {args[0]} END)"
+                        + out[end:]
+                    )
+                    changed = True
+                    break
+    return out
 
 
 @dataclass
@@ -193,11 +221,14 @@ class PipelineSpec:
 
         # extract ML sweep calls per (window, table)
         sweep_calls = []
-        for m in _OVER_CALL_RE.finditer(sql):
-            fn, args, wname, alias = m.groups()
+        for start, end, fn, argstr, m_over in _find_calls(sql):
+            if m_over is None:
+                continue
             fnl = fn.lower()
             if fnl in _CATE_FNS or fnl in _TOP_FNS or _TOPN_RE.match(fnl):
-                sweep_calls.append((m.group(0), fn, _split_args(args), wname, alias))
+                full_text = sql[start : m_over.end()]
+                wname, alias = m_over.group(1), m_over.group(2)
+                sweep_calls.append((full_text, fn, _split_args(argstr), wname, alias))
 
         if sweep_calls:
             table_m = re.search(r"FROM\s+(\w+)", sql, re.IGNORECASE)

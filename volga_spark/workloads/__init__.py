@@ -54,6 +54,7 @@ _MODULES = [
     "volga_spark.workloads.sinks",
     "volga_spark.workloads.sessionize",
     "volga_spark.workloads.asof",
+    "volga_spark.workloads.pipeline_sql",
 ]
 
 

@@ -131,3 +131,28 @@ def q_text_fingerprint(spark, sf_dir):
         fingerprint("text").alias("fp"),
         normalized_fingerprint("text").alias("norm_fp"),
     )
+
+
+@workload(
+    "q_text_tokens_bpe",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_tokens_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenization count (word / number / punctuation runs —
+    the GPT-2 pre-tokenizer shape) via regexp_extract_all on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    # explicit space class: Spark SQL string literals consume backslash
+    # escapes, so a '\s' pattern silently differs between engines
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").alias("n_number_tokens"),
+    )
