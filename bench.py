@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "q_dedup_minhash",
     "q_ann_brute_topk",
     "q_text_stats",
+    "q_asof_join",
+    "q_sessionize",
+    "q_pipeline_sql",
     "q_stream_groupby_count",
     "q_stream_sliding_window",
 ]
