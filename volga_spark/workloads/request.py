@@ -56,3 +56,46 @@ def q_request_point_lookup(spark, sf_dir):
             "max_1h": F.max(masked("value")).over(w),
         },
     ).select("request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h")
+
+
+@workload(
+    "q_request_tiled_lookup",
+    oracle="""
+        WITH req AS (
+            SELECT event_id AS request_id, user_id,
+                   ts + INTERVAL 1 SECOND AS rts
+            FROM events WHERE event_id % 10 = 0
+        )
+        SELECT q.request_id, q.user_id,
+               count(e.value) AS cnt,
+               sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value,
+               min(e.value) AS min_value,
+               max(e.value) AS max_value
+        FROM req q LEFT JOIN events e
+          ON e.user_id = q.user_id
+         AND e.ts >= q.rts - INTERVAL 1 HOUR AND e.ts <= q.rts
+        GROUP BY q.request_id, q.user_id
+    """,
+    tags=("request", "tiles"),
+)
+def q_request_tiled_lookup(spark, sf_dir):
+    """Same point-in-time semantics as q_request_point_lookup but answered
+    from 1-minute pre-aggregated tiles + edge rows (reference tiling,
+    state/tiles.rs) — per-request work O(window/granularity), not O(rows)."""
+    from volga_spark.operators.tiles import tiled_lookup
+
+    ev = load_table(spark, sf_dir, "events")
+    requests = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("request_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    return tiled_lookup(
+        ev.select("user_id", "ts", "value"),
+        requests,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("1 hour"),
+        granularity="1 minute",
+    )
