@@ -27,3 +27,29 @@ def test_brute_force_scores_sane(spark, sf_dir):
     assert len(rows) == 15
     for r in rows:
         assert -1.0 - 1e-9 <= r.score <= 1.0 + 1e-9
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    from volga_spark.workloads import load_all
+
+    reg = load_all()
+    approx = {
+        r.l_returnflag: r for r in reg["q_approx_sketches"].fn(spark, sf_dir).collect()
+    }
+    from volga_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.parts) / e.parts < 0.1
+        assert abs(a.p50_price - e.p50) / e.p50 < 0.2

@@ -55,6 +55,7 @@ _MODULES = [
     "volga_spark.workloads.sessionize",
     "volga_spark.workloads.asof",
     "volga_spark.workloads.pipeline_sql",
+    "volga_spark.workloads.datagen",
 ]
 
 
