@@ -210,10 +210,23 @@ def run_sweep(
     not materialized — result() formatting dominates sweep cost, so skipping
     it for warm-up/already-emitted rows matters.
     """
-    n = len(pdf)
-    ts = pdf[ts_col].to_numpy()
+    cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    return run_sweep_arrays(cols, len(pdf), ts_col, is_range, length, spec_data, emit_mask)
+
+
+def run_sweep_arrays(
+    cols: dict,
+    n: int,
+    ts_col: str,
+    is_range: bool,
+    length: int,
+    spec_data: list[tuple],
+    emit_mask=None,
+) -> list[list]:
+    """Array-based sweep core (no pandas) — the streaming handler path."""
+    ts = cols[ts_col]
     accs = [factory() for _, factory, _, _ in spec_data]
-    arg_arrays = [[pdf[c].to_numpy() for c in inputs] for _, _, inputs, _ in spec_data]
+    arg_arrays = [[cols[c] for c in inputs] for _, _, inputs, _ in spec_data]
     outs: list[list] = [[None] * n for _ in spec_data]
 
     def add(i):

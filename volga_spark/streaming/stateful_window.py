@@ -35,7 +35,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from volga_spark.functions.sliding import SlidingSpec, _self_contained_udfs, run_sweep
+from volga_spark.functions.sliding import (
+    SlidingSpec,
+    _self_contained_udfs,
+    run_sweep_arrays,
+)
 from volga_spark.operators.window import Frame, RangeFrame
 
 TS = "__ts_us"
@@ -99,56 +103,70 @@ def sliding_window_stream(
     spec_data = [(s.name, s.factory, s.inputs, s.finish) for s in specs]
     out_pass = [c for c in passthrough if c not in keys and c != ts_col]
 
+    # handler works on plain numpy arrays end to end — per-key pandas frame
+    # construction dominated handler cost with many small keys
     def handler(key, pdfs, state):
+        import numpy as np
+
         new = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
             st = state.get
-            ts_buf = list(st[0])
-            col_bufs = [list(st[1 + i]) for i in range(len(stored))]
+            buf_arrays = {TS: np.asarray(st[0], dtype=np.int64)}
+            for i, c in enumerate(stored):
+                buf_arrays[c] = np.asarray(st[1 + i])
             max_emitted = st[-1]
         else:
-            ts_buf, col_bufs, max_emitted = [], [[] for _ in stored], -(1 << 62)
+            buf_arrays = None
+            max_emitted = -(1 << 62)
 
         # ingest drop rule (reference window_operator.rs:308-336):
         # cutoff = max(processed_pos, wm - lateness); Spark's watermark value
         # already has the delay subtracted.
-        wm_ingest = state.getCurrentWatermarkMs() * 1000
-        new = new[new[TS] > max(max_emitted, wm_ingest)]
-        buf = pd.DataFrame({TS: ts_buf})
-        for c, vals in zip(stored, col_bufs):
-            buf[c] = pd.Series(vals, dtype=new[c].dtype if len(vals) else new[c].dtype)
-        allrows = pd.concat([buf, new[[TS] + stored]], ignore_index=True)
-        allrows = allrows.sort_values(TS, kind="mergesort").reset_index(drop=True)
-
         wm_us = state.getCurrentWatermarkMs() * 1000
-        ts_arr = allrows[TS].to_numpy()
+        new_ts = new[TS].to_numpy()
+        ingest = new_ts > max(max_emitted, wm_us)
+        cols = {TS: new_ts[ingest]}
+        for c in stored:
+            cols[c] = new[c].to_numpy()[ingest]
+        if buf_arrays is not None:
+            for c in cols:
+                cols[c] = np.concatenate([buf_arrays[c], cols[c]])
+        order = np.argsort(cols[TS], kind="stable")
+        cols = {c: a[order] for c, a in cols.items()}
+        n = len(cols[TS])
+        ts_arr = cols[TS]
+
         emit_mask = (ts_arr <= wm_us) & (ts_arr > max_emitted)
         # context rows are swept (add/retract) but not re-formatted
-        outs = run_sweep(allrows, TS, is_range, length, spec_data, emit_mask=emit_mask)
+        outs = run_sweep_arrays(
+            cols, n, TS, is_range, length, spec_data, emit_mask=emit_mask
+        )
 
         if emit_mask.any():
-            emitted = allrows[emit_mask]
-            res = pd.DataFrame({k: [kv] * len(emitted) for k, kv in zip(keys, key)})
-            res[TS] = emitted[TS].to_numpy()
+            n_emit = int(emit_mask.sum())
+            res = {k: [kv] * n_emit for k, kv in zip(keys, key)}
+            res[TS] = ts_arr[emit_mask]
             for c in out_pass:
-                res[c] = emitted[c].to_numpy()
+                res[c] = cols[c][emit_mask]
             for (name, _, _, _), vals in zip(spec_data, outs):
                 res[name] = [v for v, m in zip(vals, emit_mask) if m]
-            new_max = int(emitted[TS].max())
+            res = pd.DataFrame(res)
+            new_max = int(ts_arr[emit_mask].max())
         else:
             res = None
             new_max = max_emitted
 
         # prune: keep unemitted rows + window context behind the watermark
         if is_range:
-            keep = allrows[ts_arr > wm_us - length]
+            keep = ts_arr > wm_us - length
         else:
             n_unemitted = int((ts_arr > wm_us).sum())
-            keep = allrows.tail(length + n_unemitted)
+            keep = np.zeros(n, dtype=bool)
+            keep[max(0, n - (length + n_unemitted)) :] = True
         state.update(
             (
-                [int(t) for t in keep[TS]],
-                *[keep[c].tolist() for c in stored],
+                cols[TS][keep].tolist(),
+                *[cols[c][keep].tolist() for c in stored],
                 int(new_max),
             )
         )
