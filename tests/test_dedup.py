@@ -73,3 +73,19 @@ def test_simhash_matches_python_and_finds_dups(spark, corpus):
     a = sh.filter(F.col("doc_id") == 0).collect()[0].simhash
     b = sh.filter(F.col("doc_id") == 1).collect()[0].simhash
     assert bin((a ^ b) & ((1 << 64) - 1)).count("1") < 16  # near-dup bits close
+
+
+def test_winnow_fingerprints_match_python_and_detect_overlap(spark, corpus):
+    from volga_spark.operators.dedup import add_winnow_fingerprints, winnow_fingerprints
+
+    fps = add_winnow_fingerprints(corpus, "text", "doc_id")
+    got = {}
+    for r in fps.collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    for doc_id, text in texts.items():
+        assert got[doc_id] == set(winnow_fingerprints(text)), doc_id
+    # exact dups share all fingerprints; near-dups share most
+    assert got[2] == got[3]
+    inter = len(got[0] & got[1]) / len(got[0] | got[1])
+    assert inter > 0.5

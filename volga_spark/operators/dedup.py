@@ -231,3 +231,58 @@ def exact_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> list[int]:
+    """Winnowing document fingerprints (Schleimer et al.): rolling hash over
+    character k-grams, keep the minimum hash of each window of consecutive
+    k-gram hashes (rightmost min). Robust to local edits — standard for
+    near-dup/plagiarism detection at corpus scale."""
+    data = text.encode()
+    n = len(data)
+    if n < k:
+        return [_stable_h61(text)] if text else []
+    B = 257
+    MOD = (1 << 31) - 1
+    # rolling polynomial hash of k-grams
+    power = pow(B, k - 1, MOD)
+    h = 0
+    hashes = []
+    for i in range(n):
+        h = (h * B + data[i]) % MOD
+        if i >= k:
+            h = (h - data[i - k] * power * B) % MOD
+        if i >= k - 1:
+            hashes.append(h)
+    fps = []
+    last = None
+    for w0 in range(len(hashes) - window + 1):
+        win = hashes[w0 : w0 + window]
+        m = min(win)
+        idx = w0 + max(j for j, v in enumerate(win) if v == m)
+        if idx != last:
+            fps.append(hashes[idx])
+            last = idx
+    if not fps:
+        fps = [min(hashes)]
+    return fps
+
+
+def add_winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 8) -> DataFrame:
+    """One row per (doc, fingerprint) — join on fingerprint to find candidate
+    overlapping-document pairs."""
+    import volga_spark.operators.dedup as _self
+
+    register_by_value(_self)
+    schema = f"{id_col} bigint, fp bigint"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                for fp in set(winnow_fingerprints(t, k, window)):
+                    ids.append(i)
+                    fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)

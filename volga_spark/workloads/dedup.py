@@ -106,3 +106,32 @@ def q_ngram_jaccard(spark, sf_dir):
     return exact_jaccard_pairs(d, pairs, "text", "doc_id", n=3).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@workload("q_winnow_fingerprints", tags=("dedup", "text", "approx"))
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints; pairs sharing ≥5 fingerprints are
+    overlap candidates (rows-only; python-reference tested)."""
+    from volga_spark.operators.dedup import add_winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = add_winnow_fingerprints(d, "text", "doc_id")
+    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    # containment = shared / min(|A|,|B|) — robust when one doc embeds another
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "containment", F.col("shared_fps") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("containment") >= 0.6)
+        .select("id_a", "id_b", "shared_fps", F.round("containment", 6).alias("containment"))
+    )
