@@ -62,3 +62,56 @@ def q_asof_join(spark, sf_dir):
         "last_orderkey",
         "last_totalprice",
     )
+
+
+@workload(
+    "q_range_join",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.event_id, b.event_id AS other_id,
+                   CAST(round(b.value * 100) AS BIGINT) AS vc
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
+             AND b.event_id != a.event_id
+        )
+        SELECT e.event_id, e.user_id,
+               coalesce(p.n, 0) AS n_nearby,
+               p.s / 100.0 AS nearby_value
+        FROM events e LEFT JOIN (
+            SELECT event_id, count(*) AS n, sum(vc) AS s FROM pairs GROUP BY event_id
+        ) p ON p.event_id = e.event_id
+    """,
+    tags=("join", "range"),
+)
+def q_range_join(spark, sf_dir):
+    """Symmetric ±10min range join (same user, excluding self) via bucketized
+    equi-join — count and exact sum of nearby event values."""
+    from volga_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select(
+        F.col("event_id").alias("other_id"),
+        F.col("user_id"),
+        F.col("ts").alias("other_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    ten_min = 10 * 60 * 1_000_000
+    pairs = range_join(
+        left, right, on="user_id", left_ts="ts", right_ts="other_ts",
+        lower_us=-ten_min, upper_us=ten_min,
+    ).filter(F.col("other_id") != F.col("event_id"))
+    agg = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("s")
+    )
+    return (
+        ev.select("event_id", "user_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n", F.lit(0)).alias("n_nearby"),
+            (F.col("s") / F.lit(100.0)).alias("nearby_value"),
+        )
+    )
