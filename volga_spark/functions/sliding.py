@@ -31,12 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from volga_spark.operators.window import (
-    Frame,
-    RangeFrame,
-    RowsFrame,
-    interval_to_micros,
-)
+from volga_spark.operators.window import Frame, RangeFrame, interval_to_micros
 
 
 def _self_contained_udfs() -> None:

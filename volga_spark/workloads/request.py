@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from volga_spark.operators.request import masked, point_in_time_lookup
-from volga_spark.operators.window import cents, range_frame
+from volga_spark.operators.window import range_frame
 from volga_spark.tables import load_table
 from volga_spark.workloads import workload
 
