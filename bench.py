@@ -43,9 +43,15 @@ BENCH_QUERIES = [
 
 
 def materialize(df) -> int:
-    # noop write would skip result production under some plans; a count over
-    # a select of all columns forces full evaluation without driver collect
-    return df.count()
+    # df.count() alone lets Catalyst prune computed columns (a pure-projection
+    # window query would degrade to a scan count); hashing every column forces
+    # each expression to actually evaluate while still returning one row
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("h")
+    ).collect()
+    return len(row)
 
 
 def main() -> None:

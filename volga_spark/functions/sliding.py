@@ -173,11 +173,15 @@ def apply_sliding_aggs(
             last_key = tuple(pdf.iloc[-1][k] for k in keys)
             mask_last = pd.Series(True, index=pdf.index)
             for k, v in zip(keys, last_key):
-                mask_last &= pdf[k] == v
+                # null-safe: NaN != NaN would split a null-key group
+                mask_last &= (pdf[k] == v) if not pd.isna(v) else pdf[k].isna()
             carry = pdf[mask_last]
             done = pdf[~mask_last]
             if len(done):
-                parts = [sweep_one(g) for _, g in done.groupby(keys, sort=False)]
+                parts = [
+                    sweep_one(g)
+                    for _, g in done.groupby(keys, sort=False, dropna=False)
+                ]
                 yield pd.concat(parts, ignore_index=True)
         if carry is not None and len(carry):
             yield sweep_one(carry)

@@ -58,18 +58,47 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+# shingle hash = Horner combination of md5 token hashes in base _SHINGLE_B
+# (mod after every step keeps intermediates < 2^51 — no int64 overflow).
+# md5 runs once per UNIQUE TOKEN, not per shingle string: ~n× fewer digest
+# calls and no per-shingle string joins, the dominant cost at corpus scale.
+_SHINGLE_B = 1_000_003
+
+
+def _shingle_hashes(toks: list[str], n: int, tok_h: dict) -> np.ndarray:
+    """Distinct shingle hashes of a token list (vectorized Horner sweep)."""
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    th = np.fromiter((tok_h[t] for t in toks), dtype=np.int64, count=len(toks))
+    if len(th) < n:
+        acc = 0
+        for v in th:
+            acc = (acc * _SHINGLE_B + int(v)) % MERSENNE
+        return np.array([acc], dtype=np.int64)
+    m = len(th) - n + 1
+    acc = th[:m].copy()
+    for j in range(1, n):
+        acc = (acc * _SHINGLE_B + th[j : j + m]) % MERSENNE
+    return np.unique(acc)
+
+
 def minhash_signature(text: str, k: int, a: np.ndarray, b: np.ndarray, n: int = 3) -> np.ndarray:
-    sh = {_stable_h61(s) for s in word_shingles(text, n)}
-    if not sh:
+    """Single-document reference path — same scheme as the batched Spark
+    pass (tests assert bit-equality between the two)."""
+    toks = text.split()
+    tok_h = {t: _stable_h61(t) for t in set(toks)}
+    hv = _shingle_hashes(toks, n, tok_h)
+    if hv.size == 0:
         return np.full(k, MERSENNE, dtype=np.int64)
-    hv = np.fromiter(sh, dtype=np.int64, count=len(sh))
     # (a*h + b) mod p for each permutation — vectorized, fits int64
     m = (hv[None, :] * a[:, None] + b[:, None]) % MERSENNE
     return np.min(m, axis=1)
 
 
 def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int = 3) -> DataFrame:
-    """Append a `signature: array<bigint>` column (one mapInPandas pass)."""
+    """Append a `signature: array<bigint>` column (one mapInPandas pass).
+    Token md5 hashes are cached across the whole Arrow batch stream, so each
+    unique token is digested once per partition."""
     import volga_spark.operators.dedup as _self
 
     register_by_value(_self)
@@ -77,10 +106,20 @@ def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int =
     schema = f"{id_col} bigint, signature array<bigint>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_h: dict[str, int] = {}
         for pdf in batches:
-            sigs = [
-                minhash_signature(t, k, a, b, n).tolist() for t in pdf[text_col]
-            ]
+            sigs = []
+            for t in pdf[text_col]:
+                toks = t.split()
+                for tok in toks:
+                    if tok not in tok_h:
+                        tok_h[tok] = _stable_h61(tok)
+                hv = _shingle_hashes(toks, n, tok_h)
+                if hv.size == 0:
+                    sigs.append([MERSENNE] * k)
+                else:
+                    m = (hv[None, :] * a[:, None] + b[:, None]) % MERSENNE
+                    sigs.append(np.min(m, axis=1).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
     sigs = df.mapInPandas(gen, schema=schema)

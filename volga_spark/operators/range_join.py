@@ -32,6 +32,11 @@ def range_join(
     (microsecond offsets, inclusive). Columns: all left + all right."""
     if upper_us <= lower_us:
         raise ValueError("upper_us must be > lower_us")
+    if how != "inner":
+        # the residual time filter runs post-join (drops null-extended rows)
+        # and the 2-bucket explode duplicates unmatched left rows — both
+        # break outer semantics; implement via unmatched re-join if needed
+        raise NotImplementedError("range_join supports how='inner' only")
     keys = [on] if isinstance(on, str) else list(on)
     width = upper_us - lower_us
 

@@ -54,11 +54,33 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
     )
+
+    # map-side pre-prune: keep only the k best scores per query per corpus
+    # partition (running top-k, memory O(queries*k)) so the rank-window
+    # shuffle carries O(partitions*queries*k) rows, not |corpus|*|queries|.
+    # Same (score desc, id asc) order as the final window, so exactness holds.
+    qid_, k_ = qid_col, k
+
+    def _partition_topk(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                cur.sort_values(["score", "neighbor_id"], ascending=[False, True])
+                .groupby(qid_, sort=False)
+                .head(k_)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = scored.mapInPandas(_partition_topk, schema=scored.schema)
     w = Window.partitionBy(qid_col).orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "neighbor_id", "rank", "score")
     )
@@ -112,7 +134,6 @@ def lsh_topk(
         sig = lsh_signature(F.col(vec_col), planes)
         return df.select(
             F.col(id_col).alias(ident),
-            F.col(vec_col).alias(f"__vec_{ident}"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -121,18 +142,27 @@ def lsh_topk(
             ).alias("band", "chunk"),
         )
 
+    # dedup on bare (qid, cid) ids — carrying the vectors through the
+    # distinct would make embedding payload the dominant shuffle volume at
+    # dim≈1k; vectors are re-joined once per surviving candidate instead.
     qb = banded(queries, "qid")
     cb = banded(corpus, "cid")
     cand = (
         qb.join(cb, ["band", "chunk"])
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "__vec_qid", "__vec_cid")
+        .select("qid", "cid")
         .distinct()
     )
-    scored = cand.select(
-        F.col("qid").alias(qid_col),
-        F.col("cid").alias("neighbor_id"),
-        cosine(F.col("__vec_qid"), F.col("__vec_cid")).alias("score"),
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__vec_qid"))
+    cv = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__vec_cid"))
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("cid").alias("neighbor_id"),
+            cosine(F.col("__vec_qid"), F.col("__vec_cid")).alias("score"),
+        )
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

@@ -48,6 +48,15 @@ def _values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # array-valued cells: pd.isna would return an ndarray (ambiguous truth);
+    # compare elementwise via a stable string form instead
+    a_arr = isinstance(a, (list, tuple)) or hasattr(a, "__array__")
+    b_arr = isinstance(b, (list, tuple)) or hasattr(b, "__array__")
+    if a_arr or b_arr:
+        if not (a_arr and b_arr):
+            return False
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(_values_equal(x, y) for x, y in zip(la, lb))
     if pd.isna(a) and pd.isna(b):
         return True
     return a == b

@@ -82,7 +82,7 @@ def chunked_file_stream(
     """
     df = load_table(spark, sf_dir, table)
     tag = hashlib.md5(
-        f"{sf_dir}:{table}:{ts_col}:{n_chunks}:{flush}".encode()
+        f"{sf_dir}:{table}:{ts_col}:{n_chunks}:{flush}:{key_col}:{id_col}".encode()
     ).hexdigest()[:12]
     out_dir = os.path.join(scratch_root, tag)
     done_marker = os.path.join(out_dir, "_DONE")

@@ -325,7 +325,7 @@ def q_join_inner(spark, sf_dir):
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name IN ('REGION_0', 'REGION_1')
+        WHERE r.r_name IN ('ASIA', 'EUROPE')
         GROUP BY n.n_name
     """,
     tags=("join",),
@@ -343,7 +343,7 @@ def q_join_multi_broadcast(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name").isin("REGION_0", "REGION_1"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
         .groupBy("n_name")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
@@ -377,13 +377,16 @@ def q_join_semi(spark, sf_dir):
     oracle="""
         SELECT c_custkey, c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
     """,
     tags=("join",),
 )
 def q_join_anti(spark, sf_dir):
+    """Customers with no high-value order (anti join against a filtered
+    build side — non-empty at every SF, unlike `no orders at all`)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -59,15 +59,17 @@ def q_ann_brute_topk(spark, sf_dir):
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_DUCK_COS} >= 0.8
+        WHERE {_DUCK_COS} >= 0.3
     """,
     tags=("similarity", "dedup"),
 )
 def q_embed_neardup(spark, sf_dir):
-    """Embedding near-duplicate pairs, blocked by label (cosine ≥ 0.8).
+    """Embedding near-duplicate pairs, blocked by label (cosine ≥ 0.3 — the
+    synthetic embeddings are near-orthogonal, so 0.3 is the `related pair`
+    band and yields a non-trivial result set at every SF).
     At scale the block key becomes an LSH band — identical join shape."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return blocked_neardup_pairs(emb, "label", 0.8)
+    return blocked_neardup_pairs(emb, "label", 0.3)
 
 
 @workload("q_ann_lsh_topk", tags=("similarity", "approx"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from volga_spark.functions.accumulators import MinMaxAcc
 from volga_spark.functions.cate_top import sum_cate
 from volga_spark.functions.sliding import SlidingSpec
 from volga_spark.operators.window import cents, range_frame, rows_frame
@@ -209,20 +210,9 @@ def q_stream_upsert_sink(spark, sf_dir):
 )
 def q_stream_sliding_rows(spark, sf_dir):
     """ROWS-frame sliding aggregates computed statefully on the stream
-    ((user_id, ts) pairs are unique in this corpus, so ts order is total)."""
-
-    class _CntMin:
-        def __init__(self):
-            self.n = 0
-            self.vals = []
-
-        def add(self, v):
-            self.n += 1
-            self.vals.append(v)
-
-        def retract(self, v):
-            self.n -= 1
-            self.vals.remove(v)
+    ((user_id, ts) pairs are unique in this corpus, so ts order is total).
+    Uses the engine's retractable MinMaxAcc (O(log w) per op) rather than a
+    list scan, so the same pattern holds at w=10k."""
 
     stream, _ = chunked_file_stream(
         spark, sf_dir, "events", "ts", n_chunks=5,
@@ -234,10 +224,10 @@ def q_stream_sliding_rows(spark, sf_dir):
         ts_col="ts",
         frame=rows_frame(50),
         specs=[
-            SlidingSpec("cnt_50r", _CntMin, ["value"], "bigint", finish=lambda a: a.n),
+            SlidingSpec("cnt_50r", MinMaxAcc, ["value"], "bigint", finish=lambda a: a.n),
             SlidingSpec(
-                "min_50r", _CntMin, ["value"], "double",
-                finish=lambda a: min(a.vals) if a.vals else None,
+                "min_50r", MinMaxAcc, ["value"], "double",
+                finish=lambda a: a.min(),
             ),
         ],
         passthrough=["event_id"],
