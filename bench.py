@@ -64,11 +64,12 @@ def main() -> None:
     spark = get_spark("volga_spark_bench")
     reg = load_all()
 
-    # warm the JVM + parquet footer caches and the Python UDF workers
-    # (worker fork + import cost would otherwise land on the first sweep
-    # query; engine warm-up, measured work unchanged)
+    # warm the JVM + parquet footer caches, the Python UDF workers, and the
+    # streaming stack (state-store + offset-log init lands on the first
+    # stateful query otherwise); engine warm-up, measured work unchanged
     reg["q_select_all"].fn(spark, sf_dir).count()
     reg["q_ml_cate_basic"].fn(spark, "/root/testdata/sf0.001").count()
+    reg["q_stream_sliding_window"].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     total = 0.0

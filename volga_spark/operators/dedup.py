@@ -227,7 +227,24 @@ def exact_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard (explode shingles →
-    count intersections DataFrame-side; no pairwise text shipping)."""
+    count intersections DataFrame-side; no pairwise text shipping).
+
+    Only docs that appear in ``pairs`` are shingled: the candidate set is
+    orders of magnitude smaller than the corpus after LSH banding, so the
+    semi-join prefilter keeps the explode volume O(|candidates|·shingles)
+    instead of O(|corpus|·shingles)."""
+    # `pairs` feeds three plan branches (member ids, intersection join,
+    # final join) — without a checkpoint the whole LSH subtree would run
+    # three times. localCheckpoint is fine at any scale: the candidate set
+    # is the small output of the banding join. (On a cluster with executor
+    # loss concerns, swap for a persisted table.)
+    pairs = pairs.localCheckpoint(eager=False)
+    member_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    df = df.join(F.broadcast(member_ids), id_col, "left_semi")
     sh = df.select(
         F.col(id_col),
         F.explode_outer(

@@ -15,6 +15,7 @@ Delta/Iceberg; locally it keeps a driver-side dict (test harness parity).
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 from contextlib import contextmanager
 
@@ -23,6 +24,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "16")
+
+# offset/commit logs + state snapshots go to tmpfs when available: the logs
+# are per-micro-batch fsync'd small files, pure latency on a local run (a
+# cluster would point this at fast local/HDFS storage via config instead)
+_CKPT_ROOT = (
+    "/dev/shm/volga_spark_ckpt"
+    if os.access("/dev/shm", os.W_OK)
+    else "/tmp/volga_spark_ckpt"
+)
+
+
+def _checkpoint_dir() -> str:
+    return os.path.join(_CKPT_ROOT, uuid.uuid4().hex[:12])
 
 
 @contextmanager
@@ -46,11 +60,13 @@ def run_available_now_to_memory(
     result as a (batch) DataFrame."""
     name = f"vs_mem_{uuid.uuid4().hex[:10]}"
     spark = df.sparkSession
+    ckpt = _checkpoint_dir()
     with _stream_shuffle(spark):
         q = (
             df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -59,6 +75,7 @@ def run_available_now_to_memory(
         finally:
             if q.isActive:
                 q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -83,13 +100,20 @@ def upsert_by_key(
             k = tuple(d[c] for c in key_cols)
             state[k] = tuple(d[c] for c in cols)
 
+    ckpt = _checkpoint_dir()
     with _stream_shuffle(df.sparkSession):
-        q = df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         try:
             q.awaitTermination(timeout_s)
         finally:
             if q.isActive:
                 q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     return pd.DataFrame(list(state.values()), columns=cols)
 
 

@@ -30,8 +30,14 @@ from volga_spark.tables import load_table
 SENTINEL_ID = -1
 
 
-def parquet_stream(spark: SparkSession, path: str, schema) -> DataFrame:
-    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+def parquet_stream(
+    spark: SparkSession, path: str, schema, files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
@@ -71,6 +77,7 @@ def chunked_file_stream(
     id_col: str | None = None,
     flush: bool = False,
     scratch_root: str = "/tmp/volga_spark_stream",
+    files_per_trigger: int = 1,
 ) -> tuple[DataFrame, str]:
     """Write `table` as N time-ordered parquet chunk files; return the
     streaming DataFrame (one file per micro-batch) and the chunk dir.
@@ -138,5 +145,5 @@ def chunked_file_stream(
         with open(done_marker, "w") as f:
             f.write("ok")
     schema = df.schema
-    stream = parquet_stream(spark, out_dir, schema)
+    stream = parquet_stream(spark, out_dir, schema, files_per_trigger)
     return stream, out_dir

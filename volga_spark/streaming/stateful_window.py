@@ -14,18 +14,24 @@ src/runtime/operators/window/window_operator.rs:292-390):
 - end-of-stream flush (MAX_WATERMARK) = flush-punctuation rows from
   ``chunked_file_stream(flush=True)`` or a final batch query.
 
-Implementation: ``applyInPandasWithState`` keeping (ts array + input/
-passthrough arrays + processed cursor) per key; each micro-batch merges new
-rows, runs the same two-pointer add/retract sweep as the batch path
-(functions/sliding.run_sweep — the reference's 'retractable accumulator'
-design), emits rows ≤ watermark, and prunes state to the window horizon —
-so state size is O(window length), equivalent to the reference's bucket
-pruning (src/storage/index/bucket_index.rs), without its tile hierarchy
-(nothing is ever rescanned, so tiles would only help cold restores).
+Implementation: ``applyInPandasWithState`` keyed by a **hash bucket** of the
+logical key, not the key itself. The reference partitions state by key hash
+(src/common/key.rs:11-41) and iterates keys inside each partition; here each
+bucket's state holds every resident key's (ts, inputs, passthrough) buffers
+flattened into parallel arrays plus a per-key processed cursor. Per batch the
+handler ingests, sorts once, then runs the same two-pointer add/retract sweep
+as the batch path (functions/sliding.run_sweep_arrays) per key slice.
+
+Why buckets: Spark invokes the Python handler once per KEY per micro-batch —
+with K keys that is K Arrow round-trips and K state (de)serializations per
+batch, and at K≈1500 that fixed cost dominated the actual sweep ~5:1. With
+B=64 buckets the framework cost drops to B calls/batch while the sweep work
+is unchanged; state size per bucket stays O(K/B · window). Skewed keys spread
+over buckets by hash exactly as the reference's key-hash exchange does.
 
 Scale: state lives in the state store (HDFS/RocksDB-backed on a cluster),
-partitioned by key hash — the same layout the reference persists via its
-checkpoint blobs, but managed by Spark's checkpointing.
+partitioned by bucket hash; bucket count bounds handler-call overhead, and
+state per bucket is bounded by the window horizon pruning below.
 """
 
 from __future__ import annotations
@@ -43,6 +49,9 @@ from volga_spark.functions.sliding import (
 from volga_spark.operators.window import Frame, RangeFrame
 
 TS = "__ts_us"
+BKT = "__bkt"
+
+_NEG_INF = -(1 << 62)
 
 
 def sliding_window_stream(
@@ -54,6 +63,7 @@ def sliding_window_stream(
     passthrough: list[str],
     lateness: str = "10 minutes",
     prepared: dict | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Streaming per-row sliding-window aggregation.
 
@@ -80,100 +90,147 @@ def sliding_window_stream(
     for name, expr in (prepared or {}).items():
         work = work.withColumn(name, expr)
     work = work.withColumn(TS, F.unix_micros(F.col(ts_col)))
+    work = work.withColumn(
+        BKT, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+    )
     work = work.withWatermark(ts_col, lateness)
 
     input_cols = sorted({c for s in specs for c in s.inputs})
-    stored = list(dict.fromkeys([c for c in passthrough if c not in keys and c != ts_col] + input_cols))
+    out_pass = [c for c in passthrough if c not in keys and c != ts_col]
+    stored = list(dict.fromkeys(out_pass + input_cols))
     schema = {f.name: f.dataType.simpleString() for f in work.schema.fields}
 
     key_fields = ", ".join(f"`{k}` {schema[k]}" for k in keys)
-    pass_fields = "".join(
-        f", `{c}` {schema[c]}" for c in passthrough if c not in keys and c != ts_col
-    )
+    pass_fields = "".join(f", `{c}` {schema[c]}" for c in out_pass)
     spec_fields = "".join(f", `{s.name}` {s.out_type}" for s in specs)
     out_schema = f"{key_fields}, {TS} bigint{pass_fields}{spec_fields}"
 
-    state_fields = [f"ts array<bigint>"] + [
-        f"c{i} array<{schema[c]}>" for i, c in enumerate(stored)
-    ] + ["max_emitted bigint"]
+    # bucket state: flattened row-store (key cols + ts + stored cols, sorted
+    # by (key, ts)) plus a per-key processed cursor (key cols + max_emitted)
+    state_fields = (
+        [f"k{i} array<{schema[k]}>" for i, k in enumerate(keys)]
+        + ["ts array<bigint>"]
+        + [f"c{i} array<{schema[c]}>" for i, c in enumerate(stored)]
+        + [f"ck{i} array<{schema[k]}>" for i, k in enumerate(keys)]
+        + ["cmax array<bigint>"]
+    )
     state_schema = ", ".join(state_fields)
+    n_keys = len(keys)
+    n_stored = len(stored)
 
     is_range = isinstance(frame, RangeFrame)
     length = frame.micros if is_range else frame.preceding
     spec_data = [(s.name, s.factory, s.inputs, s.finish) for s in specs]
-    out_pass = [c for c in passthrough if c not in keys and c != ts_col]
 
-    # handler works on plain numpy arrays end to end — per-key pandas frame
-    # construction dominated handler cost with many small keys
-    def handler(key, pdfs, state):
+    def handler(bucket, pdfs, state):
         import numpy as np
 
         new = pd.concat(list(pdfs), ignore_index=True)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
         if state.exists:
             st = state.get
-            buf_arrays = {TS: np.asarray(st[0], dtype=np.int64)}
+            buf = {k: np.asarray(st[i]) for i, k in enumerate(keys)}
+            buf[TS] = np.asarray(st[n_keys], dtype=np.int64)
             for i, c in enumerate(stored):
-                buf_arrays[c] = np.asarray(st[1 + i])
-            max_emitted = st[-1]
+                buf[c] = np.asarray(st[n_keys + 1 + i])
+            cur_keys = list(
+                zip(*[st[n_keys + 1 + n_stored + i] for i in range(n_keys)])
+            )
+            cursors = dict(zip(cur_keys, st[-1]))
         else:
-            buf_arrays = None
-            max_emitted = -(1 << 62)
+            buf = None
+            cursors = {}
 
         # ingest drop rule (reference window_operator.rs:308-336):
-        # cutoff = max(processed_pos, wm - lateness); Spark's watermark value
-        # already has the delay subtracted.
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        # cutoff = max(processed_pos(key), wm - lateness); Spark's watermark
+        # value already has the delay subtracted.
         new_ts = new[TS].to_numpy()
-        ingest = new_ts > max(max_emitted, wm_us)
-        cols = {TS: new_ts[ingest]}
+        new_keys = list(zip(*[new[k] for k in keys]))
+        thr = np.fromiter(
+            (max(cursors.get(kt, _NEG_INF), wm_us) for kt in new_keys),
+            dtype=np.int64,
+            count=len(new_keys),
+        )
+        ingest = new_ts > thr
+        cols = {k: new[k].to_numpy()[ingest] for k in keys}
+        cols[TS] = new_ts[ingest]
         for c in stored:
             cols[c] = new[c].to_numpy()[ingest]
-        if buf_arrays is not None:
+        if buf is not None:
             for c in cols:
-                cols[c] = np.concatenate([buf_arrays[c], cols[c]])
-        order = np.argsort(cols[TS], kind="stable")
+                cols[c] = np.concatenate([buf[c], cols[c]])
+
+        # one stable sort per bucket: (key..., ts) — existing buffer rows
+        # precede same-ts new rows (matches the per-key implementation)
+        order = np.lexsort(tuple([cols[TS]] + [cols[k] for k in keys[::-1]]))
         cols = {c: a[order] for c, a in cols.items()}
         n = len(cols[TS])
         ts_arr = cols[TS]
 
-        emit_mask = (ts_arr <= wm_us) & (ts_arr > max_emitted)
-        # context rows are swept (add/retract) but not re-formatted
-        outs = run_sweep_arrays(
-            cols, n, TS, is_range, length, spec_data, emit_mask=emit_mask
-        )
-
-        if emit_mask.any():
-            n_emit = int(emit_mask.sum())
-            res = {k: [kv] * n_emit for k, kv in zip(keys, key)}
-            res[TS] = ts_arr[emit_mask]
-            for c in out_pass:
-                res[c] = cols[c][emit_mask]
-            for (name, _, _, _), vals in zip(spec_data, outs):
-                res[name] = [v for v, m in zip(vals, emit_mask) if m]
-            res = pd.DataFrame(res)
-            new_max = int(ts_arr[emit_mask].max())
+        # per-key slices: boundaries where any key column changes
+        if n:
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in keys:
+                a = cols[k]
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
         else:
-            res = None
-            new_max = max_emitted
+            starts = ends = np.empty(0, dtype=np.int64)
 
-        # prune: keep unemitted rows + window context behind the watermark
-        if is_range:
-            keep = ts_arr > wm_us - length
-        else:
-            n_unemitted = int((ts_arr > wm_us).sum())
-            keep = np.zeros(n, dtype=bool)
-            keep[max(0, n - (length + n_unemitted)) :] = True
+        out_frames = []
+        keep_mask = np.zeros(n, dtype=bool)
+        for s0, s1 in zip(starts, ends):
+            # plain-python key tuple: numpy scalars would leak into the
+            # state arrays (Spark's state serializer wants native types)
+            kt = tuple(
+                v.item() if hasattr(v, "item") else v
+                for v in (cols[k][s0] for k in keys)
+            )
+            max_emitted = cursors.get(kt, _NEG_INF)
+            seg_ts = ts_arr[s0:s1]
+            emit_mask = (seg_ts <= wm_us) & (seg_ts > max_emitted)
+            seg_cols = {c: a[s0:s1] for c, a in cols.items()}
+            outs = run_sweep_arrays(
+                seg_cols, s1 - s0, TS, is_range, length, spec_data,
+                emit_mask=emit_mask,
+            )
+            if emit_mask.any():
+                n_emit = int(emit_mask.sum())
+                res = {k: [kv] * n_emit for k, kv in zip(keys, kt)}
+                res[TS] = seg_ts[emit_mask]
+                for c in out_pass:
+                    res[c] = seg_cols[c][emit_mask]
+                for (name, _, _, _), vals in zip(spec_data, outs):
+                    res[name] = [v for v, m in zip(vals, emit_mask) if m]
+                out_frames.append(pd.DataFrame(res))
+                cursors[kt] = int(seg_ts[emit_mask].max())
+
+            # prune: keep unemitted rows + window context behind the watermark
+            if is_range:
+                keep = seg_ts > wm_us - length
+            else:
+                n_unemitted = int((seg_ts > wm_us).sum())
+                keep = np.zeros(s1 - s0, dtype=bool)
+                keep[max(0, (s1 - s0) - (length + n_unemitted)) :] = True
+            keep_mask[s0:s1] = keep
+
+        cur_items = list(cursors.items())
         state.update(
             (
-                cols[TS][keep].tolist(),
-                *[cols[c][keep].tolist() for c in stored],
-                int(new_max),
+                *[cols[k][keep_mask].tolist() for k in keys],
+                cols[TS][keep_mask].tolist(),
+                *[cols[c][keep_mask].tolist() for c in stored],
+                *[[kt[i] for kt, _ in cur_items] for i in range(n_keys)],
+                [v for _, v in cur_items],
             )
         )
-        if res is not None:
-            yield res
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
 
-    out = work.groupBy(*keys).applyInPandasWithState(
+    out = work.groupBy(BKT).applyInPandasWithState(
         handler,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -35,7 +35,7 @@ def q_stream_groupby_count(spark, sf_dir):
     """Streaming GROUP BY over 5 micro-batches, complete mode — equals the
     batch aggregate once the stream is drained (reference word-count
     pipeline, emit-at-MAX_WATERMARK semantics)."""
-    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2)
     agg = stream.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
@@ -55,7 +55,7 @@ def q_stream_groupby_count(spark, sf_dir):
 def q_stream_tumbling_day(spark, sf_dir):
     """Watermarked tumbling event-time window (group window — beyond the
     reference's OVER-only surface; native in Spark)."""
-    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
@@ -103,7 +103,7 @@ def q_stream_sliding_window(spark, sf_dir):
 
     stream, _ = chunked_file_stream(
         spark, sf_dir, "events", "ts", n_chunks=5,
-        key_col="user_id", id_col="event_id", flush=True,
+        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=2,
     )
     out = sliding_window_stream(
         stream,
@@ -154,7 +154,7 @@ def q_stream_sliding_cate(spark, sf_dir):
     headline capability (README.md:107-150) end to end in streaming mode."""
     stream, _ = chunked_file_stream(
         spark, sf_dir, "events", "ts", n_chunks=5,
-        key_col="user_id", id_col="event_id", flush=True,
+        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=2,
     )
     out = sliding_window_stream(
         stream,
@@ -187,7 +187,7 @@ def q_stream_sliding_cate(spark, sf_dir):
 def q_stream_upsert_sink(spark, sf_dir):
     """Keyed upsert sink via foreachBatch (reference in-memory upsert sink):
     final state = latest row per key."""
-    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2)
     final = upsert_by_key(
         stream.select("user_id", "event_id", "event_type", "value", "ts"),
         key_cols=["user_id"],
@@ -216,7 +216,7 @@ def q_stream_sliding_rows(spark, sf_dir):
 
     stream, _ = chunked_file_stream(
         spark, sf_dir, "events", "ts", n_chunks=5,
-        key_col="user_id", id_col="event_id", flush=True,
+        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=2,
     )
     out = sliding_window_stream(
         stream,
