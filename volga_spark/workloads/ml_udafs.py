@@ -511,3 +511,85 @@ def q_ml_top_n_more(spark, sf_dir):
             "cond": F.col("value") > _COND,
         },
     )
+
+
+@workload(
+    "q_ml_top_n_rest",
+    oracle=f"""
+        WITH {_PAIRS},
+        per_cat AS (
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
+            FROM pairs WHERE cond GROUP BY eid, cat
+        ),
+        ranked AS (
+            SELECT eid, cat, s, c, mn, mx,
+                   row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key,
+                   row_number() OVER (PARTITION BY eid ORDER BY c DESC, cat DESC) AS rk_cnt,
+                   row_number() OVER (PARTITION BY eid ORDER BY mn DESC, cat DESC) AS rk_min
+            FROM per_cat
+        ),
+        key_avg AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0 / c")}, ','
+                       ORDER BY cat DESC) AS top2_key_avg
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        key_min AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mn")}, ','
+                       ORDER BY cat DESC) AS top2_key_min
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        key_max AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mx")}, ','
+                       ORDER BY cat DESC) AS top2_key_max
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_cnt AS (
+            SELECT eid, string_agg(cat || ':' || CAST(c AS VARCHAR), ','
+                       ORDER BY c DESC, cat DESC) AS top2_val_count
+            FROM ranked WHERE rk_cnt <= 2 GROUP BY eid
+        ),
+        val_min AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mn")}, ','
+                       ORDER BY mn DESC, cat DESC) AS top2_val_min
+            FROM ranked WHERE rk_min <= 2 GROUP BY eid
+        ),
+        strs AS (
+            SELECT r.eid, ka.top2_key_avg, kn.top2_key_min, kx.top2_key_max,
+                   vc.top2_val_count, vn.top2_val_min
+            FROM (SELECT DISTINCT eid FROM ranked) r
+            LEFT JOIN key_avg ka ON ka.eid = r.eid
+            LEFT JOIN key_min kn ON kn.eid = r.eid
+            LEFT JOIN key_max kx ON kx.eid = r.eid
+            LEFT JOIN val_cnt vc ON vc.eid = r.eid
+            LEFT JOIN val_min vn ON vn.eid = r.eid
+        )
+        {_left_join_tail(["top2_key_avg", "top2_key_min", "top2_key_max",
+                          "top2_val_count", "top2_val_min"])}
+    """,
+    tags=("ml_udaf",),
+)
+def q_ml_top_n_rest(spark, sf_dir):
+    """top_n_key_{avg,min,max} / top_n_value_{count,min} — the last 5
+    kind×order combos, so all 10 top_n_{key,value}_{agg}_cate_where
+    functions (reference cate/udf.rs:380-417, tests
+    cate/tests/{top_n_key,top_n_value}.rs) are driver-oracled."""
+    ev = load_table(spark, sf_dir, "events")
+    return apply_sliding_aggs(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            top_n_cate_where("top2_key_avg", "avg", "key", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_key_min", "min", "key", "valraw", "cond", "event_type", 2),
+            top_n_cate_where("top2_key_max", "max", "key", "valraw", "cond", "event_type", 2),
+            top_n_cate_where("top2_val_count", "count", "value", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_val_min", "min", "value", "valraw", "cond", "event_type", 2),
+        ],
+        passthrough=PASS,
+        prepared={
+            "vc": cents("value"),
+            "valraw": F.col("value"),
+            "cond": F.col("value") > _COND,
+        },
+    )
