@@ -72,3 +72,40 @@ def test_tiled_equals_naive(spark, sf_dir, granularity):
         # naive left-join yields cnt>=1 always (request row excluded there);
         # align on shared semantics
         pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_stream_built_tiles_equal_batch(spark, sf_dir):
+    """Tiles folded incrementally per micro-batch must be bit-identical to a
+    one-shot batch build (merge associativity — reference tiles are likewise
+    maintained on ingest, state/tiles.rs:59-118)."""
+    from volga_spark.operators.tiles import build_tiles
+    from volga_spark.streaming.sources import chunked_file_stream
+    from volga_spark.streaming.tile_sink import stream_build_tiles
+
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    streamed = (
+        stream_build_tiles(
+            stream.select("user_id", "ts", "value"),
+            key_cols="user_id",
+            ts_col="ts",
+            value_col="value",
+            granularity="1 minute",
+        )
+        .toPandas()
+        .set_index(["user_id", "__b"])
+        .sort_index()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        build_tiles(
+            ev.select("user_id", "ts", "value"),
+            key_cols="user_id",
+            ts_col="ts",
+            value_col="value",
+            granularity="1 minute",
+        )
+        .toPandas()
+        .set_index(["user_id", "__b"])
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(streamed, batch, check_like=True)

@@ -23,7 +23,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "16")
+# 8 measured fastest on local[32] at sf0.1 (vs 16: -22% on the stateful
+# sliding query, -20% on streaming agg; vs 4: stateful loses parallelism).
+# On a real cluster size this to ~2-3x total cores via the env var.
+STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
 # offset/commit logs + state snapshots go to tmpfs when available: the logs
 # are per-micro-batch fsync'd small files, pure latency on a local run (a

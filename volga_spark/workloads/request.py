@@ -99,3 +99,60 @@ def q_request_tiled_lookup(spark, sf_dir):
         frame=range_frame("1 hour"),
         granularity="1 minute",
     )
+
+
+@workload(
+    "q_request_stream_tiles",
+    oracle="""
+        WITH req AS (
+            SELECT event_id AS request_id, user_id,
+                   ts + INTERVAL 1 SECOND AS rts
+            FROM events WHERE event_id % 10 = 0
+        )
+        SELECT q.request_id, q.user_id,
+               count(e.value) AS cnt,
+               sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value,
+               min(e.value) AS min_value,
+               max(e.value) AS max_value
+        FROM req q LEFT JOIN events e
+          ON e.user_id = q.user_id
+         AND e.ts >= q.rts - INTERVAL 1 HOUR AND e.ts <= q.rts
+        GROUP BY q.request_id, q.user_id
+    """,
+    tags=("request", "tiles", "streaming"),
+)
+def q_request_stream_tiles(spark, sf_dir):
+    """Tiled point-in-time lookup answered from tiles built INCREMENTALLY by
+    the streaming write path (foreachBatch fold per micro-batch — reference
+    state/tiles.rs:59-118 maintains tiles on ingest, not by rescanning), so
+    request mode can serve over live state / after a cold restore without
+    touching raw rows. Must hash-match the same oracle as the batch-built
+    tile query."""
+    from volga_spark.operators.tiles import tiled_lookup
+    from volga_spark.streaming.sources import chunked_file_stream
+    from volga_spark.streaming.tile_sink import stream_build_tiles
+
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2)
+    tiles = stream_build_tiles(
+        stream.select("user_id", "ts", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        granularity="1 minute",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    requests = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("request_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    return tiled_lookup(
+        ev.select("user_id", "ts", "value"),
+        requests,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("1 hour"),
+        granularity="1 minute",
+        tiles=tiles,
+    )
