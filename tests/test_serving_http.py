@@ -1,0 +1,98 @@
+"""HTTP serving layer: POST /features must return exactly what the direct
+point-in-time lookup computes (reference request_source_e2e_test shape)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from volga_spark.api.serving import FeatureServer
+from volga_spark.operators.request import FeatureService, masked
+from volga_spark.operators.window import range_frame
+from volga_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def service(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return FeatureService(
+        ev.select("user_id", "ts", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("1 hour"),
+        agg_builder=lambda w: {
+            "cnt_1h": F.count(masked("value")).over(w),
+            "sum_1h": F.sum(F.round(masked("value") * 100).cast("long")).over(w)
+            / F.lit(100.0),
+        },
+    )
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/features",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_http_equals_direct_lookup(spark, sf_dir, service):
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "user_id", "ts")
+        .limit(5)
+        .collect()
+    )
+    direct = {
+        r["request_id"]: (r["cnt_1h"], r["sum_1h"])
+        for r in service.get_features(
+            spark, [(r.event_id, r.user_id, r.ts) for r in pts]
+        )
+    }
+    with FeatureServer(spark, service) as srv:
+        status, body = _post(
+            srv.port,
+            {
+                "requests": [
+                    {
+                        "request_id": r.event_id,
+                        "user_id": r.user_id,
+                        "ts": r.ts.isoformat(),
+                    }
+                    for r in pts
+                ]
+            },
+        )
+    assert status == 200
+    served = {f["request_id"]: (f["cnt_1h"], f["sum_1h"]) for f in body["features"]}
+    assert served == direct
+    assert len(served) == len(pts)
+
+
+def test_http_epoch_ms_and_errors(spark, service):
+    with FeatureServer(spark, service) as srv:
+        # epoch-ms timestamps accepted
+        status, body = _post(
+            srv.port,
+            {"requests": [{"request_id": 1, "user_id": 42, "ts": 1704067200000}]},
+        )
+        assert status == 200 and len(body["features"]) == 1
+        # malformed body -> 400, not a hung server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/features",
+            data=b'{"nope": 1}',
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
