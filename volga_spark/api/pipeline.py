@@ -39,6 +39,10 @@ from volga_spark.functions.sliding import apply_sliding_aggs
 from volga_spark.operators.window import Frame, range_frame, rows_frame
 
 _WHERE_FNS = ("sum", "avg", "count", "min", "max")
+_NATIVE_AGGS = {
+    "sum", "avg", "count", "min", "max",
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+}
 _CATE_FNS = {f"{a}_cate" for a in _WHERE_FNS} | {f"{a}_cate_where" for a in _WHERE_FNS}
 _TOP_FNS = {"top", "topn_frequency", "top1_ratio"}
 _TOPN_RE = re.compile(
@@ -123,7 +127,8 @@ def _split_args(argstr: str) -> list[str]:
     return out
 
 
-def _parse_windows(sql: str) -> dict[str, tuple[list[str], str, Frame]]:
+def _parse_windows(sql: str) -> dict[str, tuple[list[str], str, Frame, str]]:
+    """name → (partition keys, order col, Frame, raw window body text)."""
     m = _WINDOW_CLAUSE_RE.search(sql)
     if not m:
         return {}
@@ -135,7 +140,9 @@ def _parse_windows(sql: str) -> dict[str, tuple[list[str], str, Frame]]:
             frame: Frame = rows_frame(int(rows_n))
         else:
             frame = range_frame(f"{qty} {unit.lower()}")
-        windows[name] = (keys, order, frame)
+        raw = w.group(0)
+        body = raw[raw.index("(") + 1 : raw.rindex(")")].strip()
+        windows[name] = (keys, order, frame, body)
     return windows
 
 
@@ -216,11 +223,12 @@ class PipelineSpec:
         for src in self.sources:
             src.load(spark).createOrReplaceTempView(src.name)
 
-        sql = self.sql
+        sql = _rewrite_where_family(self.sql)
         windows = _parse_windows(sql)
 
-        # extract ML sweep calls per (window, table)
+        # extract ML sweep calls and native window-agg calls per window
         sweep_calls = []
+        native_calls = []
         for start, end, fn, argstr, m_over in _find_calls(sql):
             if m_over is None:
                 continue
@@ -229,6 +237,11 @@ class PipelineSpec:
                 full_text = sql[start : m_over.end()]
                 wname, alias = m_over.group(1), m_over.group(2)
                 sweep_calls.append((full_text, fn, _split_args(argstr), wname, alias))
+            elif fnl in _NATIVE_AGGS:
+                native_calls.append(
+                    (sql[start : m_over.end()], sql[start:end],
+                     m_over.group(1), m_over.group(2))
+                )
 
         if sweep_calls:
             table_m = re.search(r"FROM\s+(\w+)", sql, re.IGNORECASE)
@@ -239,10 +252,30 @@ class PipelineSpec:
             for text, fn, args, wname, alias in sweep_calls:
                 by_window.setdefault(wname, []).append((text, fn, args, alias))
             df = spark.table(table)
+
+            # Fold native window aggs into this stage BEFORE the sweep: the
+            # sweep's mapInPandas hides partitioning from Catalyst, so a
+            # native Window placed after it would re-shuffle the whole
+            # working set on the same keys. Computing it first shares one
+            # exchange; folds matching the first sweep window's keys run
+            # last so the sweep can reuse the partitioning outright.
+            first_keys = windows.get(next(iter(by_window)), (None,))[0]
+            part_keys: list[str] | None = None
+            for text, call, wname, alias in sorted(
+                native_calls,
+                key=lambda c: windows.get(c[2], (None,))[0] == first_keys,
+            ):
+                if wname not in windows:
+                    continue
+                keys, _, _, body = windows[wname]
+                df = df.selectExpr("*", f"{call} OVER ({body}) AS {alias}")
+                part_keys = keys
+                sql = sql.replace(text, f"{alias} AS {alias}")
+
             for wname, calls in by_window.items():
                 if wname not in windows:
                     raise ValueError(f"WINDOW {wname} not defined")
-                keys, order, frame = windows[wname]
+                keys, order, frame, _ = windows[wname]
                 prepared: dict = {}
                 specs = [
                     _compile_sweep_call(fn, args, alias, prepared)
@@ -258,7 +291,9 @@ class PipelineSpec:
                     specs=specs,
                     passthrough=passthrough,
                     prepared=prepared,
+                    assume_partitioned=part_keys == keys,
                 )
+                part_keys = None  # mapInPandas output partitioning is opaque
                 for text, _, _, alias in calls:
                     sql = sql.replace(text, f"{alias} AS {alias}")
             staged = f"__vs_pipeline_{table}"
@@ -266,6 +301,7 @@ class PipelineSpec:
             sql = re.sub(
                 rf"(FROM\s+){table}\b", rf"\g<1>{staged}", sql, flags=re.IGNORECASE
             )
+            if not re.search(r"\bOVER\b", sql, re.IGNORECASE):
+                sql = _WINDOW_CLAUSE_RE.sub("", sql)
 
-        sql = _rewrite_where_family(sql)
         return spark.sql(sql)

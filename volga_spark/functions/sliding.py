@@ -82,12 +82,18 @@ def apply_sliding_aggs(
     prepared: dict[str, Column] | None = None,
     tiebreak: str | list[str] | None = None,
     bucket_by: str | None = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Compute all ``specs`` over the sliding frame, one row per input row.
 
     ``prepared`` maps extra input column names to Spark expressions (e.g.
     cond booleans, integer-scaled values) evaluated JVM-side first.
     Returns ``passthrough`` columns + one column per spec.
+
+    ``assume_partitioned``: skip the hash repartition when the caller knows
+    the input is already hash-partitioned by exactly ``partition_by`` (e.g.
+    a native Window on the same keys ran just upstream) — saves a full
+    shuffle of the working set; rows are still sorted within partitions.
 
     ``bucket_by`` (RANGE frames only, e.g. "1 day", must be ≥ the frame
     length): the hot-key splitter for 100 TB scale. Each key's timeline is
@@ -186,7 +192,15 @@ def apply_sliding_aggs(
         if carry is not None and len(carry):
             yield sweep_one(carry)
 
-    work = work.repartition(*keys).sortWithinPartitions(*keys, ts_col, *ties)
+    if not assume_partitioned:
+        # explicit partition count: AQE's byte-based coalescing would fold a
+        # "small" shuffle (100k rows ≈ a few MB) down to 1-2 partitions and
+        # serialize the Python sweep on 2 cores — its 64MB advisory size
+        # assumes JVM-speed consumers. Python-heavy stages need width ~ the
+        # configured shuffle parallelism regardless of bytes.
+        n_parts = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        work = work.repartition(n_parts, *keys)
+    work = work.sortWithinPartitions(*keys, ts_col, *ties)
     return work.mapInPandas(gen, schema=out_schema)
 
 
@@ -228,13 +242,31 @@ def run_sweep_arrays(
     arg_arrays = [[cols[c] for c in inputs] for _, _, inputs, _ in spec_data]
     outs: list[list] = [[None] * n for _ in spec_data]
 
+    # arity-specialized row appliers: a genexpr `*(arr[i] for arr in arrs)`
+    # allocates a generator per row per spec — at 100k rows x 3 specs that
+    # is pure interpreter overhead (~30% of sweep time profiled)
+    def _applier(fn, arrs):
+        if len(arrs) == 1:
+            a0 = arrs[0]
+            return lambda i: fn(a0[i])
+        if len(arrs) == 2:
+            a0, a1 = arrs
+            return lambda i: fn(a0[i], a1[i])
+        if len(arrs) == 3:
+            a0, a1, a2 = arrs
+            return lambda i: fn(a0[i], a1[i], a2[i])
+        return lambda i: fn(*(arr[i] for arr in arrs))
+
+    adders = [_applier(a.add, arrs) for a, arrs in zip(accs, arg_arrays)]
+    retractors = [_applier(a.retract, arrs) for a, arrs in zip(accs, arg_arrays)]
+
     def add(i):
-        for a, arrs in zip(accs, arg_arrays):
-            a.add(*(arr[i] for arr in arrs))
+        for f in adders:
+            f(i)
 
     def retract(i):
-        for a, arrs in zip(accs, arg_arrays):
-            a.retract(*(arr[i] for arr in arrs))
+        for f in retractors:
+            f(i)
 
     def emit(i):
         if emit_mask is not None and not emit_mask[i]:

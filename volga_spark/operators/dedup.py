@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from volga_spark.partitioning import widen_for_python
+
 from volga_spark._pickle import register_by_value
 
 # 31-bit Mersenne prime domain: (a*h + b) stays < 2^62, so the permutation
@@ -122,7 +124,7 @@ def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int =
                     sigs.append(np.min(m, axis=1).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
-    sigs = df.mapInPandas(gen, schema=schema)
+    sigs = widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)
     return df.join(sigs, id_col)
 
 
@@ -186,7 +188,8 @@ def add_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 {id_col: pdf[id_col], "simhash": [simhash64(t) for t in pdf[text_col]]}
             )
 
-    return df.join(df.mapInPandas(gen, schema=schema), id_col)
+    hashes = widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)
+    return df.join(hashes, id_col)
 
 
 def simhash_candidates(sim_df: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
@@ -341,4 +344,4 @@ def add_winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 
                     fps.append(fp)
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    return widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from volga_spark.partitioning import widen_for_python
+
 from volga_spark._pickle import register_by_value
 
 
@@ -74,7 +76,7 @@ def extract_features(
             feats = [dec(bytes(p)).tolist() for p in pdf[payload_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+    return widen_for_python(df.select(id_col, payload_col)).mapInPandas(gen, schema=schema)
 
 
 def frame_sample(
@@ -102,4 +104,4 @@ def frame_sample(
                     digests.append(hashlib.md5(raw[off : off + every_n_bytes]).hexdigest())
             yield pd.DataFrame({id_col: ids, "frame_no": nos, "frame_md5": digests})
 
-    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+    return widen_for_python(df.select(id_col, payload_col)).mapInPandas(gen, schema=schema)
