@@ -1,0 +1,97 @@
+"""Connected components over an edge list — duplicate-cluster resolution.
+
+After candidate-pair generation (exact-dup groups, MinHash/SimHash verified
+pairs), deduplication needs the transitive closure: A~B and B~C put all
+three in one cluster with one survivor. That closure is connected
+components over the pair graph.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-based CC at web scale. Each round is one groupBy + one join;
+convergence is O(log n) rounds *regardless of component diameter*, unlike
+min-label propagation whose round count is the graph diameter (a chain of
+10k near-dup docs would take 10k rounds to propagate). Every intermediate
+edge set is at most the input size + n, so no round blows up memory.
+
+Each round ends in ``localCheckpoint`` (eager): without it the iterated
+plan's lineage doubles per round and Catalyst re-analysis dominates. On a
+cluster with a configured checkpoint dir, swap for ``checkpoint`` to also
+survive executor loss across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to
+    min(Γ(u) ∪ {u}). Output edges oriented (src > dst)."""
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For every node u (edges oriented src ≥ dst): connect u and all its
+    ≤-neighbors to the minimum of the neighborhood."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relinked = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_links = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return relinked.union(self_links).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_rounds: int = 25
+) -> DataFrame:
+    """Return (node, component) for every node appearing in ``edges``;
+    ``component`` is the smallest node id in the node's component.
+
+    Nodes with no edges don't appear — the caller left-joins and coalesces
+    to themselves (see q_dedup_clusters).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("src"),
+            F.least(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # convergence = edge set stable (count + order-free xor hash; edges
+        # are distinct so xor is a sound set signature, and unlike sum it
+        # can't overflow under ANSI mode)
+        sig = e.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+    # converged edge set is a star forest: src → component root (= dst)
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return members.union(roots).distinct()

@@ -226,6 +226,73 @@ def simhash_candidates(sim_df: DataFrame, id_col: str, bands: int = 4) -> DataFr
     )
 
 
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per doc, native exprs."""
+    return df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+def all_pairs_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs sharing ≥1 shingle, with exact n-gram Jaccard.
+
+    Candidate generation IS the shared-shingle join (pairs with zero common
+    shingles have Jaccard 0 and never materialize), so the volume is
+    Σ_shingle df(s)² — near-linear on natural text. ``max_shingle_freq``
+    drops shingles appearing in more than that many docs before the join
+    (the standard stop-shingle prune at corpus scale; changes results only
+    for pairs whose sole overlap was a stop shingle, so leave None when an
+    exact oracle comparison is needed).
+    """
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    inter = (
+        sh.withColumnRenamed(id_col, "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    nb = counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
@@ -248,22 +315,7 @@ def exact_jaccard_pairs(
         .distinct()
     )
     df = df.join(F.broadcast(member_ids), id_col, "left_semi")
-    sh = df.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
-                    ),
-                )
-            )
-        ).alias("shingle"),
-    )
+    sh = _exploded_shingles(df, text_col, id_col, n)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # intersection counts via join on (pair, shingle)
     sh_a = sh.withColumnRenamed(id_col, "id_a")

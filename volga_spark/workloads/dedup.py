@@ -9,9 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from volga_spark.operators.components import connected_components
 from volga_spark.operators.dedup import (
     add_minhash,
     add_simhash,
+    all_pairs_jaccard,
     exact_jaccard_pairs,
     lsh_candidate_pairs,
     simhash_candidates,
@@ -105,6 +107,53 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     return exact_jaccard_pairs(d, pairs, "text", "doc_id", n=3).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@workload(
+    "q_dedup_clusters",
+    oracle="""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+            FROM toks
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS ni,
+                   CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb
+            FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        ),
+        e AS (SELECT id_a, id_b FROM p WHERE ni / (na + nb - ni) >= 0.7),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM e
+                UNION ALL SELECT id_b, id_a FROM e),
+        reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    tags=("dedup",),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Full dedup resolution: near-dup pairs (exact 3-gram Jaccard ≥ 0.7 via
+    the shared-shingle join — no cross product) → transitive closure with
+    large-star/small-star connected components → every doc labeled with its
+    cluster's min doc_id (the canonical survivor). The DuckDB oracle
+    recomputes the closure with a recursive CTE, so the iterative algorithm
+    is hash-checked end-to-end, transitivity included."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = all_pairs_jaccard(d, "text", "doc_id", n=3).filter(
+        F.col("jaccard") >= 0.7
+    )
+    cc = connected_components(edges, "id_a", "id_b")
+    return d.select("doc_id").join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
     )
 
 
