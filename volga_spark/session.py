@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata timestamps are parquet timestamp[us] without isAdjustedToUTC;
+        # read them as plain TIMESTAMP (UTC session) rather than TIMESTAMP_NTZ so
+        # epoch arithmetic (unix_micros) stays valid engine-wide
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

@@ -8,6 +8,11 @@ Maps the reference's window benchmark/test shapes:
   - VAR/STDDEV retractables
     (reference src/runtime/operators/window/aggregates/mod.rs:88-140)
 
+Consolidated to two queries (r03): each produces one row per event, so the
+per-capability columns live side by side and share one exchange+sort —
+Catalyst reuses a single hash partitioning on user_id across every frame
+with the same partitioning, which is also the plan you'd want at 100 TB.
+
 Oracle parity: windowed sums accumulate integer cents (value is 2-decimal),
 surfaced as double with identical expressions on both engines.
 """
@@ -32,22 +37,31 @@ _DUCK_CENTS = "CAST(round(value * 100) AS BIGINT)"
 
 
 @workload(
-    "q_window_range_sum_cnt_avg",
+    "q_window_core",
     oracle=f"""
         SELECT event_id, user_id, ts,
                count(*) OVER w AS cnt_1h,
                sum({_DUCK_CENTS}) OVER w / 100.0 AS sum_1h,
-               sum({_DUCK_CENTS}) OVER w / 100.0 / count(value) OVER w AS avg_1h
+               sum({_DUCK_CENTS}) OVER w / 100.0 / count(value) OVER w AS avg_1h,
+               min(value) OVER w_rows AS min_100,
+               max(value) OVER w_rows AS max_100,
+               count(*) OVER w_rows AS cnt_100
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+               w_rows AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)
     """,
     tags=("window",),
 )
-def q_window_range_sum_cnt_avg(spark, sf_dir):
-    """Retractable SUM/COUNT/AVG over RANGE 1h PRECEDING (one row per input)."""
+def q_window_core(spark, sf_dir):
+    """Retractable SUM/COUNT/AVG over RANGE 1h PRECEDING plus plain MIN/MAX
+    over ROWS 100 PRECEDING (reference retractable + plain accumulator kinds;
+    deterministic (ts, event_id) tiebreak on the ROWS frame). One row per
+    input event; both frames share the single user_id exchange."""
     ev = load_table(spark, sf_dir, "events")
     w = event_window("user_id", "ts", range_frame("1 hour"))
+    w_rows = event_window("user_id", "ts", rows_frame(100), tiebreak="event_id")
     return ev.select(
         "event_id",
         "user_id",
@@ -55,44 +69,37 @@ def q_window_range_sum_cnt_avg(spark, sf_dir):
         F.count("*").over(w).alias("cnt_1h"),
         (F.sum(cents("value")).over(w) / F.lit(100.0)).alias("sum_1h"),
         avg_cents_over("value", w).alias("avg_1h"),
+        F.min("value").over(w_rows).alias("min_100"),
+        F.max("value").over(w_rows).alias("max_100"),
+        F.count("*").over(w_rows).alias("cnt_100"),
     )
 
 
 @workload(
-    "q_window_rows_minmax",
-    oracle="""
-        SELECT event_id, user_id, ts,
-               min(value) OVER w AS min_100,
-               max(value) OVER w AS max_100,
-               count(*) OVER w AS cnt_100
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)
-    """,
-    tags=("window",),
-)
-def q_window_rows_minmax(spark, sf_dir):
-    """Plain MIN/MAX over ROWS 100 PRECEDING (reference 'plain accumulator'
-    kind — recompute-per-frame; deterministic (ts, event_id) tiebreak)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = event_window("user_id", "ts", rows_frame(100), tiebreak="event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.min("value").over(w).alias("min_100"),
-        F.max("value").over(w).alias("max_100"),
-        F.count("*").over(w).alias("cnt_100"),
-    )
-
-
-@workload(
-    "q_window_multi",
+    "q_window_advanced",
     oracle=f"""
         SELECT event_id, user_id, ts,
                sum({_DUCK_CENTS}) OVER w_short / 100.0 AS sum_10m,
                count(*) OVER w_long AS cnt_6h,
-               min(value) OVER w_rows AS min_50
+               min(value) OVER w_rows AS min_50,
+               CASE WHEN count(value) OVER w_long > 1 THEN
+                 (sum({_DUCK_CENTS} * {_DUCK_CENTS}) OVER w_long / 10000.0
+                  - (sum({_DUCK_CENTS}) OVER w_long / 100.0)
+                    * (sum({_DUCK_CENTS}) OVER w_long / 100.0)
+                    / count(value) OVER w_long)
+                 / (count(value) OVER w_long - 1)
+               END AS var_samp_6h,
+               sqrt(CASE WHEN count(value) OVER w_long > 1 THEN
+                 (sum({_DUCK_CENTS} * {_DUCK_CENTS}) OVER w_long / 10000.0
+                  - (sum({_DUCK_CENTS}) OVER w_long / 100.0)
+                    * (sum({_DUCK_CENTS}) OVER w_long / 100.0)
+                    / count(value) OVER w_long)
+                 / (count(value) OVER w_long - 1)
+               END) AS stddev_samp_6h,
+               row_number() OVER w_full AS rn,
+               lag(value, 1) OVER w_full AS prev_value,
+               lead(value, 1) OVER w_full AS next_value,
+               first_value(value) OVER w_rows20 AS first_20
         FROM events
         WINDOW
           w_short AS (PARTITION BY user_id ORDER BY ts
@@ -100,18 +107,28 @@ def q_window_rows_minmax(spark, sf_dir):
           w_long  AS (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW),
           w_rows  AS (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)
+                      ROWS BETWEEN 50 PRECEDING AND CURRENT ROW),
+          w_rows20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW),
+          w_full AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("window",),
 )
-def q_window_multi(spark, sf_dir):
+def q_window_advanced(spark, sf_dir):
     """Multiple WINDOW clauses with distinct frames in one query (reference
-    README example w_short/w_long/w_rows). Catalyst shares the single
-    shuffle+sort across frames with the same partitioning."""
+    README example w_short/w_long/w_rows), VAR_SAMP/STDDEV_SAMP retractables
+    computed from exact integer sums (bit-identical doubles on both engines),
+    and ranking/navigation functions (row_number/lag/lead/first_value —
+    beyond the reference's surface, free on Spark). Catalyst shares the
+    single user_id exchange across all five frames."""
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
     w_short = event_window("user_id", "ts", range_frame("10 minutes"))
     w_long = event_window("user_id", "ts", range_frame("6 hours"))
     w_rows = event_window("user_id", "ts", rows_frame(50), tiebreak="event_id")
+    w_rows20 = event_window("user_id", "ts", rows_frame(20), tiebreak="event_id")
+    w_full = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
         "user_id",
@@ -119,75 +136,10 @@ def q_window_multi(spark, sf_dir):
         (F.sum(cents("value")).over(w_short) / F.lit(100.0)).alias("sum_10m"),
         F.count("*").over(w_long).alias("cnt_6h"),
         F.min("value").over(w_rows).alias("min_50"),
-    )
-
-
-@workload(
-    "q_window_var_stddev",
-    oracle=f"""
-        SELECT event_id, user_id, ts,
-               CASE WHEN count(value) OVER w > 1 THEN
-                 (sum({_DUCK_CENTS} * {_DUCK_CENTS}) OVER w / 10000.0
-                  - (sum({_DUCK_CENTS}) OVER w / 100.0)
-                    * (sum({_DUCK_CENTS}) OVER w / 100.0)
-                    / count(value) OVER w)
-                 / (count(value) OVER w - 1)
-               END AS var_samp_1h,
-               sqrt(CASE WHEN count(value) OVER w > 1 THEN
-                 (sum({_DUCK_CENTS} * {_DUCK_CENTS}) OVER w / 10000.0
-                  - (sum({_DUCK_CENTS}) OVER w / 100.0)
-                    * (sum({_DUCK_CENTS}) OVER w / 100.0)
-                    / count(value) OVER w)
-                 / (count(value) OVER w - 1)
-               END) AS stddev_samp_1h
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-    """,
-    tags=("window",),
-)
-def q_window_var_stddev(spark, sf_dir):
-    """VAR_SAMP/STDDEV_SAMP retractables over RANGE 1h, computed from exact
-    integer sums so both engines produce bit-identical doubles."""
-    ev = load_table(spark, sf_dir, "events")
-    w = event_window("user_id", "ts", range_frame("1 hour"))
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        var_samp_cents_over("value", w).alias("var_samp_1h"),
-        stddev_samp_cents_over("value", w).alias("stddev_samp_1h"),
-    )
-
-
-@workload(
-    "q_window_rank_nav",
-    oracle="""
-        SELECT event_id, user_id, ts,
-               row_number() OVER w AS rn,
-               lag(value, 1) OVER w AS prev_value,
-               lead(value, 1) OVER w AS next_value,
-               first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS first_20
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    tags=("window",),
-)
-def q_window_rank_nav(spark, sf_dir):
-    """Ranking + navigation functions (beyond the reference's surface —
-    free on Spark, included for engine completeness)."""
-    from pyspark.sql import Window as W
-
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w20 = event_window("user_id", "ts", rows_frame(20), tiebreak="event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.row_number().over(w).alias("rn"),
-        F.lag("value", 1).over(w).alias("prev_value"),
-        F.lead("value", 1).over(w).alias("next_value"),
-        F.first("value").over(w20).alias("first_20"),
+        var_samp_cents_over("value", w_long).alias("var_samp_6h"),
+        stddev_samp_cents_over("value", w_long).alias("stddev_samp_6h"),
+        F.row_number().over(w_full).alias("rn"),
+        F.lag("value", 1).over(w_full).alias("prev_value"),
+        F.lead("value", 1).over(w_full).alias("next_value"),
+        F.first("value").over(w_rows20).alias("first_20"),
     )
