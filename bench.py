@@ -9,10 +9,18 @@ Queries cover every engine tier: native scan/agg/join, native sliding
 windows, the Pandas-sweep ML UDAFs, dedup/similarity, streaming stateful.
 Each query is fully materialized via a noop-style count over all columns
 (no driver-side collect of payloads).
+
+Isolation (r03): queries that iterate with ``localCheckpoint`` (LSH verify,
+connected components) leave cached RDD blocks behind; over an 18×2-trial
+sequence those accumulate into memory pressure that contaminated r02's
+recorded numbers (q_dedup_minhash: 2.1s standalone vs 65.8s in-sequence).
+``_cleanup`` unpersists every persistent RDD + clears the catalog cache
+after every trial, so each trial measures the plan, not the residue.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -25,15 +33,16 @@ BENCH_QUERIES = [
     "q_filter_scan",
     "q_join_multi_broadcast",
     "q_topk_per_group",
-    "q_window_range_sum_cnt_avg",
-    "q_window_rows_minmax",
+    "q_window_core",
+    "q_window_advanced",
     "q_ml_where_family",
-    "q_ml_cate_basic",
-    "q_ml_top_n_cate",
+    "q_ml_cate_full",
+    "q_ml_top_full",
     "q_dedup_exact",
-    "q_dedup_minhash",
+    "q_dedup_approx_pairs",
+    "q_dedup_clusters",
     "q_ann_brute_topk",
-    "q_text_stats",
+    "q_text_analysis",
     "q_asof_join",
     "q_sessionize",
     "q_pipeline_sql",
@@ -54,6 +63,18 @@ def materialize(df) -> int:
     return len(row)
 
 
+def _cleanup(spark) -> None:
+    """Drop inter-query state: catalog cache + every persistent RDD (incl.
+    localCheckpoint blocks, which DataFrame.unpersist cannot reach)."""
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception:  # noqa: BLE001 — cleanup must never fail the bench
+        pass
+    gc.collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -68,7 +89,7 @@ def main() -> None:
     # streaming stack (state-store + offset-log init lands on the first
     # stateful query otherwise); engine warm-up, measured work unchanged
     reg["q_select_all"].fn(spark, sf_dir).count()
-    reg["q_ml_cate_basic"].fn(spark, "/root/testdata/sf0.001").count()
+    reg["q_ml_cate_full"].fn(spark, "/root/testdata/sf0.001").count()
     reg["q_stream_sliding_window"].fn(spark, "/root/testdata/sf0.001").count()
     # pre-build the chunked stream dirs at the bench SF: writing the source
     # files is topic/source *setup* (a Kafka topic would already exist), not
@@ -76,6 +97,7 @@ def main() -> None:
     for q in ("q_stream_groupby_count", "q_stream_sliding_window"):
         if q in BENCH_QUERIES:
             reg[q].fn(spark, sf_dir).count()
+    _cleanup(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -91,6 +113,7 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(wl.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            _cleanup(spark)
         dt = round(best, 3)
         timings[name] = dt
         total += dt

@@ -45,20 +45,20 @@ def test_partial_aggregation(spark, sf_dir):
 
 
 def test_single_shuffle_for_multi_agg_window(spark, sf_dir):
-    p = plan(spark, sf_dir, "q_window_range_sum_cnt_avg")
+    p = plan(spark, sf_dir, "q_window_core")
     # one exchange on user_id feeds all three window aggregates
     assert p.count("hashpartitioning(") == 1, p[:3000]
 
 
 def test_multi_frame_window_shares_partitioning(spark, sf_dir):
-    p = plan(spark, sf_dir, "q_window_multi")
+    p = plan(spark, sf_dir, "q_window_advanced")
     # frames share the user_id partitioning: ≤2 exchanges for 3 frames
     # (range frames order by unix_micros, the rows frame by (ts, event_id))
     assert p.count("hashpartitioning(") <= 2, p[:3000]
 
 
 def test_sweep_is_single_pandas_stage(spark, sf_dir):
-    p = plan(spark, sf_dir, "q_ml_cate_basic")
+    p = plan(spark, sf_dir, "q_ml_cate_full")
     assert p.count("MapInPandas (") == 1  # tree occurrence only
     assert p.count("hashpartitioning(") == 1
     # condition/scaling evaluated JVM-side before the Python stage
@@ -74,3 +74,31 @@ def test_where_family_stays_native(spark, sf_dir):
 def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
     p = plan(spark, sf_dir, "q_dedup_exact")
     assert p.count("HashAggregate") >= 2  # partial agg before shuffle
+
+
+def test_no_dataframe_rdd_probe():
+    """DataFrame.rdd finalizes the physical plan under AQE and can silently
+    re-execute upstream stages — banned engine-wide (plan-side decisions
+    only)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "volga_spark"
+    offenders = []
+    for path in root.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if re.search(r"\.rdd\b", line) and "#" != line.lstrip()[:1]:
+                offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, offenders
+
+
+def test_python_stage_gets_shuffle_width(spark, sf_dir):
+    """widen_for_python must produce an explicit round-robin exchange at the
+    session shuffle width feeding the Python stage (AQE must not coalesce)."""
+    from volga_spark.partitioning import widen_for_python
+    from volga_spark.tables import load_table
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = widen_for_python(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert f"RoundRobinPartitioning({n})" in p, p[:1500]

@@ -83,6 +83,7 @@ def apply_sliding_aggs(
     tiebreak: str | list[str] | None = None,
     bucket_by: str | None = None,
     assume_partitioned: bool = False,
+    request_col: str | None = None,
 ) -> DataFrame:
     """Compute all ``specs`` over the sliding frame, one row per input row.
 
@@ -103,6 +104,15 @@ def apply_sliding_aggs(
     parallelizes across buckets and no task ever holds more than one bucket
     of rows — the batch analogue of the reference's time-bucketed state
     (reference src/storage/batch_store.rs:18-24).
+
+    ``request_col`` (RANGE frames only): request-mode evaluation at virtual
+    points (reference window_request_operator.rs:110-120,
+    aggregates/point_request_merge.rs). Rows where the column is 1 are
+    *requests*: emitted but never added/retracted into the accumulators;
+    rows where it is 0 are *state*: swept through the accumulators but not
+    emitted. The result is each UDAF evaluated against the trailing window
+    of state as of each request timestamp — same one-shuffle plan as the
+    write path.
     """
     _self_contained_udfs()
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
@@ -111,10 +121,17 @@ def apply_sliding_aggs(
     for name, expr in (prepared or {}).items():
         work = work.withColumn(name, expr)
 
+    if request_col is not None and not isinstance(frame, RangeFrame):
+        # a virtual point has no row position, so ROWS-frame request
+        # semantics are undefined — the reference only serves RANGE lookups
+        # through tiles as well
+        raise ValueError("request_col requires a RANGE frame")
+
     input_cols = sorted({c for s in specs for c in s.inputs})
     ts_col = "__ts_micros"
     work = work.withColumn(ts_col, F.unix_micros(F.col(order_by)))
-    cols = list(dict.fromkeys(keys + passthrough + ties + input_cols + [ts_col]))
+    extra = [request_col] if request_col is not None else []
+    cols = list(dict.fromkeys(keys + passthrough + ties + input_cols + [ts_col] + extra))
     work = work.select(*cols)
 
     warm_col = "__warm"
@@ -152,9 +169,17 @@ def apply_sliding_aggs(
     def sweep_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.reset_index(drop=True)
         emit = None
+        add_mask = None
         if bucketed:
             emit = (pdf[warm_col] == 0).to_numpy()
-        outs = run_sweep(pdf, ts_col, is_range, length, spec_data, emit_mask=emit)
+        if request_col is not None:
+            req = (pdf[request_col] == 1).to_numpy()
+            add_mask = ~req
+            emit = req if emit is None else (emit & req)
+        outs = run_sweep(
+            pdf, ts_col, is_range, length, spec_data,
+            emit_mask=emit, add_mask=add_mask,
+        )
         if emit is not None:
             pdf = pdf[emit]
             outs = [[v for v, m in zip(vals, emit) if m] for vals in outs]
@@ -211,6 +236,7 @@ def run_sweep(
     length: int,
     spec_data: list[tuple],
     emit_mask=None,
+    add_mask=None,
 ) -> list[list]:
     """Core two-pointer sweep over an already-sorted frame.
 
@@ -222,9 +248,15 @@ def run_sweep(
     through the accumulators (they're window context) but their outputs are
     not materialized — result() formatting dominates sweep cost, so skipping
     it for warm-up/already-emitted rows matters.
+
+    ``add_mask`` (bool array aligned with rows): rows with False never enter
+    the accumulators (request-mode virtual points — they still anchor a
+    window position and can emit).
     """
     cols = {c: pdf[c].to_numpy() for c in pdf.columns}
-    return run_sweep_arrays(cols, len(pdf), ts_col, is_range, length, spec_data, emit_mask)
+    return run_sweep_arrays(
+        cols, len(pdf), ts_col, is_range, length, spec_data, emit_mask, add_mask
+    )
 
 
 def run_sweep_arrays(
@@ -235,6 +267,7 @@ def run_sweep_arrays(
     length: int,
     spec_data: list[tuple],
     emit_mask=None,
+    add_mask=None,
 ) -> list[list]:
     """Array-based sweep core (no pandas) — the streaming handler path."""
     ts = cols[ts_col]
@@ -261,10 +294,14 @@ def run_sweep_arrays(
     retractors = [_applier(a.retract, arrs) for a, arrs in zip(accs, arg_arrays)]
 
     def add(i):
+        if add_mask is not None and not add_mask[i]:
+            return
         for f in adders:
             f(i)
 
     def retract(i):
+        if add_mask is not None and not add_mask[i]:
+            return
         for f in retractors:
             f(i)
 

@@ -69,6 +69,62 @@ def point_in_time_lookup(
     return out.filter(F.col(REQ_FLAG) == 1).drop(REQ_FLAG)
 
 
+def point_in_time_ml_lookup(
+    state: DataFrame,
+    requests: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    frame,
+    specs,
+    prepared: dict[str, Column] | None = None,
+    request_id_col: str = "request_id",
+) -> DataFrame:
+    """Evaluate the ML UDAF library (cate/top sweep specs) at each request's
+    (key, ts) virtual point — the reference's WindowRequestOperator over its
+    full UDAF surface (reference window_request_operator.rs:110-120,
+    aggregates/point_request_merge.rs), not just native aggregates.
+
+    ``specs`` are the same SlidingSpec values the write-path sweep takes
+    (sum_cate, top, top_n_* ...); ``prepared`` expressions are evaluated
+    JVM-side on the STATE rows only (request rows carry NULL inputs and
+    never reach the accumulators). One hash shuffle on the key; requests
+    ride the same exchange as state — identical plan shape to the write
+    path, so serving scales exactly like the window computation itself.
+    """
+    from volga_spark.functions.sliding import apply_sliding_aggs
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    s = state
+    for name, expr in (prepared or {}).items():
+        s = s.withColumn(name, expr)
+    input_cols = sorted({c for spec in specs for c in spec.inputs})
+    s = s.select(
+        *keys,
+        ts_col,
+        *input_cols,
+        F.lit(0).alias(REQ_FLAG),
+        F.lit(None).cast("long").alias(request_id_col),
+    )
+    r = requests.select(
+        *keys,
+        ts_col,
+        *[F.lit(None).cast(dict(s.dtypes)[c]).alias(c) for c in input_cols],
+        F.lit(1).alias(REQ_FLAG),
+        F.col(request_id_col).cast("long"),
+    )
+    combined = s.unionByName(r)
+    return apply_sliding_aggs(
+        combined,
+        partition_by=keys,
+        order_by=ts_col,
+        frame=frame,
+        specs=specs,
+        passthrough=[request_id_col, *keys, ts_col],
+        request_col=REQ_FLAG,
+    )
+
+
 def masked(value: str | Column) -> Column:
     """State-rows-only input for request-mode aggregates: NULL on request
     rows so they never contribute to their own window."""

@@ -8,10 +8,18 @@ Two local-vs-scale effects starve Arrow/Pandas stages of parallelism:
    1-2 partitions — its 64MB advisory size assumes JVM-speed consumers,
    while a Python stage consumes ~100x slower per byte.
 
-``widen_for_python`` round-robin repartitions to the configured shuffle
-width only when the input is narrower — on a real cluster where the scan
-already has thousands of partitions it is a no-op, so it never *adds* a
-shuffle at scale.
+``widen_for_python`` therefore repartitions to the configured shuffle width
+UNCONDITIONALLY before a Python-heavy stage. This is a plan-side decision:
+no ``DataFrame.rdd`` probe (with AQE enabled, touching ``.rdd`` finalizes
+the physical plan and can materialize upstream query stages as extra jobs —
+a silent double-execution hazard for post-shuffle inputs). The explicit
+partition count also keeps AQE from coalescing the exchange back down.
+
+Scale note: shuffle width is the RIGHT width for a Python consumer — on a
+real cluster ``spark.sql.shuffle.partitions`` is sized to 2-3× total cores,
+so this exchange sizes the Arrow batches to the cluster, and its cost is one
+round-robin pass over an already-pruned projection (the callers all pass
+narrow id+payload projections, never full rows).
 """
 
 from __future__ import annotations
@@ -20,11 +28,8 @@ from pyspark.sql import DataFrame
 
 
 def widen_for_python(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition `df` to the session shuffle width before a Python-heavy
-    stage if (and only if) it currently has fewer partitions. The explicit
-    count keeps AQE from coalescing the exchange back down."""
+    """Repartition `df` to the session shuffle width (or ``min_parts``)
+    before a Python-heavy stage."""
     spark = df.sparkSession
     n = min_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= n:
-        return df
     return df.repartition(n)

@@ -41,21 +41,26 @@ def workload(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Ordered so the modules whose queries had never been driver-verified before
+# r03 (request/asof/sessionize/pipeline_sql/sinks/datagen/multimodal) register
+# FIRST: the driver's correctness gate reads the registry in order, so if the
+# registry ever grows past the gate window again, the historically-verified
+# relational/window/ml/streaming queries are the ones that fall out last.
 _MODULES = [
+    "volga_spark.workloads.request",
+    "volga_spark.workloads.asof",
+    "volga_spark.workloads.sessionize",
+    "volga_spark.workloads.pipeline_sql",
+    "volga_spark.workloads.sinks",
+    "volga_spark.workloads.datagen",
+    "volga_spark.workloads.multimodal",
+    "volga_spark.workloads.text",
+    "volga_spark.workloads.dedup",
+    "volga_spark.workloads.similarity",
     "volga_spark.workloads.relational",
     "volga_spark.workloads.window",
     "volga_spark.workloads.ml_udafs",
     "volga_spark.workloads.streaming",
-    "volga_spark.workloads.dedup",
-    "volga_spark.workloads.similarity",
-    "volga_spark.workloads.text",
-    "volga_spark.workloads.multimodal",
-    "volga_spark.workloads.request",
-    "volga_spark.workloads.sinks",
-    "volga_spark.workloads.sessionize",
-    "volga_spark.workloads.asof",
-    "volga_spark.workloads.pipeline_sql",
-    "volga_spark.workloads.datagen",
 ]
 
 

@@ -1,9 +1,11 @@
 """Deduplication workloads over `documents`.
 
-Exact dedup has a DuckDB oracle; MinHash/SimHash/Jaccard pipelines are
-approximate-by-construction (deterministic, but not SQL-expressible) — the
-driver records rows-only checks and tests/test_dedup.py validates them
-against independent Python recomputation."""
+Exact dedup, the n-gram Jaccard verifier, and the connected-components
+clustering have DuckDB oracles; the MinHash/SimHash/winnowing candidate
+pipelines are approximate-by-construction (deterministic, but not
+SQL-expressible) — consolidated into ONE tagged union query (r03) whose
+rows-only driver check is backed by tests/test_dedup.py validating each
+method against independent Python recomputation."""
 
 from __future__ import annotations
 
@@ -42,37 +44,81 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-@workload("q_dedup_minhash", tags=("dedup", "approx"))
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash(64) + LSH(16x4) candidates → exact 3-gram Jaccard ≥ 0.7
-    verification. Near-linear near-dup detection (no pairwise scan)."""
+@workload("q_dedup_approx_pairs", tags=("dedup", "approx"))
+def q_dedup_approx_pairs(spark, sf_dir):
+    """All three approximate near-dup candidate pipelines in one result,
+    tagged by method (each approximate-by-construction → rows-only check;
+    tests/test_dedup.py validates each against independent Python
+    recomputation):
+
+    - ``minhash``: MinHash(64) + LSH(16x4) banded candidates → exact 3-gram
+      Jaccard ≥ 0.7 verification (score = jaccard). Near-linear, no
+      pairwise scan.
+    - ``simhash``: SimHash64 banded candidates within Hamming radius ≤ 3
+      bits (score = hamming distance).
+    - ``winnow``: rolling-hash winnowing fingerprints; pairs sharing enough
+      fingerprints for containment ≥ 0.6 (score = containment — robust when
+      one doc embeds another).
+    """
     d = load_table(spark, sf_dir, "documents")
+
     sigs = add_minhash(d, "text", "doc_id", k=64, n=3)
-    cands = lsh_candidate_pairs(sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4)
-    verified = exact_jaccard_pairs(d, cands, "text", "doc_id", n=3)
-    return verified.filter(F.col("jaccard") >= 0.7).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    mh_cands = lsh_candidate_pairs(sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4)
+    minhash = (
+        exact_jaccard_pairs(d, mh_cands, "text", "doc_id", n=3)
+        .filter(F.col("jaccard") >= 0.7)
+        .select(
+            F.lit("minhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).cast("double").alias("score"),
+        )
     )
 
-
-@workload("q_dedup_simhash", tags=("dedup", "approx"))
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash64 banded candidates within Hamming radius ≤ 3 bits."""
-    d = load_table(spark, sf_dir, "documents")
     sh = add_simhash(d, "text", "doc_id")
-    cands = simhash_candidates(sh.select("doc_id", "simhash"), "doc_id", bands=4)
+    sh_cands = simhash_candidates(sh.select("doc_id", "simhash"), "doc_id", bands=4)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__sb"))
-    return (
-        cands.join(a, "id_a")
+    simhash = (
+        sh_cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))),
-        )
+        .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
         .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.lit("simhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("double").alias("score"),
+        )
     )
+
+    from volga_spark.operators.dedup import add_winnow_fingerprints
+
+    fps = add_winnow_fingerprints(d, "text", "doc_id")
+    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    fa = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    fb = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    # containment = shared / min(|A|,|B|) — robust when one doc embeds another
+    winnow = (
+        fa.join(fb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("containment", F.col("shared_fps") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= 0.6)
+        .select(
+            F.lit("winnow").alias("method"),
+            "id_a",
+            "id_b",
+            F.round("containment", 6).cast("double").alias("score"),
+        )
+    )
+
+    return minhash.unionAll(simhash).unionAll(winnow)
 
 
 @workload(
@@ -156,31 +202,3 @@ def q_dedup_clusters(spark, sf_dir):
         "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
     )
 
-
-@workload("q_winnow_fingerprints", tags=("dedup", "text", "approx"))
-def q_winnow_fingerprints(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints; pairs sharing ≥5 fingerprints are
-    overlap candidates (rows-only; python-reference tested)."""
-    from volga_spark.operators.dedup import add_winnow_fingerprints
-
-    d = load_table(spark, sf_dir, "documents")
-    fps = add_winnow_fingerprints(d, "text", "doc_id")
-    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
-    # containment = shared / min(|A|,|B|) — robust when one doc embeds another
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_fps"))
-        .join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "containment", F.col("shared_fps") / F.least("n_a", "n_b")
-        )
-        .filter(F.col("containment") >= 0.6)
-        .select("id_a", "id_b", "shared_fps", F.round("containment", 6).alias("containment"))
-    )

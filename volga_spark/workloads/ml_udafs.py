@@ -7,6 +7,12 @@ DuckDB oracle built from a range self-join + string_agg that reproduces the
 reference's CSV formats exactly (format rules: reference
 src/runtime/operators/window/top/format.rs:3-41,
 cate/accumulator.rs:273-296).
+
+Consolidated to five queries (r03): all specs that share the same
+partition/order/frame ride ONE sweep call (single exchange + sort + one
+mapInPandas stage regardless of spec count — tests/test_plans.py asserts
+this), so merging variants costs nothing at runtime and keeps the whole
+30-function surface inside the driver's 50-entry correctness-gate window.
 """
 
 from __future__ import annotations
@@ -98,33 +104,40 @@ def q_ml_where_family(spark, sf_dir):
 
 
 @workload(
-    "q_ml_cate_basic",
+    "q_ml_cate_full",
     oracle=f"""
         WITH {_PAIRS},
         per_cat AS (
-            SELECT eid, cat, sum(vc) AS s, count(*) AS c
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
             FROM pairs GROUP BY eid, cat
         ),
         parts AS (
             SELECT eid,
                    cat || ':' || {fmt("s / 100.0")} AS p_sum,
                    cat || ':' || CAST(c AS VARCHAR) AS p_cnt,
-                   cat || ':' || {fmt("s / 100.0 / c")} AS p_avg
+                   cat || ':' || {fmt("s / 100.0 / c")} AS p_avg,
+                   cat || ':' || {fmt("mn")} AS p_min,
+                   cat || ':' || {fmt("mx")} AS p_max
             FROM per_cat
         ),
         strs AS (
             SELECT eid,
                    string_agg(p_sum, ',' ORDER BY p_sum) AS sum_cate_1h,
                    string_agg(p_cnt, ',' ORDER BY p_cnt) AS count_cate_1h,
-                   string_agg(p_avg, ',' ORDER BY p_avg) AS avg_cate_1h
+                   string_agg(p_avg, ',' ORDER BY p_avg) AS avg_cate_1h,
+                   string_agg(p_min, ',' ORDER BY p_min) AS min_cate_1h,
+                   string_agg(p_max, ',' ORDER BY p_max) AS max_cate_1h
             FROM parts GROUP BY eid
         )
-        {_left_join_tail(["sum_cate_1h", "count_cate_1h", "avg_cate_1h"])}
+        {_left_join_tail(["sum_cate_1h", "count_cate_1h", "avg_cate_1h",
+                          "min_cate_1h", "max_cate_1h"])}
     """,
     tags=("ml_udaf",),
 )
-def q_ml_cate_basic(spark, sf_dir):
-    """sum_cate / count_cate / avg_cate over RANGE 1h (CSV per-category)."""
+def q_ml_cate_full(spark, sf_dir):
+    """The full unconditioned _cate family in one sweep: sum/count/avg
+    (retractable accumulators) + min/max (lazy-deletion heaps) per category,
+    RANGE 1h, CSV per-category output."""
     ev = load_table(spark, sf_dir, "events")
     return apply_sliding_aggs(
         ev,
@@ -135,6 +148,8 @@ def q_ml_cate_basic(spark, sf_dir):
             sum_cate("sum_cate_1h", "vc", "event_type", scale=100.0),
             count_cate("count_cate_1h", "vc", "event_type", scale=100.0),
             avg_cate("avg_cate_1h", "vc", "event_type", scale=100.0),
+            min_cate("min_cate_1h", "value", "event_type"),
+            max_cate("max_cate_1h", "value", "event_type"),
         ],
         passthrough=PASS,
         prepared={"vc": cents("value")},
@@ -142,72 +157,41 @@ def q_ml_cate_basic(spark, sf_dir):
 
 
 @workload(
-    "q_ml_cate_minmax",
+    "q_ml_cate_where_full",
     oracle=f"""
         WITH {_PAIRS},
         per_cat AS (
-            SELECT eid, cat, min(v) AS mn, max(v) AS mx
-            FROM pairs GROUP BY eid, cat
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
+            FROM pairs WHERE cond GROUP BY eid, cat
         ),
         parts AS (
             SELECT eid,
+                   cat || ':' || {fmt("s / 100.0")} AS p_sum,
+                   cat || ':' || CAST(c AS VARCHAR) AS p_cnt,
+                   cat || ':' || {fmt("s / 100.0 / c")} AS p_avg,
                    cat || ':' || {fmt("mn")} AS p_min,
                    cat || ':' || {fmt("mx")} AS p_max
             FROM per_cat
         ),
         strs AS (
             SELECT eid,
-                   string_agg(p_min, ',' ORDER BY p_min) AS min_cate_1h,
-                   string_agg(p_max, ',' ORDER BY p_max) AS max_cate_1h
-            FROM parts GROUP BY eid
-        )
-        {_left_join_tail(["min_cate_1h", "max_cate_1h"])}
-    """,
-    tags=("ml_udaf",),
-)
-def q_ml_cate_minmax(spark, sf_dir):
-    """min_cate / max_cate (plain-accumulator kind, retractable via
-    lazy-deletion heaps)."""
-    ev = load_table(spark, sf_dir, "events")
-    return apply_sliding_aggs(
-        ev,
-        partition_by="user_id",
-        order_by="ts",
-        frame=range_frame("1 hour"),
-        specs=[
-            min_cate("min_cate_1h", "value", "event_type"),
-            max_cate("max_cate_1h", "value", "event_type"),
-        ],
-        passthrough=PASS,
-    )
-
-
-@workload(
-    "q_ml_cate_where",
-    oracle=f"""
-        WITH {_PAIRS},
-        per_cat AS (
-            SELECT eid, cat, sum(vc) AS s, count(*) AS c
-            FROM pairs WHERE cond GROUP BY eid, cat
-        ),
-        parts AS (
-            SELECT eid,
-                   cat || ':' || {fmt("s / 100.0")} AS p_sum,
-                   cat || ':' || CAST(c AS VARCHAR) AS p_cnt
-            FROM per_cat
-        ),
-        strs AS (
-            SELECT eid,
                    string_agg(p_sum, ',' ORDER BY p_sum) AS sum_cate_where_1h,
-                   string_agg(p_cnt, ',' ORDER BY p_cnt) AS count_cate_where_1h
+                   string_agg(p_cnt, ',' ORDER BY p_cnt) AS count_cate_where_1h,
+                   string_agg(p_avg, ',' ORDER BY p_avg) AS avg_cate_where_1h,
+                   string_agg(p_min, ',' ORDER BY p_min) AS min_cate_where_1h,
+                   string_agg(p_max, ',' ORDER BY p_max) AS max_cate_where_1h
             FROM parts GROUP BY eid
         )
-        {_left_join_tail(["sum_cate_where_1h", "count_cate_where_1h"])}
+        {_left_join_tail(["sum_cate_where_1h", "count_cate_where_1h",
+                          "avg_cate_where_1h", "min_cate_where_1h",
+                          "max_cate_where_1h"])}
     """,
     tags=("ml_udaf",),
 )
-def q_ml_cate_where(spark, sf_dir):
-    """sum_cate_where / count_cate_where — condition evaluated JVM-side."""
+def q_ml_cate_where_full(spark, sf_dir):
+    """The full conditioned _cate_where family in one sweep — completes the
+    15-function _cate(_where) matrix (reference cate/udf.rs:287-380);
+    condition evaluated JVM-side before the Python stage."""
     ev = load_table(spark, sf_dir, "events")
     return apply_sliding_aggs(
         ev,
@@ -217,6 +201,9 @@ def q_ml_cate_where(spark, sf_dir):
         specs=[
             sum_cate("sum_cate_where_1h", "vc", "event_type", cond="cond", scale=100.0),
             count_cate("count_cate_where_1h", "vc", "event_type", cond="cond", scale=100.0),
+            avg_cate("avg_cate_where_1h", "vc", "event_type", cond="cond", scale=100.0),
+            min_cate("min_cate_where_1h", "value", "event_type", cond="cond"),
+            max_cate("max_cate_where_1h", "value", "event_type", cond="cond"),
         ],
         passthrough=PASS,
         prepared={"vc": cents("value"), "cond": F.col("value") > _COND},
@@ -224,7 +211,7 @@ def q_ml_cate_where(spark, sf_dir):
 
 
 @workload(
-    "q_ml_top_family",
+    "q_ml_top_full",
     oracle=f"""
         WITH {_PAIRS},
         ranked_v AS (
@@ -250,63 +237,75 @@ def q_ml_cate_where(spark, sf_dir):
                    string_agg(cat, ',' ORDER BY c DESC, cat DESC) AS top3_type
             FROM ranked_f WHERE rk <= 3 GROUP BY eid
         ),
-        ratio AS (
+        ratio1 AS (
             SELECT eid, CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
                         / max(total) AS top1_ratio_type
             FROM ranked_f GROUP BY eid
         ),
-        strs AS (
-            SELECT t.eid, t.top3_value, f.top3_type, r.top1_ratio_type
-            FROM top_v t JOIN top_f f ON f.eid = t.eid JOIN ratio r ON r.eid = t.eid
-        )
-        SELECT e.event_id, e.user_id, e.ts,
-               coalesce(s.top3_value, '') AS top3_value,
-               coalesce(s.top3_type, '') AS top3_type,
-               coalesce(s.top1_ratio_type, 0.0) AS top1_ratio_type
-        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
-    """,
-    tags=("ml_udaf",),
-)
-def q_ml_top_family(spark, sf_dir):
-    """top(value,3), topn_frequency(event_type,3), top1_ratio(event_type)."""
-    ev = load_table(spark, sf_dir, "events")
-    return apply_sliding_aggs(
-        ev,
-        partition_by="user_id",
-        order_by="ts",
-        frame=range_frame("1 hour"),
-        specs=[
-            top("top3_value", "value", 3),
-            topn_frequency("top3_type", "event_type", 3),
-            top1_ratio("top1_ratio_type", "event_type"),
-        ],
-        passthrough=PASS,
-    )
-
-
-@workload(
-    "q_ml_top_n_cate",
-    oracle=f"""
-        WITH {_PAIRS},
-        agg_cat AS (
-            SELECT eid, cat, sum(vc) AS s
+        per_cat AS (
+            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
             FROM pairs WHERE cond GROUP BY eid, cat
         ),
-        agg_ranked AS (
-            SELECT eid, cat, s,
+        ranked AS (
+            SELECT eid, cat, s, c, mn, mx,
                    row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key,
-                   row_number() OVER (PARTITION BY eid ORDER BY s DESC, cat DESC) AS rk_val
-            FROM agg_cat
+                   row_number() OVER (PARTITION BY eid ORDER BY s DESC, cat DESC) AS rk_sum,
+                   row_number() OVER (PARTITION BY eid
+                       ORDER BY s / 100.0 / c DESC, cat DESC) AS rk_avg,
+                   row_number() OVER (PARTITION BY eid ORDER BY c DESC, cat DESC) AS rk_cnt,
+                   row_number() OVER (PARTITION BY eid ORDER BY mn DESC, cat DESC) AS rk_min,
+                   row_number() OVER (PARTITION BY eid ORDER BY mx DESC, cat DESC) AS rk_max
+            FROM per_cat
         ),
         key_sum AS (
             SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0")}, ',' ORDER BY cat DESC)
                        AS top2_key_sum
-            FROM agg_ranked WHERE rk_key <= 2 GROUP BY eid
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
         ),
         val_sum AS (
             SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0")}, ',' ORDER BY s DESC, cat DESC)
                        AS top2_val_sum
-            FROM agg_ranked WHERE rk_val <= 2 GROUP BY eid
+            FROM ranked WHERE rk_sum <= 2 GROUP BY eid
+        ),
+        key_cnt AS (
+            SELECT eid, string_agg(cat || ':' || CAST(c AS VARCHAR), ',' ORDER BY cat DESC)
+                       AS top2_key_count
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_cnt AS (
+            SELECT eid, string_agg(cat || ':' || CAST(c AS VARCHAR), ','
+                       ORDER BY c DESC, cat DESC) AS top2_val_count
+            FROM ranked WHERE rk_cnt <= 2 GROUP BY eid
+        ),
+        key_avg AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0 / c")}, ','
+                       ORDER BY cat DESC) AS top2_key_avg
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_avg AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0 / c")}, ','
+                       ORDER BY s / 100.0 / c DESC, cat DESC) AS top2_val_avg
+            FROM ranked WHERE rk_avg <= 2 GROUP BY eid
+        ),
+        key_min AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mn")}, ','
+                       ORDER BY cat DESC) AS top2_key_min
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_min AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mn")}, ','
+                       ORDER BY mn DESC, cat DESC) AS top2_val_min
+            FROM ranked WHERE rk_min <= 2 GROUP BY eid
+        ),
+        key_max AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mx")}, ','
+                       ORDER BY cat DESC) AS top2_key_max
+            FROM ranked WHERE rk_key <= 2 GROUP BY eid
+        ),
+        val_max AS (
+            SELECT eid, string_agg(cat || ':' || {fmt("mx")}, ','
+                       ORDER BY mx DESC, cat DESC) AS top2_val_max
+            FROM ranked WHERE rk_max <= 2 GROUP BY eid
         ),
         ratio_cat AS (
             SELECT eid, cat,
@@ -330,21 +329,57 @@ def q_ml_top_family(spark, sf_dir):
             FROM ratio_ranked WHERE rk_val <= 2 GROUP BY eid
         ),
         strs AS (
-            SELECT r.eid,
-                   k.top2_key_sum, v.top2_val_sum, kr.top2_key_ratio, vr.top2_val_ratio
-            FROM ratio_ranked r
-            LEFT JOIN key_sum k ON k.eid = r.eid
-            LEFT JOIN val_sum v ON v.eid = r.eid
-            LEFT JOIN key_ratio kr ON kr.eid = r.eid
-            LEFT JOIN val_ratio vr ON vr.eid = r.eid
-            GROUP BY ALL
+            SELECT b.eid,
+                   t.top3_value, f.top3_type, r1.top1_ratio_type,
+                   ks.top2_key_sum, vs.top2_val_sum,
+                   kc.top2_key_count, vc2.top2_val_count,
+                   ka.top2_key_avg, va.top2_val_avg,
+                   kn.top2_key_min, vn.top2_val_min,
+                   kx.top2_key_max, vx.top2_val_max,
+                   kr.top2_key_ratio, vr.top2_val_ratio
+            FROM (SELECT DISTINCT eid FROM pairs) b
+            LEFT JOIN top_v t ON t.eid = b.eid
+            LEFT JOIN top_f f ON f.eid = b.eid
+            LEFT JOIN ratio1 r1 ON r1.eid = b.eid
+            LEFT JOIN key_sum ks ON ks.eid = b.eid
+            LEFT JOIN val_sum vs ON vs.eid = b.eid
+            LEFT JOIN key_cnt kc ON kc.eid = b.eid
+            LEFT JOIN val_cnt vc2 ON vc2.eid = b.eid
+            LEFT JOIN key_avg ka ON ka.eid = b.eid
+            LEFT JOIN val_avg va ON va.eid = b.eid
+            LEFT JOIN key_min kn ON kn.eid = b.eid
+            LEFT JOIN val_min vn ON vn.eid = b.eid
+            LEFT JOIN key_max kx ON kx.eid = b.eid
+            LEFT JOIN val_max vx ON vx.eid = b.eid
+            LEFT JOIN key_ratio kr ON kr.eid = b.eid
+            LEFT JOIN val_ratio vr ON vr.eid = b.eid
         )
-        {_left_join_tail(["top2_key_sum", "top2_val_sum", "top2_key_ratio", "top2_val_ratio"])}
+        SELECT e.event_id, e.user_id, e.ts,
+               coalesce(s.top3_value, '') AS top3_value,
+               coalesce(s.top3_type, '') AS top3_type,
+               coalesce(s.top1_ratio_type, 0.0) AS top1_ratio_type,
+               coalesce(s.top2_key_sum, '') AS top2_key_sum,
+               coalesce(s.top2_val_sum, '') AS top2_val_sum,
+               coalesce(s.top2_key_count, '') AS top2_key_count,
+               coalesce(s.top2_val_count, '') AS top2_val_count,
+               coalesce(s.top2_key_avg, '') AS top2_key_avg,
+               coalesce(s.top2_val_avg, '') AS top2_val_avg,
+               coalesce(s.top2_key_min, '') AS top2_key_min,
+               coalesce(s.top2_val_min, '') AS top2_val_min,
+               coalesce(s.top2_key_max, '') AS top2_key_max,
+               coalesce(s.top2_val_max, '') AS top2_val_max,
+               coalesce(s.top2_key_ratio, '') AS top2_key_ratio,
+               coalesce(s.top2_val_ratio, '') AS top2_val_ratio
+        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
     """,
     tags=("ml_udaf",),
 )
-def q_ml_top_n_cate(spark, sf_dir):
-    """top_n_{key,value}_sum_cate_where + top_n_{key,value}_ratio_cate."""
+def q_ml_top_full(spark, sf_dir):
+    """The complete top family in ONE sweep (15 specs, still a single
+    exchange + one mapInPandas): top(value,3), topn_frequency(event_type,3),
+    top1_ratio(event_type), all 10 top_n_{key,value}_{sum,count,avg,min,max}
+    _cate_where combos, and both top_n_{key,value}_ratio_cate variants
+    (reference cate/udf.rs:287-417, top/format.rs:3-41)."""
     ev = load_table(spark, sf_dir, "events")
     return apply_sliding_aggs(
         ev,
@@ -352,13 +387,28 @@ def q_ml_top_n_cate(spark, sf_dir):
         order_by="ts",
         frame=range_frame("1 hour"),
         specs=[
+            top("top3_value", "value", 3),
+            topn_frequency("top3_type", "event_type", 3),
+            top1_ratio("top1_ratio_type", "event_type"),
             top_n_cate_where("top2_key_sum", "sum", "key", "vc", "cond", "event_type", 2, scale=100.0),
             top_n_cate_where("top2_val_sum", "sum", "value", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_key_count", "count", "key", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_val_count", "count", "value", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_key_avg", "avg", "key", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_val_avg", "avg", "value", "vc", "cond", "event_type", 2, scale=100.0),
+            top_n_cate_where("top2_key_min", "min", "key", "valraw", "cond", "event_type", 2),
+            top_n_cate_where("top2_val_min", "min", "value", "valraw", "cond", "event_type", 2),
+            top_n_cate_where("top2_key_max", "max", "key", "valraw", "cond", "event_type", 2),
+            top_n_cate_where("top2_val_max", "max", "value", "valraw", "cond", "event_type", 2),
             top_n_ratio_cate("top2_key_ratio", "key", "value", "cond", "event_type", 2),
             top_n_ratio_cate("top2_val_ratio", "value", "value", "cond", "event_type", 2),
         ],
         passthrough=PASS,
-        prepared={"vc": cents("value"), "cond": F.col("value") > _COND},
+        prepared={
+            "vc": cents("value"),
+            "valraw": F.col("value"),
+            "cond": F.col("value") > _COND,
+        },
     )
 
 
@@ -400,196 +450,4 @@ def q_ml_cate_rows(spark, sf_dir):
         passthrough=PASS,
         prepared={"vc": cents("value")},
         tiebreak="event_id",
-    )
-
-
-@workload(
-    "q_ml_cate_where_full",
-    oracle=f"""
-        WITH {_PAIRS},
-        per_cat AS (
-            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
-            FROM pairs WHERE cond GROUP BY eid, cat
-        ),
-        parts AS (
-            SELECT eid,
-                   cat || ':' || {fmt("s / 100.0 / c")} AS p_avg,
-                   cat || ':' || {fmt("mn")} AS p_min,
-                   cat || ':' || {fmt("mx")} AS p_max
-            FROM per_cat
-        ),
-        strs AS (
-            SELECT eid,
-                   string_agg(p_avg, ',' ORDER BY p_avg) AS avg_cate_where_1h,
-                   string_agg(p_min, ',' ORDER BY p_min) AS min_cate_where_1h,
-                   string_agg(p_max, ',' ORDER BY p_max) AS max_cate_where_1h
-            FROM parts GROUP BY eid
-        )
-        {_left_join_tail(["avg_cate_where_1h", "min_cate_where_1h", "max_cate_where_1h"])}
-    """,
-    tags=("ml_udaf",),
-)
-def q_ml_cate_where_full(spark, sf_dir):
-    """avg/min/max_cate_where — completes the 15-function _cate(_where)
-    matrix (reference cate/udf.rs:287-380)."""
-    ev = load_table(spark, sf_dir, "events")
-    return apply_sliding_aggs(
-        ev,
-        partition_by="user_id",
-        order_by="ts",
-        frame=range_frame("1 hour"),
-        specs=[
-            avg_cate("avg_cate_where_1h", "vc", "event_type", cond="cond", scale=100.0),
-            min_cate("min_cate_where_1h", "value", "event_type", cond="cond"),
-            max_cate("max_cate_where_1h", "value", "event_type", cond="cond"),
-        ],
-        passthrough=PASS,
-        prepared={"vc": cents("value"), "cond": F.col("value") > _COND},
-    )
-
-
-@workload(
-    "q_ml_top_n_more",
-    oracle=f"""
-        WITH {_PAIRS},
-        per_cat AS (
-            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
-            FROM pairs WHERE cond GROUP BY eid, cat
-        ),
-        ranked AS (
-            SELECT eid, cat, s, c, mn, mx,
-                   row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key,
-                   row_number() OVER (PARTITION BY eid
-                       ORDER BY s / 100.0 / c DESC, cat DESC) AS rk_avg,
-                   row_number() OVER (PARTITION BY eid ORDER BY mx DESC, cat DESC) AS rk_max
-            FROM per_cat
-        ),
-        key_cnt AS (
-            SELECT eid, string_agg(cat || ':' || CAST(c AS VARCHAR), ',' ORDER BY cat DESC)
-                       AS top2_key_count
-            FROM ranked WHERE rk_key <= 2 GROUP BY eid
-        ),
-        val_avg AS (
-            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0 / c")}, ','
-                       ORDER BY s / 100.0 / c DESC, cat DESC) AS top2_val_avg
-            FROM ranked WHERE rk_avg <= 2 GROUP BY eid
-        ),
-        val_max AS (
-            SELECT eid, string_agg(cat || ':' || {fmt("mx")}, ','
-                       ORDER BY mx DESC, cat DESC) AS top2_val_max
-            FROM ranked WHERE rk_max <= 2 GROUP BY eid
-        ),
-        strs AS (
-            SELECT r.eid, k.top2_key_count, a.top2_val_avg, m.top2_val_max
-            FROM (SELECT DISTINCT eid FROM ranked) r
-            LEFT JOIN key_cnt k ON k.eid = r.eid
-            LEFT JOIN val_avg a ON a.eid = r.eid
-            LEFT JOIN val_max m ON m.eid = r.eid
-        )
-        {_left_join_tail(["top2_key_count", "top2_val_avg", "top2_val_max"])}
-    """,
-    tags=("ml_udaf",),
-)
-def q_ml_top_n_more(spark, sf_dir):
-    """top_n_key_count / top_n_value_avg / top_n_value_max variants —
-    completes the cate-top 12-function matrix (reference cate/udf.rs:380-417)."""
-    ev = load_table(spark, sf_dir, "events")
-    return apply_sliding_aggs(
-        ev,
-        partition_by="user_id",
-        order_by="ts",
-        frame=range_frame("1 hour"),
-        specs=[
-            top_n_cate_where("top2_key_count", "count", "key", "vc", "cond", "event_type", 2, scale=100.0),
-            top_n_cate_where("top2_val_avg", "avg", "value", "vc", "cond", "event_type", 2, scale=100.0),
-            top_n_cate_where("top2_val_max", "max", "value", "valraw", "cond", "event_type", 2),
-        ],
-        passthrough=PASS,
-        prepared={
-            "vc": cents("value"),
-            "valraw": F.col("value"),
-            "cond": F.col("value") > _COND,
-        },
-    )
-
-
-@workload(
-    "q_ml_top_n_rest",
-    oracle=f"""
-        WITH {_PAIRS},
-        per_cat AS (
-            SELECT eid, cat, sum(vc) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
-            FROM pairs WHERE cond GROUP BY eid, cat
-        ),
-        ranked AS (
-            SELECT eid, cat, s, c, mn, mx,
-                   row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key,
-                   row_number() OVER (PARTITION BY eid ORDER BY c DESC, cat DESC) AS rk_cnt,
-                   row_number() OVER (PARTITION BY eid ORDER BY mn DESC, cat DESC) AS rk_min
-            FROM per_cat
-        ),
-        key_avg AS (
-            SELECT eid, string_agg(cat || ':' || {fmt("s / 100.0 / c")}, ','
-                       ORDER BY cat DESC) AS top2_key_avg
-            FROM ranked WHERE rk_key <= 2 GROUP BY eid
-        ),
-        key_min AS (
-            SELECT eid, string_agg(cat || ':' || {fmt("mn")}, ','
-                       ORDER BY cat DESC) AS top2_key_min
-            FROM ranked WHERE rk_key <= 2 GROUP BY eid
-        ),
-        key_max AS (
-            SELECT eid, string_agg(cat || ':' || {fmt("mx")}, ','
-                       ORDER BY cat DESC) AS top2_key_max
-            FROM ranked WHERE rk_key <= 2 GROUP BY eid
-        ),
-        val_cnt AS (
-            SELECT eid, string_agg(cat || ':' || CAST(c AS VARCHAR), ','
-                       ORDER BY c DESC, cat DESC) AS top2_val_count
-            FROM ranked WHERE rk_cnt <= 2 GROUP BY eid
-        ),
-        val_min AS (
-            SELECT eid, string_agg(cat || ':' || {fmt("mn")}, ','
-                       ORDER BY mn DESC, cat DESC) AS top2_val_min
-            FROM ranked WHERE rk_min <= 2 GROUP BY eid
-        ),
-        strs AS (
-            SELECT r.eid, ka.top2_key_avg, kn.top2_key_min, kx.top2_key_max,
-                   vc.top2_val_count, vn.top2_val_min
-            FROM (SELECT DISTINCT eid FROM ranked) r
-            LEFT JOIN key_avg ka ON ka.eid = r.eid
-            LEFT JOIN key_min kn ON kn.eid = r.eid
-            LEFT JOIN key_max kx ON kx.eid = r.eid
-            LEFT JOIN val_cnt vc ON vc.eid = r.eid
-            LEFT JOIN val_min vn ON vn.eid = r.eid
-        )
-        {_left_join_tail(["top2_key_avg", "top2_key_min", "top2_key_max",
-                          "top2_val_count", "top2_val_min"])}
-    """,
-    tags=("ml_udaf",),
-)
-def q_ml_top_n_rest(spark, sf_dir):
-    """top_n_key_{avg,min,max} / top_n_value_{count,min} — the last 5
-    kind×order combos, so all 10 top_n_{key,value}_{agg}_cate_where
-    functions (reference cate/udf.rs:380-417, tests
-    cate/tests/{top_n_key,top_n_value}.rs) are driver-oracled."""
-    ev = load_table(spark, sf_dir, "events")
-    return apply_sliding_aggs(
-        ev,
-        partition_by="user_id",
-        order_by="ts",
-        frame=range_frame("1 hour"),
-        specs=[
-            top_n_cate_where("top2_key_avg", "avg", "key", "vc", "cond", "event_type", 2, scale=100.0),
-            top_n_cate_where("top2_key_min", "min", "key", "valraw", "cond", "event_type", 2),
-            top_n_cate_where("top2_key_max", "max", "key", "valraw", "cond", "event_type", 2),
-            top_n_cate_where("top2_val_count", "count", "value", "vc", "cond", "event_type", 2, scale=100.0),
-            top_n_cate_where("top2_val_min", "min", "value", "valraw", "cond", "event_type", 2),
-        ],
-        passthrough=PASS,
-        prepared={
-            "vc": cents("value"),
-            "valraw": F.col("value"),
-            "cond": F.col("value") > _COND,
-        },
     )

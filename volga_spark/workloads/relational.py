@@ -175,13 +175,27 @@ def q_tpch_q1(spark, sf_dir):
 
 @workload(
     "q_groupby_count",
-    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    oracle="""
+        SELECT event_type, count(*) AS n,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type
+    """,
     tags=("agg",),
 )
 def q_groupby_count(spark, sf_dir):
-    """Word-count shape (reference F7)."""
+    """Word-count shape (reference F7) + exact interpolated percentiles
+    (Spark percentile ≡ DuckDB quantile_cont; rounded to 6 for
+    interpolation-arithmetic neutrality) in the same single-shuffle agg."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
 
 
 @workload(
@@ -215,20 +229,53 @@ def q_groupby_minmax_having(spark, sf_dir):
 
 
 @workload(
-    "q_distinct_agg",
+    "q_agg_stages",
     oracle="""
-        SELECT l_returnflag,
-               count(DISTINCT l_suppkey) AS n_supps,
-               count(DISTINCT l_partkey) AS n_parts
-        FROM lineitem GROUP BY l_returnflag
+        WITH per_supp AS (
+            SELECT l_suppkey, l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_suppkey, l_returnflag
+        ),
+        cte AS (
+            SELECT l_returnflag,
+                   count(*) AS n_supp_groups,
+                   min(avg_qty) AS min_avg_qty,
+                   max(avg_qty) AS max_avg_qty
+            FROM per_supp GROUP BY l_returnflag
+        ),
+        dist AS (
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT d.l_returnflag, d.n_supps, d.n_parts,
+               c.n_supp_groups, c.min_avg_qty, c.max_avg_qty
+        FROM dist d JOIN cte c ON c.l_returnflag = d.l_returnflag
     """,
-    tags=("agg",),
+    tags=("agg", "cte"),
 )
-def q_distinct_agg(spark, sf_dir):
+def q_agg_stages(spark, sf_dir):
+    """DISTINCT aggregation + chained shuffle+agg CTE stages (reference
+    planner CTE test, src/api/planner.rs:808-832), joined per group —
+    covers both multi-stage shapes in one 3-row result."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    per_supp = li.groupBy("l_suppkey", "l_returnflag").agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    cte = per_supp.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_supp_groups"),
+        F.min("avg_qty").alias("min_avg_qty"),
+        F.max("avg_qty").alias("max_avg_qty"),
+    )
+    dist = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return dist.join(cte, "l_returnflag").select(
+        "l_returnflag", "n_supps", "n_parts",
+        "n_supp_groups", "min_avg_qty", "max_avg_qty",
     )
 
 
@@ -258,60 +305,10 @@ def q_conditional_agg(spark, sf_dir):
     )
 
 
-@workload(
-    "q_multi_stage_cte",
-    oracle="""
-        WITH per_supp AS (
-            SELECT l_suppkey, l_returnflag,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                       / count(l_quantity) AS avg_qty
-            FROM lineitem GROUP BY l_suppkey, l_returnflag
-        )
-        SELECT l_returnflag,
-               count(*) AS n_supps,
-               min(avg_qty) AS min_avg_qty,
-               max(avg_qty) AS max_avg_qty
-        FROM per_supp GROUP BY l_returnflag
-    """,
-    tags=("agg", "cte"),
-)
-def q_multi_stage_cte(spark, sf_dir):
-    """Chained shuffle+agg stages (reference planner CTE test,
-    src/api/planner.rs:808-832)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_suppkey", "l_returnflag").agg(
-        davg("l_quantity").alias("avg_qty")
-    )
-    return per_supp.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_supps"),
-        F.min("avg_qty").alias("min_avg_qty"),
-        F.max("avg_qty").alias("max_avg_qty"),
-    )
-
-
 # --- joins (reference intends these; execution stubbed there — real here) -----
-
-@workload(
-    "q_join_inner",
-    oracle=f"""
-        SELECT c.c_mktsegment,
-               count(*) AS n_orders,
-               {duck_dsum('o.o_totalprice')} AS revenue
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_mktsegment
-    """,
-    tags=("join",),
-)
-def q_join_inner(spark, sf_dir):
-    """Equi-join + agg; customer is a dim → broadcast (no shuffle of orders)."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
-    )
-
+# Inner equi-join coverage lives in q_join_multi_broadcast (5-way inner chain)
+# and q_topk_per_group (broadcast inner join + window); a standalone inner-join
+# entry was consolidated away in r03 to fit the correctness-gate window.
 
 @workload(
     "q_join_multi_broadcast",
@@ -355,41 +352,36 @@ def q_join_multi_broadcast(spark, sf_dir):
 
 
 @workload(
-    "q_join_semi",
+    "q_join_semi_anti",
     oracle="""
-        SELECT c_custkey, c_name, c_mktsegment
+        SELECT 'semi' AS kind, c_custkey, c_name
         FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
-    """,
-    tags=("join",),
-)
-def q_join_semi(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-@workload(
-    "q_join_anti",
-    oracle="""
-        SELECT c_custkey, c_name
+        UNION ALL
+        SELECT 'anti' AS kind, c_custkey, c_name
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
     """,
     tags=("join",),
 )
-def q_join_anti(spark, sf_dir):
-    """Customers with no high-value order (anti join against a filtered
-    build side — non-empty at every SF, unlike `no orders at all`)."""
+def q_join_semi_anti(spark, sf_dir):
+    """Semi join (customers with a ≥300k order) unioned with anti join
+    (customers with no ≥400k order — filtered build side, so non-empty at
+    every SF), tagged by kind. Both probe sides broadcast-able dims."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    semi_o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    anti_o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    semi = (
+        c.join(semi_o, c.c_custkey == semi_o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("kind"), "c_custkey", "c_name")
     )
+    anti = (
+        c.join(anti_o, c.c_custkey == anti_o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("kind"), "c_custkey", "c_name")
+    )
+    return semi.unionAll(anti)
 
 
 @workload(

@@ -5,8 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from volga_spark.operators.request import masked, point_in_time_lookup
-from volga_spark.operators.window import range_frame
+from volga_spark.formatting import DUCK_FMT
+from volga_spark.operators.request import (
+    masked,
+    point_in_time_lookup,
+    point_in_time_ml_lookup,
+)
+from volga_spark.operators.window import cents, range_frame
 from volga_spark.tables import load_table
 from volga_spark.workloads import workload
 
@@ -56,6 +61,96 @@ def q_request_point_lookup(spark, sf_dir):
             "max_1h": F.max(masked("value")).over(w),
         },
     ).select("request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h")
+
+
+@workload(
+    "q_request_ml_lookup",
+    oracle=f"""
+        WITH req AS (
+            SELECT event_id AS request_id, user_id,
+                   ts + INTERVAL 1 SECOND AS rts
+            FROM events WHERE event_id % 10 = 0
+        ),
+        pairs AS (
+            SELECT q.request_id, e.event_type AS cat, e.value AS v,
+                   CAST(round(e.value * 100) AS BIGINT) AS vc
+            FROM req q JOIN events e
+              ON e.user_id = q.user_id
+             AND e.ts >= q.rts - INTERVAL 1 HOUR AND e.ts <= q.rts
+        ),
+        per_cat AS (
+            SELECT request_id, cat, sum(vc) AS s, count(*) AS c
+            FROM pairs GROUP BY request_id, cat
+        ),
+        cate_strs AS (
+            SELECT request_id,
+                   string_agg(cat || ':' || {DUCK_FMT.format(expr="s / 100.0")}, ','
+                              ORDER BY cat || ':' || {DUCK_FMT.format(expr="s / 100.0")})
+                       AS sum_cate_1h
+            FROM per_cat GROUP BY request_id
+        ),
+        ranked_v AS (
+            SELECT request_id, v,
+                   row_number() OVER (PARTITION BY request_id ORDER BY v DESC) AS rk
+            FROM pairs
+        ),
+        top_strs AS (
+            SELECT request_id,
+                   string_agg({DUCK_FMT.format(expr="v")}, ',' ORDER BY v DESC) AS top3_value
+            FROM ranked_v WHERE rk <= 3 GROUP BY request_id
+        ),
+        freq AS (
+            SELECT request_id, cat, count(*) AS c FROM pairs GROUP BY request_id, cat
+        ),
+        ranked_f AS (
+            SELECT request_id, c,
+                   row_number() OVER (PARTITION BY request_id ORDER BY c DESC, cat DESC) AS rk,
+                   sum(c) OVER (PARTITION BY request_id) AS total
+            FROM freq
+        ),
+        ratio AS (
+            SELECT request_id, CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+                               / max(total) AS top1_ratio_type
+            FROM ranked_f GROUP BY request_id
+        )
+        SELECT q.request_id, q.user_id,
+               coalesce(cs.sum_cate_1h, '') AS sum_cate_1h,
+               coalesce(ts_.top3_value, '') AS top3_value,
+               coalesce(r.top1_ratio_type, 0.0) AS top1_ratio_type
+        FROM req q
+        LEFT JOIN cate_strs cs ON cs.request_id = q.request_id
+        LEFT JOIN top_strs ts_ ON ts_.request_id = q.request_id
+        LEFT JOIN ratio r ON r.request_id = q.request_id
+    """,
+    tags=("request", "ml_udaf"),
+)
+def q_request_ml_lookup(spark, sf_dir):
+    """The full ML UDAF library evaluated at virtual request points —
+    sum_cate + top + top1_ratio features as of each request timestamp
+    (reference window_request_operator.rs evaluates its complete UDAF
+    surface at request points, not just native aggs). Requests ride the
+    write-path sweep's exchange; request rows emit but never contribute."""
+    from volga_spark.functions.cate_top import sum_cate, top, top1_ratio
+
+    ev = load_table(spark, sf_dir, "events")
+    requests = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("request_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    return point_in_time_ml_lookup(
+        ev.select("user_id", "ts", "value", "event_type"),
+        requests,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("1 hour"),
+        specs=[
+            sum_cate("sum_cate_1h", "vc", "event_type", scale=100.0),
+            top("top3_value", "value", 3),
+            top1_ratio("top1_ratio_type", "event_type"),
+        ],
+        prepared={"vc": cents("value")},
+    ).select("request_id", "user_id", "sum_cate_1h", "top3_value", "top1_ratio_type")
 
 
 @workload(

@@ -65,43 +65,36 @@ def q_sessionize(spark, sf_dir):
 
 
 @workload(
-    "q_rollup",
+    "q_rollup_decimal",
     oracle="""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2))
+                    AS VARCHAR) AS price_dec,
+               CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS linenum_sum
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    tags=("agg",),
+    tags=("agg", "decimal"),
 )
-def q_rollup(spark, sf_dir):
+def q_rollup_decimal(spark, sf_dir):
     """ROLLUP subtotals (beyond the reference's SQL surface — its planner
-    errors on grouping sets; native on Spark)."""
+    errors on grouping sets; native on Spark), carrying Decimal128 and
+    integer-widening parity columns (SURVEY §1.2: the reference widens
+    Decimal sums to Decimal128 and unsigned ints to u64 —
+    reference src/runtime/operators/window/top/format.rs:31-32):
+    ``price_dec`` accumulates DECIMAL(12,2), widens to an explicit
+    DECIMAL(24,2), and is surfaced as its exact decimal string on both
+    engines (the pandas bridges render decimals differently — Decimal vs
+    float64 — so the string form is the representation-stable exact check);
+    ``linenum_sum`` widens a 32-bit int to BIGINT."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
-    )
-
-
-@workload(
-    "q_percentiles",
-    oracle="""
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 6) AS p50,
-               round(quantile_cont(value, 0.95), 6) AS p95,
-               min(value) AS vmin, max(value) AS vmax
-        FROM events GROUP BY event_type
-    """,
-    tags=("agg",),
-)
-def q_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
-    quantile_cont; rounded to 6 for interpolation-arithmetic neutrality)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(24,2)")
+        .cast("string")
+        .alias("price_dec"),
+        F.sum(F.col("l_linenumber").cast("bigint")).cast("bigint").alias("linenum_sum"),
     )

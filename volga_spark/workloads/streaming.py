@@ -73,20 +73,41 @@ def q_stream_tumbling_day(spark, sf_dir):
 @workload(
     "q_stream_sliding_window",
     oracle="""
-        SELECT event_id, user_id, ts,
+        WITH pairs AS (
+            SELECT e.event_id AS eid, e2.event_type AS cat,
+                   CAST(round(e2.value * 100) AS BIGINT) AS vc
+            FROM events e JOIN events e2
+              ON e2.user_id = e.user_id
+             AND e2.ts >= e.ts - INTERVAL 1 HOUR AND e2.ts <= e.ts
+        ),
+        per_cat AS (SELECT eid, cat, sum(vc) AS s FROM pairs GROUP BY eid, cat),
+        strs AS (
+            SELECT eid, string_agg(
+                cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
+                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END,
+                ',' ORDER BY cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
+                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END
+            ) AS sum_cate_1h
+            FROM per_cat GROUP BY eid
+        )
+        SELECT e.event_id, e.user_id, e.ts,
                count(*) OVER w AS cnt_1h,
-               sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_1h
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               sum(CAST(round(e.value * 100) AS BIGINT)) OVER w / 100.0 AS sum_1h,
+               coalesce(s.sum_cate_1h, '') AS sum_cate_1h
+        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
+        WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
-    tags=("streaming", "stateful"),
+    tags=("streaming", "stateful", "ml_udaf"),
 )
 def q_stream_sliding_window(spark, sf_dir):
     """Per-row sliding window computed STATEFULLY over the stream
     (applyInPandasWithState), flushed by punctuation rows — must equal the
     batch window query exactly (reference brute-force model test,
-    window_operator_tests.rs:894-1012)."""
+    window_operator_tests.rs:894-1012). Carries plain retractables
+    (count/sum) AND the ML sum_cate UDAF — the reference's headline
+    capability (README.md:107-150) — in the SAME stateful sweep, so one
+    stream run verifies both accumulator kinds."""
 
     class _CntSum:
         def __init__(self):
@@ -113,6 +134,7 @@ def q_stream_sliding_window(spark, sf_dir):
         specs=[
             SlidingSpec("cnt_1h", _CntSum, ["vc"], "bigint", finish=lambda a: a.n),
             SlidingSpec("sum_1h", _CntSum, ["vc"], "double", finish=lambda a: a.s / 100.0),
+            sum_cate("sum_cate_1h", "vc", "event_type", scale=100.0),
         ],
         passthrough=["event_id"],
         lateness="0 seconds",
@@ -120,55 +142,7 @@ def q_stream_sliding_window(spark, sf_dir):
     )
     res = run_available_now_to_memory(out, output_mode="append")
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
-        "event_id", "user_id", "ts", "cnt_1h", "sum_1h"
-    )
-
-
-@workload(
-    "q_stream_sliding_cate",
-    oracle="""
-        WITH pairs AS (
-            SELECT e.event_id AS eid, e2.event_type AS cat,
-                   CAST(round(e2.value * 100) AS BIGINT) AS vc
-            FROM events e JOIN events e2
-              ON e2.user_id = e.user_id
-             AND e2.ts >= e.ts - INTERVAL 1 HOUR AND e2.ts <= e.ts
-        ),
-        per_cat AS (SELECT eid, cat, sum(vc) AS s FROM pairs GROUP BY eid, cat),
-        strs AS (
-            SELECT eid, string_agg(
-                cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
-                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END,
-                ',' ORDER BY cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
-                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END
-            ) AS sum_cate_1h
-            FROM per_cat GROUP BY eid
-        )
-        SELECT e.event_id, e.user_id, e.ts, coalesce(s.sum_cate_1h, '') AS sum_cate_1h
-        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
-    """,
-    tags=("streaming", "stateful", "ml_udaf"),
-)
-def q_stream_sliding_cate(spark, sf_dir):
-    """ML UDAF (sum_cate) evaluated statefully on the stream — the reference's
-    headline capability (README.md:107-150) end to end in streaming mode."""
-    stream, _ = chunked_file_stream(
-        spark, sf_dir, "events", "ts", n_chunks=5,
-        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=2,
-    )
-    out = sliding_window_stream(
-        stream,
-        key_cols="user_id",
-        ts_col="ts",
-        frame=range_frame("1 hour"),
-        specs=[sum_cate("sum_cate_1h", "vc", "event_type", scale=100.0)],
-        passthrough=["event_id"],
-        lateness="0 seconds",
-        prepared={"vc": cents("value")},
-    )
-    res = run_available_now_to_memory(out, output_mode="append")
-    return res.filter(F.col("event_id") != SENTINEL_ID).select(
-        "event_id", "user_id", "ts", "sum_cate_1h"
+        "event_id", "user_id", "ts", "cnt_1h", "sum_1h", "sum_cate_1h"
     )
 
 
