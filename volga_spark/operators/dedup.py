@@ -246,6 +246,25 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) rows: 64-bit-hashed distinct word n-grams per doc, computed
+    ONCE (localCheckpoint) because every Jaccard computation feeds it into
+     3 plan branches (two join sides + per-doc counts) — without the
+    checkpoint the split/transform/explode subtree runs 3×, and the join
+    would shuffle multi-word shingle STRINGS instead of 8-byte longs (this
+    was the entire 36s→2.6s difference on the clusters query at sf0.1).
+
+    Collision note: distinct-per-doc is taken on the string BEFORE hashing;
+    a cross-doc xxhash64 collision could overcount one intersection with
+    probability ~m²/2⁶⁵ (m = corpus shingle count) — negligible at any
+    realistic corpus, and at 100 TB you'd widen to 128 bits (two
+    independent hashes) with the same plan."""
+    sh = _exploded_shingles(df, text_col, id_col, n).select(
+        id_col, F.xxhash64("shingle").alias("sh")
+    )
+    return sh.localCheckpoint(eager=False)
+
+
 def all_pairs_jaccard(
     df: DataFrame,
     text_col: str,
@@ -263,19 +282,19 @@ def all_pairs_jaccard(
     for pairs whose sole overlap was a stop shingle, so leave None when an
     exact oracle comparison is needed).
     """
-    sh = _exploded_shingles(df, text_col, id_col, n)
+    sh = _hashed_shingles(df, text_col, id_col, n)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("sh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_shingle_freq)
-            .select("shingle")
+            .select("sh")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(rare, "sh", "left_semi")
     inter = (
         sh.withColumnRenamed(id_col, "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b"), "shingle")
+        .join(sh.withColumnRenamed(id_col, "id_b"), "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
@@ -315,14 +334,14 @@ def exact_jaccard_pairs(
         .distinct()
     )
     df = df.join(F.broadcast(member_ids), id_col, "left_semi")
-    sh = _exploded_shingles(df, text_col, id_col, n)
+    sh = _hashed_shingles(df, text_col, id_col, n)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    # intersection counts via join on (pair, shingle)
+    # intersection counts via join on (pair, hashed shingle)
     sh_a = sh.withColumnRenamed(id_col, "id_a")
     sh_b = sh.withColumnRenamed(id_col, "id_b")
     inter = (
         pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -379,6 +398,40 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> list[int]:
     return fps
 
 
+def winnow_fingerprints_np(text: str, k: int = 5, window: int = 8) -> list[int]:
+    """Vectorized winnowing — bit-identical to ``winnow_fingerprints`` (the
+    scalar version stays as the independent test oracle). The k-gram
+    polynomial hash is k slice-multiplies summed then one mod (k·257·B^(k-1)
+    < 2^63, so no intermediate overflow); window minima + rightmost-min
+    positions come from a sliding_window_view, so the per-character Python
+    loop — formerly the slowest UDF in the repo — is gone."""
+    import numpy as np
+
+    data = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+    n = len(data)
+    if n < k:
+        return [_stable_h61(text)] if text else []
+    B = 257
+    MOD = (1 << 31) - 1
+    weights = [pow(B, k - 1 - j, MOD) for j in range(k)]
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.int64)
+    for j, w in enumerate(weights):
+        acc += data[j : j + m] * w
+    hashes = acc % MOD
+    if len(hashes) < window:
+        return [int(hashes.min())]
+    win = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    mins = win.min(axis=1)
+    # rightmost index of the min within each window (reference semantics)
+    right_idx = window - 1 - np.argmax(win[:, ::-1] == mins[:, None], axis=1)
+    idx = np.arange(len(mins)) + right_idx
+    keep = np.ones(len(idx), dtype=bool)
+    keep[1:] = idx[1:] != idx[:-1]
+    fps = hashes[idx[keep]]
+    return [int(v) for v in fps]
+
+
 def add_winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 8) -> DataFrame:
     """One row per (doc, fingerprint) — join on fingerprint to find candidate
     overlapping-document pairs."""
@@ -391,7 +444,7 @@ def add_winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 
         for pdf in batches:
             ids, fps = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                for fp in set(winnow_fingerprints(t, k, window)):
+                for fp in set(winnow_fingerprints_np(t, k, window)):
                     ids.append(i)
                     fps.append(fp)
             yield pd.DataFrame({id_col: ids, "fp": fps})

@@ -8,8 +8,15 @@ src/runtime/operators/aggregate/aggregate_operator.rs:253-268) with the
 ``upsert_by_key`` is the reference's keyed upsert sink
 (InMemoryStorageGrpcSinkConfig upsert path — reference
 src/runtime/functions/sink/in_memory_storage_sink.rs): ``foreachBatch``
-maintains latest-row-per-key state. On a cluster this would MERGE into
-Delta/Iceberg; locally it keeps a driver-side dict (test harness parity).
+maintains latest-row-per-key state as a VERSIONED PARQUET STATE TABLE
+merged entirely executor-side — each micro-batch reduces to its per-key
+latest delta, outer-merges against the previous state version with a
+priority window, and writes the next version. No ``toPandas``/driver state
+anywhere in the loop; the driver tracks only an integer version. This is
+the poor-man's ``MERGE INTO`` — on a cluster, point the same logic at a
+Delta/Iceberg table and the per-batch cost becomes O(delta), not O(state);
+the versioned-rewrite variant here is O(state)/batch, which is the
+documented trade for not shipping a table format in this image.
 """
 
 from __future__ import annotations
@@ -19,9 +26,8 @@ import shutil
 import uuid
 from contextlib import contextmanager
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # 8 measured fastest on local[32] at sf0.1 (vs 16: -22% on the stateful
 # sliding query, -20% on streaming agg; vs 4: stateful loses parallelism).
@@ -82,29 +88,63 @@ def run_available_now_to_memory(
     return spark.table(name)
 
 
+def _state_root() -> str:
+    return os.path.join(_CKPT_ROOT, "state", uuid.uuid4().hex[:12])
+
+
 def upsert_by_key(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
     timeout_s: int = 300,
-) -> pd.DataFrame:
+) -> DataFrame:
     """Run the stream with a foreachBatch keyed-upsert sink; return the final
-    state (latest row per key, ordered within each batch by ``order_cols``)."""
-    state: dict[tuple, tuple] = {}
-    cols: list[str] = df.columns
+    state (latest row per key; within a batch, last by ``order_cols``).
+
+    Merge is fully executor-side: per batch, the delta (latest row per key
+    in the batch) is unioned with the previous state version, a priority
+    window keeps delta-over-state, and the result is written as the next
+    state version. Writing to ``v{epoch_id}`` makes a Spark batch-retry of
+    the same epoch idempotent (it overwrites its own output); the previous
+    version is dropped only after the new one is committed.
+    """
+    spark = df.sparkSession
+    root = _state_root()
+    cur = {"version": None}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if pdf.empty:
-            return
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        for row in pdf.itertuples(index=False):
-            d = dict(zip(cols, row))
-            k = tuple(d[c] for c in key_cols)
-            state[k] = tuple(d[c] for c in cols)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        delta = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("__prio", F.lit(1))
+        )
+        prev_version = cur["version"]
+        if prev_version is not None:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{root}/v{prev_version}"
+            ).withColumn("__prio", F.lit(0))
+            w2 = W.partitionBy(*key_cols).orderBy(F.col("__prio").desc())
+            merged = (
+                delta.unionByName(prev)
+                .withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__prio")
+            )
+        else:
+            merged = delta.drop("__prio")
+        merged.write.mode("overwrite").parquet(f"{root}/v{epoch_id}")
+        cur["version"] = epoch_id
+        if prev_version is not None and prev_version != epoch_id:
+            shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
     ckpt = _checkpoint_dir()
-    with _stream_shuffle(df.sparkSession):
+    with _stream_shuffle(spark):
         q = (
             df.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
@@ -117,8 +157,8 @@ def upsert_by_key(
             if q.isActive:
                 q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
-    return pd.DataFrame(list(state.values()), columns=cols)
-
-
-def to_spark(spark: SparkSession, pdf: pd.DataFrame, schema=None) -> DataFrame:
-    return spark.createDataFrame(pdf, schema=schema)
+    if cur["version"] is None:
+        return spark.createDataFrame(
+            [], schema=", ".join(f"{c} {t}" for c, t in df.dtypes)
+        )
+    return spark.read.parquet(f"{root}/v{cur['version']}")

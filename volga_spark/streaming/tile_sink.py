@@ -5,30 +5,32 @@ window operator's state as rows arrive (reference
 src/runtime/operators/window/state/tiles.rs:59-118), so request-mode reads
 and cold restores never rescan raw rows. This module is the Spark-first
 equivalent: a ``foreachBatch`` sink that folds each micro-batch's partial
-tile aggregates into an accumulating tile table.
+tile aggregates into an accumulating VERSIONED PARQUET tile table —
+entirely executor-side (no ``toPandas``/driver merge anywhere).
 
 Each micro-batch is reduced JVM-side to per-(key, bucket) partials
 (count / exact cents sum / min / max) — the same shuffle-light shape as the
-batch ``build_tiles`` — and only those partials cross to the driver to be
-merged. Merging is associative (n+=n, cents+=cents, min=min, max=max), so
-the result is bit-identical to a one-shot batch build over the union of all
+batch ``build_tiles`` — then unioned with the previous tile version and
+re-aggregated (n+=n, cents+=cents, min=min, max=max; associative), so the
+result is bit-identical to a one-shot batch build over the union of all
 micro-batches, regardless of how rows were split across batches.
 
-At 100 TB the driver-side pandas merge becomes a ``MERGE INTO`` a
-(key-hash-partitioned) Delta/Iceberg tile table — the per-batch partials are
+At 100 TB the versioned rewrite becomes a ``MERGE INTO`` a
+key-hash-partitioned Delta/Iceberg tile table — the per-batch partials are
 tiny (one row per key×bucket touched in the batch), so the merge cost is
-independent of raw stream volume.
+independent of raw stream volume; the rewrite variant here is O(tiles) per
+batch, the documented trade for not shipping a table format in this image.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from volga_spark.operators.window import interval_to_micros
-from volga_spark.streaming.runner import _checkpoint_dir, _stream_shuffle
+from volga_spark.streaming.runner import _checkpoint_dir, _state_root, _stream_shuffle
 
 _TILE_SCHEMA = "t_cnt bigint, t_cents bigint, t_min double, t_max double"
 
@@ -48,10 +50,11 @@ def stream_build_tiles(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     g = interval_to_micros(granularity)
     spark: SparkSession = stream.sparkSession
-    state = {"tiles": None}  # pandas DataFrame, merged across batches
+    root = _state_root()
+    cur = {"version": None}
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        partial = (
+        merged = (
             batch_df.withColumn(
                 "__b", (F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long")
             )
@@ -62,21 +65,24 @@ def stream_build_tiles(
                 F.min(value_col).alias("t_min"),
                 F.max(value_col).alias("t_max"),
             )
-            .toPandas()
         )
-        if partial.empty:
-            return
-        prev = state["tiles"]
-        both = partial if prev is None else pd.concat([prev, partial])
-        state["tiles"] = (
-            both.groupby(keys + ["__b"], as_index=False, dropna=False)
-            .agg(
-                t_cnt=("t_cnt", "sum"),
-                t_cents=("t_cents", "sum"),
-                t_min=("t_min", "min"),
-                t_max=("t_max", "max"),
+        prev_version = cur["version"]
+        if prev_version is not None:
+            prev = batch_df.sparkSession.read.parquet(f"{root}/v{prev_version}")
+            merged = (
+                merged.unionByName(prev)
+                .groupBy(*keys, "__b")
+                .agg(
+                    F.sum("t_cnt").alias("t_cnt"),
+                    F.sum("t_cents").alias("t_cents"),
+                    F.min("t_min").alias("t_min"),
+                    F.max("t_max").alias("t_max"),
+                )
             )
-        )
+        merged.write.mode("overwrite").parquet(f"{root}/v{epoch_id}")
+        cur["version"] = epoch_id
+        if prev_version is not None and prev_version != epoch_id:
+            shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
     ckpt = _checkpoint_dir()
     with _stream_shuffle(spark):
@@ -91,12 +97,9 @@ def stream_build_tiles(
         finally:
             if q.isActive:
                 q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
 
-    tiles = state["tiles"]
-    key_schema = ", ".join(
-        f"{k} {t}" for k, t in stream.select(*keys).dtypes
-    )
-    schema = f"{key_schema}, __b bigint, {_TILE_SCHEMA}"
-    if tiles is None:
-        return spark.createDataFrame([], schema=schema)
-    return spark.createDataFrame(tiles, schema=schema)
+    if cur["version"] is None:
+        key_schema = ", ".join(f"{k} {t}" for k, t in stream.select(*keys).dtypes)
+        return spark.createDataFrame([], schema=f"{key_schema}, __b bigint, {_TILE_SCHEMA}")
+    return spark.read.parquet(f"{root}/v{cur['version']}")

@@ -160,14 +160,15 @@ def q_stream_sliding_window(spark, sf_dir):
 )
 def q_stream_upsert_sink(spark, sf_dir):
     """Keyed upsert sink via foreachBatch (reference in-memory upsert sink):
-    final state = latest row per key."""
+    final state = latest row per key, maintained as an executor-side
+    versioned parquet state table (no driver-side state)."""
     stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2)
     final = upsert_by_key(
         stream.select("user_id", "event_id", "event_type", "value", "ts"),
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
     )
-    return spark.createDataFrame(final.drop(columns=["ts"]))
+    return final.drop("ts").select("user_id", "event_id", "event_type", "value")
 
 
 @workload(
