@@ -80,15 +80,27 @@ def test_no_dataframe_rdd_probe():
     """DataFrame.rdd finalizes the physical plan under AQE and can silently
     re-execute upstream stages — banned engine-wide (plan-side decisions
     only)."""
+    import io
     import pathlib
-    import re
+    import tokenize
 
     root = pathlib.Path(__file__).resolve().parents[1] / "volga_spark"
     offenders = []
     for path in root.rglob("*.py"):
-        for i, line in enumerate(path.read_text().splitlines(), 1):
-            if re.search(r"\.rdd\b", line) and "#" != line.lstrip()[:1]:
-                offenders.append(f"{path}:{i}: {line.strip()}")
+        toks = tokenize.generate_tokens(io.StringIO(path.read_text()).readline)
+        prev = None
+        for tok in toks:
+            # `.rdd` in code = an OP '.' immediately followed by NAME 'rdd';
+            # strings/docstrings/comments never tokenize that way.
+            if (
+                prev is not None
+                and prev.type == tokenize.OP
+                and prev.string == "."
+                and tok.type == tokenize.NAME
+                and tok.string == "rdd"
+            ):
+                offenders.append(f"{path}:{tok.start[0]}: {tok.line.strip()}")
+            prev = tok
     assert not offenders, offenders
 
 

@@ -83,4 +83,28 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
                     problems.append(f"col {col} row {i}: spark={a!r} oracle={b!r}")
     if n_bad > 5:
         problems.append(f"... {n_bad} mismatched values total")
+    if not problems:
+        problems.extend(_representation_problems(s, o))
+    return problems
+
+
+def _representation_problems(s: pd.DataFrame, o: pd.DataFrame) -> list[str]:
+    """The driver's correctness gate hashes *stringified* values, so a result
+    that is value-equal but representation-different (bigint 3 vs float64 3.0
+    — e.g. DuckDB widening a windowed sum(int) to HUGEINT→float64) still
+    fails its hash. Mirror that sensitivity here so dtype drift is caught at
+    sf0.001 before the driver ever sees it. Timestamps are exempt: the ns-vs-µs
+    pandas unit difference stringifies identically."""
+    problems: list[str] = []
+    for col in s.columns:
+        s_kind = s[col].dtype.kind
+        o_kind = o[col].dtype.kind
+        if s_kind == o_kind or "M" in (s_kind, o_kind) or "O" in (s_kind, o_kind):
+            continue
+        numeric = {"i", "u", "f"}
+        if {s_kind, o_kind} <= numeric and s_kind != o_kind and "f" in (s_kind, o_kind):
+            problems.append(
+                f"col {col}: representation drift spark dtype={s[col].dtype} "
+                f"oracle dtype={o[col].dtype} (driver hash is str-sensitive: 3 != 3.0)"
+            )
     return problems

@@ -28,8 +28,8 @@ from volga_spark.workloads import workload
             FROM events
         ),
         sess AS (
-            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
             FROM marked
         )
         SELECT user_id, session_no,
