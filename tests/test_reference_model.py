@@ -75,6 +75,59 @@ def test_batch_sweep_matches_reference_model(spark):
     assert (out.values == [_expected_cnt(i) for i in range(N)]).all()
 
 
+def test_tiled_stream_matches_reference_model(spark, tmp_path):
+    """Same brute-force model through the TILED stateful handler (reference
+    tiles.rs design): closed 100ms buckets collapse to partials + spill, the
+    sweep merges tile interiors with raw edges — counts must stay exact."""
+    from volga_spark.streaming.tiled_window import (
+        TiledSpec,
+        tiled_sliding_window_stream,
+    )
+
+    pdf = _frame()
+    src = str(tmp_path / "src_tiled")
+    os.makedirs(src)
+    chunks = [pdf.iloc[i : i + 500] for i in range(0, N, 500)]
+    for j, delta_ms in ((1, 3_600_000), (2, 7_200_000)):
+        srow = pdf.iloc[[-1]].copy()
+        srow["event_id"] = -j
+        srow["ts"] = (srow["ts"] + pd.Timedelta(milliseconds=delta_ms)).astype(
+            "datetime64[us]"
+        )
+        chunks.append(srow)
+    pa_schema = pa.Table.from_pandas(pdf, preserve_index=False).schema
+    for i, c in enumerate(chunks):
+        p = os.path.join(src, f"chunk_{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(c, preserve_index=False, schema=pa_schema), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = tiled_sliding_window_stream(
+        stream,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("2000 milliseconds"),
+        specs=[TiledSpec("cnt", "count", "value", "bigint")],
+        passthrough=["event_id"],
+        lateness="250 milliseconds",
+        granularity="100 milliseconds",
+        spill_root=str(tmp_path / "rowstore"),
+    )
+    res = (
+        run_available_now_to_memory(out, output_mode="append")
+        .filter(F.col("event_id") >= 0)
+        .toPandas()
+        .set_index("event_id")["cnt"]
+        .sort_index()
+    )
+    assert len(res) == N
+    assert (res.values == [_expected_cnt(i) for i in range(N)]).all()
+
+
 @pytest.mark.parametrize("batch_rows", [1000, 250])
 def test_stateful_stream_matches_reference_model(spark, tmp_path, batch_rows):
     class _Cnt:

@@ -1,0 +1,198 @@
+"""Tiled streaming window state: exactness vs a brute-force model and the
+state-size bound (reference tiles.rs:59-118 — long-window state holds tile
+partials + edge rows, not the raw window interior)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from volga_spark.streaming.tiled_window import TS, TiledSpec, _GroupCore
+
+KEY = "user_id"
+MS = 1000  # µs per ms
+
+
+def _mk_core(tmp_path, window_ms, gran_ms, specs=None):
+    specs = specs or [
+        TiledSpec("cnt", "count", "v", "bigint"),
+        TiledSpec("s", "sum", "v", "bigint"),
+        TiledSpec("a", "avg", "v", "double"),
+        TiledSpec("mn", "min", "v", "bigint"),
+        TiledSpec("mx", "max", "v", "bigint"),
+    ]
+    return _GroupCore(
+        keys=[KEY],
+        inputs=["v"],
+        out_pass=["rid"],
+        length_us=window_ms * MS,
+        gran_us=gran_ms * MS,
+        specs=specs,
+        spill_path=str(tmp_path / "spill"),
+    )
+
+
+def _batches(n_rows, batch_rows, n_keys=1, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, n_rows * MS, size=n_rows))
+    rows = pd.DataFrame(
+        {
+            KEY: (np.arange(n_rows) % n_keys).astype(np.int64),
+            TS: ts.astype(np.int64),
+            "v": rng.integers(-50, 100, size=n_rows).astype(np.int64),
+            "rid": np.arange(n_rows, dtype=np.int64),
+        }
+    )
+    # like Spark: the watermark for batch k is computed from batch k-1's data
+    wm = -(10**12)
+    for i in range(0, n_rows, batch_rows):
+        chunk = rows.iloc[i : i + batch_rows]
+        yield chunk, wm
+        wm = int(chunk[TS].max())
+    yield rows.iloc[:0], int(rows[TS].max()) + 10**12  # flush
+
+
+def _brute(rows: pd.DataFrame, length_us: int) -> pd.DataFrame:
+    out = []
+    for _, g in rows.groupby(KEY):
+        g = g.sort_values(TS)
+        ts = g[TS].to_numpy()
+        v = g["v"].to_numpy()
+        for i in range(len(g)):
+            m = (ts >= ts[i] - length_us) & (ts <= ts[i])
+            w = v[m]
+            out.append(
+                {
+                    "rid": g["rid"].iloc[i],
+                    "cnt": int(m.sum()),
+                    "s": int(w.sum()),
+                    "a": w.sum() / m.sum(),
+                    "mn": int(w.min()),
+                    "mx": int(w.max()),
+                }
+            )
+    return pd.DataFrame(out).set_index("rid").sort_index()
+
+
+def _drive(core, batches):
+    st = core.empty_state()
+    outs = []
+    sizes = []
+    for chunk, wm in batches:
+        out, st = core.advance(st, chunk, wm)
+        # round-trip through the serialized form every batch, like Spark does
+        st = core.load(core.dump(st))
+        if out is not None:
+            outs.append(out)
+        n_head = len(st["head"][TS])
+        sizes.append((n_head, len(st["tiles"])))
+    res = pd.concat(outs, ignore_index=True)
+    return res, sizes, st
+
+
+@pytest.mark.parametrize("batch_rows", [500, 137])
+def test_core_exact_vs_bruteforce(tmp_path, batch_rows):
+    """Every row emitted exactly once with exact tile+edge window values,
+    across batch boundaries, spills, and duplicate timestamps."""
+    n = 3000
+    window_ms = 400  # window 400ms, granularity 50ms → interior tiles in play
+    core = _mk_core(tmp_path, window_ms, 50)
+    rows = []
+    batches = list(_batches(n, batch_rows))
+    for chunk, _ in batches:
+        rows.append(chunk)
+    all_rows = pd.concat(rows, ignore_index=True)
+
+    res, _, _ = _drive(core, batches)
+    got = res.set_index("rid").sort_index()
+    assert len(got) == n  # exactly-once emission
+    exp = _brute(all_rows, window_ms * MS)
+    for c in ("cnt", "s", "mn", "mx"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert np.allclose(got["a"].to_numpy(), exp["a"].to_numpy())
+
+
+def test_core_multi_key_exact(tmp_path):
+    n = 2000
+    core = _mk_core(tmp_path, 300, 50)
+    batches = list(_batches(n, 311, n_keys=5))
+    all_rows = pd.concat([c for c, _ in batches], ignore_index=True)
+    res, _, _ = _drive(core, batches)
+    got = res.set_index("rid").sort_index()
+    assert len(got) == n
+    exp = _brute(all_rows, 300 * MS)
+    for c in ("cnt", "s", "mn", "mx"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_state_sublinear_in_window_length(tmp_path):
+    """The whole point of tiling: at fixed granularity, a 50x longer window
+    must not hold 50x the raw rows in state — head stays bounded by the open
+    bucket + unemitted rows, and only the tile count scales (at L/g, which is
+    itself capped by auto-granularity in the public API)."""
+    n = 20_000  # ~20s of data at ~1 row/ms
+    short_ms, long_ms = 200, 10_000
+    peaks = {}
+    tiles_peak = {}
+    for wms in (short_ms, long_ms):
+        core = _mk_core(tmp_path / f"w{wms}", wms, 100)
+        _, sizes, _ = _drive(core, _batches(n, 1000))
+        peaks[wms] = max(h for h, _ in sizes)
+        tiles_peak[wms] = max(t for _, t in sizes)
+    # raw rows in the long window ≈ 10k; head must stay ~batch-sized
+    assert peaks[long_ms] < 2_500, peaks
+    # and must NOT scale with the window (50x window ≤ ~2x head state)
+    assert peaks[long_ms] <= 2 * peaks[short_ms] + 500, peaks
+    # tiles scale with L/g, not rows: 10s / 100ms ≈ 100 + horizon slack
+    assert tiles_peak[long_ms] <= 10_000 // 100 + 20, tiles_peak
+
+
+def test_spill_gc_and_tile_prune(tmp_path):
+    """Tiles a full window behind the watermark are dropped from state and
+    their spill files garbage-collected (retention rule: wm - L - 2g)."""
+    import os
+
+    core = _mk_core(tmp_path, 500, 100)
+    _, sizes, st = _drive(core, _batches(8000, 1000))
+    # after the flush watermark, no tile can be inside any future window
+    assert len(st["tiles"]) == 0
+    spill = tmp_path / "spill"
+    files = [f for f in os.listdir(spill)] if spill.exists() else []
+    assert files == [], files
+
+
+def test_stddev_matches_numpy(tmp_path):
+    core = _mk_core(
+        tmp_path,
+        300,
+        50,
+        specs=[
+            TiledSpec("sd", "stddev_samp", "v", "double"),
+            TiledSpec("vp", "var_pop", "v", "double"),
+        ],
+    )
+    n = 1500
+    batches = list(_batches(n, 400))
+    all_rows = pd.concat([c for c, _ in batches], ignore_index=True)
+    res, _, _ = _drive(core, batches)
+    got = res.set_index("rid").sort_index()
+    ts = all_rows.sort_values(TS)[TS].to_numpy()
+    v = all_rows.sort_values(TS)["v"].to_numpy()
+    rid = all_rows.sort_values(TS)["rid"].to_numpy()
+    exp_sd, exp_vp = {}, {}
+    for i in range(n):
+        m = (ts >= ts[i] - 300 * MS) & (ts <= ts[i])
+        w = v[m].astype("float64")
+        exp_sd[rid[i]] = np.std(w, ddof=1) if m.sum() > 1 else None
+        exp_vp[rid[i]] = np.var(w)
+    got_sd = got["sd"].to_numpy(dtype="float64")
+    exp_sd_a = np.array([np.nan if exp_sd[r] is None else exp_sd[r] for r in got.index])
+    mask = ~np.isnan(exp_sd_a)
+    assert np.allclose(got_sd[mask], exp_sd_a[mask], rtol=1e-9, atol=1e-9)
+    assert np.allclose(
+        got["vp"].to_numpy(dtype="float64"),
+        np.array([exp_vp[r] for r in got.index]),
+        rtol=1e-9,
+        atol=1e-9,
+    )

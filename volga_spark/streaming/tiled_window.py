@@ -1,0 +1,618 @@
+"""Tiled stateful sliding windows — long-window streaming state in
+O(tiles + edge rows), not O(window rows).
+
+The reference folds multi-granularity pre-aggregated tiles into the window
+operator's state (reference src/runtime/operators/window/state/tiles.rs:59-118)
+and keeps raw rows in a disk-tiered batch store (reference
+src/storage/batch_store.rs:18-24, dump-to-store tasks
+window_operator_state.rs:92-95), so hot per-key state for a months-long window
+never holds the window interior at row resolution. This module is the Spark
+restatement of that design for ``applyInPandasWithState``:
+
+- The **state column** (what the state store serializes per micro-batch) holds
+  per-key: cursors, raw rows of *open* time buckets (the head), and one
+  pre-aggregated partial per *closed* bucket — (n, sum, sum², min, max) per
+  input column. For a window of length L at granularity g that is
+  O(L/g + head) instead of O(rows in window).
+- Raw rows of closed buckets move to a **spilled row store** (parquet files
+  per (state bucket, time bucket) under ``spill_dir``) — the Spark analog of
+  the reference BatchStore's ``Stored`` tier. They are re-read only when the
+  window's *start edge* sweeps through their bucket (at most ~1-2 buckets per
+  micro-batch), exactly the reference's "edge gap scan"
+  (aggregates/plain_points.rs raw_gaps_excluding_tiles).
+- Per emission the window [t-L, t] is evaluated as
+  ``merge(partials of tiles fully inside) ⊕ sweep(raw edge rows)`` — the
+  tile-interior + raw-edge decomposition of tiles.rs, with exact integer
+  arithmetic where the caller pre-scales (cents), so results are
+  bit-identical to the untiled path and the DuckDB oracle.
+
+Granularity: the reference defaults to a 1m/5m/1h/1d multi-granularity tree
+because its tile store is shared across many window lengths and serves random
+point lookups. Here tiles are per-query and the sweep is sequential, so a
+single granularity sized to the window (default L/256, min 1s) gives the same
+interior-coverage bound with far simpler state; pass ``granularity`` to pin it.
+
+Supported aggregates: count / sum / avg / min / max / var_pop / var_samp /
+stddev_pop / stddev_samp — the reference's RetractableAccumulator set plus the
+tiled plain MIN/MAX (aggregates/mod.rs:88-140). The cate/top UDAF families
+keep the untiled handler (their tile partials are category maps, not scalars —
+out of scope for the scalar tile store; same restriction the reference's
+``Evaluator`` slot documents).
+
+Retry/rollback: a spill file's content is a deterministic function of its
+closed bucket (closed buckets are immutable — the ingest rule drops rows at or
+before the watermark, and a bucket only closes once the watermark passes its
+end), and writes go via tmp + atomic rename, so micro-batch retries and
+checkpoint-rollback replays converge on identical files. GC deletes files only
+once the watermark is a full window plus two buckets past their end.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# module-scope so cloudpickle's register_pickle_by_value captures the class
+# itself into the handler closure (executors don't have the repo on sys.path)
+from volga_spark.functions.accumulators import MinMaxAcc
+from volga_spark.operators.window import RangeFrame, interval_to_micros
+
+TS = "__ts_us"
+BKT = "__bkt"
+
+_NEG_INF = -(1 << 62)
+
+_OPS = (
+    "count", "sum", "avg", "min", "max",
+    "var_pop", "var_samp", "stddev_pop", "stddev_samp",
+)
+
+
+@dataclass
+class TiledSpec:
+    """One output column: a tile-mergeable aggregate over one input column.
+
+    ``op`` is one of count/sum/avg/min/max/var_pop/var_samp/stddev_pop/
+    stddev_samp. ``finish`` post-processes the scalar (e.g. de-scale cents).
+    """
+
+    name: str
+    op: str
+    col: str
+    out_type: str = "double"
+    finish: object | None = None
+
+    def __post_init__(self):
+        if self.op not in _OPS:
+            raise ValueError(f"unsupported tiled op {self.op!r}; one of {_OPS}")
+
+
+def _auto_granularity_us(window_us: int, target_tiles: int = 256) -> int:
+    g = max(1_000_000, window_us // target_tiles)
+    # round down to whole seconds so tile boundaries are human-legible
+    return max(1_000_000, (g // 1_000_000) * 1_000_000)
+
+
+class _GroupCore:
+    """Pure-python per-group state machine (one Spark state bucket). Kept
+    Spark-free so tests can drive batches directly and measure state size."""
+
+    def __init__(self, keys, inputs, out_pass, length_us, gran_us, specs, spill_path):
+        self.keys = keys
+        self.inputs = inputs  # input value columns (stored, spilled, tiled)
+        self.out_pass = out_pass  # passthrough (stored in head only)
+        self.stored = list(dict.fromkeys(out_pass + inputs))
+        self.L = length_us
+        self.g = gran_us
+        self.specs = specs
+        self.spill_path = spill_path
+        self._spill_cache: dict[int, pd.DataFrame] = {}
+
+    # --- state (de)serialization to a flat tuple of lists ------------------
+
+    def empty_state(self) -> dict:
+        import numpy as np
+
+        st = {
+            "head": {c: np.empty(0, dtype=object) for c in self.keys + self.stored},
+            "cursors": {},
+            "tiles": {},  # (key_tuple, b0) -> per-input (n, s, s2, mn, mx)
+            "su": _NEG_INF,
+        }
+        st["head"][TS] = np.empty(0, dtype="int64")
+        return st
+
+    def state_fields(self, schema: dict) -> str:
+        def sum_t(c):
+            return "bigint" if schema[c] in ("bigint", "int", "smallint", "tinyint") else "double"
+
+        fields = (
+            [f"k{i} array<{schema[k]}>" for i, k in enumerate(self.keys)]
+            + ["ts array<bigint>"]
+            + [f"c{i} array<{schema[c]}>" for i, c in enumerate(self.stored)]
+            + [f"ck{i} array<{schema[k]}>" for i, k in enumerate(self.keys)]
+            + ["cmax array<bigint>"]
+            + [f"tk{i} array<{schema[k]}>" for i, k in enumerate(self.keys)]
+            + ["tb array<bigint>"]
+        )
+        for j, c in enumerate(self.inputs):
+            fields += [
+                f"tn{j} array<bigint>",
+                f"tsm{j} array<{sum_t(c)}>",
+                f"ts2{j} array<double>",
+                f"tmn{j} array<{schema[c]}>",
+                f"tmx{j} array<{schema[c]}>",
+            ]
+        fields += ["su bigint"]
+        return ", ".join(fields)
+
+    def load(self, row: tuple) -> dict:
+        import numpy as np
+
+        nk, ns, ni = len(self.keys), len(self.stored), len(self.inputs)
+        st = self.empty_state()
+        pos = 0
+        for i, k in enumerate(self.keys):
+            st["head"][k] = np.asarray(row[pos + i])
+        pos += nk
+        st["head"][TS] = np.asarray(row[pos], dtype="int64")
+        pos += 1
+        for i, c in enumerate(self.stored):
+            st["head"][c] = np.asarray(row[pos + i])
+        pos += ns
+        ck = [row[pos + i] for i in range(nk)]
+        pos += nk
+        st["cursors"] = dict(zip(zip(*ck), row[pos])) if ck and len(ck[0]) else {}
+        pos += 1
+        tk = [row[pos + i] for i in range(nk)]
+        pos += nk
+        tb = row[pos]
+        pos += 1
+        comps = []
+        for _ in range(ni):
+            comps.append(tuple(row[pos + i] for i in range(5)))
+            pos += 5
+        tiles = {}
+        for idx in range(len(tb)):
+            kt = tuple(a[idx] for a in tk)
+            tiles[(kt, tb[idx])] = [
+                tuple(comp[i][idx] for i in range(5)) for comp in comps
+            ]
+        st["tiles"] = tiles
+        st["su"] = row[pos]
+        return st
+
+    def dump(self, st: dict) -> tuple:
+        cur_items = list(st["cursors"].items())
+        tile_items = list(st["tiles"].items())
+        out = (
+            *[st["head"][k].tolist() for k in self.keys],
+            st["head"][TS].tolist(),
+            *[st["head"][c].tolist() for c in self.stored],
+            *[[kt[i] for kt, _ in cur_items] for i in range(len(self.keys))],
+            [v for _, v in cur_items],
+            *[[kt[i] for (kt, _), _ in tile_items] for i in range(len(self.keys))],
+            [b0 for (_, b0), _ in tile_items],
+        )
+        for j in range(len(self.inputs)):
+            for i in range(5):
+                out = out + ([comps[j][i] for _, comps in tile_items],)
+        return out + (st["su"],)
+
+    # --- spill tier ---------------------------------------------------------
+    # One file per micro-batch per group covering every bucket that closed in
+    # that batch (replay can close hundreds of buckets in one trigger — a
+    # file per bucket would be a tiny-file flood). File names carry the
+    # covered bucket range `t{b_lo}_{b_hi}.parquet`; ranges are disjoint
+    # across batches because a bucket closes exactly once, and a retried
+    # batch regenerates the identical file (closed buckets are immutable).
+
+    def _write_spill(self, b_lo: int, b_hi: int, pdf: pd.DataFrame) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_path, exist_ok=True)
+        path = os.path.join(self.spill_path, f"t{b_lo}_{b_hi}.parquet")
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        self._spill_cache.pop("__index", None)  # index is stale now
+
+    def _spill_index(self) -> list[tuple[int, int, str]]:
+        if "__index" in self._spill_cache:
+            return self._spill_cache["__index"]
+        idx = []
+        if os.path.isdir(self.spill_path):
+            for f in os.listdir(self.spill_path):
+                if f.startswith("t") and f.endswith(".parquet"):
+                    try:
+                        lo, hi = f[1:-8].split("_")
+                        idx.append((int(lo), int(hi), f))
+                    except ValueError:
+                        continue
+        self._spill_cache["__index"] = idx
+        return idx
+
+    def _read_spill_buckets(self, b0_lo: int, b0_hi: int) -> pd.DataFrame | None:
+        """Raw rows of buckets [b0_lo, b0_hi] (by bucket start) from the
+        spill tier; parquet row-group pruning keeps ranged reads cheap."""
+        import pyarrow.parquet as pq
+
+        parts = []
+        for lo, hi, f in self._spill_index():
+            if hi < b0_lo or lo > b0_hi:
+                continue
+            if f not in self._spill_cache:
+                self._spill_cache[f] = pq.read_table(
+                    os.path.join(self.spill_path, f)
+                ).to_pandas()
+            pdf = self._spill_cache[f]
+            ts = pdf[TS]
+            parts.append(pdf[(ts >= b0_lo) & (ts < b0_hi + self.g)])
+        if not parts:
+            return None
+        return pd.concat(parts, ignore_index=True)
+
+    def _gc_spill(self, wm_us: int) -> None:
+        horizon = wm_us - self.L - 2 * self.g
+        if horizon <= 0:
+            return
+        for lo, hi, f in self._spill_index():
+            if hi + self.g <= horizon:
+                try:
+                    os.remove(os.path.join(self.spill_path, f))
+                except OSError:
+                    pass
+
+    # --- the per-batch transition -------------------------------------------
+
+    def advance(self, st: dict, new: pd.DataFrame, wm_us: int):
+        """Ingest ``new``, emit rows now behind the watermark, close buckets.
+        Returns (output DataFrame or None, new state dict)."""
+        import numpy as np
+
+        self._spill_cache.clear()
+        head = st["head"]
+        cursors = st["cursors"]
+
+        # ingest drop rule (reference window_operator.rs:308-336)
+        if len(new):
+            new_ts = new[TS].to_numpy()
+            new_keys = list(zip(*[new[k] for k in self.keys]))
+            thr = np.fromiter(
+                (max(cursors.get(kt, _NEG_INF), wm_us) for kt in new_keys),
+                dtype=np.int64,
+                count=len(new_keys),
+            )
+            ingest = new_ts > thr
+            cols = {k: new[k].to_numpy()[ingest] for k in self.keys}
+            cols[TS] = new_ts[ingest]
+            for c in self.stored:
+                cols[c] = new[c].to_numpy()[ingest]
+            if len(head[TS]):
+                for c in cols:
+                    cols[c] = np.concatenate([head[c], cols[c]])
+        else:
+            cols = dict(head)
+
+        order = np.lexsort(tuple([cols[TS]] + [cols[k] for k in self.keys[::-1]]))
+        cols = {c: a[order] for c, a in cols.items()}
+        n = len(cols[TS])
+        ts_arr = cols[TS]
+
+        if n:
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in self.keys:
+                a = cols[k]
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+        else:
+            starts = ends = np.empty(0, dtype=np.int64)
+
+        out_frames = []
+        for s0, s1 in zip(starts, ends):
+            kt = tuple(
+                v.item() if hasattr(v, "item") else v
+                for v in (cols[k][s0] for k in self.keys)
+            )
+            max_emitted = cursors.get(kt, _NEG_INF)
+            seg_ts = ts_arr[s0:s1]
+            emit_mask = (seg_ts <= wm_us) & (seg_ts > max_emitted)
+            if not emit_mask.any():
+                continue
+            seg_cols = {c: a[s0:s1] for c, a in cols.items()}
+            res = self._sweep_key(kt, seg_ts, seg_cols, emit_mask, st)
+            out_frames.append(res)
+            cursors[kt] = int(seg_ts[emit_mask].max())
+
+        # close buckets fully behind the watermark: spill raw rows, fold
+        # per-key partials into the tile map, drop from the head
+        close_end = (wm_us // self.g) * self.g  # close buckets with b_end <= this
+        closing = ts_arr < close_end
+        if closing.any():
+            self._close_buckets(cols, closing, st)
+            keep = ~closing
+            cols = {c: a[keep] for c, a in cols.items()}
+
+        # tiles a full window behind the horizon can never be touched again
+        horizon = wm_us - self.L
+        st["tiles"] = {
+            (kt, b0): comps
+            for (kt, b0), comps in st["tiles"].items()
+            if b0 + self.g > horizon
+        }
+        self._gc_spill(wm_us)
+
+        st["head"] = cols
+        st["su"] = max(st["su"], wm_us)
+        out = pd.concat(out_frames, ignore_index=True) if out_frames else None
+        return out, st
+
+    def _close_buckets(self, cols, closing, st) -> None:
+        spill_cols = self.keys + [TS] + self.inputs
+        pdf = pd.DataFrame({c: cols[c][closing] for c in spill_cols})
+        b0s = (pdf[TS] // self.g) * self.g
+        self._write_spill(int(b0s.min()), int(b0s.max()), pdf)
+        pdf = pdf.assign(__b0=b0s)
+        agg_spec = {}
+        for j, c in enumerate(self.inputs):
+            agg_spec[f"__n{j}"] = (c, "count")
+            agg_spec[f"__s{j}"] = (c, "sum")
+            agg_spec[f"__mn{j}"] = (c, "min")
+            agg_spec[f"__mx{j}"] = (c, "max")
+            pdf[f"__sq{j}"] = pdf[c].astype("float64") ** 2
+            agg_spec[f"__s2{j}"] = (f"__sq{j}", "sum")
+        grouped = (
+            pdf.groupby(self.keys + ["__b0"], sort=False, dropna=False)
+            .agg(**agg_spec)
+            .reset_index()
+        )
+        # column-wise access, NOT iterrows(): a row Series upcasts mixed
+        # numerics to float64 and a float in an array<bigint> state slot
+        # silently nulls out on the state round-trip
+        def _py(v):
+            return v.item() if hasattr(v, "item") else v
+
+        key_arrs = [grouped[k].to_numpy() for k in self.keys]
+        b0_arr = grouped["__b0"].to_numpy()
+        comp_arrs = {name: grouped[name].to_numpy() for name in agg_spec}
+        for r in range(len(grouped)):
+            kt = tuple(_py(a[r]) for a in key_arrs)
+            comps = []
+            for j in range(len(self.inputs)):
+                comps.append(
+                    (
+                        int(comp_arrs[f"__n{j}"][r]),
+                        _py(comp_arrs[f"__s{j}"][r]),
+                        float(comp_arrs[f"__s2{j}"][r]),
+                        _py(comp_arrs[f"__mn{j}"][r]),
+                        _py(comp_arrs[f"__mx{j}"][r]),
+                    )
+                )
+            st["tiles"][(kt, int(b0_arr[r]))] = comps
+
+    def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, st):
+        """Evaluate every spec at the emitted rows of one key: tile partials
+        fully inside the window merge statically; the start-edge buckets come
+        back from the spill tier at row resolution; head rows sweep with the
+        usual add/retract two-pointer."""
+        import numpy as np
+
+        emit_idx = np.flatnonzero(emit_mask)
+        first_emit = int(seg_ts[emit_idx[0]])
+        last_emit = int(seg_ts[emit_idx[-1]])
+        first_start, last_start = first_emit - self.L, last_emit - self.L
+
+        # tiles fully inside every emitted window: b0 > last_start (the start
+        # edge never enters them this batch; the head side is always covered
+        # because closed tiles end at/before the previous watermark < emissions)
+        ni = len(self.inputs)
+        static = [[0, 0, 0.0, None, None] for _ in range(ni)]
+        for (tkt, b0), comps in st["tiles"].items():
+            if tkt != kt or b0 <= last_start:
+                continue
+            for j in range(ni):
+                n_, s_, s2_, mn_, mx_ = comps[j]
+                agg = static[j]
+                agg[0] += n_
+                agg[1] += s_
+                agg[2] += s2_
+                agg[3] = mn_ if agg[3] is None else min(agg[3], mn_)
+                agg[4] = mx_ if agg[4] is None else max(agg[4], mx_)
+
+        # start-edge buckets (partially covered this batch): raw rows from spill
+        b_lo = (first_start // self.g) * self.g  # python // floors negatives too
+        b_hi = (last_start // self.g) * self.g
+        edge = None
+        if b_hi >= b_lo:
+            pdf = self._read_spill_buckets(b_lo, b_hi)
+            if pdf is not None and len(pdf):
+                m = pdf[TS] >= first_start
+                for k, kv in zip(self.keys, kt):
+                    m &= pdf[k] == kv
+                part = pdf[m]
+                edge = part if len(part) else None
+
+        if edge is not None:
+            edge = edge.sort_values(TS)
+            raw_ts = np.concatenate([edge[TS].to_numpy(), seg_ts])
+            raw_vals = [
+                np.concatenate([edge[c].to_numpy(), seg_cols[c]])
+                for c in self.inputs
+            ]
+        else:
+            raw_ts = seg_ts
+            raw_vals = [seg_cols[c] for c in self.inputs]
+
+        need_mm = [any(s.op in ("min", "max") and s.col == c for s in self.specs) for c in self.inputs]
+        dyn_n = [0] * ni
+        dyn_s = [0] * ni
+        dyn_s2 = [0.0] * ni
+        mm = [MinMaxAcc() if need_mm[j] else None for j in range(ni)]
+
+        nr = len(raw_ts)
+        out_vals: dict[str, list] = {s.name: [] for s in self.specs}
+        lo = hi = 0
+        for i in emit_idx:
+            t = int(seg_ts[i])
+            while hi < nr and raw_ts[hi] <= t:
+                for j in range(ni):
+                    v = raw_vals[j][hi]
+                    dyn_n[j] += 1
+                    dyn_s[j] += v
+                    dyn_s2[j] += float(v) * float(v)
+                    if mm[j] is not None:
+                        mm[j].add(v)
+                hi += 1
+            bound = t - self.L
+            while lo < hi and raw_ts[lo] < bound:
+                for j in range(ni):
+                    v = raw_vals[j][lo]
+                    dyn_n[j] -= 1
+                    dyn_s[j] -= v
+                    dyn_s2[j] -= float(v) * float(v)
+                    if mm[j] is not None:
+                        mm[j].retract(v)
+                lo += 1
+            for s in self.specs:
+                j = self.inputs.index(s.col)
+                sn, ss, ss2, smn, smx = static[j]
+                N = sn + dyn_n[j]
+                val = self._finish_op(
+                    s.op, N, ss + dyn_s[j], ss2 + dyn_s2[j], smn, smx, mm[j]
+                )
+                if s.finish is not None and val is not None:
+                    val = s.finish(val)
+                out_vals[s.name].append(val)
+
+        n_emit = len(emit_idx)
+        res = {k: [kv] * n_emit for k, kv in zip(self.keys, kt)}
+        res[TS] = seg_ts[emit_idx]
+        for c in self.out_pass:
+            res[c] = seg_cols[c][emit_idx]
+        res.update(out_vals)
+        return pd.DataFrame(res)
+
+    @staticmethod
+    def _finish_op(op, N, S, S2, smn, smx, mmacc):
+        if op == "count":
+            return int(N)
+        if N == 0:
+            return None
+        if op == "sum":
+            return S
+        if op == "avg":
+            return S / N
+        if op == "min":
+            dmn = mmacc.min() if mmacc is not None and not mmacc.empty else None
+            vals = [v for v in (smn, dmn) if v is not None]
+            return min(vals) if vals else None
+        if op == "max":
+            dmx = mmacc.max() if mmacc is not None and not mmacc.empty else None
+            vals = [v for v in (smx, dmx) if v is not None]
+            return max(vals) if vals else None
+        m2 = S2 - (float(S) * float(S)) / N
+        if op == "var_pop":
+            return max(m2, 0.0) / N
+        if op == "stddev_pop":
+            return math.sqrt(max(m2, 0.0) / N)
+        if N < 2:
+            return None
+        if op == "var_samp":
+            return max(m2, 0.0) / (N - 1)
+        return math.sqrt(max(m2, 0.0) / (N - 1))
+
+
+def tiled_sliding_window_stream(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    frame: RangeFrame,
+    specs: list[TiledSpec],
+    passthrough: list[str],
+    lateness: str = "10 minutes",
+    granularity: str | None = None,
+    prepared: dict | None = None,
+    n_buckets: int = 64,
+    spill_root: str | None = None,
+) -> DataFrame:
+    """Streaming per-row sliding windows with tiled state (see module doc).
+
+    Same contract as ``sliding_window_stream`` but per-key state is
+    O(window/granularity + open-bucket rows); RANGE frames only.
+    """
+    if not isinstance(frame, RangeFrame):
+        raise ValueError("tiled windows are time-bucketed; use a RANGE frame "
+                         "(the untiled handler covers ROWS frames)")
+    import volga_spark.streaming.tiled_window as _self
+
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        import volga_spark.formatting as _fmt
+        import volga_spark.functions.accumulators as _acc
+
+        register_pickle_by_value(_self)
+        register_pickle_by_value(_acc)
+        register_pickle_by_value(_fmt)
+    except Exception:
+        pass
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    L = frame.micros
+    g = interval_to_micros(granularity) if granularity else _auto_granularity_us(L)
+    spill_root = spill_root or os.path.join(
+        "/tmp/volga_spark_rowstore", uuid.uuid4().hex[:12]
+    )
+
+    work = df
+    for name, expr in (prepared or {}).items():
+        work = work.withColumn(name, expr)
+    work = work.withColumn(TS, F.unix_micros(F.col(ts_col)))
+    work = work.withColumn(
+        BKT, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+    )
+    work = work.withWatermark(ts_col, lateness)
+
+    inputs = sorted({s.col for s in specs})
+    out_pass = [c for c in passthrough if c not in keys and c != ts_col]
+    schema = {f.name: f.dataType.simpleString() for f in work.schema.fields}
+
+    core = _GroupCore(keys, inputs, out_pass, L, g, list(specs), spill_root)
+    state_schema = core.state_fields(schema)
+
+    key_fields = ", ".join(f"`{k}` {schema[k]}" for k in keys)
+    pass_fields = "".join(f", `{c}` {schema[c]}" for c in out_pass)
+    spec_fields = "".join(f", `{s.name}` {s.out_type}" for s in specs)
+    out_schema = f"{key_fields}, {TS} bigint{pass_fields}{spec_fields}"
+
+    def handler(bucket, pdfs, state):
+        core.spill_path = os.path.join(spill_root, f"b{bucket[0]}")
+        new = pd.concat(list(pdfs), ignore_index=True)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        st = core.load(tuple(state.get)) if state.exists else core.empty_state()
+        out, st = core.advance(st, new, wm_us)
+        state.update(core.dump(st))
+        if out is not None and len(out):
+            yield out
+
+    out = work.groupBy(BKT).applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = out.withColumn(ts_col, F.timestamp_micros(F.col(TS))).drop(TS)
+    return out.select(*keys, ts_col, *out_pass, *[s.name for s in specs])

@@ -147,6 +147,59 @@ def q_stream_sliding_window(spark, sf_dir):
 
 
 @workload(
+    "q_stream_tiled_window",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS cnt_7d,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_7d,
+               (sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    / count(*) OVER w) / 100.0 AS avg_7d,
+               min(value) OVER w AS min_7d,
+               max(value) OVER w AS max_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "stateful", "tiled"),
+)
+def q_stream_tiled_window(spark, sf_dir):
+    """LONG-window (7-day) per-row sliding aggregates computed statefully
+    with TILED state (reference tiles.rs:59-118): closed ~39-minute buckets
+    collapse to per-key (n, Σ, Σ², min, max) partials in the state column and
+    their raw rows move to the spilled row store, so per-key hot state is
+    O(window/granularity + open-bucket rows) instead of O(rows in 7 days) —
+    the reference's headline months-long-window design point. Results are
+    exact (integer-cents tiles + raw edge sweep) and must hash-match the
+    batch DuckDB window oracle."""
+    from volga_spark.streaming.tiled_window import TiledSpec, tiled_sliding_window_stream
+
+    stream, _ = chunked_file_stream(
+        spark, sf_dir, "events", "ts", n_chunks=5,
+        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=2,
+    )
+    out = tiled_sliding_window_stream(
+        stream,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=range_frame("7 days"),
+        specs=[
+            TiledSpec("cnt_7d", "count", "vc", "bigint"),
+            TiledSpec("sum_7d", "sum", "vc", "double", finish=lambda s: s / 100.0),
+            TiledSpec("avg_7d", "avg", "vc", "double", finish=lambda a: a / 100.0),
+            TiledSpec("min_7d", "min", "value", "double"),
+            TiledSpec("max_7d", "max", "value", "double"),
+        ],
+        passthrough=["event_id"],
+        lateness="0 seconds",
+        prepared={"vc": cents("value")},
+    )
+    res = run_available_now_to_memory(out, output_mode="append")
+    return res.filter(F.col("event_id") != SENTINEL_ID).select(
+        "event_id", "user_id", "ts", "cnt_7d", "sum_7d", "avg_7d", "min_7d", "max_7d"
+    )
+
+
+@workload(
     "q_stream_upsert_sink",
     oracle="""
         SELECT user_id, event_id, event_type, value
