@@ -65,13 +65,10 @@ def materialize(df) -> int:
 
 def _cleanup(spark) -> None:
     """Drop inter-query state: catalog cache + every persistent RDD (incl.
-    localCheckpoint blocks, which DataFrame.unpersist cannot reach)."""
-    spark.catalog.clearCache()
-    try:
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
-    except Exception:  # noqa: BLE001 — cleanup must never fail the bench
-        pass
+    localCheckpoint blocks) via the library's public release hook."""
+    from volga_spark.caching import release_cached_blocks
+
+    release_cached_blocks(spark)
     gc.collect()
 
 

@@ -66,7 +66,13 @@ def connected_components(
 
     Nodes with no edges don't appear — the caller left-joins and coalesces
     to themselves (see q_dedup_clusters).
-    """
+
+    Per-round cost discipline: the round's checkpoint is LAZY and the
+    convergence-signature query is the action that materializes it, so each
+    round is exactly ONE Spark job (eager checkpoint + separate signature
+    used to be two; on an iterative algorithm the per-job fixed cost is the
+    dominant term once components are small)."""
+    spark = edges.sparkSession
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("src"),
@@ -74,23 +80,40 @@ def connected_components(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # the iterated edge set shrinks toward a star forest within a couple of
+    # rounds; AQE coalesces reducers by bytes but each round's ~5 shuffles
+    # still pay per-task scheduling at the session width. Scope the loop's
+    # shuffle width down (the plans are tiny by construction: |E| ≤ input);
+    # restore afterwards so surrounding plans are untouched. On a cluster
+    # with billions of edges, raise via session conf — the loop honors it.
+    key = "spark.sql.shuffle.partitions"
+    old_width = spark.conf.get(key)
+    loop_width = min(int(old_width), 8)
     prev_sig = None
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        # convergence = edge set stable (count + order-free xor hash; edges
-        # are distinct so xor is a sound set signature, and unlike sum it
-        # can't overflow under ANSI mode)
-        sig = e.select(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-        ).first()
-        if prev_sig == (sig.n, sig.h):
-            break
-        prev_sig = (sig.n, sig.h)
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+    try:
+        spark.conf.set(key, str(loop_width))
+        for _ in range(max_rounds):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            # convergence = edge set stable (count + order-free xor hash;
+            # edges are distinct so xor is a sound set signature, and unlike
+            # sum it can't overflow under ANSI mode). This action also
+            # materializes the lazy checkpoint, so the next round reads
+            # cached blocks, not lineage.
+            sig = e.select(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+            ).first()
+            if prev_sig == (sig.n, sig.h):
+                break
+            prev_sig = (sig.n, sig.h)
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_rounds} rounds"
+            )
+    finally:
+        spark.conf.set(key, old_width)
     # converged edge set is a star forest: src → component root (= dst)
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -145,6 +145,9 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "chunk"),
     ).select(id_col, "band", F.hash("band", "chunk").alias("bucket"))
+    # the banded rows feed BOTH sides of the self-join: without a checkpoint
+    # the Python signature stage upstream executes twice
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -176,6 +179,34 @@ def simhash64(text: str) -> int:
     return out - (1 << 63)  # signed for bigint storage
 
 
+def _simhash_batch(texts, tok_bits: dict) -> list[int]:
+    """Vectorized SimHash64 for a batch of docs, bit-identical to
+    ``simhash64``; md5 bit-vectors cached per unique token across the whole
+    Arrow batch stream (each unique token is digested once per partition)."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for text in texts:
+        toks = set(text.split())
+        rows = []
+        for tok in toks:
+            bv = tok_bits.get(tok)
+            if bv is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                bv = (((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1)
+                tok_bits[tok] = bv
+            rows.append(bv)
+        if rows:
+            acc = np.sum(np.stack(rows), axis=0, dtype=np.int64)
+        else:
+            acc = np.zeros(64, dtype=np.int64)
+        bits = np.flatnonzero(acc > 0)
+        v = 0
+        for i in bits:
+            v |= 1 << int(i)
+        out.append(v - (1 << 63))
+    return out
+
+
 def add_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     import volga_spark.operators.dedup as _self
 
@@ -183,22 +214,49 @@ def add_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     schema = f"{id_col} bigint, simhash bigint"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_bits: dict = {}
         for pdf in batches:
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "simhash": [simhash64(t) for t in pdf[text_col]]}
+                {id_col: pdf[id_col], "simhash": _simhash_batch(pdf[text_col], tok_bits)}
             )
 
     hashes = widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)
     return df.join(hashes, id_col)
 
 
-def simhash_candidates(sim_df: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
-    """Hamming-radius candidates: split 64 bits into `bands` chunks; pairs
-    equal in ≥1 chunk are candidates (radius < bands guaranteed caught)."""
+def simhash_candidates(
+    sim_df: DataFrame, id_col: str, bands: int = 4, radius: int | None = None
+) -> DataFrame:
+    """Hamming-radius candidates: split 64 bits into ``bands`` chunks; pairs
+    equal in ≥1 chunk are candidates (pigeonhole: radius < bands guaranteed
+    caught). With ``radius`` set, the Hamming verify is FUSED into the
+    banding join — both signatures ride along, ``bit_count(xor)`` filters in
+    the same stage, and only verified pairs reach the distinct. That keeps
+    the (possibly quadratic) per-bucket candidate blowup out of every
+    downstream shuffle.
+
+    Banding scale rule (bands × width = 64 enforced below): per-bucket
+    candidate volume is Σ_bucket n_b², and bucket count per band is 2^width
+    — WIDER chunks (fewer bands) mean fewer collisions but only catch
+    radius < bands. Pick the smallest radius the corpus needs, then the
+    matching band count:
+
+        corpus size   radius   bands × width   buckets/band
+        ≤ 10^6           3        4 × 16          65 536
+        10^6 – 10^9      3        4 × 16 + prefix-split hot buckets
+        ≥ 10^9           2        3 × 21-22       ~4M   (or 2-pass: band on
+                                                  32-bit halves, radius 1)
+
+    At ≥10^9 docs, 16-bit buckets hold ~15k docs each → 10^8 pairs per
+    bucket; either drop the radius (fewer, wider bands) or split hot
+    buckets by a second chunk before pairing (the prefix-split)."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64 evenly, got {bands}")
     width = 64 // bands
     mask = (1 << width) - 1
+    carry = [id_col, "simhash"] if radius is not None else [id_col]
     chunks = sim_df.select(
-        id_col,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -212,16 +270,30 @@ def simhash_candidates(sim_df: DataFrame, id_col: str, bands: int = 4) -> DataFr
                 ]
             )
         ).alias("bc"),
-    ).select(id_col, "bc.band", "bc.chunk")
+    ).select(*carry, "bc.band", "bc.chunk")
+    # both self-join sides read the chunks — checkpoint so the Python
+    # simhash stage upstream runs once, not twice
+    chunks = chunks.localCheckpoint(eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if radius is None:
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        ).distinct()
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .filter(F.col("hamming") <= radius)
         .distinct()
     )
 
@@ -246,7 +318,9 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
-def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, wide_input: bool = False
+) -> DataFrame:
     """(id, sh) rows: 64-bit-hashed distinct word n-grams per doc, computed
     ONCE (localCheckpoint) because every Jaccard computation feeds it into
      3 plan branches (two join sides + per-doc counts) — without the
@@ -254,12 +328,23 @@ def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataF
     would shuffle multi-word shingle STRINGS instead of 8-byte longs (this
     was the entire 36s→2.6s difference on the clusters query at sf0.1).
 
+    Retention: checkpointed blocks persist until the session ends; callers
+    running many dedup queries in one session release them between queries
+    with ``volga_spark.caching.release_cached_blocks`` (see that module's
+    docstring for why DataFrame-level unpersist can't).
+
     Collision note: distinct-per-doc is taken on the string BEFORE hashing;
     a cross-doc xxhash64 collision could overcount one intersection with
     probability ~m²/2⁶⁵ (m = corpus shingle count) — negligible at any
     realistic corpus, and at 100 TB you'd widen to 128 bits (two
     independent hashes) with the same plan."""
-    sh = _exploded_shingles(df, text_col, id_col, n).select(
+    narrow = df.select(id_col, text_col)
+    # the explode/hash is JVM-native but CPU-heavy: a small single-file scan
+    # arrives as ONE partition and would run it (and everything checkpointed
+    # downstream) on one core — widen first; `wide_input=True` skips the
+    # exchange when the scan is already wide (multi-file corpus on a cluster)
+    narrow = widen_for_python(narrow, known_wide=wide_input)
+    sh = _exploded_shingles(narrow, text_col, id_col, n).select(
         id_col, F.xxhash64("shingle").alias("sh")
     )
     return sh.localCheckpoint(eager=False)
@@ -271,6 +356,7 @@ def all_pairs_jaccard(
     id_col: str,
     n: int = 3,
     max_shingle_freq: int | None = None,
+    wide_input: bool = False,
 ) -> DataFrame:
     """All document pairs sharing ≥1 shingle, with exact n-gram Jaccard.
 
@@ -282,7 +368,7 @@ def all_pairs_jaccard(
     for pairs whose sole overlap was a stop shingle, so leave None when an
     exact oracle comparison is needed).
     """
-    sh = _hashed_shingles(df, text_col, id_col, n)
+    sh = _hashed_shingles(df, text_col, id_col, n, wide_input=wide_input)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         rare = (

@@ -27,9 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def widen_for_python(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def widen_for_python(
+    df: DataFrame, min_parts: int | None = None, known_wide: bool = False
+) -> DataFrame:
     """Repartition `df` to the session shuffle width (or ``min_parts``)
-    before a Python-heavy stage."""
+    before a Python-heavy stage.
+
+    ``known_wide=True``: the caller asserts the input is already at least
+    shuffle-width partitioned (e.g. a large multi-file scan on a cluster) —
+    skip the exchange entirely. Without the hint, the width is
+    ``max(shuffle.partitions, defaultParallelism)`` so a repartition never
+    *narrows* an input on a cluster whose core count exceeds the configured
+    shuffle width (plan-side sizing only — no ``.rdd`` probe, which would
+    finalize the AQE plan and can re-execute upstream stages)."""
+    if known_wide:
+        return df
     spark = df.sparkSession
-    n = min_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = min_parts or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
     return df.repartition(n)

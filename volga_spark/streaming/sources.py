@@ -94,56 +94,74 @@ def chunked_file_stream(
     out_dir = os.path.join(scratch_root, tag)
     done_marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done_marker):
-        os.makedirs(out_dir, exist_ok=True)
-        pdf = df.orderBy(ts_col).toPandas()
-        for c in pdf.columns:  # write µs timestamps (ns would round-trip badly)
-            if str(pdf[c].dtype).startswith("datetime64"):
-                pdf[c] = pdf[c].astype("datetime64[us]")
-        n = len(pdf)
-        per = max(1, n // n_chunks)
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        chunks = [pdf.iloc[i : i + per] for i in range(0, n, per)]
-        if flush:
-            import pandas as pd
-
-            keys = sorted(pdf[key_col].unique())
-            max_ts = pdf[ts_col].max()
-            def _default(dtype):
-                # non-null defaults: nulls would poison downstream numeric
-                # state columns (int64+null → float64 NaN round-trips)
-                kind = dtype.kind if hasattr(dtype, "kind") else "O"
-                if kind in "iu":
-                    return 0
-                if kind == "f":
-                    return 0.0
-                if kind == "b":
-                    return False
-                return ""
-
-            for k, delta in ((1, "1h"), (2, "2h")):
-                s = pd.DataFrame(
-                    {c: [_default(pdf[c].dtype)] * len(keys) for c in pdf.columns}
-                )
-                s[key_col] = keys
-                s[ts_col] = max_ts + pd.Timedelta(delta)
-                if id_col:
-                    s[id_col] = SENTINEL_ID
-                for c in pdf.columns:  # keep dtypes identical to real chunks
-                    s[c] = s[c].astype(pdf[c].dtype, errors="ignore")
-                chunks.append(s)
-        # one schema for every chunk — sentinel chunks have all-null columns
-        # whose inferred type would otherwise drift
-        pa_schema = pa.Table.from_pandas(pdf, preserve_index=False).schema
-        for i, chunk in enumerate(chunks):
-            p = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(chunk, preserve_index=False, schema=pa_schema), p
-            )
-            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))  # stable order
+        _write_chunks(spark, df, out_dir, ts_col, n_chunks, key_col, id_col, flush)
         with open(done_marker, "w") as f:
             f.write("ok")
     schema = df.schema
     stream = parquet_stream(spark, out_dir, schema, files_per_trigger)
     return stream, out_dir
+
+
+def _write_chunks(spark, df, out_dir, ts_col, n_chunks, key_col, id_col, flush):
+    """Write time-ordered chunk files EXECUTOR-SIDE: ``repartitionByRange``
+    on the event time splits the table into N contiguous time ranges whose
+    part files (range order == partition id == part index) become the chunk
+    files. No driver materialization — at sf10+ the old ``orderBy().
+    toPandas()`` would OOM the driver; this path only ever collects the
+    distinct key list for the punctuation rows (bounded by key cardinality,
+    not table size)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import types as T
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartitionByRange(n_chunks, F.col(ts_col)).write.mode("overwrite").parquet(tmp)
+    chunk_no = 0
+    for p in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+        dst = os.path.join(out_dir, f"chunk_{chunk_no:04d}.parquet")
+        shutil.move(p, dst)
+        os.utime(dst, (1_700_000_000 + chunk_no,) * 2)  # stable file order
+        chunk_no += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    if flush:
+        # two rounds of far-future punctuation rows per key (MAX_WATERMARK
+        # stand-in); non-null defaults — nulls would poison numeric state
+        keys = [
+            r[0] for r in df.select(key_col).distinct().orderBy(key_col).collect()
+        ]
+        max_ts = df.agg(F.max(ts_col)).first()[0]
+
+        def _default(dt):
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return 0
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return 0.0
+            if isinstance(dt, T.BooleanType):
+                return False
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return max_ts
+            return ""
+
+        import datetime
+
+        for delta_h in (1, 2):
+            rows = []
+            for k in keys:
+                row = {f.name: _default(f.dataType) for f in df.schema.fields}
+                row[key_col] = k
+                row[ts_col] = max_ts + datetime.timedelta(hours=delta_h)
+                if id_col:
+                    row[id_col] = SENTINEL_ID
+                rows.append(row)
+            sdf = spark.createDataFrame(rows, schema=df.schema)
+            sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(glob.glob(os.path.join(tmp, "part-*")))[0]
+            dst = os.path.join(out_dir, f"chunk_{chunk_no:04d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + chunk_no,) * 2)
+            chunk_no += 1
+            shutil.rmtree(tmp, ignore_errors=True)

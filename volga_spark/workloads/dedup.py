@@ -76,20 +76,15 @@ def q_dedup_approx_pairs(spark, sf_dir):
     )
 
     sh = add_simhash(d, "text", "doc_id")
-    sh_cands = simhash_candidates(sh.select("doc_id", "simhash"), "doc_id", bands=4)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__sb"))
-    simhash = (
-        sh_cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
-        .filter(F.col("hamming") <= 3)
-        .select(
-            F.lit("simhash").alias("method"),
-            "id_a",
-            "id_b",
-            F.col("hamming").cast("double").alias("score"),
-        )
+    # hamming verify fused into the banding join (simhash_candidates radius
+    # arg): the quadratic per-bucket candidate set never leaves its stage
+    simhash = simhash_candidates(
+        sh.select("doc_id", "simhash"), "doc_id", bands=4, radius=3
+    ).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
     )
 
     from volga_spark.operators.dedup import add_winnow_fingerprints
@@ -166,13 +161,22 @@ def q_ngram_jaccard(spark, sf_dir):
                                   for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
             FROM toks
         ),
+        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 64),
+        exr AS (SELECT e.doc_id, e.sh FROM ex e JOIN rare USING (sh)),
+        cnt AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
         p AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS ni,
-                   CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb
-            FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+                   CAST(count(*) AS BIGINT) AS ni
+            FROM exr a JOIN exr b USING (sh)
+            WHERE b.doc_id > a.doc_id GROUP BY 1, 2
         ),
-        e AS (SELECT id_a, id_b FROM p WHERE ni / (na + nb - ni) >= 0.7),
+        e AS (
+            SELECT id_a, id_b
+            FROM p JOIN cnt ca ON ca.doc_id = p.id_a
+                   JOIN cnt cb ON cb.doc_id = p.id_b
+            WHERE ni / (ca.n + cb.n - ni) >= 0.7
+        ),
         sym AS (SELECT id_a AS src, id_b AS dst FROM e
                 UNION ALL SELECT id_b, id_a FROM e),
         reach(node, lbl) AS (
@@ -185,16 +189,24 @@ def q_ngram_jaccard(spark, sf_dir):
     tags=("dedup",),
 )
 def q_dedup_clusters(spark, sf_dir):
-    """Full dedup resolution: near-dup pairs (exact 3-gram Jaccard ≥ 0.7 via
-    the shared-shingle join — no cross product) → transitive closure with
-    large-star/small-star connected components → every doc labeled with its
-    cluster's min doc_id (the canonical survivor). The DuckDB oracle
-    recomputes the closure with a recursive CTE, so the iterative algorithm
-    is hash-checked end-to-end, transitivity included."""
+    """Full dedup resolution ON THE PRUNED-EDGES PATH: near-dup pairs (3-gram
+    Jaccard ≥ 0.7 via the shared-shingle join, with the stop-shingle prune
+    ``max_shingle_freq=64`` ON — the 100 TB scale guard: a boilerplate
+    shingle shared by 10^6 docs would otherwise contribute 10^12 join pairs)
+    → transitive closure with large-star/small-star connected components →
+    every doc labeled with its cluster's min doc_id. The DuckDB oracle
+    applies the IDENTICAL prune in its CTE (intersections counted over
+    shingles with doc-frequency ≤ 64; per-doc sizes stay unpruned), so the
+    pruned pipeline itself is hash-checked end-to-end, transitivity included.
+    Exactness trade: pairs whose ONLY overlap is stop shingles score 0 on
+    both engines; at this corpus max df ≈ 25 < 64, so the pruned result
+    coincides with the exact one — the prune is exercised as a plan/semantic
+    path, and the threshold is the knob to drop at a boilerplate-heavy
+    corpus."""
     d = load_table(spark, sf_dir, "documents")
-    edges = all_pairs_jaccard(d, "text", "doc_id", n=3).filter(
-        F.col("jaccard") >= 0.7
-    )
+    edges = all_pairs_jaccard(
+        d, "text", "doc_id", n=3, max_shingle_freq=64
+    ).filter(F.col("jaccard") >= 0.7)
     cc = connected_components(edges, "id_a", "id_b")
     return d.select("doc_id").join(
         cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"

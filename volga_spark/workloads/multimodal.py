@@ -39,15 +39,33 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-@workload("q_multimodal_features", tags=("multimodal", "stub"))
+@workload(
+    "q_multimodal_features",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(length(text) - length(regexp_replace(text, '[\x00-\x0f]', '', 'g'))
+                    AS DOUBLE) AS f0,
+               CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g'))
+                    AS DOUBLE) AS f6,
+               CAST(strlen(text) AS DOUBLE) AS f_sum
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
 def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched feature extraction (stub decoder: byte histogram).
-    Swap the decoder for PIL/ffmpeg in production — plumbing unchanged."""
+    """Arrow-batched feature extraction (stub decoder: 16-bin byte
+    histogram). Swap the decoder for PIL/ffmpeg in production — plumbing
+    unchanged. The stub is deterministic, so it IS oracle-able: bin k counts
+    payload bytes in [16k, 16(k+1)), which DuckDB reproduces with per-range
+    regexp strip-and-measure (the corpus is pure ASCII — strlen==length —
+    so char classes == byte classes), and the histogram total equals the
+    byte length."""
     d = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_payload(d))
     return feats.select(
         "doc_id",
         F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 7).alias("f6"),
         F.aggregate("features", F.lit(0.0), lambda a, v: a + v).alias("f_sum"),
     )
 
