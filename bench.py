@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_pipeline_sql",
     "q_stream_groupby_count",
     "q_stream_sliding_window",
+    "q_stream_tiled_window",
 ]
 
 

@@ -89,3 +89,26 @@ def test_winnow_fingerprints_match_python_and_detect_overlap(spark, corpus):
     assert got[2] == got[3]
     inter = len(got[0] & got[1]) / len(got[0] | got[1])
     assert inter > 0.5
+
+
+def test_simhash_band_guard_and_fused_verify(spark, corpus):
+    import pytest as _pytest
+
+    from volga_spark.operators.dedup import add_simhash, simhash_candidates
+
+    sh = add_simhash(corpus, "text", "doc_id").select("doc_id", "simhash")
+    # bands must divide 64 (banding scale rule is meaningless otherwise)
+    with _pytest.raises(ValueError, match="divide 64"):
+        simhash_candidates(sh, "doc_id", bands=5)
+    # fused hamming verify == unfused candidates + explicit hamming filter
+    fused = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_candidates(sh, "doc_id", bands=4, radius=3).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in sh.collect()}
+    unfused = set()
+    for r in simhash_candidates(sh, "doc_id", bands=4).collect():
+        h = bin((sigs[r.id_a] ^ sigs[r.id_b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            unfused.add((r.id_a, r.id_b, h))
+    assert fused == unfused and (2, 3, 0) in fused

@@ -91,3 +91,38 @@ def test_where_rewrite_is_native(spark):
 
     out = _rewrite_where_family("SELECT sum_where(v, c > 2 AND d < 1) OVER w FROM t")
     assert "sum(CASE WHEN c > 2 AND d < 1 THEN v END)" in out
+
+
+def test_parallelism_and_operator_overrides_change_plan(spark, sf_dir):
+    """Reference-parity plumbing (pipeline.rs:33-54): `parallelism` sets the
+    sweep-stage width, `operator_overrides` re-configures one window's
+    operator — both must be visible in the executed plan."""
+    from volga_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    sql = """
+    SELECT event_id, user_id, ts,
+           sum_cate(vc, event_type) OVER w_long AS sc
+    FROM events
+    WINDOW w_long AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '6' HOUR PRECEDING AND CURRENT ROW)
+    """
+    ev = events.withColumn("vc", (F.round(F.col("value") * 100)).cast("long"))
+    base = PipelineSpec(sql=sql, sources=[SourceSpec("events", dataframe=ev)])
+    tuned = PipelineSpec(
+        sql=sql,
+        sources=[SourceSpec("events", dataframe=ev)],
+        parallelism=4,
+        operator_overrides={"w_long": {"bucket_by": "1 day"}},
+    )
+    p_base = base.build(spark)._jdf.queryExecution().analyzed().toString()
+    p_tuned = tuned.build(spark)._jdf.queryExecution().analyzed().toString()
+    # parallelism=4 lands as the sweep's explicit repartition width
+    assert "RepartitionByExpression [user_id" in p_tuned
+    assert ", 4" in p_tuned.split("RepartitionByExpression", 1)[1][:120]
+    # bucket_by override splits the timeline: warm-up union appears
+    assert "Union" in p_tuned and "Union" not in p_base
+    # overridden pipeline still computes the same values
+    a = base.build(spark).orderBy("event_id").toPandas()
+    b = tuned.build(spark).orderBy("event_id").toPandas()
+    assert (a["sc"].values == b["sc"].values).all()

@@ -213,11 +213,26 @@ def _rewrite_where_family(sql: str) -> str:
 
 @dataclass
 class PipelineSpec:
-    """Declarative pipeline: sources + SQL (+ mode), compiled Spark-first."""
+    """Declarative pipeline: sources + SQL (+ mode), compiled Spark-first.
+
+    ``parallelism`` mirrors the reference spec's per-pipeline vertex fan-out
+    (reference src/api/spec/pipeline.rs:33-54): it sets the partition width
+    of every Python sweep stage this query plans (the stages whose width the
+    engine controls plan-side; pure-JVM exchanges stay under AQE, which is
+    the Spark-correct authority for them).
+
+    ``operator_overrides`` mirrors the reference's by-operator-id config
+    overrides: a dict keyed by WINDOW name whose value is extra kwargs for
+    that window's sweep operator — e.g. ``{"w_long": {"bucket_by": "1 day"}}``
+    turns on the hot-key time-bucket splitter for one window only. Overridden
+    windows never reuse upstream partitioning (their plan shape is explicit).
+    """
 
     sql: str
     sources: list[SourceSpec] = field(default_factory=list)
     execution_mode: str = "batch"  # batch | streaming
+    parallelism: int | None = None
+    operator_overrides: dict = field(default_factory=dict)
 
     def build(self, spark: SparkSession) -> DataFrame:
         for src in self.sources:
@@ -283,6 +298,7 @@ class PipelineSpec:
                 ]
                 passthrough = list(df.columns)  # keys included; recomputed per
                 # window so earlier sweep outputs survive later stages
+                overrides = dict(self.operator_overrides.get(wname, {}))
                 df = apply_sliding_aggs(
                     df,
                     partition_by=keys,
@@ -291,7 +307,9 @@ class PipelineSpec:
                     specs=specs,
                     passthrough=passthrough,
                     prepared=prepared,
-                    assume_partitioned=part_keys == keys,
+                    assume_partitioned=(part_keys == keys and not overrides),
+                    n_parts=self.parallelism,
+                    **overrides,
                 )
                 part_keys = None  # mapInPandas output partitioning is opaque
                 for text, _, _, alias in calls:

@@ -84,6 +84,7 @@ def apply_sliding_aggs(
     bucket_by: str | None = None,
     assume_partitioned: bool = False,
     request_col: str | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Compute all ``specs`` over the sliding frame, one row per input row.
 
@@ -222,8 +223,10 @@ def apply_sliding_aggs(
         # "small" shuffle (100k rows ≈ a few MB) down to 1-2 partitions and
         # serialize the Python sweep on 2 cores — its 64MB advisory size
         # assumes JVM-speed consumers. Python-heavy stages need width ~ the
-        # configured shuffle parallelism regardless of bytes.
-        n_parts = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # configured shuffle parallelism regardless of bytes. ``n_parts``
+        # overrides per query (PipelineSpec.parallelism plumbs through here).
+        if n_parts is None:
+            n_parts = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         work = work.repartition(n_parts, *keys)
     work = work.sortWithinPartitions(*keys, ts_col, *ties)
     return work.mapInPandas(gen, schema=out_schema)

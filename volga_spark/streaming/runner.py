@@ -104,9 +104,10 @@ def upsert_by_key(
     Merge is fully executor-side: per batch, the delta (latest row per key
     in the batch) is unioned with the previous state version, a priority
     window keeps delta-over-state, and the result is written as the next
-    state version. Writing to ``v{epoch_id}`` makes a Spark batch-retry of
-    the same epoch idempotent (it overwrites its own output); the previous
-    version is dropped only after the new one is committed.
+    state version. Retry idempotency: a retry after a FAILED write re-merges
+    from the old version and overwrites the partial output; a retry after a
+    COMMITTED write (tracked version == epoch) returns early and reuses it.
+    The previous version is dropped only after the new one is committed.
     """
     spark = df.sparkSession
     root = _state_root()
@@ -125,6 +126,12 @@ def upsert_by_key(
             .withColumn("__prio", F.lit(1))
         )
         prev_version = cur["version"]
+        if prev_version == epoch_id:
+            # Spark retried an epoch whose state version already committed:
+            # reuse it — merging again would read root/v{epoch} while
+            # overwriting the same path (Spark refuses), and the merge is
+            # already durable
+            return
         if prev_version is not None:
             prev = batch_df.sparkSession.read.parquet(
                 f"{root}/v{prev_version}"

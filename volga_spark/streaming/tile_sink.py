@@ -67,6 +67,10 @@ def stream_build_tiles(
             )
         )
         prev_version = cur["version"]
+        if prev_version == epoch_id:
+            # epoch already committed, Spark is retrying: folding the batch
+            # partials in again would double-count them — reuse the version
+            return
         if prev_version is not None:
             prev = batch_df.sparkSession.read.parquet(f"{root}/v{prev_version}")
             merged = (
