@@ -196,3 +196,80 @@ def test_stddev_matches_numpy(tmp_path):
         rtol=1e-9,
         atol=1e-9,
     )
+
+
+def test_cate_specs_exact_vs_bruteforce(tmp_path):
+    """sum/count/min_cate(_where) through the tiled core: interior category
+    partials + raw-edge SubAcc sweep must render the same CSV the untiled
+    CateAccumulator would (reference cate/accumulator.rs semantics)."""
+    from volga_spark.formatting import join_csv, scalar_to_string
+    from volga_spark.streaming.tiled_window import TiledCateSpec, _GroupCore
+
+    n = 2500
+    rng = np.random.default_rng(11)
+    ts = np.sort(rng.integers(0, n * MS, size=n))
+    rows = pd.DataFrame(
+        {
+            KEY: (np.arange(n) % 3).astype(np.int64),
+            TS: ts.astype(np.int64),
+            "v": rng.integers(-40, 90, size=n).astype(np.int64),
+            "cat": rng.choice(["a", "b", "c", "d"], size=n),
+            "cond": rng.random(size=n) > 0.4,
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    specs = [
+        TiledCateSpec("sc", "sum", "v", "cat", scale=1.0),
+        TiledCateSpec("cc", "count", "v", "cat"),
+        TiledCateSpec("mw", "min", "v", "cat", cond_col="cond"),
+    ]
+    core = _GroupCore(
+        keys=[KEY],
+        inputs=[],
+        out_pass=["rid"],
+        length_us=400 * MS,
+        gran_us=50 * MS,
+        specs=[],
+        spill_path=str(tmp_path / "spill"),
+        cate_specs=specs,
+    )
+
+    def batches():
+        wm = -(10**12)
+        for i in range(0, n, 400):
+            chunk = rows.iloc[i : i + 400]
+            yield chunk, wm
+            wm = int(chunk[TS].max())
+        yield rows.iloc[:0], int(rows[TS].max()) + 10**12
+
+    res, _, _ = _drive(core, batches())
+    got = res.set_index("rid").sort_index()
+    assert len(got) == n
+
+    # brute-force reference rendering
+    def render(sub: pd.DataFrame, op, cond=False):
+        if cond:
+            sub = sub[sub["cond"]]
+        parts = []
+        for cat, g in sub.groupby("cat"):
+            if op == "sum":
+                m = float(g["v"].sum())
+            elif op == "count":
+                m = int(len(g))
+            else:
+                m = float(g["v"].min())
+            parts.append(f"{scalar_to_string(cat)}:{scalar_to_string(m)}")
+        parts.sort()
+        return join_csv(parts)
+
+    check = rows.sample(n=120, random_state=5)
+    for _, r in check.iterrows():
+        g = rows[
+            (rows[KEY] == r[KEY])
+            & (rows[TS] >= r[TS] - 400 * MS)
+            & (rows[TS] <= r[TS])
+        ]
+        rid = r["rid"]
+        assert got.loc[rid, "sc"] == render(g, "sum"), rid
+        assert got.loc[rid, "cc"] == render(g, "count"), rid
+        assert got.loc[rid, "mw"] == render(g, "min", cond=True), rid

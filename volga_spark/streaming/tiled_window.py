@@ -61,7 +61,8 @@ from pyspark.sql import functions as F
 
 # module-scope so cloudpickle's register_pickle_by_value captures the class
 # itself into the handler closure (executors don't have the repo on sys.path)
-from volga_spark.functions.accumulators import MinMaxAcc
+from volga_spark.formatting import join_csv, scalar_to_string
+from volga_spark.functions.accumulators import MinMaxAcc, SubAcc
 from volga_spark.operators.window import RangeFrame, interval_to_micros
 
 TS = "__ts_us"
@@ -94,6 +95,37 @@ class TiledSpec:
             raise ValueError(f"unsupported tiled op {self.op!r}; one of {_OPS}")
 
 
+@dataclass
+class TiledCateSpec:
+    """One ML `_cate[_where]` UDAF output column with TILED state — the
+    category→sub-accumulator maps the reference tiles via
+    merge_accumulator_state (reference tiles.rs add_batch /
+    state/window_operator_state.rs AccumulatorState) become per-bucket
+    per-category (n, Σ, min, max) partials here. Interior tiles merge
+    category-wise; the raw edge sweep runs the same SubAcc arithmetic as the
+    untiled CateAccumulator, and the final map renders through the shared
+    CSV formatting (sorted "cat:val" parts) for bit parity with the batch
+    path and the DuckDB oracle.
+
+    ``op``: sum/avg/count/min/max. ``cond_col``: optional boolean column
+    (the `_where` variant — rows with false/null never enter tiles or the
+    sweep). ``scale``: integer pre-scaling divisor for CSV float parity
+    (100.0 for cents).
+    """
+
+    name: str
+    op: str
+    col: str
+    cat_col: str
+    cond_col: str | None = None
+    scale: float = 1.0
+    out_type: str = "string"
+
+    def __post_init__(self):
+        if self.op not in ("sum", "avg", "count", "min", "max"):
+            raise ValueError(f"unsupported cate op {self.op!r}")
+
+
 def _auto_granularity_us(window_us: int, target_tiles: int = 256) -> int:
     g = max(1_000_000, window_us // target_tiles)
     # round down to whole seconds so tile boundaries are human-legible
@@ -104,11 +136,29 @@ class _GroupCore:
     """Pure-python per-group state machine (one Spark state bucket). Kept
     Spark-free so tests can drive batches directly and measure state size."""
 
-    def __init__(self, keys, inputs, out_pass, length_us, gran_us, specs, spill_path):
+    def __init__(
+        self,
+        keys,
+        inputs,
+        out_pass,
+        length_us,
+        gran_us,
+        specs,
+        spill_path,
+        cate_specs=(),
+    ):
         self.keys = keys
-        self.inputs = inputs  # input value columns (stored, spilled, tiled)
+        self.inputs = inputs  # scalar input columns (5 comps tiled each)
         self.out_pass = out_pass  # passthrough (stored in head only)
-        self.stored = list(dict.fromkeys(out_pass + inputs))
+        self.cate_specs = list(cate_specs)
+        cate_cols = [
+            c
+            for s in self.cate_specs
+            for c in (s.col, s.cat_col, s.cond_col)
+            if c is not None
+        ]
+        self.stored = list(dict.fromkeys(out_pass + inputs + cate_cols))
+        self.spill_cols = list(dict.fromkeys(inputs + cate_cols))
         self.L = length_us
         self.g = gran_us
         self.specs = specs
@@ -150,6 +200,15 @@ class _GroupCore:
                 f"tmn{j} array<{schema[c]}>",
                 f"tmx{j} array<{schema[c]}>",
             ]
+        # per cate spec: per-tile parallel arrays of per-category partials
+        for j, s in enumerate(self.cate_specs):
+            fields += [
+                f"gc{j} array<array<{schema[s.cat_col]}>>",
+                f"gn{j} array<array<bigint>>",
+                f"gs{j} array<array<{sum_t(s.col)}>>",
+                f"gm{j} array<array<{schema[s.col]}>>",
+                f"gx{j} array<array<{schema[s.col]}>>",
+            ]
         fields += ["su bigint"]
         return ", ".join(fields)
 
@@ -179,12 +238,25 @@ class _GroupCore:
         for _ in range(ni):
             comps.append(tuple(row[pos + i] for i in range(5)))
             pos += 5
+        gcomps = []
+        for _ in range(len(self.cate_specs)):
+            gcomps.append(tuple(row[pos + i] for i in range(5)))
+            pos += 5
         tiles = {}
         for idx in range(len(tb)):
             kt = tuple(a[idx] for a in tk)
-            tiles[(kt, tb[idx])] = [
-                tuple(comp[i][idx] for i in range(5)) for comp in comps
-            ]
+            cate = []
+            for gc, gn, gs, gm, gx in gcomps:
+                cate.append(
+                    {
+                        c: (gn[idx][i], gs[idx][i], gm[idx][i], gx[idx][i])
+                        for i, c in enumerate(gc[idx])
+                    }
+                )
+            tiles[(kt, tb[idx])] = {
+                "sc": [tuple(comp[i][idx] for i in range(5)) for comp in comps],
+                "cate": cate,
+            }
         st["tiles"] = tiles
         st["su"] = row[pos]
         return st
@@ -203,7 +275,17 @@ class _GroupCore:
         )
         for j in range(len(self.inputs)):
             for i in range(5):
-                out = out + ([comps[j][i] for _, comps in tile_items],)
+                out = out + ([t["sc"][j][i] for _, t in tile_items],)
+        for j in range(len(self.cate_specs)):
+            cats_per_tile = [sorted(t["cate"][j]) for _, t in tile_items]
+            out = out + (cats_per_tile,)
+            for i in range(4):
+                out = out + (
+                    [
+                        [t["cate"][j][c][i] for c in cats]
+                        for cats, (_, t) in zip(cats_per_tile, tile_items)
+                    ],
+                )
         return out + (st["su"],)
 
     # --- spill tier ---------------------------------------------------------
@@ -358,12 +440,13 @@ class _GroupCore:
         return out, st
 
     def _close_buckets(self, cols, closing, st) -> None:
-        spill_cols = self.keys + [TS] + self.inputs
+        spill_cols = self.keys + [TS] + self.spill_cols
         pdf = pd.DataFrame({c: cols[c][closing] for c in spill_cols})
         b0s = (pdf[TS] // self.g) * self.g
         self._write_spill(int(b0s.min()), int(b0s.max()), pdf)
         pdf = pdf.assign(__b0=b0s)
-        agg_spec = {}
+        agg_spec = {"__rows": (TS, "count")}  # a tile row exists even for
+        # cate-only specs (no scalar inputs) — every (key, bucket) with rows
         for j, c in enumerate(self.inputs):
             agg_spec[f"__n{j}"] = (c, "count")
             agg_spec[f"__s{j}"] = (c, "sum")
@@ -398,7 +481,46 @@ class _GroupCore:
                         _py(comp_arrs[f"__mx{j}"][r]),
                     )
                 )
-            st["tiles"][(kt, int(b0_arr[r]))] = comps
+            st["tiles"][(kt, int(b0_arr[r]))] = {
+                "sc": comps,
+                "cate": [{} for _ in self.cate_specs],
+            }
+
+        # per-cate-spec partials: group by (key, bucket, category) with the
+        # _where condition applied; same (n, Σ, min, max) shape per category
+        for j, s in enumerate(self.cate_specs):
+            sub = pdf
+            if s.cond_col is not None:
+                sub = sub[sub[s.cond_col].astype(bool)]
+            sub = sub[sub[s.cat_col].notna() & sub[s.col].notna()]
+            if not len(sub):
+                continue
+            cg = (
+                sub.groupby(self.keys + ["__b0", s.cat_col], sort=False, dropna=False)
+                .agg(
+                    __cn=(s.col, "count"),
+                    __cs=(s.col, "sum"),
+                    __cm=(s.col, "min"),
+                    __cx=(s.col, "max"),
+                )
+                .reset_index()
+            )
+            karrs = [cg[k].to_numpy() for k in self.keys]
+            barr = cg["__b0"].to_numpy()
+            carr = cg[s.cat_col].to_numpy()
+            narr = cg["__cn"].to_numpy()
+            sarr = cg["__cs"].to_numpy()
+            marr = cg["__cm"].to_numpy()
+            xarr = cg["__cx"].to_numpy()
+            for r in range(len(cg)):
+                kt = tuple(_py(a[r]) for a in karrs)
+                tile = st["tiles"][(kt, int(barr[r]))]
+                tile["cate"][j][_py(carr[r])] = (
+                    int(narr[r]),
+                    _py(sarr[r]),
+                    _py(marr[r]),
+                    _py(xarr[r]),
+                )
 
     def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, st):
         """Evaluate every spec at the emitted rows of one key: tile partials
@@ -416,18 +538,31 @@ class _GroupCore:
         # edge never enters them this batch; the head side is always covered
         # because closed tiles end at/before the previous watermark < emissions)
         ni = len(self.inputs)
+        nc = len(self.cate_specs)
         static = [[0, 0, 0.0, None, None] for _ in range(ni)]
-        for (tkt, b0), comps in st["tiles"].items():
+        cstatic: list[dict] = [{} for _ in range(nc)]
+        for (tkt, b0), tile in st["tiles"].items():
             if tkt != kt or b0 <= last_start:
                 continue
             for j in range(ni):
-                n_, s_, s2_, mn_, mx_ = comps[j]
+                n_, s_, s2_, mn_, mx_ = tile["sc"][j]
                 agg = static[j]
                 agg[0] += n_
                 agg[1] += s_
                 agg[2] += s2_
                 agg[3] = mn_ if agg[3] is None else min(agg[3], mn_)
                 agg[4] = mx_ if agg[4] is None else max(agg[4], mx_)
+            for j in range(nc):
+                acc = cstatic[j]
+                for cat, (n_, s_, mn_, mx_) in tile["cate"][j].items():
+                    cur = acc.get(cat)
+                    if cur is None:
+                        acc[cat] = [n_, s_, mn_, mx_]
+                    else:
+                        cur[0] += n_
+                        cur[1] += s_
+                        cur[2] = min(cur[2], mn_)
+                        cur[3] = max(cur[3], mx_)
 
         # start-edge buckets (partially covered this batch): raw rows from spill
         b_lo = (first_start // self.g) * self.g  # python // floors negatives too
@@ -442,25 +577,56 @@ class _GroupCore:
                 part = pdf[m]
                 edge = part if len(part) else None
 
+        def _col(c):
+            if edge is not None:
+                return np.concatenate([edge[c].to_numpy(), seg_cols[c]])
+            return seg_cols[c]
+
         if edge is not None:
             edge = edge.sort_values(TS)
             raw_ts = np.concatenate([edge[TS].to_numpy(), seg_ts])
-            raw_vals = [
-                np.concatenate([edge[c].to_numpy(), seg_cols[c]])
-                for c in self.inputs
-            ]
         else:
             raw_ts = seg_ts
-            raw_vals = [seg_cols[c] for c in self.inputs]
+        raw_vals = [_col(c) for c in self.inputs]
+        craw = [
+            (
+                _col(s.col),
+                _col(s.cat_col),
+                _col(s.cond_col) if s.cond_col is not None else None,
+            )
+            for s in self.cate_specs
+        ]
 
         need_mm = [any(s.op in ("min", "max") and s.col == c for s in self.specs) for c in self.inputs]
         dyn_n = [0] * ni
         dyn_s = [0] * ni
         dyn_s2 = [0.0] * ni
         mm = [MinMaxAcc() if need_mm[j] else None for j in range(ni)]
+        # dynamic per-category sub-accumulators — the same arithmetic the
+        # untiled CateAccumulator runs, minus its CSV cache (merging with
+        # static partials happens at render time)
+        cdyn: list[dict] = [{} for _ in range(nc)]
+
+        def cate_step(j, idx, sign):
+            vals, cats, conds = craw[j]
+            v, cat = vals[idx], cats[idx]
+            if cat is None or v is None or (conds is not None and not conds[idx]):
+                return
+            cat = cat.item() if hasattr(cat, "item") else cat
+            acc = cdyn[j].get(cat)
+            if sign > 0:
+                if acc is None:
+                    acc = cdyn[j][cat] = SubAcc(self.cate_specs[j].op)
+                acc.add(v)
+            elif acc is not None:
+                acc.retract(v)
+                if acc.empty:
+                    del cdyn[j][cat]
 
         nr = len(raw_ts)
-        out_vals: dict[str, list] = {s.name: [] for s in self.specs}
+        out_vals: dict[str, list] = {
+            s.name: [] for s in list(self.specs) + self.cate_specs
+        }
         lo = hi = 0
         for i in emit_idx:
             t = int(seg_ts[i])
@@ -472,6 +638,8 @@ class _GroupCore:
                     dyn_s2[j] += float(v) * float(v)
                     if mm[j] is not None:
                         mm[j].add(v)
+                for j in range(nc):
+                    cate_step(j, hi, +1)
                 hi += 1
             bound = t - self.L
             while lo < hi and raw_ts[lo] < bound:
@@ -482,6 +650,8 @@ class _GroupCore:
                     dyn_s2[j] -= float(v) * float(v)
                     if mm[j] is not None:
                         mm[j].retract(v)
+                for j in range(nc):
+                    cate_step(j, lo, -1)
                 lo += 1
             for s in self.specs:
                 j = self.inputs.index(s.col)
@@ -493,6 +663,10 @@ class _GroupCore:
                 if s.finish is not None and val is not None:
                     val = s.finish(val)
                 out_vals[s.name].append(val)
+            for j, s in enumerate(self.cate_specs):
+                out_vals[s.name].append(
+                    self._render_cate(s, cstatic[j], cdyn[j])
+                )
 
         n_emit = len(emit_idx)
         res = {k: [kv] * n_emit for k, kv in zip(self.keys, kt)}
@@ -530,6 +704,44 @@ class _GroupCore:
         if op == "var_samp":
             return max(m2, 0.0) / (N - 1)
         return math.sqrt(max(m2, 0.0) / (N - 1))
+
+    @staticmethod
+    def _render_cate(spec, static_map, dyn_map) -> str:
+        """Merge static tile partials with dynamic sub-accumulators per
+        category and render the reference CSV (sorted "cat:val" parts) —
+        identical discipline to CateAccumulator.result()."""
+        op, scale = spec.op, spec.scale
+        parts = []
+        for cat in static_map.keys() | dyn_map.keys():
+            sn, ss, smn, smx = static_map.get(cat, (0, 0, None, None))
+            acc = dyn_map.get(cat)
+            dn = acc.sum.n if acc is not None else 0
+            ds = acc.sum.s if acc is not None else 0
+            N = sn + dn
+            if N == 0:
+                continue
+            if op == "count":
+                metric = N
+            elif op == "sum":
+                metric = (ss + ds) / scale
+            elif op == "avg":
+                metric = (ss + ds) / scale / N
+            else:
+                dmm = None
+                if acc is not None and acc.mm is not None:
+                    dmm = acc.mm.min() if op == "min" else acc.mm.max()
+                s_ext = smn if op == "min" else smx
+                cands = [v for v in (s_ext, dmm) if v is not None]
+                if not cands:
+                    continue
+                metric = (min(cands) if op == "min" else max(cands)) / scale
+            cat_s = scalar_to_string(cat)
+            m_s = scalar_to_string(metric)
+            if cat_s is None or m_s is None:
+                continue
+            parts.append(f"{cat_s}:{m_s}")
+        parts.sort()
+        return join_csv(parts)
 
 
 def tiled_sliding_window_stream(
@@ -585,16 +797,21 @@ def tiled_sliding_window_stream(
     )
     work = work.withWatermark(ts_col, lateness)
 
-    inputs = sorted({s.col for s in specs})
+    scalar_specs = [s for s in specs if isinstance(s, TiledSpec)]
+    cate_specs = [s for s in specs if isinstance(s, TiledCateSpec)]
+    inputs = sorted({s.col for s in scalar_specs})
     out_pass = [c for c in passthrough if c not in keys and c != ts_col]
     schema = {f.name: f.dataType.simpleString() for f in work.schema.fields}
 
-    core = _GroupCore(keys, inputs, out_pass, L, g, list(specs), spill_root)
+    core = _GroupCore(
+        keys, inputs, out_pass, L, g, scalar_specs, spill_root, cate_specs
+    )
     state_schema = core.state_fields(schema)
 
     key_fields = ", ".join(f"`{k}` {schema[k]}" for k in keys)
     pass_fields = "".join(f", `{c}` {schema[c]}" for c in out_pass)
-    spec_fields = "".join(f", `{s.name}` {s.out_type}" for s in specs)
+    all_specs = scalar_specs + cate_specs
+    spec_fields = "".join(f", `{s.name}` {s.out_type}" for s in all_specs)
     out_schema = f"{key_fields}, {TS} bigint{pass_fields}{spec_fields}"
 
     def handler(bucket, pdfs, state):
@@ -615,4 +832,4 @@ def tiled_sliding_window_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = out.withColumn(ts_col, F.timestamp_micros(F.col(TS))).drop(TS)
-    return out.select(*keys, ts_col, *out_pass, *[s.name for s in specs])
+    return out.select(*keys, ts_col, *out_pass, *[s.name for s in all_specs])

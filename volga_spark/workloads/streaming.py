@@ -149,29 +149,55 @@ def q_stream_sliding_window(spark, sf_dir):
 @workload(
     "q_stream_tiled_window",
     oracle="""
-        SELECT event_id, user_id, ts,
+        WITH pairs AS (
+            SELECT e.event_id AS eid, e2.event_type AS cat,
+                   CAST(round(e2.value * 100) AS BIGINT) AS vc
+            FROM events e JOIN events e2
+              ON e2.user_id = e.user_id
+             AND e2.ts >= e.ts - INTERVAL 7 DAY AND e2.ts <= e.ts
+        ),
+        per_cat AS (SELECT eid, cat, sum(vc) AS s FROM pairs GROUP BY eid, cat),
+        strs AS (
+            SELECT eid, string_agg(
+                cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
+                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END,
+                ',' ORDER BY cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
+                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END
+            ) AS sum_cate_7d
+            FROM per_cat GROUP BY eid
+        )
+        SELECT e.event_id, e.user_id, e.ts,
                count(*) OVER w AS cnt_7d,
-               sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_7d,
-               (sum(CAST(round(value * 100) AS BIGINT)) OVER w
+               sum(CAST(round(e.value * 100) AS BIGINT)) OVER w / 100.0 AS sum_7d,
+               (sum(CAST(round(e.value * 100) AS BIGINT)) OVER w
                     / count(*) OVER w) / 100.0 AS avg_7d,
-               min(value) OVER w AS min_7d,
-               max(value) OVER w AS max_7d
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               min(e.value) OVER w AS min_7d,
+               max(e.value) OVER w AS max_7d,
+               coalesce(s.sum_cate_7d, '') AS sum_cate_7d
+        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
+        WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts
                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
     """,
-    tags=("streaming", "stateful", "tiled"),
+    tags=("streaming", "stateful", "tiled", "ml_udaf"),
 )
 def q_stream_tiled_window(spark, sf_dir):
     """LONG-window (7-day) per-row sliding aggregates computed statefully
     with TILED state (reference tiles.rs:59-118): closed ~39-minute buckets
-    collapse to per-key (n, Σ, Σ², min, max) partials in the state column and
-    their raw rows move to the spilled row store, so per-key hot state is
+    collapse to per-key partials in the state column — (n, Σ, Σ², min, max)
+    for the scalar aggs AND per-category (n, Σ, min, max) maps for the ML
+    ``sum_cate`` UDAF (the reference tiles arbitrary accumulator state via
+    merge_accumulator_state; this is that capability Spark-side). Raw rows of
+    closed buckets move to the spilled row store, so per-key hot state is
     O(window/granularity + open-bucket rows) instead of O(rows in 7 days) —
     the reference's headline months-long-window design point. Results are
-    exact (integer-cents tiles + raw edge sweep) and must hash-match the
-    batch DuckDB window oracle."""
-    from volga_spark.streaming.tiled_window import TiledSpec, tiled_sliding_window_stream
+    exact (integer-cents tiles + raw edge sweep; CSV category rendering
+    shared with the untiled path) and must hash-match the batch DuckDB
+    oracle."""
+    from volga_spark.streaming.tiled_window import (
+        TiledCateSpec,
+        TiledSpec,
+        tiled_sliding_window_stream,
+    )
 
     stream, _ = chunked_file_stream(
         spark, sf_dir, "events", "ts", n_chunks=5,
@@ -188,6 +214,7 @@ def q_stream_tiled_window(spark, sf_dir):
             TiledSpec("avg_7d", "avg", "vc", "double", finish=lambda a: a / 100.0),
             TiledSpec("min_7d", "min", "value", "double"),
             TiledSpec("max_7d", "max", "value", "double"),
+            TiledCateSpec("sum_cate_7d", "sum", "vc", "event_type", scale=100.0),
         ],
         passthrough=["event_id"],
         lateness="0 seconds",
@@ -195,7 +222,8 @@ def q_stream_tiled_window(spark, sf_dir):
     )
     res = run_available_now_to_memory(out, output_mode="append")
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
-        "event_id", "user_id", "ts", "cnt_7d", "sum_7d", "avg_7d", "min_7d", "max_7d"
+        "event_id", "user_id", "ts", "cnt_7d", "sum_7d", "avg_7d",
+        "min_7d", "max_7d", "sum_cate_7d",
     )
 
 
