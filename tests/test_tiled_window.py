@@ -273,3 +273,91 @@ def test_cate_specs_exact_vs_bruteforce(tmp_path):
         assert got.loc[rid, "sc"] == render(g, "sum"), rid
         assert got.loc[rid, "cc"] == render(g, "count"), rid
         assert got.loc[rid, "mw"] == render(g, "min", cond=True), rid
+
+
+def test_top_ratio_ordered_specs_vs_untiled_accumulators(tmp_path):
+    """top / topn_frequency / top1_ratio / top_n_key_sum_cate_where /
+    top_n_value_ratio_cate through the tiled core must render exactly what
+    the untiled accumulators produce over the same window contents."""
+    from volga_spark.functions.accumulators import (
+        FrequencyAccumulator,
+        GroupedAggTopK,
+        RatioTopK,
+        TopValueAccumulator,
+    )
+    from volga_spark.streaming.tiled_window import (
+        TiledCateSpec,
+        TiledRatioSpec,
+        TiledTopSpec,
+        _GroupCore,
+    )
+
+    n = 2200
+    rng = np.random.default_rng(23)
+    ts = np.sort(rng.integers(0, n * MS, size=n))
+    rows = pd.DataFrame(
+        {
+            KEY: (np.arange(n) % 2).astype(np.int64),
+            TS: ts.astype(np.int64),
+            "v": rng.integers(-30, 70, size=n).astype(np.int64),
+            "cat": rng.choice(["x", "y", "z"], size=n),
+            "cond": rng.random(size=n) > 0.5,
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    core = _GroupCore(
+        keys=[KEY],
+        inputs=[],
+        out_pass=["rid"],
+        length_us=350 * MS,
+        gran_us=40 * MS,
+        specs=[],
+        spill_path=str(tmp_path / "spill"),
+        cate_specs=[
+            TiledCateSpec("tks", "sum", "v", "cat", cond_col="cond",
+                          order="key", k=2),
+        ],
+        top_specs=[
+            TiledTopSpec("t3", "top", "cat", k=3),
+            TiledTopSpec("tf", "topn_frequency", "cat", k=2),
+            TiledTopSpec("t1r", "top1_ratio", "cat", out_type="double"),
+        ],
+        ratio_specs=[
+            TiledRatioSpec("tvr", "value", 2, "v", "cond", "cat"),
+        ],
+    )
+
+    def batches():
+        wm = -(10**12)
+        for i in range(0, n, 350):
+            chunk = rows.iloc[i : i + 350]
+            yield chunk, wm
+            wm = int(chunk[TS].max())
+        yield rows.iloc[:0], int(rows[TS].max()) + 10**12
+
+    res, _, _ = _drive(core, batches())
+    got = res.set_index("rid").sort_index()
+    assert len(got) == n
+
+    check = rows.sample(n=100, random_state=9)
+    for _, r in check.iterrows():
+        g = rows[
+            (rows[KEY] == r[KEY])
+            & (rows[TS] >= r[TS] - 350 * MS)
+            & (rows[TS] <= r[TS])
+        ]
+        rid = r["rid"]
+        tv = TopValueAccumulator(3)
+        fr = FrequencyAccumulator(2)
+        ga = GroupedAggTopK("sum", "key", 2)
+        rt = RatioTopK("value", 2)
+        for _, w in g.iterrows():
+            tv.add(w["cat"])
+            fr.add(w["cat"])
+            ga.add(w["v"], w["cond"], w["cat"])
+            rt.add(w["v"], w["cond"], w["cat"])
+        assert got.loc[rid, "t3"] == tv.result(), rid
+        assert got.loc[rid, "tf"] == fr.topn(), rid
+        assert got.loc[rid, "t1r"] == fr.top1_ratio(), rid
+        assert got.loc[rid, "tks"] == ga.result(), rid
+        assert got.loc[rid, "tvr"] == rt.result(), rid

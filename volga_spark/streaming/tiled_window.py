@@ -52,6 +52,7 @@ from __future__ import annotations
 import math
 import os
 import uuid
+from collections import Counter
 from dataclasses import dataclass
 
 import pandas as pd
@@ -61,8 +62,13 @@ from pyspark.sql import functions as F
 
 # module-scope so cloudpickle's register_pickle_by_value captures the class
 # itself into the handler closure (executors don't have the repo on sys.path)
-from volga_spark.formatting import join_csv, scalar_to_string
-from volga_spark.functions.accumulators import MinMaxAcc, SubAcc
+from volga_spark.formatting import format_float, join_csv, scalar_to_string
+from volga_spark.functions.accumulators import (
+    FrequencyAccumulator,
+    MinMaxAcc,
+    SubAcc,
+    TopValueAccumulator,
+)
 from volga_spark.operators.window import RangeFrame, interval_to_micros
 
 TS = "__ts_us"
@@ -111,6 +117,11 @@ class TiledCateSpec:
     (the `_where` variant — rows with false/null never enter tiles or the
     sweep). ``scale``: integer pre-scaling divisor for CSV float parity
     (100.0 for cents).
+
+    ``order``/``k``: when set, renders the ``top_n_{key,value}_{op}_cate_where``
+    form instead — categories ordered by category desc ("key") or metric desc
+    with category-desc tiebreak ("value"), limited to k (GroupedAggTopK
+    semantics, reference top/accumulators/grouped_agg.rs).
     """
 
     name: str
@@ -120,10 +131,56 @@ class TiledCateSpec:
     cond_col: str | None = None
     scale: float = 1.0
     out_type: str = "string"
+    order: str | None = None
+    k: int | None = None
 
     def __post_init__(self):
         if self.op not in ("sum", "avg", "count", "min", "max"):
             raise ValueError(f"unsupported cate op {self.op!r}")
+        if self.order not in (None, "key", "value"):
+            raise ValueError("order must be None, 'key' or 'value'")
+        if (self.order is None) != (self.k is None):
+            raise ValueError("order and k come together (top_n form)")
+
+
+@dataclass
+class TiledTopSpec:
+    """``top(col, k)`` / ``topn_frequency(col, k)`` / ``top1_ratio(col)``
+    with tiled state: the value→count multiset those accumulators maintain
+    is mergeable, so each closed bucket stores its per-key value-count map
+    and the window merges interior maps with the raw-edge Counter. Rendering
+    delegates to the untiled accumulators for bit parity."""
+
+    name: str
+    op: str  # top | topn_frequency | top1_ratio
+    col: str
+    k: int | None = None
+    out_type: str = "string"
+
+    def __post_init__(self):
+        if self.op not in ("top", "topn_frequency", "top1_ratio"):
+            raise ValueError(f"unsupported top op {self.op!r}")
+        if self.op != "top1_ratio" and self.k is None:
+            raise ValueError(f"{self.op} needs k")
+
+
+@dataclass
+class TiledRatioSpec:
+    """``top_n_{key,value}_ratio_cate(col, cond, cat, k)`` with tiled state:
+    per-bucket per-category (rows, cond-true rows) pairs merge additively
+    (RatioTopK semantics, reference top/accumulators/ratio.rs)."""
+
+    name: str
+    order: str  # key | value
+    k: int
+    col: str
+    cond_col: str
+    cat_col: str
+    out_type: str = "string"
+
+    def __post_init__(self):
+        if self.order not in ("key", "value"):
+            raise ValueError("order must be 'key' or 'value'")
 
 
 def _auto_granularity_us(window_us: int, target_tiles: int = 256) -> int:
@@ -146,16 +203,24 @@ class _GroupCore:
         specs,
         spill_path,
         cate_specs=(),
+        top_specs=(),
+        ratio_specs=(),
     ):
         self.keys = keys
         self.inputs = inputs  # scalar input columns (5 comps tiled each)
         self.out_pass = out_pass  # passthrough (stored in head only)
         self.cate_specs = list(cate_specs)
+        self.top_specs = list(top_specs)
+        self.ratio_specs = list(ratio_specs)
         cate_cols = [
             c
             for s in self.cate_specs
             for c in (s.col, s.cat_col, s.cond_col)
             if c is not None
+        ]
+        cate_cols += [s.col for s in self.top_specs]
+        cate_cols += [
+            c for s in self.ratio_specs for c in (s.col, s.cond_col, s.cat_col)
         ]
         self.stored = list(dict.fromkeys(out_pass + inputs + cate_cols))
         self.spill_cols = list(dict.fromkeys(inputs + cate_cols))
@@ -209,6 +274,17 @@ class _GroupCore:
                 f"gm{j} array<array<{schema[s.col]}>>",
                 f"gx{j} array<array<{schema[s.col]}>>",
             ]
+        for j, s in enumerate(self.top_specs):
+            fields += [
+                f"hv{j} array<array<{schema[s.col]}>>",
+                f"hc{j} array<array<bigint>>",
+            ]
+        for j, s in enumerate(self.ratio_specs):
+            fields += [
+                f"rc{j} array<array<{schema[s.cat_col]}>>",
+                f"rd{j} array<array<bigint>>",
+                f"rn{j} array<array<bigint>>",
+            ]
         fields += ["su bigint"]
         return ", ".join(fields)
 
@@ -242,7 +318,17 @@ class _GroupCore:
         for _ in range(len(self.cate_specs)):
             gcomps.append(tuple(row[pos + i] for i in range(5)))
             pos += 5
+        hcomps = []
+        for _ in range(len(self.top_specs)):
+            hcomps.append((row[pos], row[pos + 1]))
+            pos += 2
+        rcomps = []
+        for _ in range(len(self.ratio_specs)):
+            rcomps.append((row[pos], row[pos + 1], row[pos + 2]))
+            pos += 3
         tiles = {}
+        from collections import Counter
+
         for idx in range(len(tb)):
             kt = tuple(a[idx] for a in tk)
             cate = []
@@ -253,9 +339,21 @@ class _GroupCore:
                         for i, c in enumerate(gc[idx])
                     }
                 )
+            tops = [
+                Counter(dict(zip(hv[idx], hc[idx]))) for hv, hc in hcomps
+            ]
+            ratios = [
+                {
+                    c: (rd[idx][i], rn[idx][i])
+                    for i, c in enumerate(rc[idx])
+                }
+                for rc, rd, rn in rcomps
+            ]
             tiles[(kt, tb[idx])] = {
                 "sc": [tuple(comp[i][idx] for i in range(5)) for comp in comps],
                 "cate": cate,
+                "top": tops,
+                "ratio": ratios,
             }
         st["tiles"] = tiles
         st["su"] = row[pos]
@@ -283,6 +381,25 @@ class _GroupCore:
                 out = out + (
                     [
                         [t["cate"][j][c][i] for c in cats]
+                        for cats, (_, t) in zip(cats_per_tile, tile_items)
+                    ],
+                )
+        for j in range(len(self.top_specs)):
+            vals_per_tile = [sorted(t["top"][j]) for _, t in tile_items]
+            out = out + (
+                vals_per_tile,
+                [
+                    [t["top"][j][v] for v in vals]
+                    for vals, (_, t) in zip(vals_per_tile, tile_items)
+                ],
+            )
+        for j in range(len(self.ratio_specs)):
+            cats_per_tile = [sorted(t["ratio"][j]) for _, t in tile_items]
+            out = out + (cats_per_tile,)
+            for i in range(2):
+                out = out + (
+                    [
+                        [t["ratio"][j][c][i] for c in cats]
                         for cats, (_, t) in zip(cats_per_tile, tile_items)
                     ],
                 )
@@ -484,6 +601,8 @@ class _GroupCore:
             st["tiles"][(kt, int(b0_arr[r]))] = {
                 "sc": comps,
                 "cate": [{} for _ in self.cate_specs],
+                "top": [Counter() for _ in self.top_specs],
+                "ratio": [{} for _ in self.ratio_specs],
             }
 
         # per-cate-spec partials: group by (key, bucket, category) with the
@@ -522,6 +641,46 @@ class _GroupCore:
                     _py(xarr[r]),
                 )
 
+        # top-family partials: per (key, bucket) value→count multiset
+        for j, s in enumerate(self.top_specs):
+            sub = pdf[pdf[s.col].notna()]
+            if not len(sub):
+                continue
+            cg = (
+                sub.groupby(self.keys + ["__b0", s.col], sort=False, dropna=False)
+                .size()
+                .reset_index(name="__c")
+            )
+            karrs = [cg[k].to_numpy() for k in self.keys]
+            barr = cg["__b0"].to_numpy()
+            varr = cg[s.col].to_numpy()
+            narr = cg["__c"].to_numpy()
+            for r in range(len(cg)):
+                kt = tuple(_py(a[r]) for a in karrs)
+                tile = st["tiles"][(kt, int(barr[r]))]
+                tile["top"][j][_py(varr[r])] = int(narr[r])
+
+        # ratio partials: per (key, bucket, category) (rows, cond-true rows)
+        for j, s in enumerate(self.ratio_specs):
+            sub = pdf[pdf[s.col].notna() & pdf[s.cat_col].notna()]
+            if not len(sub):
+                continue
+            sub = sub.assign(__ct=sub[s.cond_col].fillna(False).astype(bool).astype("int64"))
+            cg = (
+                sub.groupby(self.keys + ["__b0", s.cat_col], sort=False, dropna=False)
+                .agg(__d=(s.cond_col, "size"), __n=("__ct", "sum"))
+                .reset_index()
+            )
+            karrs = [cg[k].to_numpy() for k in self.keys]
+            barr = cg["__b0"].to_numpy()
+            carr = cg[s.cat_col].to_numpy()
+            darr = cg["__d"].to_numpy()
+            narr = cg["__n"].to_numpy()
+            for r in range(len(cg)):
+                kt = tuple(_py(a[r]) for a in karrs)
+                tile = st["tiles"][(kt, int(barr[r]))]
+                tile["ratio"][j][_py(carr[r])] = (int(darr[r]), int(narr[r]))
+
     def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, st):
         """Evaluate every spec at the emitted rows of one key: tile partials
         fully inside the window merge statically; the start-edge buckets come
@@ -537,10 +696,16 @@ class _GroupCore:
         # tiles fully inside every emitted window: b0 > last_start (the start
         # edge never enters them this batch; the head side is always covered
         # because closed tiles end at/before the previous watermark < emissions)
+        from collections import Counter
+
         ni = len(self.inputs)
         nc = len(self.cate_specs)
+        nt = len(self.top_specs)
+        nrt = len(self.ratio_specs)
         static = [[0, 0, 0.0, None, None] for _ in range(ni)]
         cstatic: list[dict] = [{} for _ in range(nc)]
+        hstatic: list[Counter] = [Counter() for _ in range(nt)]
+        rstatic: list[dict] = [{} for _ in range(nrt)]
         for (tkt, b0), tile in st["tiles"].items():
             if tkt != kt or b0 <= last_start:
                 continue
@@ -563,6 +728,17 @@ class _GroupCore:
                         cur[1] += s_
                         cur[2] = min(cur[2], mn_)
                         cur[3] = max(cur[3], mx_)
+            for j in range(nt):
+                hstatic[j].update(tile["top"][j])
+            for j in range(nrt):
+                acc = rstatic[j]
+                for cat, (d_, n_) in tile["ratio"][j].items():
+                    cur = acc.get(cat)
+                    if cur is None:
+                        acc[cat] = [d_, n_]
+                    else:
+                        cur[0] += d_
+                        cur[1] += n_
 
         # start-edge buckets (partially covered this batch): raw rows from spill
         b_lo = (first_start // self.g) * self.g  # python // floors negatives too
@@ -596,6 +772,11 @@ class _GroupCore:
             )
             for s in self.cate_specs
         ]
+        hraw = [_col(s.col) for s in self.top_specs]
+        rraw = [
+            (_col(s.col), _col(s.cond_col), _col(s.cat_col))
+            for s in self.ratio_specs
+        ]
 
         need_mm = [any(s.op in ("min", "max") and s.col == c for s in self.specs) for c in self.inputs]
         dyn_n = [0] * ni
@@ -606,6 +787,8 @@ class _GroupCore:
         # untiled CateAccumulator runs, minus its CSV cache (merging with
         # static partials happens at render time)
         cdyn: list[dict] = [{} for _ in range(nc)]
+        hdyn: list[Counter] = [Counter() for _ in range(nt)]
+        rdyn: list[dict] = [{} for _ in range(nrt)]
 
         def cate_step(j, idx, sign):
             vals, cats, conds = craw[j]
@@ -623,9 +806,37 @@ class _GroupCore:
                 if acc.empty:
                     del cdyn[j][cat]
 
+        def top_step(j, idx, sign):
+            v = hraw[j][idx]
+            if v is None:
+                return
+            v = v.item() if hasattr(v, "item") else v
+            hdyn[j][v] += sign
+            if hdyn[j][v] == 0:
+                del hdyn[j][v]
+
+        def ratio_step(j, idx, sign):
+            vals, conds, cats = rraw[j]
+            v, cat = vals[idx], cats[idx]
+            if cat is None or v is None:
+                return
+            cat = cat.item() if hasattr(cat, "item") else cat
+            cur = rdyn[j].get(cat)
+            if cur is None:
+                cur = rdyn[j][cat] = [0, 0]
+            cur[0] += sign
+            if conds[idx]:
+                cur[1] += sign
+            if cur[0] == 0:
+                del rdyn[j][cat]
+
         nr = len(raw_ts)
         out_vals: dict[str, list] = {
-            s.name: [] for s in list(self.specs) + self.cate_specs
+            s.name: []
+            for s in list(self.specs)
+            + self.cate_specs
+            + self.top_specs
+            + self.ratio_specs
         }
         lo = hi = 0
         for i in emit_idx:
@@ -640,6 +851,10 @@ class _GroupCore:
                         mm[j].add(v)
                 for j in range(nc):
                     cate_step(j, hi, +1)
+                for j in range(nt):
+                    top_step(j, hi, +1)
+                for j in range(nrt):
+                    ratio_step(j, hi, +1)
                 hi += 1
             bound = t - self.L
             while lo < hi and raw_ts[lo] < bound:
@@ -652,6 +867,10 @@ class _GroupCore:
                         mm[j].retract(v)
                 for j in range(nc):
                     cate_step(j, lo, -1)
+                for j in range(nt):
+                    top_step(j, lo, -1)
+                for j in range(nrt):
+                    ratio_step(j, lo, -1)
                 lo += 1
             for s in self.specs:
                 j = self.inputs.index(s.col)
@@ -666,6 +885,12 @@ class _GroupCore:
             for j, s in enumerate(self.cate_specs):
                 out_vals[s.name].append(
                     self._render_cate(s, cstatic[j], cdyn[j])
+                )
+            for j, s in enumerate(self.top_specs):
+                out_vals[s.name].append(self._render_top(s, hstatic[j], hdyn[j]))
+            for j, s in enumerate(self.ratio_specs):
+                out_vals[s.name].append(
+                    self._render_ratio(s, rstatic[j], rdyn[j])
                 )
 
         n_emit = len(emit_idx)
@@ -708,10 +933,12 @@ class _GroupCore:
     @staticmethod
     def _render_cate(spec, static_map, dyn_map) -> str:
         """Merge static tile partials with dynamic sub-accumulators per
-        category and render the reference CSV (sorted "cat:val" parts) —
-        identical discipline to CateAccumulator.result()."""
+        category and render the reference CSV — plain form sorts the
+        "cat:val" parts (CateAccumulator.result()); the top_n form
+        (spec.order set) orders by category desc / metric desc with
+        category-desc tiebreak and limits to k (GroupedAggTopK.result())."""
         op, scale = spec.op, spec.scale
-        parts = []
+        items = []
         for cat in static_map.keys() | dyn_map.keys():
             sn, ss, smn, smx = static_map.get(cat, (0, 0, None, None))
             acc = dyn_map.get(cat)
@@ -739,8 +966,52 @@ class _GroupCore:
             m_s = scalar_to_string(metric)
             if cat_s is None or m_s is None:
                 continue
-            parts.append(f"{cat_s}:{m_s}")
-        parts.sort()
+            items.append((cat, metric, f"{cat_s}:{m_s}"))
+        if spec.order is None:
+            parts = sorted(p for _, _, p in items)
+            return join_csv(parts)
+        if spec.order == "key":
+            items.sort(key=lambda it: it[0], reverse=True)
+        else:
+            items.sort(key=lambda it: (it[1], it[0]), reverse=True)
+        return join_csv([p for _, _, p in items[: spec.k]])
+
+    @staticmethod
+    def _render_top(spec, static_counter, dyn_counter):
+        """Delegate to the untiled accumulators over the merged multiset so
+        rendering is bit-identical to the non-tiled path."""
+        merged = static_counter + dyn_counter  # Counter add drops zeros
+        if spec.op == "top":
+            acc = TopValueAccumulator(spec.k)
+            acc.counts = merged
+            return acc.result()
+        acc = FrequencyAccumulator(spec.k)
+        acc.counts = merged
+        acc.total = sum(merged.values())
+        return acc.topn() if spec.op == "topn_frequency" else acc.top1_ratio()
+
+    @staticmethod
+    def _render_ratio(spec, static_map, dyn_map) -> str:
+        """RatioTopK.result() over merged (rows, cond-true) pairs."""
+        cats = static_map.keys() | dyn_map.keys()
+        items = []
+        for cat in cats:
+            sd, sn = static_map.get(cat, (0, 0))
+            dd, dn = dyn_map.get(cat, (0, 0))
+            den = sd + dd
+            if den <= 0:
+                continue
+            items.append((cat, (sn + dn) / den))
+        if spec.order == "key":
+            items.sort(key=lambda cm: cm[0], reverse=True)
+        else:
+            items.sort(key=lambda cm: (cm[1], cm[0]), reverse=True)
+        parts = []
+        for cat, r in items[: spec.k]:
+            cs = scalar_to_string(cat)
+            if cs is None:
+                continue
+            parts.append(f"{cs}:{format_float(r)}")
         return join_csv(parts)
 
 
@@ -799,18 +1070,29 @@ def tiled_sliding_window_stream(
 
     scalar_specs = [s for s in specs if isinstance(s, TiledSpec)]
     cate_specs = [s for s in specs if isinstance(s, TiledCateSpec)]
+    top_specs = [s for s in specs if isinstance(s, TiledTopSpec)]
+    ratio_specs = [s for s in specs if isinstance(s, TiledRatioSpec)]
     inputs = sorted({s.col for s in scalar_specs})
     out_pass = [c for c in passthrough if c not in keys and c != ts_col]
     schema = {f.name: f.dataType.simpleString() for f in work.schema.fields}
 
     core = _GroupCore(
-        keys, inputs, out_pass, L, g, scalar_specs, spill_root, cate_specs
+        keys,
+        inputs,
+        out_pass,
+        L,
+        g,
+        scalar_specs,
+        spill_root,
+        cate_specs,
+        top_specs,
+        ratio_specs,
     )
     state_schema = core.state_fields(schema)
 
     key_fields = ", ".join(f"`{k}` {schema[k]}" for k in keys)
     pass_fields = "".join(f", `{c}` {schema[c]}" for c in out_pass)
-    all_specs = scalar_specs + cate_specs
+    all_specs = scalar_specs + cate_specs + top_specs + ratio_specs
     spec_fields = "".join(f", `{s.name}` {s.out_type}" for s in all_specs)
     out_schema = f"{key_fields}, {TS} bigint{pass_fields}{spec_fields}"
 

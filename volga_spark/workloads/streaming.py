@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from volga_spark.formatting import DUCK_FMT
 from volga_spark.functions.accumulators import MinMaxAcc
 from volga_spark.functions.cate_top import sum_cate
 from volga_spark.functions.sliding import SlidingSpec
@@ -146,25 +147,71 @@ def q_stream_sliding_window(spark, sf_dir):
     )
 
 
+def _tfmt(expr: str) -> str:
+    return DUCK_FMT.format(expr=expr)
+
+
 @workload(
     "q_stream_tiled_window",
-    oracle="""
+    oracle=f"""
         WITH pairs AS (
             SELECT e.event_id AS eid, e2.event_type AS cat,
-                   CAST(round(e2.value * 100) AS BIGINT) AS vc
+                   CAST(round(e2.value * 100) AS BIGINT) AS vc,
+                   (e2.value > 100.0) AS cond
             FROM events e JOIN events e2
               ON e2.user_id = e.user_id
              AND e2.ts >= e.ts - INTERVAL 7 DAY AND e2.ts <= e.ts
         ),
         per_cat AS (SELECT eid, cat, sum(vc) AS s FROM pairs GROUP BY eid, cat),
-        strs AS (
+        sc AS (
             SELECT eid, string_agg(
-                cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
-                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END,
-                ',' ORDER BY cat || ':' || CASE WHEN rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') = ''
-                              THEN '0' ELSE rtrim(rtrim(printf('%.6f', s / 100.0), '0'), '.') END
+                cat || ':' || {{f1}}, ',' ORDER BY cat || ':' || {{f1}}
             ) AS sum_cate_7d
             FROM per_cat GROUP BY eid
+        ),
+        freq AS (SELECT eid, cat, count(*) AS c FROM pairs GROUP BY eid, cat),
+        ranked_f AS (
+            SELECT eid, cat, c,
+                   row_number() OVER (PARTITION BY eid ORDER BY c DESC, cat DESC) AS rk,
+                   sum(c) OVER (PARTITION BY eid) AS total
+            FROM freq
+        ),
+        top_f AS (
+            SELECT eid, string_agg(cat, ',' ORDER BY c DESC, cat DESC) AS topf_7d
+            FROM ranked_f WHERE rk <= 2 GROUP BY eid
+        ),
+        ratio1 AS (
+            SELECT eid, CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+                        / max(total) AS t1r_7d
+            FROM ranked_f GROUP BY eid
+        ),
+        cond_cat AS (
+            SELECT eid, cat, sum(vc) AS s FROM pairs WHERE cond GROUP BY eid, cat
+        ),
+        ranked_k AS (
+            SELECT eid, cat, s,
+                   row_number() OVER (PARTITION BY eid ORDER BY cat DESC) AS rk_key
+            FROM cond_cat
+        ),
+        key_sum AS (
+            SELECT eid, string_agg(cat || ':' || {{f2}}, ',' ORDER BY cat DESC)
+                       AS top2_key_sum_7d
+            FROM ranked_k WHERE rk_key <= 2 GROUP BY eid
+        ),
+        ratio_cat AS (
+            SELECT eid, cat,
+                   CAST(count(CASE WHEN cond THEN 1 END) AS DOUBLE) / count(*) AS r
+            FROM pairs GROUP BY eid, cat
+        ),
+        ratio_ranked AS (
+            SELECT eid, cat, r,
+                   row_number() OVER (PARTITION BY eid ORDER BY r DESC, cat DESC) AS rk_val
+            FROM ratio_cat
+        ),
+        val_ratio AS (
+            SELECT eid, string_agg(cat || ':' || {{f3}}, ',' ORDER BY r DESC, cat DESC)
+                       AS top2_val_ratio_7d
+            FROM ratio_ranked WHERE rk_val <= 2 GROUP BY eid
         )
         SELECT e.event_id, e.user_id, e.ts,
                count(*) OVER w AS cnt_7d,
@@ -173,11 +220,22 @@ def q_stream_sliding_window(spark, sf_dir):
                     / count(*) OVER w) / 100.0 AS avg_7d,
                min(e.value) OVER w AS min_7d,
                max(e.value) OVER w AS max_7d,
-               coalesce(s.sum_cate_7d, '') AS sum_cate_7d
-        FROM events e LEFT JOIN strs s ON s.eid = e.event_id
+               coalesce(sc.sum_cate_7d, '') AS sum_cate_7d,
+               coalesce(tf.topf_7d, '') AS topf_7d,
+               coalesce(r1.t1r_7d, 0.0) AS t1r_7d,
+               coalesce(ks.top2_key_sum_7d, '') AS top2_key_sum_7d,
+               coalesce(vr.top2_val_ratio_7d, '') AS top2_val_ratio_7d
+        FROM events e
+        LEFT JOIN sc ON sc.eid = e.event_id
+        LEFT JOIN top_f tf ON tf.eid = e.event_id
+        LEFT JOIN ratio1 r1 ON r1.eid = e.event_id
+        LEFT JOIN key_sum ks ON ks.eid = e.event_id
+        LEFT JOIN val_ratio vr ON vr.eid = e.event_id
         WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts
                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
-    """,
+    """.format(
+        f1=_tfmt("s / 100.0"), f2=_tfmt("s / 100.0"), f3=_tfmt("r")
+    ),
     tags=("streaming", "stateful", "tiled", "ml_udaf"),
 )
 def q_stream_tiled_window(spark, sf_dir):
@@ -195,7 +253,9 @@ def q_stream_tiled_window(spark, sf_dir):
     oracle."""
     from volga_spark.streaming.tiled_window import (
         TiledCateSpec,
+        TiledRatioSpec,
         TiledSpec,
+        TiledTopSpec,
         tiled_sliding_window_stream,
     )
 
@@ -215,15 +275,25 @@ def q_stream_tiled_window(spark, sf_dir):
             TiledSpec("min_7d", "min", "value", "double"),
             TiledSpec("max_7d", "max", "value", "double"),
             TiledCateSpec("sum_cate_7d", "sum", "vc", "event_type", scale=100.0),
+            TiledTopSpec("topf_7d", "topn_frequency", "event_type", k=2),
+            TiledTopSpec("t1r_7d", "top1_ratio", "event_type", out_type="double"),
+            TiledCateSpec(
+                "top2_key_sum_7d", "sum", "vc", "event_type",
+                cond_col="cond", scale=100.0, order="key", k=2,
+            ),
+            TiledRatioSpec(
+                "top2_val_ratio_7d", "value", 2, "value", "cond", "event_type"
+            ),
         ],
         passthrough=["event_id"],
         lateness="0 seconds",
-        prepared={"vc": cents("value")},
+        prepared={"vc": cents("value"), "cond": F.col("value") > 100.0},
     )
     res = run_available_now_to_memory(out, output_mode="append")
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
         "event_id", "user_id", "ts", "cnt_7d", "sum_7d", "avg_7d",
-        "min_7d", "max_7d", "sum_cate_7d",
+        "min_7d", "max_7d", "sum_cate_7d", "topf_7d", "t1r_7d",
+        "top2_key_sum_7d", "top2_val_ratio_7d",
     )
 
 
