@@ -53,3 +53,29 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         e = exact[flag]
         assert abs(a.approx_parts - e.parts) / e.parts < 0.1
         assert abs(a.p50_price - e.p50) / e.p50 < 0.2
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from volga_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=8).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    found = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & found) / len(truth)
+    # probing 8/16 lists on clustered embeddings: 0.82 measured both SFs
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from volga_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_lists=16, n_probe=4)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_lists=16, n_probe=4)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b

@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from volga_spark.partitioning import widen_for_python
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -149,6 +151,132 @@ def lsh_topk(
     cb = banded(corpus, "cid")
     cand = (
         qb.join(cb, ["band", "chunk"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__vec_qid"))
+    cv = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__vec_cid"))
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("cid").alias("neighbor_id"),
+            cosine(F.col("__vec_qid"), F.col("__vec_cid")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "neighbor_id", "rank", "score")
+    )
+
+
+def spherical_kmeans(
+    sample: np.ndarray, n_lists: int, iters: int = 15, seed: int = 7
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (the IVF training
+    step — same role as faiss's quantizer training, which also trains on a
+    bounded sample). Vectors are L2-normalized so nearest-centroid by dot
+    product == nearest by cosine; centroids re-normalize every Lloyd round.
+    Empty lists re-seed deterministically from the farthest points."""
+    rng = np.random.RandomState(seed)
+    x = sample.astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = len(x)
+    cents = x[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    if len(cents) < n_lists:  # degenerate tiny sample: pad with jitter
+        pad = cents[rng.randint(0, len(cents), n_lists - len(cents))]
+        cents = np.vstack([cents, pad + rng.standard_normal(pad.shape) * 1e-3])
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0)
+            else:
+                cents[c] = x[np.argmin(np.max(sims, axis=1))]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_lists: int = 32,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k (the inverted-file scale path, complementing
+    ``lsh_topk``): train a coarse quantizer on a bounded deterministic
+    sample, assign every corpus vector to its nearest-centroid list (one
+    Arrow-batched numpy matmul pass — no per-row python), probe the
+    ``n_probe`` closest lists per query, and score only candidates in probed
+    lists. Scoring volume ≈ corpus × n_probe / n_lists.
+
+    At 100 TB: training stays O(train_sample × dim) on the driver (the
+    standard IVF discipline — faiss trains its quantizer on a sample too);
+    assignment is one embarrassingly-parallel pass; the candidate join
+    shuffles (list_id) ints, and list skew is bounded by k-means balance —
+    raise n_lists (and n_probe proportionally) as the corpus grows."""
+    import pandas as pd
+
+    # deterministic pseudo-random sample: order by id hash, take the prefix
+    sample_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .collect()
+    )
+    # the usual IVF training guard: ≥ ~8 training points per list, else the
+    # quantizer overfits the sample and lists go near-empty (faiss warns at
+    # 39×; small test corpora would otherwise crater recall)
+    n_lists = max(1, min(n_lists, len(sample_rows) // 8))
+    n_probe = min(n_probe, n_lists)
+    cents = spherical_kmeans(
+        np.array([r[0] for r in sample_rows], dtype=np.float64), n_lists, seed=seed
+    )
+
+    def assign_gen(n_top):
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(list(pdf["__v"]), dtype=np.float64)
+                x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                sims = x @ cents.T
+                if n_top == 1:
+                    lists = np.argmax(sims, axis=1)[:, None]
+                else:
+                    lists = np.argpartition(-sims, n_top - 1, axis=1)[:, :n_top]
+                ids = np.repeat(pdf["__id"].to_numpy(), n_top)
+                yield pd.DataFrame(
+                    {"__id": ids, "list_id": lists.reshape(-1).astype(np.int32)}
+                )
+
+        return gen
+
+    def assigned(df: DataFrame, n_top: int, ident: str) -> DataFrame:
+        n_top = min(n_top, n_lists)
+        narrow = widen_for_python(
+            df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        )
+        out = narrow.mapInPandas(
+            assign_gen(n_top), schema="__id bigint, list_id int"
+        )
+        return out.select(F.col("__id").alias(ident), "list_id")
+
+    cand = (
+        assigned(queries, n_probe, "qid")
+        .join(assigned(corpus, 1, "cid"), "list_id")
         .filter(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
         .distinct()

@@ -74,11 +74,25 @@ def q_embed_neardup(spark, sf_dir):
 
 @workload("q_ann_lsh_topk", tags=("similarity", "approx"))
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-5 via random-hyperplane LSH bucketing (the scale path
-    — scores only same-bucket candidates). Approximate → rows-only check;
-    tests/test_similarity.py measures recall vs the brute-force baseline."""
+    """BOTH approximate-ANN scale paths in one tagged union (approximate →
+    rows-only check; tests/test_similarity.py measures each method's recall
+    vs the brute-force baseline):
+
+    - ``lsh``: random-hyperplane bucketing — scores only same-band
+      candidates; no training step, recall tuned by (planes, bands).
+    - ``ivf``: inverted-file — deterministic spherical-k-means coarse
+      quantizer trained on a bounded sample, corpus assigned to nearest
+      list in one Arrow/numpy pass, queries probe the n_probe nearest
+      lists. Scoring volume ≈ corpus × n_probe / n_lists.
+    """
+    from volga_spark.operators.similarity import ivf_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, k=5, n_planes=16, bands=8, dim=64).select(
-        "query_id", "neighbor_id", "rank"
+    lsh = lsh_topk(emb, queries, k=5, n_planes=16, bands=8, dim=64).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
     )
+    ivf = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=8).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank"
+    )
+    return lsh.unionAll(ivf)
