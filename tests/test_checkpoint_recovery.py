@@ -100,3 +100,83 @@ def test_stateful_stream_recovers_from_checkpoint(spark, tmp_path):
     assert res.to_dict() == expected
     # no duplicates across the restart (exactly-once sink semantics)
     assert res.index.is_unique
+
+
+def test_tiled_stream_recovers_from_checkpoint(spark, tmp_path):
+    """Same kill+restart drill through the TILED handler: the state column
+    (tile partials + head + cursors) rides Spark's checkpoint, the spilled
+    row store persists on disk across the restart, and windows spanning the
+    restart boundary must retract spilled rows exactly once. Granularity is
+    set well below the window so interior tiles + spill are actually in play
+    before the kill."""
+    from volga_spark.streaming.tiled_window import (
+        TiledCateSpec,
+        TiledSpec,
+        tiled_sliding_window_stream,
+    )
+
+    src = str(tmp_path / "src_t")
+    ckpt = str(tmp_path / "ckpt_t")
+    outp = str(tmp_path / "out_t")
+    spill = str(tmp_path / "rowstore_t")
+    os.makedirs(src)
+    base = 1_700_000_000
+
+    def run():
+        schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = tiled_sliding_window_stream(
+            stream,
+            key_cols="user_id",
+            ts_col="ts",
+            frame=range_frame("10 minutes"),
+            specs=[
+                TiledSpec("cnt", "count", "vc", "bigint"),
+                TiledSpec("sum_c", "sum", "vc", "double", finish=lambda s: s / 100.0),
+                TiledCateSpec("sc", "sum", "vc", "cat", scale=100.0),
+            ],
+            passthrough=["event_id"],
+            lateness="0 seconds",
+            granularity="1 minute",
+            spill_root=spill,
+            prepared={
+                "vc": (F.round(F.col("value") * 100)).cast("long"),
+                "cat": F.when(F.col("value") < 3.5, "lo").otherwise("hi"),
+            },
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    _write_chunk(src, [(1, 1, base + 0, 1.0), (2, 1, base + 60, 2.0)], 0)
+    _write_chunk(src, [(3, 1, base + 120, 3.0), (4, 2, base + 120, 4.0)], 1)
+    run()
+    _write_chunk(src, [(5, 1, base + 180, 5.0), (6, 2, base + 240, 6.0)], 2)
+    _write_chunk(src, [(-1, 1, base + 3600, 0.0), (-2, 2, base + 3600, 0.0)], 3)
+    _write_chunk(src, [(-3, 1, base + 7200, 0.0), (-4, 2, base + 7200, 0.0)], 4)
+    run()
+
+    res = (
+        spark.read.parquet(outp)
+        .filter(F.col("event_id") > 0)
+        .select("event_id", "cnt", "sum_c", "sc")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert res["sum_c"].to_dict() == {1: 1.0, 2: 3.0, 3: 6.0, 4: 4.0, 5: 11.0, 6: 10.0}
+    assert res["cnt"].to_dict() == {1: 1, 2: 2, 3: 3, 4: 1, 5: 4, 6: 2}
+    assert res.loc[5, "sc"] == "hi:5,lo:6"  # 5.0 is hi; 2.0+3.0+1.0? window=[t-10m]
+    assert res.index.is_unique
