@@ -126,3 +126,21 @@ def test_parallelism_and_operator_overrides_change_plan(spark, sf_dir):
     a = base.build(spark).orderBy("event_id").toPandas()
     b = tuned.build(spark).orderBy("event_id").toPandas()
     assert (a["sc"].values == b["sc"].values).all()
+
+
+def test_event_time_spec_sets_watermark(spark, sf_dir):
+    """The spec's event_time (col, lateness) must land as an
+    EventTimeWatermark on streaming sources (reference compiler.rs:125-128)."""
+    from volga_spark.streaming.sources import chunked_file_stream
+
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=2)
+    spec = PipelineSpec(
+        sql="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        sources=[SourceSpec("events", dataframe=stream)],
+        execution_mode="streaming",
+        event_time=("ts", "42 seconds"),
+    )
+    df = spec.build(spark)
+    assert df.isStreaming
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan and "42 seconds" in plan

@@ -226,6 +226,13 @@ class PipelineSpec:
     that window's sweep operator — e.g. ``{"w_long": {"bucket_by": "1 day"}}``
     turns on the hot-key time-bucket splitter for one window only. Overridden
     windows never reuse upstream partitioning (their plan shape is explicit).
+
+    ``event_time`` mirrors the reference spec's per-pipeline event-time
+    declaration (column name + allowed lateness; reference compiler.rs:125-128
+    attaches it to the nearest window as the watermark/lateness config): in
+    streaming mode every streaming source carrying the column gets
+    ``withWatermark(col, lateness)`` before SQL assembly, so watermark
+    placement is declarative in the spec rather than imperative per source.
     """
 
     sql: str
@@ -233,10 +240,16 @@ class PipelineSpec:
     execution_mode: str = "batch"  # batch | streaming
     parallelism: int | None = None
     operator_overrides: dict = field(default_factory=dict)
+    event_time: tuple[str, str] | None = None  # (column, allowed lateness)
 
     def build(self, spark: SparkSession) -> DataFrame:
         for src in self.sources:
-            src.load(spark).createOrReplaceTempView(src.name)
+            df = src.load(spark)
+            if self.event_time is not None and df.isStreaming:
+                col, lateness = self.event_time
+                if col in df.columns:
+                    df = df.withWatermark(col, lateness)
+            df.createOrReplaceTempView(src.name)
 
         sql = _rewrite_where_family(self.sql)
         windows = _parse_windows(sql)
