@@ -15,8 +15,11 @@ restatement of that design for ``applyInPandasWithState``:
   input column. For a window of length L at granularity g that is
   O(L/g + head) instead of O(rows in window).
 - Raw rows of closed buckets move to a **spilled row store** (parquet files
-  per (state bucket, time bucket) under ``spill_dir``) — the Spark analog of
-  the reference BatchStore's ``Stored`` tier. They are re-read only when the
+  per (state bucket, time bucket) under ``spill_root``) — the Spark analog of
+  the reference BatchStore's ``Stored`` tier. On a cluster, point
+  ``spill_root`` at shared storage (HDFS/S3 — the same class of location as
+  the checkpoint dir) so the store survives executor loss and state-bucket
+  re-placement; the default /tmp path is for local mode. They are re-read only when the
   window's *start edge* sweeps through their bucket (at most ~1-2 buckets per
   micro-batch), exactly the reference's "edge gap scan"
   (aggregates/plain_points.rs raw_gaps_excluding_tiles).
