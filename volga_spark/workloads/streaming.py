@@ -298,6 +298,53 @@ def q_stream_tiled_window(spark, sf_dir):
 
 
 @workload(
+    "q_stream_sessionize",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE OR
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS session_value
+        FROM sess GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session"),
+)
+def q_stream_sessionize(spark, sf_dir):
+    """STREAMING sessionization via Spark's native ``session_window`` (gap
+    merge in the state store — session *group* windows are absent from the
+    reference entirely, SURVEY §2.12; free on Spark). Must equal the batch
+    gap-sessionization oracle: a session's start, event count, and exact
+    cents value per (user, 30-minute-gap session). Watermarked; drained with
+    availableNow so every session closes."""
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "session_value"
+            ),
+            F.min("ts").alias("session_start"),
+        )
+    )
+    res = run_available_now_to_memory(agg, output_mode="complete")
+    return res.select("user_id", "session_start", "n_events", "session_value")
+
+
+@workload(
     "q_stream_upsert_sink",
     oracle="""
         SELECT user_id, event_id, event_type, value
