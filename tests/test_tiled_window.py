@@ -361,3 +361,119 @@ def test_top_ratio_ordered_specs_vs_untiled_accumulators(tmp_path):
         assert got.loc[rid, "t1r"] == fr.top1_ratio(), rid
         assert got.loc[rid, "tks"] == ga.result(), rid
         assert got.loc[rid, "tvr"] == rt.result(), rid
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @st.composite
+    def _scenario(draw):
+        n = draw(st.integers(min_value=30, max_value=250))
+        n_keys = draw(st.integers(min_value=1, max_value=3))
+        window_ms = draw(st.sampled_from([40, 170, 400, 1000]))
+        gran_ms = draw(st.sampled_from([25, 50, 100]))
+        ts = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=n * 40),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        vals = draw(
+            st.lists(
+                st.integers(min_value=-99, max_value=99), min_size=n, max_size=n
+            )
+        )
+        cuts = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=1, max_value=n - 1),
+                    min_size=0,
+                    max_size=5,
+                    unique=True,
+                )
+            )
+        ) if n > 1 else []
+        return n, n_keys, window_ms, gran_ms, ts, vals, cuts
+
+    @settings(max_examples=40, deadline=None)
+    @given(_scenario())
+    def test_property_tiled_core_matches_bruteforce(tmp_path_factory, scen):
+        """Random rows, duplicate timestamps, random batch boundaries, random
+        window/granularity ratios (window below, equal to, and far above the
+        granularity): the tiled core must emit every row exactly once with
+        exact count/sum/min values."""
+        n, n_keys, window_ms, gran_ms, ts, vals, cuts = scen
+        tmp = tmp_path_factory.mktemp("prop")
+        rows = pd.DataFrame(
+            {
+                KEY: (np.arange(n) % n_keys).astype(np.int64),
+                TS: np.array(ts, dtype=np.int64) * MS,
+                "v": np.array(vals, dtype=np.int64),
+                "rid": np.arange(n, dtype=np.int64),
+            }
+        )
+        core = _GroupCore(
+            keys=[KEY],
+            inputs=["v"],
+            out_pass=["rid"],
+            length_us=window_ms * MS,
+            gran_us=gran_ms * MS,
+            specs=[
+                TiledSpec("cnt", "count", "v", "bigint"),
+                TiledSpec("s", "sum", "v", "bigint"),
+                TiledSpec("mn", "min", "v", "bigint"),
+            ],
+            spill_path=str(tmp / "spill"),
+        )
+
+        def batches():
+            bounds = [0] + cuts + [n]
+            wm = -(10**12)
+            for i in range(len(bounds) - 1):
+                chunk = rows.iloc[bounds[i] : bounds[i + 1]]
+                yield chunk, wm
+                if len(chunk):
+                    wm = max(wm, int(chunk[TS].max()))
+            yield rows.iloc[:0], int(rows[TS].max()) + 10**12
+
+        res, _, _ = _drive(core, batches())
+        got = res.set_index("rid").sort_index()
+
+        # simulate the handler's ingest/emit contract exactly (shared with
+        # the untiled handler): a row ingests iff ts > max(key cursor, batch
+        # watermark); buffered rows emit once the watermark passes them, and
+        # the cursor then blocks later-batch rows at or before it
+        cursor: dict = {}
+        buffered: list = []
+        survivors: set = set()
+        for chunk, wm in batches():
+            for k, t, rid in zip(chunk[KEY], chunk[TS], chunk["rid"]):
+                if t > max(cursor.get(k, -(10**18)), wm):
+                    buffered.append((k, int(t), int(rid)))
+            still = []
+            for k, t, rid in buffered:
+                if t <= wm and t > cursor.get(k, -(10**18)):
+                    survivors.add(rid)
+                else:
+                    still.append((k, t, rid))
+            for k, t, rid in buffered:
+                if rid in survivors:
+                    cursor[k] = max(cursor.get(k, -(10**18)), t)
+            buffered = still
+        assert set(got.index) == survivors
+        surv_rows = rows[rows["rid"].isin(survivors)]
+        exp = _brute(surv_rows, window_ms * MS)
+        for rid in got.index:
+            for c in ("cnt", "s", "mn"):
+                assert got.loc[rid, c] == exp.loc[rid, c], (rid, c)
