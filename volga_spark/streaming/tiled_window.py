@@ -787,11 +787,19 @@ class _GroupCore:
         dyn_s2 = [0.0] * ni
         mm = [MinMaxAcc() if need_mm[j] else None for j in range(ni)]
         # dynamic per-category sub-accumulators — the same arithmetic the
-        # untiled CateAccumulator runs, minus its CSV cache (merging with
-        # static partials happens at render time)
+        # untiled CateAccumulator runs; rendering caches per-category parts
+        # and re-formats only categories a step touched (per-row render cost
+        # O(changed), mirroring the untiled CSV cache)
         cdyn: list[dict] = [{} for _ in range(nc)]
-        hdyn: list[Counter] = [Counter() for _ in range(nt)]
-        rdyn: list[dict] = [{} for _ in range(nrt)]
+        cparts: list[dict] = [{} for _ in range(nc)]
+        cdirty: list[set] = [set() for _ in range(nc)]
+        # top/ratio keep the MERGED structure incrementally (static copy +
+        # dynamic steps applied in place) — no per-row Counter re-merge
+        hmerged: list[Counter] = [c.copy() for c in hstatic]
+        htotal: list[int] = [sum(c.values()) for c in hstatic]
+        rmerged: list[dict] = [
+            {cat: list(v) for cat, v in m.items()} for m in rstatic
+        ]
 
         def cate_step(j, idx, sign):
             vals, cats, conds = craw[j]
@@ -799,6 +807,7 @@ class _GroupCore:
             if cat is None or v is None or (conds is not None and not conds[idx]):
                 return
             cat = cat.item() if hasattr(cat, "item") else cat
+            cdirty[j].add(cat)
             acc = cdyn[j].get(cat)
             if sign > 0:
                 if acc is None:
@@ -814,9 +823,10 @@ class _GroupCore:
             if v is None:
                 return
             v = v.item() if hasattr(v, "item") else v
-            hdyn[j][v] += sign
-            if hdyn[j][v] == 0:
-                del hdyn[j][v]
+            hmerged[j][v] += sign
+            htotal[j] += sign
+            if hmerged[j][v] == 0:
+                del hmerged[j][v]
 
         def ratio_step(j, idx, sign):
             vals, conds, cats = rraw[j]
@@ -824,14 +834,12 @@ class _GroupCore:
             if cat is None or v is None:
                 return
             cat = cat.item() if hasattr(cat, "item") else cat
-            cur = rdyn[j].get(cat)
+            cur = rmerged[j].get(cat)
             if cur is None:
-                cur = rdyn[j][cat] = [0, 0]
+                cur = rmerged[j][cat] = [0, 0]
             cur[0] += sign
             if conds[idx]:
                 cur[1] += sign
-            if cur[0] == 0:
-                del rdyn[j][cat]
 
         nr = len(raw_ts)
         out_vals: dict[str, list] = {
@@ -887,14 +895,17 @@ class _GroupCore:
                 out_vals[s.name].append(val)
             for j, s in enumerate(self.cate_specs):
                 out_vals[s.name].append(
-                    self._render_cate(s, cstatic[j], cdyn[j])
+                    self._render_cate(
+                        s, cstatic[j], cdyn[j], cparts[j], cdirty[j]
+                    )
                 )
+                cdirty[j].clear()
             for j, s in enumerate(self.top_specs):
-                out_vals[s.name].append(self._render_top(s, hstatic[j], hdyn[j]))
-            for j, s in enumerate(self.ratio_specs):
                 out_vals[s.name].append(
-                    self._render_ratio(s, rstatic[j], rdyn[j])
+                    self._render_top(s, hmerged[j], htotal[j])
                 )
+            for j, s in enumerate(self.ratio_specs):
+                out_vals[s.name].append(self._render_ratio(s, rmerged[j]))
 
         n_emit = len(emit_idx)
         res = {k: [kv] * n_emit for k, kv in zip(self.keys, kt)}
@@ -934,22 +945,26 @@ class _GroupCore:
         return math.sqrt(max(m2, 0.0) / (N - 1))
 
     @staticmethod
-    def _render_cate(spec, static_map, dyn_map) -> str:
+    def _render_cate(spec, static_map, dyn_map, parts_cache, dirty) -> str:
         """Merge static tile partials with dynamic sub-accumulators per
         category and render the reference CSV — plain form sorts the
         "cat:val" parts (CateAccumulator.result()); the top_n form
         (spec.order set) orders by category desc / metric desc with
-        category-desc tiebreak and limits to k (GroupedAggTopK.result())."""
+        category-desc tiebreak and limits to k (GroupedAggTopK.result()).
+
+        ``parts_cache`` keeps {cat: (metric, part_str)} across emissions of
+        one key sweep; only categories a step marked ``dirty`` re-evaluate —
+        the same O(changed-categories) render cost as the untiled cache."""
         op, scale = spec.op, spec.scale
-        items = []
-        for cat in static_map.keys() | dyn_map.keys():
+
+        def _eval(cat):
             sn, ss, smn, smx = static_map.get(cat, (0, 0, None, None))
             acc = dyn_map.get(cat)
             dn = acc.sum.n if acc is not None else 0
             ds = acc.sum.s if acc is not None else 0
             N = sn + dn
             if N == 0:
-                continue
+                return None
             if op == "count":
                 metric = N
             elif op == "sum":
@@ -963,16 +978,31 @@ class _GroupCore:
                 s_ext = smn if op == "min" else smx
                 cands = [v for v in (s_ext, dmm) if v is not None]
                 if not cands:
-                    continue
+                    return None
                 metric = (min(cands) if op == "min" else max(cands)) / scale
             cat_s = scalar_to_string(cat)
             m_s = scalar_to_string(metric)
             if cat_s is None or m_s is None:
-                continue
-            items.append((cat, metric, f"{cat_s}:{m_s}"))
+                return None
+            return (metric, f"{cat_s}:{m_s}")
+
+        for cat in dirty:
+            r = _eval(cat)
+            if r is None:
+                parts_cache.pop(cat, None)
+            else:
+                parts_cache[cat] = r
+        for cat in static_map.keys() | dyn_map.keys():
+            if cat not in parts_cache and cat not in dirty:
+                r = _eval(cat)
+                if r is not None:
+                    parts_cache[cat] = r
+
         if spec.order is None:
-            parts = sorted(p for _, _, p in items)
-            return join_csv(parts)
+            return join_csv(sorted(p for _, p in parts_cache.values()))
+        items = [
+            (cat, metric, p) for cat, (metric, p) in parts_cache.items()
+        ]
         if spec.order == "key":
             items.sort(key=lambda it: it[0], reverse=True)
         else:
@@ -980,31 +1010,28 @@ class _GroupCore:
         return join_csv([p for _, _, p in items[: spec.k]])
 
     @staticmethod
-    def _render_top(spec, static_counter, dyn_counter):
-        """Delegate to the untiled accumulators over the merged multiset so
-        rendering is bit-identical to the non-tiled path."""
-        merged = static_counter + dyn_counter  # Counter add drops zeros
+    def _render_top(spec, merged, total):
+        """Delegate to the untiled accumulators over the incrementally
+        maintained merged multiset — bit-identical to the non-tiled path."""
         if spec.op == "top":
             acc = TopValueAccumulator(spec.k)
             acc.counts = merged
             return acc.result()
         acc = FrequencyAccumulator(spec.k)
         acc.counts = merged
-        acc.total = sum(merged.values())
+        acc.total = total
         return acc.topn() if spec.op == "topn_frequency" else acc.top1_ratio()
 
     @staticmethod
-    def _render_ratio(spec, static_map, dyn_map) -> str:
-        """RatioTopK.result() over merged (rows, cond-true) pairs."""
-        cats = static_map.keys() | dyn_map.keys()
+    def _render_ratio(spec, merged) -> str:
+        """RatioTopK.result() over the incrementally merged (rows,
+        cond-true) pairs; entries whose row count hit zero stay in the map
+        and are skipped here (same as RatioTopK's deletion)."""
         items = []
-        for cat in cats:
-            sd, sn = static_map.get(cat, (0, 0))
-            dd, dn = dyn_map.get(cat, (0, 0))
-            den = sd + dd
+        for cat, (den, num) in merged.items():
             if den <= 0:
                 continue
-            items.append((cat, (sn + dn) / den))
+            items.append((cat, num / den))
         if spec.order == "key":
             items.sort(key=lambda cm: cm[0], reverse=True)
         else:
