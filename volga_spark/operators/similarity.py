@@ -275,7 +275,7 @@ def ivf_topk(
         return out.select(F.col("__id").alias(ident), "list_id")
 
     cand = (
-        assigned(queries, n_probe, "qid")
+        F.broadcast(assigned(queries, n_probe, "qid"))  # n_queries × n_probe rows
         .join(assigned(corpus, 1, "cid"), "list_id")
         .filter(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
