@@ -144,3 +144,32 @@ def test_event_time_spec_sets_watermark(spark, sf_dir):
     assert df.isStreaming
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan and "42 seconds" in plan
+
+
+def test_reference_readme_pipeline_shape(spark, sf_dir):
+    """The reference README's request-path pipeline query (README.md:152-186:
+    count/sum/topn_frequency over a named RANGE window with the
+    INTERVAL '1 hour' spelling) compiles and runs through PipelineSpec with
+    only the standard-SQL WINDOW-clause placement; column names mapped onto
+    the events table (amount→value, category→event_type)."""
+    from volga_spark.tables import load_table
+
+    sql = """
+    SELECT
+      user_id,
+      count(*) OVER w AS purchases_1h,
+      sum(value) OVER w AS spent_1h,
+      topn_frequency(event_type, 3) OVER w AS top_categories_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """
+    events = load_table(spark, sf_dir, "events")
+    spec = PipelineSpec(sql=sql, sources=[SourceSpec("events", dataframe=events)])
+    out = spec.build(spark).toPandas()
+    assert len(out) == events.count()
+    assert set(out.columns) == {
+        "user_id", "purchases_1h", "spent_1h", "top_categories_1h"
+    }
+    assert (out["purchases_1h"] >= 1).all()
+    assert out["top_categories_1h"].str.len().gt(0).all()

@@ -52,9 +52,11 @@ _TOPN_RE = re.compile(
 _WINDOW_CLAUSE_RE = re.compile(
     r"WINDOW\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# interval accepts the reference README's three spellings: INTERVAL '600'
+# SECOND, INTERVAL '1 hour' (unit inside the quotes), INTERVAL 600 SECOND
 _WINDOW_DEF_RE = re.compile(
     r"(\w+)\s+AS\s*\(\s*PARTITION\s+BY\s+([\w,\s]+?)\s+ORDER\s+BY\s+(\w+)\s+"
-    r"(?:RANGE\s+BETWEEN\s+INTERVAL\s+'?(\d+)'?\s+(\w+)\s+PRECEDING"
+    r"(?:RANGE\s+BETWEEN\s+INTERVAL\s+'?(\d+)'?\s+(\w+?)'?\s+PRECEDING"
     r"|ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING)\s+AND\s+CURRENT\s+ROW\s*\)",
     re.IGNORECASE,
 )
