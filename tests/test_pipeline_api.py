@@ -173,3 +173,45 @@ def test_reference_readme_pipeline_shape(spark, sf_dir):
     }
     assert (out["purchases_1h"] >= 1).all()
     assert out["top_categories_1h"].str.len().gt(0).all()
+
+
+def test_linear_pipeline_entry_point(spark, sf_dir, tmp_path):
+    """SURVEY §3.2 entry point B: Source→Map→KeyBy→Reduce→Sink linear chain
+    (reference from_linear_operators) with the ReduceFunction's fixed
+    min/max/sum/count/avg output shape, validated like the reference
+    (reduce without key_by raises)."""
+    import pytest as _pytest
+
+    from volga_spark.api import LinearPipeline
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        LinearPipeline.source(ev)
+        .map(exprs={"vc": (F.round(F.col("value") * 100)).cast("long")})
+        .filter(F.col("value") > 0)
+        .key_by("event_type")
+        .reduce("vc")
+    )
+    got = out.orderBy("event_type").toPandas()
+    exp = (
+        ev.withColumn("vc", (F.round(F.col("value") * 100)).cast("long"))
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.min("vc").alias("min"), F.max("vc").alias("max"),
+            F.sum("vc").alias("sum"), F.count("vc").alias("count"),
+            F.avg("vc").alias("avg"),
+        )
+        .orderBy("event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    with _pytest.raises(ValueError, match="key_by"):
+        LinearPipeline.source(ev).reduce("value")
+
+    # sink stage round-trips
+    p = str(tmp_path / "lin_out")
+    LinearPipeline.source(ev.limit(5)).sink_parquet(p)
+    assert spark.read.parquet(p).count() == 5
