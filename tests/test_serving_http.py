@@ -96,3 +96,63 @@ def test_http_epoch_ms_and_errors(spark, service):
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_http_serves_stream_built_tiles(spark, sf_dir):
+    """The full product loop in one test (the reference's 'queryable state'
+    headline): streaming write path folds micro-batches into the tile table
+    → TiledFeatureService answers point-in-time lookups over HTTP from tiles
+    + raw edges → responses equal the naive full-scan lookup."""
+    import datetime
+
+    from volga_spark.operators.tiles import TiledFeatureService
+    from volga_spark.streaming.sources import chunked_file_stream
+    from volga_spark.streaming.tile_sink import stream_build_tiles
+
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=3)
+    tiles = stream_build_tiles(
+        stream.select("user_id", "ts", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        granularity="1 minute",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    svc = TiledFeatureService(
+        ev.select("user_id", "ts", "value"),
+        tiles,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("1 hour"),
+    )
+    pts = ev.orderBy("event_id").limit(4).select("event_id", "user_id", "ts").collect()
+    with FeatureServer(spark, svc) as srv:
+        status, body = _post(
+            srv.port,
+            {
+                "requests": [
+                    {
+                        "request_id": r.event_id,
+                        "user_id": r.user_id,
+                        "ts": (r.ts + datetime.timedelta(seconds=1)).isoformat(),
+                    }
+                    for r in pts
+                ]
+            },
+        )
+    assert status == 200
+    served = {f["request_id"]: (f["cnt"], f["sum_value"]) for f in body["features"]}
+    # ground truth: naive trailing-window scan per request point
+    for r in pts:
+        rts = r.ts + datetime.timedelta(seconds=1)
+        w = ev.filter(
+            (F.col("user_id") == r.user_id)
+            & (F.col("ts") >= rts - datetime.timedelta(hours=1))
+            & (F.col("ts") <= rts)
+        )
+        row = w.agg(
+            F.count("value").alias("c"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("s"),
+        ).first()
+        assert served[r.event_id] == (row.c, row.s), r.event_id

@@ -55,6 +55,53 @@ def build_tiles(
     )
 
 
+class TiledFeatureService:
+    """Request-serving over TILED state — the reference's "queryable state"
+    loop (README feature list + window_request_operator.rs): the streaming
+    write path maintains the tile table (``stream_build_tiles``), and point
+    lookups answer from interior tiles + raw edge rows without rescanning
+    the window. Duck-typed to ``FeatureService`` (key_cols / ts_col /
+    get_features), so ``api.serving.FeatureServer`` serves it over HTTP
+    unchanged."""
+
+    def __init__(
+        self,
+        events: DataFrame,
+        tiles: DataFrame,
+        key_cols,
+        ts_col: str,
+        value_col: str,
+        frame: RangeFrame,
+        granularity: str = "1 minute",
+    ):
+        self.events = events
+        self.tiles = tiles
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.frame = frame
+        self.granularity = granularity
+
+    def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+        return tiled_lookup(
+            self.events,
+            requests,
+            key_cols=self.key_cols,
+            ts_col=self.ts_col,
+            value_col=self.value_col,
+            frame=self.frame,
+            granularity=self.granularity,
+            request_id_col=request_id_col,
+            tiles=self.tiles,
+        )
+
+    def get_features(self, spark, points: list[tuple]) -> list[dict]:
+        """points = [(request_id, key..., ts)] → list of feature dicts."""
+        cols = ["request_id", *self.key_cols, self.ts_col]
+        req = spark.createDataFrame(points, cols)
+        return [r.asDict() for r in self.lookup(req).collect()]
+
+
 def tiled_lookup(
     events: DataFrame,
     requests: DataFrame,
