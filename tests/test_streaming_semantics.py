@@ -126,3 +126,36 @@ def test_feature_service_lookup(spark, sf_dir):
     feats = svc.get_features(spark, [(1, anchor.user_id, anchor.ts)])
     assert len(feats) == 1
     assert feats[0]["cnt_1h"] >= 1  # at least the anchor event in its window
+
+
+def test_datagen_string_and_processing_ts_generators(spark):
+    """The two remaining reference field generators: String (deterministic
+    md5-derived, bit-identical in DuckDB) and ProcessingTimestamp
+    (wall-clock; declared non-oracle-able)."""
+    import duckdb
+    import pytest as _pytest
+
+    from volga_spark.sources.datagen import DatagenSpec, FieldSpec, duck_generate_sql, generate
+
+    spec = DatagenSpec(
+        n_rows=20,
+        fields=[
+            FieldSpec("rid", "increment"),
+            FieldSpec("s", "string", seed=7, length=10),
+        ],
+    )
+    got = {r.rid: r.s for r in generate(spark, spec).collect()}
+    duck = duckdb.connect().execute(
+        f"SELECT rid, s FROM {duck_generate_sql(spec)}"
+    ).fetchall()
+    assert got == dict(duck) and len(got) == 20
+    assert all(len(v) == 10 for v in got.values())
+
+    pspec = DatagenSpec(
+        n_rows=3,
+        fields=[FieldSpec("rid", "increment"), FieldSpec("pt", "processing_timestamp")],
+    )
+    rows = generate(spark, pspec).collect()
+    assert all(r.pt is not None for r in rows)
+    with _pytest.raises(ValueError, match="not oracle-able"):
+        duck_generate_sql(pspec)

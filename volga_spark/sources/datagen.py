@@ -2,8 +2,9 @@
 
 Mirrors the reference's DatagenSourceConfig field generators (reference
 src/runtime/functions/source/datagen_source.rs:28-36,71-93):
-IncrementalTimestamp / Key{num_unique} / Increment / Uniform / Values
-(round-robin) — expressed as pure column recipes over ``spark.range`` so
+IncrementalTimestamp / ProcessingTimestamp / String / Key{num_unique} /
+Increment / Uniform / Values (round-robin) — expressed as pure column
+recipes over ``spark.range`` so
 generation distributes across partitions with no driver-side data, and so
 the same closed-form arithmetic can be reproduced by any engine (the DuckDB
 oracle regenerates the identical rows from ``range()``).
@@ -43,11 +44,25 @@ class FieldSpec:
     seed: int = 1
     # values: round-robin list
     values: tuple = ()
+    # string: deterministic md5-derived text of this length
+    length: int = 8
 
     def column(self, i) -> F.Column:
         if self.kind == "incremental_timestamp":
             return F.timestamp_micros(
                 F.lit(self.start_s * 1_000_000) + i * F.lit(self.step_ms * 1000)
+            )
+        if self.kind == "processing_timestamp":
+            # wall-clock at generation (reference ProcessingTimestamp) —
+            # inherently non-deterministic, so no oracle form exists
+            return F.current_timestamp()
+        if self.kind == "string":
+            # deterministic "random-looking" text: md5 of the row index
+            # (+seed), truncated — reproducible on any engine
+            return F.substring(
+                F.md5(F.concat(F.lit(str(self.seed) + ":"), i.cast("string"))),
+                1,
+                self.length,
             )
         if self.kind == "key":
             return F.concat(F.lit("k"), (i % F.lit(self.num_unique)).cast("string"))
@@ -74,6 +89,13 @@ class FieldSpec:
             return (
                 f"make_timestamp(CAST({self.start_s} AS BIGINT) * 1000000"
                 f" + {i} * {self.step_ms * 1000}) AS {self.name}"
+            )
+        if self.kind == "processing_timestamp":
+            raise ValueError("processing_timestamp is wall-clock — not oracle-able")
+        if self.kind == "string":
+            return (
+                f"substr(md5('{self.seed}:' || CAST({i} AS VARCHAR)), 1, "
+                f"{self.length}) AS {self.name}"
             )
         if self.kind == "key":
             return f"'k' || CAST({i} % {self.num_unique} AS VARCHAR) AS {self.name}"
