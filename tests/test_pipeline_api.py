@@ -215,3 +215,37 @@ def test_linear_pipeline_entry_point(spark, sf_dir, tmp_path):
     p = str(tmp_path / "lin_out")
     LinearPipeline.source(ev.limit(5)).sink_parquet(p)
     assert spark.read.parquet(p).count() == 5
+
+
+def test_pipeline_spec_from_reference_json(spark, sf_dir):
+    """The reference Python client's JSON spec shape (README.md:152-186)
+    parses and runs: query/sources/execution_mode keys, parquet source
+    config; kafka sources raise with the gating instruction."""
+    import json
+
+    spec_json = {
+        "name": "user_features",
+        "execution_mode": "request",
+        "query": """
+            SELECT user_id,
+                   count(*) OVER w AS purchases_1h,
+                   topn_frequency(event_type, 3) OVER w AS top_categories
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        """,
+        "sources": [
+            {"name": "events", "type": "parquet",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+        ],
+    }
+    spec = PipelineSpec.from_json(json.dumps(spec_json))
+    out = spec.build(spark)
+    assert {"user_id", "purchases_1h", "top_categories"} <= set(out.columns)
+    assert out.count() > 0
+
+    with pytest.raises(ValueError, match="kafka"):
+        PipelineSpec.from_json(
+            {"query": "SELECT 1", "sources": [
+                {"name": "e", "type": "kafka", "config": {"topic": "t"}}]}
+        )

@@ -244,6 +244,47 @@ class PipelineSpec:
     operator_overrides: dict = field(default_factory=dict)
     event_time: tuple[str, str] | None = None  # (column, allowed lateness)
 
+    @classmethod
+    def from_json(cls, spec: str | dict) -> "PipelineSpec":
+        """Parse the reference Python client's JSON pipeline spec (reference
+        README.md:152-186: name / execution_mode / query / sources[], each
+        source {name, type, config}). Source types: ``parquet``
+        ({"path": ...}) maps directly; ``kafka`` requires the kafka jars
+        (same gate as streaming/sources.kafka_json_stream) and raises with
+        that instruction here; unknown types raise."""
+        import json as _json
+
+        d = _json.loads(spec) if isinstance(spec, str) else dict(spec)
+        sources = []
+        for s in d.get("sources", []):
+            stype = s.get("type", "parquet")
+            cfg = s.get("config", {})
+            if stype == "parquet":
+                sources.append(SourceSpec(s["name"], parquet=cfg["path"]))
+            elif stype == "kafka":
+                raise ValueError(
+                    "kafka source requires the spark-sql-kafka package on the "
+                    "classpath; build the stream with "
+                    "volga_spark.streaming.sources.kafka_json_stream and pass "
+                    "it as SourceSpec(name, dataframe=...)"
+                )
+            else:
+                raise ValueError(f"unknown source type {stype!r}")
+        mode = d.get("execution_mode", "batch")
+        if mode == "request":
+            # the read path is served by operators/request (point-in-time
+            # lookups over maintained state), not by this builder
+            mode = "batch"
+        et = d.get("event_time")
+        return cls(
+            sql=d.get("query") or d["sql"],
+            sources=sources,
+            execution_mode=mode,
+            parallelism=d.get("parallelism"),
+            operator_overrides=d.get("operator_overrides", {}),
+            event_time=tuple(et) if et else None,
+        )
+
     def build(self, spark: SparkSession) -> DataFrame:
         for src in self.sources:
             df = src.load(spark)
