@@ -100,6 +100,9 @@ def test_simhash_band_guard_and_fused_verify(spark, corpus):
     # bands must divide 64 (banding scale rule is meaningless otherwise)
     with _pytest.raises(ValueError, match="divide 64"):
         simhash_candidates(sh, "doc_id", bands=5)
+    # pigeonhole recall only holds for radius < bands
+    with _pytest.raises(ValueError, match="recall"):
+        simhash_candidates(sh, "doc_id", bands=4, radius=4)
     # fused hamming verify == unfused candidates + explicit hamming filter
     fused = {
         (r.id_a, r.id_b, r.hamming)

@@ -113,6 +113,47 @@ def test_core_exact_vs_bruteforce(tmp_path, batch_rows):
     assert np.allclose(got["a"].to_numpy(), exp["a"].to_numpy())
 
 
+def test_null_scalar_inputs_skipna_everywhere(tmp_path):
+    """Null/NaN scalar inputs must be skipped identically by BOTH evaluation
+    paths — tile partials (pandas skipna) and the raw edge/head sweep — so
+    count counts non-nulls, sums aren't NaN-poisoned, and an ALL-null closed
+    bucket round-trips as the empty partial (not NaN in the state slot)."""
+    core = _mk_core(tmp_path, 400, 50)
+    rng = np.random.default_rng(11)
+    n = 1200
+    ts = np.sort(rng.integers(0, n * MS, size=n)).astype(np.int64)
+    v = rng.integers(-50, 100, size=n).astype("float64")
+    v[rng.random(n) < 0.2] = np.nan  # scattered nulls
+    v[(ts >= 100 * MS) & (ts < 150 * MS)] = np.nan  # one all-null bucket
+    rows = pd.DataFrame(
+        {KEY: np.zeros(n, dtype=np.int64), TS: ts, "v": v,
+         "rid": np.arange(n, dtype=np.int64)}
+    )
+    wm = -(10**12)
+    batches = []
+    for i in range(0, n, 211):
+        chunk = rows.iloc[i : i + 211]
+        batches.append((chunk, wm))
+        wm = int(chunk[TS].max())
+    batches.append((rows.iloc[:0], int(rows[TS].max()) + 10**12))
+
+    res, _, _ = _drive(core, batches)
+    got = res.set_index("rid").sort_index()
+    assert len(got) == n
+    # null-skipping brute force (SQL aggregate semantics)
+    L = 400 * MS
+    for i in rng.choice(n, size=120, replace=False):
+        m = (ts >= ts[i] - L) & (ts <= ts[i])
+        w = v[m]
+        w = w[~np.isnan(w)]
+        assert got.loc[i, "cnt"] == len(w), i
+        if len(w):
+            assert got.loc[i, "s"] == w.sum(), i
+            assert got.loc[i, "mn"] == w.min() and got.loc[i, "mx"] == w.max(), i
+        else:
+            assert pd.isna(got.loc[i, "mn"]) and pd.isna(got.loc[i, "mx"]), i
+
+
 def test_core_multi_key_exact(tmp_path):
     n = 2000
     core = _mk_core(tmp_path, 300, 50)

@@ -25,12 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, w: int) -> DataFrame:
     """For every node u: connect each strictly-larger neighbor to
-    min(Γ(u) ∪ {u}). Output edges oriented (src > dst)."""
+    min(Γ(u) ∪ {u}). Output edges oriented (src > dst).
+
+    ``w`` scopes every shuffle in this round's plan: the explicit
+    ``repartition(w, src)`` provides the hash distribution the groupBy and
+    the join both require, so neither inserts its own session-width
+    exchange, and the closing distinct gets its width the same way."""
     nbrs = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).repartition(w, "src")
     mins = nbrs.groupBy("src").agg(
         F.least(F.min("dst"), F.col("src")).alias("m")
     )
@@ -38,16 +43,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
         nbrs.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .repartition(w, "src", "dst")
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, w: int) -> DataFrame:
     """For every node u (edges oriented src ≥ dst): connect u and all its
     ≤-neighbors to the minimum of the neighborhood."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    )
+    ).repartition(w, "src")
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     relinked = (
         oriented.join(mins, "src")
@@ -55,7 +61,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
     self_links = mins.select(F.col("src"), F.col("m").alias("dst"))
-    return relinked.union(self_links).distinct()
+    return (
+        relinked.union(self_links).repartition(w, "src", "dst").distinct()
+    )
 
 
 def connected_components(
@@ -73,47 +81,46 @@ def connected_components(
     used to be two; on an iterative algorithm the per-job fixed cost is the
     dominant term once components are small)."""
     spark = edges.sparkSession
+    # the iterated edge set shrinks toward a star forest within a couple of
+    # rounds; AQE coalesces reducers by bytes but each round's ~5 shuffles
+    # still pay per-task scheduling at the session width. Scope the loop's
+    # shuffle width down PER-PLAN via explicit repartition(loop_width, ...)
+    # inside the star rounds (the plans are tiny by construction: |E| ≤
+    # input) — never by mutating the session conf, which would leak into
+    # concurrently-planned queries. On a cluster with billions of edges the
+    # width follows the session conf, capped at 8 only for narrower sessions.
+    loop_width = min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("src"),
             F.least(F.col(src), F.col(dst)).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
+        .repartition(loop_width, "src", "dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # the iterated edge set shrinks toward a star forest within a couple of
-    # rounds; AQE coalesces reducers by bytes but each round's ~5 shuffles
-    # still pay per-task scheduling at the session width. Scope the loop's
-    # shuffle width down (the plans are tiny by construction: |E| ≤ input);
-    # restore afterwards so surrounding plans are untouched. On a cluster
-    # with billions of edges, raise via session conf — the loop honors it.
-    key = "spark.sql.shuffle.partitions"
-    old_width = spark.conf.get(key)
-    loop_width = min(int(old_width), 8)
     prev_sig = None
-    try:
-        spark.conf.set(key, str(loop_width))
-        for _ in range(max_rounds):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            # convergence = edge set stable (count + order-free xor hash;
-            # edges are distinct so xor is a sound set signature, and unlike
-            # sum it can't overflow under ANSI mode). This action also
-            # materializes the lazy checkpoint, so the next round reads
-            # cached blocks, not lineage.
-            sig = e.select(
-                F.count("*").alias("n"),
-                F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-            ).first()
-            if prev_sig == (sig.n, sig.h):
-                break
-            prev_sig = (sig.n, sig.h)
-        else:
-            raise RuntimeError(
-                f"connected_components: no convergence in {max_rounds} rounds"
-            )
-    finally:
-        spark.conf.set(key, old_width)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e, loop_width), loop_width).localCheckpoint(
+            eager=False
+        )
+        # convergence = edge set stable (count + order-free xor hash;
+        # edges are distinct so xor is a sound set signature, and unlike
+        # sum it can't overflow under ANSI mode). This action also
+        # materializes the lazy checkpoint, so the next round reads
+        # cached blocks, not lineage.
+        sig = e.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds"
+        )
     # converged edge set is a star forest: src → component root (= dst)
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

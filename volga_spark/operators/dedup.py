@@ -252,6 +252,14 @@ def simhash_candidates(
     buckets by a second chunk before pairing (the prefix-split)."""
     if 64 % bands != 0:
         raise ValueError(f"bands must divide 64 evenly, got {bands}")
+    if radius is not None and radius >= bands:
+        # pigeonhole only guarantees a pair within Hamming radius r shares
+        # ≥1 equal chunk when r < bands — beyond that the candidate set is
+        # silently incomplete while the fused filter makes it look exact
+        raise ValueError(
+            f"radius={radius} needs at least {radius + 1} bands for full "
+            f"recall (got bands={bands}); see the banding scale table above"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     carry = [id_col, "simhash"] if radius is not None else [id_col]

@@ -208,6 +208,7 @@ class _GroupCore:
         cate_specs=(),
         top_specs=(),
         ratio_specs=(),
+        int_inputs=frozenset(),
     ):
         self.keys = keys
         self.inputs = inputs  # scalar input columns (5 comps tiled each)
@@ -227,6 +228,7 @@ class _GroupCore:
         ]
         self.stored = list(dict.fromkeys(out_pass + inputs + cate_cols))
         self.spill_cols = list(dict.fromkeys(inputs + cate_cols))
+        self.int_inputs = frozenset(int_inputs)
         self.L = length_us
         self.g = gran_us
         self.specs = specs
@@ -592,14 +594,22 @@ class _GroupCore:
             kt = tuple(_py(a[r]) for a in key_arrs)
             comps = []
             for j in range(len(self.inputs)):
+                # canonical null handling (pandas partials are skipna): an
+                # all-null bucket is the EMPTY partial — and int columns
+                # that picked up NaN→float64 upcasts must come back to int
+                # before landing in an array<bigint> state slot (a float
+                # there silently nulls out on the state round-trip)
+                n_j = int(comp_arrs[f"__n{j}"][r])
+                if n_j == 0:
+                    comps.append((0, 0, 0.0, None, None))
+                    continue
+                s_v = _py(comp_arrs[f"__s{j}"][r])
+                mn_v = _py(comp_arrs[f"__mn{j}"][r])
+                mx_v = _py(comp_arrs[f"__mx{j}"][r])
+                if self.inputs[j] in self.int_inputs:
+                    s_v, mn_v, mx_v = int(s_v), int(mn_v), int(mx_v)
                 comps.append(
-                    (
-                        int(comp_arrs[f"__n{j}"][r]),
-                        _py(comp_arrs[f"__s{j}"][r]),
-                        float(comp_arrs[f"__s2{j}"][r]),
-                        _py(comp_arrs[f"__mn{j}"][r]),
-                        _py(comp_arrs[f"__mx{j}"][r]),
-                    )
+                    (n_j, s_v, float(comp_arrs[f"__s2{j}"][r]), mn_v, mx_v)
                 )
             st["tiles"][(kt, int(b0_arr[r]))] = {
                 "sc": comps,
@@ -716,10 +726,16 @@ class _GroupCore:
                 n_, s_, s2_, mn_, mx_ = tile["sc"][j]
                 agg = static[j]
                 agg[0] += n_
-                agg[1] += s_
-                agg[2] += s2_
-                agg[3] = mn_ if agg[3] is None else min(agg[3], mn_)
-                agg[4] = mx_ if agg[4] is None else max(agg[4], mx_)
+                # an all-null bucket stores n=0 with null sum/min/max
+                # (pandas skipna partials) — merge as the empty partial
+                if s_ is not None:
+                    agg[1] += s_
+                if s2_ is not None:
+                    agg[2] += s2_
+                if mn_ is not None:
+                    agg[3] = mn_ if agg[3] is None else min(agg[3], mn_)
+                if mx_ is not None:
+                    agg[4] = mx_ if agg[4] is None else max(agg[4], mx_)
             for j in range(nc):
                 acc = cstatic[j]
                 for cat, (n_, s_, mn_, mx_) in tile["cate"][j].items():
@@ -748,6 +764,23 @@ class _GroupCore:
         b_hi = (last_start // self.g) * self.g
         edge = None
         if b_hi >= b_lo:
+            # every closed bucket this key has a tile for in the edge range
+            # MUST be covered by a spill file — a restart pointed at a
+            # fresh/misconfigured spill_root would otherwise silently
+            # compute edge windows without their spilled rows
+            idx = self._spill_index()
+            for (tkt, b0) in st["tiles"]:
+                if tkt != kt or not (b_lo <= b0 <= b_hi):
+                    continue
+                if not any(lo <= b0 <= hi for lo, hi, _ in idx):
+                    raise RuntimeError(
+                        f"tiled window spill tier at {self.spill_path!r} has "
+                        f"no file covering closed bucket {b0} required by an "
+                        f"edge window — on restart, spill_root must resolve "
+                        f"to the SAME durable path the original run wrote "
+                        f"(pass spill_root explicitly or keep the default, "
+                        f"which derives from the stable streaming query id)"
+                    )
             pdf = self._read_spill_buckets(b_lo, b_hi)
             if pdf is not None and len(pdf):
                 m = pdf[TS] >= first_start
@@ -855,6 +888,8 @@ class _GroupCore:
             while hi < nr and raw_ts[hi] <= t:
                 for j in range(ni):
                     v = raw_vals[j][hi]
+                    if v is None or v != v:  # null/NaN: skip, matching the
+                        continue  # tile partials' pandas skipna semantics
                     dyn_n[j] += 1
                     dyn_s[j] += v
                     dyn_s2[j] += float(v) * float(v)
@@ -871,6 +906,8 @@ class _GroupCore:
             while lo < hi and raw_ts[lo] < bound:
                 for j in range(ni):
                     v = raw_vals[j][lo]
+                    if v is None or v != v:
+                        continue
                     dyn_n[j] -= 1
                     dyn_s[j] -= v
                     dyn_s2[j] -= float(v) * float(v)
@@ -1085,9 +1122,15 @@ def tiled_sliding_window_stream(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     L = frame.micros
     g = interval_to_micros(granularity) if granularity else _auto_granularity_us(L)
-    spill_root = spill_root or os.path.join(
-        "/tmp/volga_spark_rowstore", uuid.uuid4().hex[:12]
-    )
+    # When no spill_root is given, derive it at RUN time from the streaming
+    # query id (Spark persists it in the checkpoint metadata and republishes
+    # it as a task-local property every micro-batch), so a query restarted
+    # from its checkpoint lands on the same row store — a per-plan uuid here
+    # would hand the restart a fresh, empty store while the checkpointed
+    # state still references closed buckets (the _sweep_key coverage guard
+    # would then fail the query instead of silently under-counting). The
+    # plan-time token only backstops non-streaming/test invocations.
+    plan_token = uuid.uuid4().hex[:12]
 
     work = df
     for name, expr in (prepared or {}).items():
@@ -1113,10 +1156,15 @@ def tiled_sliding_window_stream(
         L,
         g,
         scalar_specs,
-        spill_root,
+        None,  # spill_path resolved per-task in the handler
         cate_specs,
         top_specs,
         ratio_specs,
+        int_inputs={
+            c
+            for c in inputs
+            if schema[c] in ("bigint", "int", "smallint", "tinyint")
+        },
     )
     state_schema = core.state_fields(schema)
 
@@ -1127,7 +1175,17 @@ def tiled_sliding_window_stream(
     out_schema = f"{key_fields}, {TS} bigint{pass_fields}{spec_fields}"
 
     def handler(bucket, pdfs, state):
-        core.spill_path = os.path.join(spill_root, f"b{bucket[0]}")
+        root = spill_root
+        if root is None:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            qid = tc.getLocalProperty("sql.streaming.queryId") if tc else None
+            root = os.path.join(
+                "/tmp/volga_spark_rowstore",
+                f"q{qid}" if qid else f"plan{plan_token}",
+            )
+        core.spill_path = os.path.join(root, f"b{bucket[0]}")
         new = pd.concat(list(pdfs), ignore_index=True)
         wm_us = state.getCurrentWatermarkMs() * 1000
         st = core.load(tuple(state.get)) if state.exists else core.empty_state()

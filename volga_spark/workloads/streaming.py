@@ -301,7 +301,7 @@ def q_stream_tiled_window(spark, sf_dir):
     "q_stream_sessionize",
     oracle="""
         WITH marked AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, value, event_id,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL 30 MINUTE OR
                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -309,7 +309,7 @@ def q_stream_tiled_window(spark, sf_dir):
             FROM events
         ),
         sess AS (
-            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
             FROM marked
         )
