@@ -189,6 +189,52 @@ def test_state_sublinear_in_window_length(tmp_path):
     assert tiles_peak[long_ms] <= 10_000 // 100 + 20, tiles_peak
 
 
+def test_state_sublinear_month_scale(tmp_path):
+    """Month-scale bound backing q_stream_tiled_window_month: a 21-day
+    window over 30 days of data must hold tile partials (~window/
+    granularity ≈ 256) + open head rows in state — never the ~70% of all
+    raw rows a 21-day window spans — while staying exact."""
+    DAY_MS = 86_400 * 1000
+    window_ms = 21 * DAY_MS
+    gran_ms = window_ms // 256
+    core = _mk_core(tmp_path, window_ms, gran_ms)
+    n = 30_000
+    batch_rows = 2_000
+    rng = np.random.default_rng(3)
+    ts = np.sort(rng.integers(0, 30 * DAY_MS * MS, size=n)).astype(np.int64)
+    v = rng.integers(-50, 100, size=n).astype(np.int64)
+    rows = pd.DataFrame(
+        {KEY: np.zeros(n, dtype=np.int64), TS: ts, "v": v,
+         "rid": np.arange(n, dtype=np.int64)}
+    )
+    wm = -(10**15)
+    batches = []
+    for i in range(0, n, batch_rows):
+        chunk = rows.iloc[i : i + batch_rows]
+        batches.append((chunk, wm))
+        wm = int(chunk[TS].max())
+    batches.append((rows.iloc[:0], int(rows[TS].max()) + 10**15))
+
+    res, sizes, _ = _drive(core, batches)
+    got = res.set_index("rid").sort_index()
+    assert len(got) == n  # exactly-once at month scale
+    # head stays ~batch-sized + open bucket, not O(rows in 21 days)
+    peak_head = max(h for h, _ in sizes)
+    assert peak_head < 3 * batch_rows, peak_head
+    # tiles scale with L/g (≈256) + horizon slack, not with rows
+    peak_tiles = max(t for _, t in sizes)
+    assert peak_tiles <= 300, peak_tiles
+    # spot-check exactness against the brute force
+    L_us = window_ms * MS
+    for i in rng.choice(n, size=60, replace=False):
+        m = (ts >= ts[i] - L_us) & (ts <= ts[i])
+        w = v[m]
+        assert got.loc[i, "cnt"] == int(m.sum()), i
+        assert got.loc[i, "s"] == int(w.sum()), i
+        assert got.loc[i, "mn"] == int(w.min()), i
+        assert got.loc[i, "mx"] == int(w.max()), i
+
+
 def test_spill_gc_and_tile_prune(tmp_path):
     """Tiles a full window behind the watermark are dropped from state and
     their spill files garbage-collected (retention rule: wm - L - 2g)."""

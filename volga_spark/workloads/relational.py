@@ -36,43 +36,51 @@ def q_select_all(spark, sf_dir):
 @workload(
     "q_filter_scan",
     oracle="""
-        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        SELECT 'li' AS leg, l_orderkey AS k, l_quantity AS v1, l_extendedprice AS v2
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 25
-    """,
-    tags=("scan", "filter"),
-)
-def q_filter_scan(spark, sf_dir):
-    """Projection + predicate; both push down to the parquet scan."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 25)
-    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-
-
-@workload(
-    "q_filter_complex",
-    oracle="""
-        SELECT o_orderkey, o_orderstatus, o_totalprice
+        UNION ALL
+        SELECT 'ord' AS leg, o_orderkey AS k, o_totalprice AS v1,
+               CAST(NULL AS DOUBLE) AS v2
         FROM orders
         WHERE (o_orderstatus = 'F' AND o_totalprice > 200000.0)
            OR (o_orderpriority IN ('1-URGENT', '2-HIGH')
                AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
                AND o_orderpriority LIKE '%H%')
     """,
-    tags=("filter",),
+    tags=("scan", "filter"),
 )
-def q_filter_complex(spark, sf_dir):
-    """AND/OR/IN/BETWEEN/LIKE (sql_tests WHERE matrix)."""
+def q_filter_scan(spark, sf_dir):
+    """Filter capability in one leg-tagged union (sql_tests WHERE matrix):
+    the 'li' leg is projection + simple predicates pushed down to the
+    parquet scan; the 'ord' leg is the AND/OR/IN/BETWEEN/LIKE matrix.
+    (Formerly two registry entries, q_filter_scan + q_filter_complex —
+    merged so the registry fits the driver's 50-row correctness gate.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    scan = (
+        li.filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 25))
+        .select(
+            F.lit("li").alias("leg"),
+            F.col("l_orderkey").alias("k"),
+            F.col("l_quantity").alias("v1"),
+            F.col("l_extendedprice").alias("v2"),
+        )
+    )
     o = load_table(spark, sf_dir, "orders")
-    return o.filter(
+    complex_ = o.filter(
         ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000.0))
         | (
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
             & F.col("o_orderdate").between("1996-01-01", "1998-12-31")
             & F.col("o_orderpriority").like("%H%")
         )
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ).select(
+        F.lit("ord").alias("leg"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return scan.unionByName(complex_)
 
 
 @workload(
