@@ -522,7 +522,16 @@ class _GroupCore:
         else:
             starts = ends = np.empty(0, dtype=np.int64)
 
-        out_frames = []
+        # per-key tile index: one pass over the tile map instead of a full
+        # scan per swept key (a state bucket holds many keys — without this
+        # the sweep is O(keys × tiles-in-bucket) per batch)
+        tiles_by_key: dict = {}
+        for (tkt, b0), tile in st["tiles"].items():
+            tiles_by_key.setdefault(tkt, []).append((b0, tile))
+
+        # phase 1: plan the per-key sweeps (which keys emit, and each key's
+        # start-edge bucket range)
+        plans = []
         for s0, s1 in zip(starts, ends):
             kt = tuple(
                 v.item() if hasattr(v, "item") else v
@@ -533,10 +542,79 @@ class _GroupCore:
             emit_mask = (seg_ts <= wm_us) & (seg_ts > max_emitted)
             if not emit_mask.any():
                 continue
+            emit_idx = np.flatnonzero(emit_mask)
+            first_start = int(seg_ts[emit_idx[0]]) - self.L
+            last_start = int(seg_ts[emit_idx[-1]]) - self.L
+            b_lo = (first_start // self.g) * self.g  # // floors negatives too
+            b_hi = (last_start // self.g) * self.g
+            plans.append((s0, s1, kt, seg_ts, emit_mask, first_start, b_lo, b_hi))
+
+        # phase 2: batched spill prefetch — ONE ranged read + ONE groupby for
+        # every key's start-edge range this batch (a per-key filtered read
+        # was the sweep's measured hot spot), plus the restart-coverage guard
+        edge_by_key: dict = {}
+        if plans:
+            union_lo = min(p[6] for p in plans)
+            union_hi = max(p[7] for p in plans)
+            idx = self._spill_index()
+            for _, _, kt, _, _, _, b_lo, b_hi in plans:
+                # every closed bucket this key has a tile for in its edge
+                # range MUST be covered by a spill file — a restart pointed
+                # at a fresh/misconfigured spill_root would otherwise
+                # silently compute edge windows without their spilled rows
+                for b0, _tile in tiles_by_key.get(kt, ()):
+                    if b_lo <= b0 <= b_hi and not any(
+                        lo <= b0 <= hi for lo, hi, _ in idx
+                    ):
+                        raise RuntimeError(
+                            f"tiled window spill tier at {self.spill_path!r} "
+                            f"has no file covering closed bucket {b0} required "
+                            f"by an edge window — on restart, spill_root must "
+                            f"resolve to the SAME durable path the original "
+                            f"run wrote (pass spill_root explicitly or keep "
+                            f"the default, which derives from the stable "
+                            f"streaming query id)"
+                        )
+            pdf = self._read_spill_buckets(union_lo, union_hi)
+            if pdf is not None and len(pdf):
+                pdf = pdf.sort_values(TS, kind="stable")  # per-group order
+                for gk, g_pdf in pdf.groupby(self.keys, sort=False):
+                    if not isinstance(gk, tuple):
+                        gk = (gk,)
+                    gk = tuple(v.item() if hasattr(v, "item") else v for v in gk)
+                    edge_by_key[gk] = g_pdf
+
+        results = []
+        for s0, s1, kt, seg_ts, emit_mask, first_start, b_lo, b_hi in plans:
+            edge = None
+            g_pdf = edge_by_key.get(kt)
+            if g_pdf is not None and b_hi >= b_lo:
+                ets = g_pdf[TS]
+                # clip to THIS key's edge range: rows past b_hi+g are covered
+                # by interior tile partials and must not double-count
+                part = g_pdf[(ets >= first_start) & (ets < b_hi + self.g)]
+                edge = part if len(part) else None
             seg_cols = {c: a[s0:s1] for c, a in cols.items()}
-            res = self._sweep_key(kt, seg_ts, seg_cols, emit_mask, st)
-            out_frames.append(res)
+            res = self._sweep_key(
+                kt, seg_ts, seg_cols, emit_mask, tiles_by_key.get(kt, ()), edge
+            )
+            results.append(res)
             cursors[kt] = int(seg_ts[emit_mask].max())
+
+        # one output frame per batch (was: one DataFrame per key + concat)
+        out_frames = []
+        if results:
+            out_cols = {}
+            for c in results[0]:
+                pieces = [r[c] for r in results]
+                if isinstance(pieces[0], np.ndarray):
+                    out_cols[c] = np.concatenate(pieces)
+                else:
+                    flat: list = []
+                    for p in pieces:
+                        flat.extend(p)
+                    out_cols[c] = flat
+            out_frames.append(pd.DataFrame(out_cols))
 
         # close buckets fully behind the watermark: spill raw rows, fold
         # per-key partials into the tile map, drop from the head
@@ -694,17 +772,18 @@ class _GroupCore:
                 tile = st["tiles"][(kt, int(barr[r]))]
                 tile["ratio"][j][_py(carr[r])] = (int(darr[r]), int(narr[r]))
 
-    def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, st):
+    def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, key_tiles, edge):
         """Evaluate every spec at the emitted rows of one key: tile partials
         fully inside the window merge statically; the start-edge buckets come
-        back from the spill tier at row resolution; head rows sweep with the
-        usual add/retract two-pointer."""
+        pre-sliced from the batch's spill prefetch (``edge``, ts-sorted) at
+        row resolution; head rows sweep with the usual add/retract
+        two-pointer. ``key_tiles`` is this key's [(bucket_start, tile)]
+        slice of the tile map. Returns a dict of output columns."""
         import numpy as np
 
         emit_idx = np.flatnonzero(emit_mask)
-        first_emit = int(seg_ts[emit_idx[0]])
         last_emit = int(seg_ts[emit_idx[-1]])
-        first_start, last_start = first_emit - self.L, last_emit - self.L
+        last_start = last_emit - self.L
 
         # tiles fully inside every emitted window: b0 > last_start (the start
         # edge never enters them this batch; the head side is always covered
@@ -719,8 +798,8 @@ class _GroupCore:
         cstatic: list[dict] = [{} for _ in range(nc)]
         hstatic: list[Counter] = [Counter() for _ in range(nt)]
         rstatic: list[dict] = [{} for _ in range(nrt)]
-        for (tkt, b0), tile in st["tiles"].items():
-            if tkt != kt or b0 <= last_start:
+        for b0, tile in key_tiles:
+            if b0 <= last_start:
                 continue
             for j in range(ni):
                 n_, s_, s2_, mn_, mx_ = tile["sc"][j]
@@ -759,43 +838,12 @@ class _GroupCore:
                         cur[0] += d_
                         cur[1] += n_
 
-        # start-edge buckets (partially covered this batch): raw rows from spill
-        b_lo = (first_start // self.g) * self.g  # python // floors negatives too
-        b_hi = (last_start // self.g) * self.g
-        edge = None
-        if b_hi >= b_lo:
-            # every closed bucket this key has a tile for in the edge range
-            # MUST be covered by a spill file — a restart pointed at a
-            # fresh/misconfigured spill_root would otherwise silently
-            # compute edge windows without their spilled rows
-            idx = self._spill_index()
-            for (tkt, b0) in st["tiles"]:
-                if tkt != kt or not (b_lo <= b0 <= b_hi):
-                    continue
-                if not any(lo <= b0 <= hi for lo, hi, _ in idx):
-                    raise RuntimeError(
-                        f"tiled window spill tier at {self.spill_path!r} has "
-                        f"no file covering closed bucket {b0} required by an "
-                        f"edge window — on restart, spill_root must resolve "
-                        f"to the SAME durable path the original run wrote "
-                        f"(pass spill_root explicitly or keep the default, "
-                        f"which derives from the stable streaming query id)"
-                    )
-            pdf = self._read_spill_buckets(b_lo, b_hi)
-            if pdf is not None and len(pdf):
-                m = pdf[TS] >= first_start
-                for k, kv in zip(self.keys, kt):
-                    m &= pdf[k] == kv
-                part = pdf[m]
-                edge = part if len(part) else None
-
         def _col(c):
             if edge is not None:
                 return np.concatenate([edge[c].to_numpy(), seg_cols[c]])
             return seg_cols[c]
 
         if edge is not None:
-            edge = edge.sort_values(TS)
             raw_ts = np.concatenate([edge[TS].to_numpy(), seg_ts])
         else:
             raw_ts = seg_ts
@@ -825,7 +873,10 @@ class _GroupCore:
         # O(changed), mirroring the untiled CSV cache)
         cdyn: list[dict] = [{} for _ in range(nc)]
         cparts: list[dict] = [{} for _ in range(nc)]
-        cdirty: list[set] = [set() for _ in range(nc)]
+        # prime the render cache with every static-tile category ONCE — every
+        # later mutation flows through the dirty set, so the per-emission
+        # render never rescans static∪dynamic keys
+        cdirty: list[set] = [set(cstatic[j]) for j in range(nc)]
         # top/ratio keep the MERGED structure incrementally (static copy +
         # dynamic steps applied in place) — no per-row Counter re-merge
         hmerged: list[Counter] = [c.copy() for c in hstatic]
@@ -950,7 +1001,7 @@ class _GroupCore:
         for c in self.out_pass:
             res[c] = seg_cols[c][emit_idx]
         res.update(out_vals)
-        return pd.DataFrame(res)
+        return res
 
     @staticmethod
     def _finish_op(op, N, S, S2, smn, smx, mmacc):
@@ -1023,17 +1074,14 @@ class _GroupCore:
                 return None
             return (metric, f"{cat_s}:{m_s}")
 
+        # only categories a step touched re-evaluate; static categories are
+        # marked dirty once at sweep start (no static∪dynamic rescan here)
         for cat in dirty:
             r = _eval(cat)
             if r is None:
                 parts_cache.pop(cat, None)
             else:
                 parts_cache[cat] = r
-        for cat in static_map.keys() | dyn_map.keys():
-            if cat not in parts_cache and cat not in dirty:
-                r = _eval(cat)
-                if r is not None:
-                    parts_cache[cat] = r
 
         if spec.order is None:
             return join_csv(sorted(p for _, p in parts_cache.values()))
@@ -1048,16 +1096,25 @@ class _GroupCore:
 
     @staticmethod
     def _render_top(spec, merged, total):
-        """Delegate to the untiled accumulators over the incrementally
-        maintained merged multiset — bit-identical to the non-tiled path."""
+        """Render the incrementally maintained merged multiset. The
+        topn_frequency/top1_ratio forms inline the exact arithmetic of
+        FrequencyAccumulator (_ranked: count desc, value desc; top1_ratio:
+        max count / total) — this runs once per emitted row, and the
+        per-call accumulator construction was a measured hot spot;
+        bit-parity with the untiled accumulators is pinned by
+        test_top_ratio_ordered_specs_vs_untiled_accumulators."""
         if spec.op == "top":
             acc = TopValueAccumulator(spec.k)
             acc.counts = merged
             return acc.result()
-        acc = FrequencyAccumulator(spec.k)
-        acc.counts = merged
-        acc.total = total
-        return acc.topn() if spec.op == "topn_frequency" else acc.top1_ratio()
+        if spec.op == "top1_ratio":
+            if total <= 0 or not merged:
+                return 0.0
+            return max(merged.values()) / total
+        ranked = sorted(
+            merged.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+        )[: spec.k or 0]
+        return join_csv([scalar_to_string(v) or "" for v, _ in ranked])
 
     @staticmethod
     def _render_ratio(spec, merged) -> str:

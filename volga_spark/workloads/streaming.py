@@ -240,7 +240,7 @@ def _tfmt(expr: str) -> str:
 )
 def q_stream_tiled_window(spark, sf_dir):
     """LONG-window (7-day) per-row sliding aggregates computed statefully
-    with TILED state (reference tiles.rs:59-118): closed ~39-minute buckets
+    with TILED state (reference tiles.rs:59-118): closed 12-hour buckets
     collapse to per-key partials in the state column — (n, Σ, Σ², min, max)
     for the scalar aggs AND per-category (n, Σ, min, max) maps for the ML
     ``sum_cate`` UDAF (the reference tiles arbitrary accumulator state via
@@ -259,15 +259,23 @@ def q_stream_tiled_window(spark, sf_dir):
         tiled_sliding_window_stream,
     )
 
+    # 3 files/trigger → 3 micro-batches (batch 2 closes ~18 days of buckets,
+    # batch 3 emits through tile interiors + spill edge reads) — per-batch
+    # framework fixed cost is the measured dominator, and 3 batches still
+    # exercise every tile/spill/GC path. Granularity 12h, not auto (L/256 ≈
+    # 39min): this corpus runs ~2 events/user/day, so finer buckets hold <1
+    # row and are pure tile-count overhead; 12h tiles average ~1 row and
+    # halve the state round-trip.
     stream, _ = chunked_file_stream(
         spark, sf_dir, "events", "ts", n_chunks=5,
-        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=2,
+        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=3,
     )
     out = tiled_sliding_window_stream(
         stream,
         key_cols="user_id",
         ts_col="ts",
         frame=range_frame("7 days"),
+        granularity="12 hours",
         specs=[
             TiledSpec("cnt_7d", "count", "vc", "bigint"),
             TiledSpec("sum_7d", "sum", "vc", "double", finish=lambda s: s / 100.0),
