@@ -32,6 +32,15 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    # Streaming state store provider. Local default: the HDFS-backed map
+    # provider with checkpoints on tmpfs — measured FASTER than RocksDB on
+    # local[32] at sf0.1 (tiled window: 10.4s vs 14.4s; RocksDB pays
+    # per-batch instance open/commit that tmpfs-backed snapshots don't).
+    # CLUSTER default: flip SPARK_GRAFT_STATE_STORE=rocksdb — with millions
+    # of keys per partition the map provider holds the whole state in
+    # executor heap and snapshots it wholesale per commit, while RocksDB
+    # spills to local disk and ships changelogs (see SCALING.md).
+    state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs").lower()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -50,6 +59,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            # changelog checkpointing: per-commit upload is O(delta), not
+            # O(state) — the right shape for long-window tiled state
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))
