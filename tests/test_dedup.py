@@ -91,6 +91,51 @@ def test_winnow_fingerprints_match_python_and_detect_overlap(spark, corpus):
     assert inter > 0.5
 
 
+def test_winnow_skew_guard_prunes_boilerplate(spark):
+    """Σdf² skew guard: a boilerplate-heavy corpus (shared header in every
+    doc) must trigger the histogram guard, prune the hot fingerprints, and
+    still find true near-dup pairs through their distinctive content."""
+    import warnings as _warnings
+
+    from volga_spark.operators.dedup import (
+        add_winnow_fingerprints,
+        winnow_candidate_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 30
+    docs = [
+        (i, boiler + f"unique tail number {i} with filler {i * 7919}")
+        for i in range(60)
+    ]
+    vol = "completely distinct content about volcanoes erupting magma " * 10
+    docs.append((100, vol))
+    docs.append((101, vol + " plus one extra trailing sentence"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    fps = add_winnow_fingerprints(df, "text", "doc_id")
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        pairs, n_pruned = winnow_candidate_pairs(
+            fps, "doc_id", sum_df2_limit=1_000, max_fp_freq=10
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert n_pruned > 0
+    assert any("candidate volume" in str(w.message) for w in caught)
+    # the true near-dup pair survives on its distinctive fingerprints
+    assert (100, 101) in got
+    # boilerplate-only pairs collapsed (ungated would be ~60*59/2 ≈ 1770)
+    assert len(got) < 200
+
+    # under the limit: no prune, no warning
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        _, n_pruned2 = winnow_candidate_pairs(
+            fps, "doc_id", sum_df2_limit=10**12, max_fp_freq=10
+        )
+    assert n_pruned2 == 0
+    assert not any("candidate volume" in str(w.message) for w in caught2)
+
+
 def test_simhash_band_guard_and_fused_verify(spark, corpus):
     import pytest as _pytest
 

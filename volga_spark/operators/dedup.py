@@ -526,6 +526,72 @@ def winnow_fingerprints_np(text: str, k: int = 5, window: int = 8) -> list[int]:
     return [int(v) for v in fps]
 
 
+def winnow_candidate_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    sum_df2_limit: int = 50_000_000,
+    max_fp_freq: int = 128,
+) -> tuple[DataFrame, int]:
+    """(id_a, id_b, shared_fps) candidate pairs from a (doc, fingerprint)
+    table, with a SKEW GUARD on the fingerprint self-join.
+
+    The join generates Σ_fp df(fp)² candidate rows. Natural corpora spread
+    df thinly, but boilerplate (shared headers/footers/license blocks)
+    concentrates df in a few hot fingerprints and turns the join quadratic
+    — the winnowing analog of stop-shingles. Guard: compute the df
+    histogram (one small agg over distinct fingerprints — the same
+    statistics pass AQE does for shuffles) and, when the estimated Σdf²
+    exceeds ``sum_df2_limit``, drop fingerprints with df > ``max_fp_freq``
+    before pairing. A fingerprint shared by hundreds of documents carries
+    no discriminative signal for near-dup detection, so the recall cost is
+    confined to pairs that ONLY share boilerplate — the pairs near-dup
+    pipelines are supposed to ignore. Returns (pairs, n_pruned_fps); the
+    caller computes containment denominators on the SAME pruned set so
+    numerator/denominator stay consistent.
+
+    Scale note: the histogram prunes by df bound, so the worst surviving
+    join volume is ≤ distinct_fps × max_fp_freq² — linear in corpus size
+    for fixed cap, never quadratic.
+    """
+    import warnings
+
+    # both join sides and the histogram read fps — checkpoint so the
+    # fingerprint UDF runs once, not three times
+    fps = fps.localCheckpoint(eager=False)
+    hist = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    stats = hist.agg(
+        F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+        F.sum(F.when(F.col("df") > max_fp_freq, 1).otherwise(0)).alias("n_hot"),
+    ).first()
+    n_pruned = 0
+    if stats.sum_df2 is not None and stats.sum_df2 > sum_df2_limit:
+        n_pruned = int(stats.n_hot)
+        warnings.warn(
+            f"winnow_candidate_pairs: estimated candidate volume Σdf² = "
+            f"{int(stats.sum_df2):,} exceeds {sum_df2_limit:,}; dropping "
+            f"{n_pruned} fingerprints with df > {max_fp_freq} "
+            f"(boilerplate guard — containment is computed on the pruned "
+            f"fingerprint sets)",
+            stacklevel=2,
+        )
+        keep = hist.filter(F.col("df") <= max_fp_freq).select("fp")
+        fps = fps.join(F.broadcast(keep), "fp", "left_semi")
+        fps = fps.localCheckpoint(eager=False)
+    fa = fps.select(F.col(id_col).alias("id_a"), "fp")
+    fb = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        fa.join(fb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    counts = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
+    pairs = pairs.join(na, "id_a").join(nb, "id_b")
+    return pairs, n_pruned
+
+
 def add_winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 8) -> DataFrame:
     """One row per (doc, fingerprint) — join on fingerprint to find candidate
     overlapping-document pairs."""

@@ -87,22 +87,18 @@ def q_dedup_approx_pairs(spark, sf_dir):
         F.col("hamming").cast("double").alias("score"),
     )
 
-    from volga_spark.operators.dedup import add_winnow_fingerprints
+    from volga_spark.operators.dedup import (
+        add_winnow_fingerprints,
+        winnow_candidate_pairs,
+    )
 
     fps = add_winnow_fingerprints(d, "text", "doc_id")
-    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    fa = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    fb = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    # skew-guarded fingerprint join: Σdf² estimated from the df histogram,
+    # hot (boilerplate) fingerprints pruned when it exceeds the limit
+    wpairs, _ = winnow_candidate_pairs(fps, "doc_id")
     # containment = shared / min(|A|,|B|) — robust when one doc embeds another
     winnow = (
-        fa.join(fb, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_fps"))
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        wpairs
         .withColumn("containment", F.col("shared_fps") / F.least("n_a", "n_b"))
         .filter(F.col("containment") >= 0.6)
         .select(
