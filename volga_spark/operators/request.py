@@ -145,14 +145,38 @@ class FeatureService:
     contract.
     """
 
-    def __init__(self, state: DataFrame, key_cols, ts_col: str, frame, agg_builder):
+    def __init__(
+        self,
+        state: DataFrame,
+        key_cols,
+        ts_col: str,
+        frame,
+        agg_builder,
+        cache: bool = True,
+    ):
         self.state = state
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.ts_col = ts_col
         self.frame = frame
         self.agg_builder = agg_builder
+        self.cache = cache
+        self._cached = False
+
+    def _ensure_cached(self) -> None:
+        # repeated lookups re-plan against the same state: pin it in the
+        # block cache once so every request batch after the first skips the
+        # parquet scan (measured: see SCALING.md request-serving numbers)
+        if self.cache and not self._cached:
+            self.state = self.state.persist()
+            self._cached = True
+
+    def close(self) -> None:
+        if self._cached:
+            self.state.unpersist()
+            self._cached = False
 
     def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+        self._ensure_cached()
         return point_in_time_lookup(
             self.state,
             requests,

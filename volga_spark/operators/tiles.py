@@ -73,6 +73,7 @@ class TiledFeatureService:
         value_col: str,
         frame: RangeFrame,
         granularity: str = "1 minute",
+        cache: bool = True,
     ):
         self.events = events
         self.tiles = tiles
@@ -81,8 +82,26 @@ class TiledFeatureService:
         self.value_col = value_col
         self.frame = frame
         self.granularity = granularity
+        self.cache = cache
+        self._cached = False
+
+    def _ensure_cached(self) -> None:
+        # pin the tile table AND the raw edge rows once — every request
+        # batch after the first reads cached blocks instead of re-scanning
+        # (and re-aggregating, when tiles were derived) the event log
+        if self.cache and not self._cached:
+            self.tiles = self.tiles.persist()
+            self.events = self.events.persist()
+            self._cached = True
+
+    def close(self) -> None:
+        if self._cached:
+            self.tiles.unpersist()
+            self.events.unpersist()
+            self._cached = False
 
     def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+        self._ensure_cached()
         return tiled_lookup(
             self.events,
             requests,
