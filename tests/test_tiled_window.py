@@ -235,6 +235,79 @@ def test_state_sublinear_month_scale(tmp_path):
         assert got.loc[i, "mx"] == int(w.max()), i
 
 
+def _mk_ladder_core(tmp_path, window_ms, gran_ms, tag):
+    specs = [
+        TiledSpec("cnt", "count", "v", "bigint"),
+        TiledSpec("s", "sum", "v", "bigint"),
+        TiledSpec("mn", "min", "v", "bigint"),
+        TiledSpec("mx", "max", "v", "bigint"),
+    ]
+    grans = (
+        [g * MS for g in gran_ms] if isinstance(gran_ms, list) else gran_ms * MS
+    )
+    return _GroupCore(
+        keys=[KEY],
+        inputs=["v"],
+        out_pass=["rid"],
+        length_us=window_ms * MS,
+        gran_us=grans,
+        specs=specs,
+        spill_path=str(tmp_path / f"spill_{tag}"),
+    )
+
+
+def test_multi_granularity_ladder_bit_equal_and_fewer_edge_rows(tmp_path):
+    """Reference tiles.rs multi-granularity tree: a [fine, coarse] ladder
+    must (a) be bit-equal to both single-granularity runs, (b) read FEWER
+    raw edge rows than the coarse-only store (edges descend to the fine
+    level), and (c) merge FEWER interior tiles than the fine-only store
+    (interiors use the coarse level)."""
+    n = 8_000
+    window_ms = 4_000
+    fine_ms, coarse_ms = 100, 1_000
+    batches = list(_batches(n, 700, seed=13))
+    all_rows = pd.concat([c for c, _ in batches], ignore_index=True)
+
+    outs = {}
+    cores = {}
+    for tag, gran in (
+        ("fine", fine_ms),
+        ("coarse", coarse_ms),
+        ("ladder", [fine_ms, coarse_ms]),
+    ):
+        core = _mk_ladder_core(tmp_path, window_ms, gran, tag)
+        res, _, _ = _drive(core, batches)
+        outs[tag] = res.set_index("rid").sort_index()
+        cores[tag] = core
+
+    # (a) all three paths bit-equal (and equal to the brute force)
+    exp = _brute(all_rows, window_ms * MS)
+    for tag, got in outs.items():
+        assert len(got) == n, tag
+        for c in ("cnt", "s", "mn", "mx"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (tag, c)
+
+    # (b) ladder edges read at FINE resolution: strictly fewer raw rows
+    # than the coarse-only store pulls back
+    assert cores["ladder"].edge_rows_read < cores["coarse"].edge_rows_read, (
+        cores["ladder"].edge_rows_read,
+        cores["coarse"].edge_rows_read,
+    )
+    # (c) ladder interiors use the COARSE level: strictly fewer tile merges
+    # than fine-only
+    assert cores["ladder"].tiles_merged < cores["fine"].tiles_merged, (
+        cores["ladder"].tiles_merged,
+        cores["fine"].tiles_merged,
+    )
+
+
+def test_ladder_validation():
+    with pytest.raises(ValueError, match="ascending"):
+        _mk_ladder_core(__import__("pathlib").Path("/tmp"), 1000, [100, 50], "bad1")
+    with pytest.raises(ValueError, match="multiple"):
+        _mk_ladder_core(__import__("pathlib").Path("/tmp"), 1000, [100, 250], "bad2")
+
+
 def test_spill_gc_and_tile_prune(tmp_path):
     """Tiles a full window behind the watermark are dropped from state and
     their spill files garbage-collected (retention rule: wm - L - 2g)."""

@@ -29,11 +29,13 @@ restatement of that design for ``applyInPandasWithState``:
   arithmetic where the caller pre-scales (cents), so results are
   bit-identical to the untiled path and the DuckDB oracle.
 
-Granularity: the reference defaults to a 1m/5m/1h/1d multi-granularity tree
-because its tile store is shared across many window lengths and serves random
-point lookups. Here tiles are per-query and the sweep is sequential, so a
-single granularity sized to the window (default L/256, min 1s) gives the same
-interior-coverage bound with far simpler state; pass ``granularity`` to pin it.
+Granularity: single (default L/256, min 1s — right for a per-query store on
+sparse keys) or a MULTI-GRANULARITY LADDER (pass ``granularity`` as a list,
+fine→coarse, each level a multiple of the finer — the reference's 1m/5m/1h/1d
+tree, tiles.rs:15-118). With a ladder, rows close/spill at the finest level,
+closed coarse buckets roll up by merging child tiles, the interior cover is
+greedy coarse→fine, and raw edge reads stay at the finest level — fewer tile
+merges than fine-only AND fewer edge rows than coarse-only, bit-equal to both.
 
 Supported aggregates: count / sum / avg / min / max / var_pop / var_samp /
 stddev_pop / stddev_samp — the reference's RetractableAccumulator set plus the
@@ -230,10 +232,28 @@ class _GroupCore:
         self.spill_cols = list(dict.fromkeys(inputs + cate_cols))
         self.int_inputs = frozenset(int_inputs)
         self.L = length_us
-        self.g = gran_us
+        # granularity ladder (reference tiles.rs:15-118): ascending
+        # fine→coarse, each coarser level an integer multiple of the finer.
+        # Rows spill and close at the FINEST level; closed coarse buckets
+        # roll up by merging their child tiles. A single int keeps the
+        # single-granularity behavior byte-for-byte.
+        grans = [gran_us] if isinstance(gran_us, int) else list(gran_us)
+        if sorted(grans) != grans or len(set(grans)) != len(grans):
+            raise ValueError(f"granularities must be ascending: {grans}")
+        for fine, coarse in zip(grans, grans[1:]):
+            if coarse % fine != 0:
+                raise ValueError(
+                    f"ladder level {coarse} is not a multiple of {fine}"
+                )
+        self.grans = grans
+        self.g = grans[0]
         self.specs = specs
         self.spill_path = spill_path
         self._spill_cache: dict[int, pd.DataFrame] = {}
+        # observability (tests/SCALING): cumulative raw rows pulled back from
+        # the spill tier for edge sweeps, and interior tiles merged
+        self.edge_rows_read = 0
+        self.tiles_merged = 0
 
     # --- state (de)serialization to a flat tuple of lists ------------------
 
@@ -260,7 +280,7 @@ class _GroupCore:
             + [f"ck{i} array<{schema[k]}>" for i, k in enumerate(self.keys)]
             + ["cmax array<bigint>"]
             + [f"tk{i} array<{schema[k]}>" for i, k in enumerate(self.keys)]
-            + ["tb array<bigint>"]
+            + ["tb array<bigint>", "tl array<bigint>"]
         )
         for j, c in enumerate(self.inputs):
             fields += [
@@ -315,6 +335,8 @@ class _GroupCore:
         pos += nk
         tb = row[pos]
         pos += 1
+        tl = row[pos]
+        pos += 1
         comps = []
         for _ in range(ni):
             comps.append(tuple(row[pos + i] for i in range(5)))
@@ -354,7 +376,7 @@ class _GroupCore:
                 }
                 for rc, rd, rn in rcomps
             ]
-            tiles[(kt, tb[idx])] = {
+            tiles[(kt, tl[idx], tb[idx])] = {
                 "sc": [tuple(comp[i][idx] for i in range(5)) for comp in comps],
                 "cate": cate,
                 "top": tops,
@@ -373,8 +395,9 @@ class _GroupCore:
             *[st["head"][c].tolist() for c in self.stored],
             *[[kt[i] for kt, _ in cur_items] for i in range(len(self.keys))],
             [v for _, v in cur_items],
-            *[[kt[i] for (kt, _), _ in tile_items] for i in range(len(self.keys))],
-            [b0 for (_, b0), _ in tile_items],
+            *[[kt[i] for (kt, _, _), _ in tile_items] for i in range(len(self.keys))],
+            [b0 for (_, _, b0), _ in tile_items],
+            [lvl for (_, lvl, _), _ in tile_items],
         )
         for j in range(len(self.inputs)):
             for i in range(5):
@@ -526,8 +549,8 @@ class _GroupCore:
         # scan per swept key (a state bucket holds many keys — without this
         # the sweep is O(keys × tiles-in-bucket) per batch)
         tiles_by_key: dict = {}
-        for (tkt, b0), tile in st["tiles"].items():
-            tiles_by_key.setdefault(tkt, []).append((b0, tile))
+        for (tkt, lvl, b0), tile in st["tiles"].items():
+            tiles_by_key.setdefault(tkt, []).append((lvl, b0, tile))
 
         # phase 1: plan the per-key sweeps (which keys emit, and each key's
         # start-edge bucket range)
@@ -558,12 +581,12 @@ class _GroupCore:
             union_hi = max(p[7] for p in plans)
             idx = self._spill_index()
             for _, _, kt, _, _, _, b_lo, b_hi in plans:
-                # every closed bucket this key has a tile for in its edge
-                # range MUST be covered by a spill file — a restart pointed
-                # at a fresh/misconfigured spill_root would otherwise
+                # every closed level-0 bucket this key has a tile for in its
+                # edge range MUST be covered by a spill file — a restart
+                # pointed at a fresh/misconfigured spill_root would otherwise
                 # silently compute edge windows without their spilled rows
-                for b0, _tile in tiles_by_key.get(kt, ()):
-                    if b_lo <= b0 <= b_hi and not any(
+                for lvl, b0, _tile in tiles_by_key.get(kt, ()):
+                    if lvl == 0 and b_lo <= b0 <= b_hi and not any(
                         lo <= b0 <= hi for lo, hi, _ in idx
                     ):
                         raise RuntimeError(
@@ -594,6 +617,7 @@ class _GroupCore:
                 # by interior tile partials and must not double-count
                 part = g_pdf[(ets >= first_start) & (ets < b_hi + self.g)]
                 edge = part if len(part) else None
+                self.edge_rows_read += len(part)
             seg_cols = {c: a[s0:s1] for c, a in cols.items()}
             res = self._sweep_key(
                 kt, seg_ts, seg_cols, emit_mask, tiles_by_key.get(kt, ()), edge
@@ -617,20 +641,23 @@ class _GroupCore:
             out_frames.append(pd.DataFrame(out_cols))
 
         # close buckets fully behind the watermark: spill raw rows, fold
-        # per-key partials into the tile map, drop from the head
+        # per-key partials into the level-0 tile map, roll closed coarse
+        # buckets up the ladder, drop from the head
         close_end = (wm_us // self.g) * self.g  # close buckets with b_end <= this
         closing = ts_arr < close_end
         if closing.any():
             self._close_buckets(cols, closing, st)
             keep = ~closing
             cols = {c: a[keep] for c, a in cols.items()}
+        if len(self.grans) > 1:
+            self._rollup_tiles(st, wm_us)
 
         # tiles a full window behind the horizon can never be touched again
         horizon = wm_us - self.L
         st["tiles"] = {
-            (kt, b0): comps
-            for (kt, b0), comps in st["tiles"].items()
-            if b0 + self.g > horizon
+            (kt, lvl, b0): comps
+            for (kt, lvl, b0), comps in st["tiles"].items()
+            if b0 + self.grans[lvl] > horizon
         }
         self._gc_spill(wm_us)
 
@@ -689,7 +716,7 @@ class _GroupCore:
                 comps.append(
                     (n_j, s_v, float(comp_arrs[f"__s2{j}"][r]), mn_v, mx_v)
                 )
-            st["tiles"][(kt, int(b0_arr[r]))] = {
+            st["tiles"][(kt, 0, int(b0_arr[r]))] = {
                 "sc": comps,
                 "cate": [{} for _ in self.cate_specs],
                 "top": [Counter() for _ in self.top_specs],
@@ -724,7 +751,7 @@ class _GroupCore:
             xarr = cg["__cx"].to_numpy()
             for r in range(len(cg)):
                 kt = tuple(_py(a[r]) for a in karrs)
-                tile = st["tiles"][(kt, int(barr[r]))]
+                tile = st["tiles"][(kt, 0, int(barr[r]))]
                 tile["cate"][j][_py(carr[r])] = (
                     int(narr[r]),
                     _py(sarr[r]),
@@ -748,7 +775,7 @@ class _GroupCore:
             narr = cg["__c"].to_numpy()
             for r in range(len(cg)):
                 kt = tuple(_py(a[r]) for a in karrs)
-                tile = st["tiles"][(kt, int(barr[r]))]
+                tile = st["tiles"][(kt, 0, int(barr[r]))]
                 tile["top"][j][_py(varr[r])] = int(narr[r])
 
         # ratio partials: per (key, bucket, category) (rows, cond-true rows)
@@ -769,25 +796,124 @@ class _GroupCore:
             narr = cg["__n"].to_numpy()
             for r in range(len(cg)):
                 kt = tuple(_py(a[r]) for a in karrs)
-                tile = st["tiles"][(kt, int(barr[r]))]
+                tile = st["tiles"][(kt, 0, int(barr[r]))]
                 tile["ratio"][j][_py(carr[r])] = (int(darr[r]), int(narr[r]))
+
+    def _rollup_tiles(self, st: dict, wm_us: int) -> None:
+        """Roll closed coarse buckets up the granularity ladder: a level-l
+        bucket whose end the watermark has passed absorbs (a merge of) its
+        level-(l-1) child tiles — the reference's multi-granularity tree
+        maintenance (tiles.rs:15-118). Children stay in the map (the sweep's
+        greedy cover uses them where a coarse tile only partially fits);
+        idempotent on retries via the presence check."""
+        for lvl in range(1, len(self.grans)):
+            G = self.grans[lvl]
+            boundary = (wm_us // G) * G  # coarse buckets ending here closed
+            children: dict = {}
+            for (kt, clvl, b0) in st["tiles"]:
+                if clvl != lvl - 1:
+                    continue
+                parent = (b0 // G) * G
+                if parent + G <= boundary and (kt, lvl, parent) not in st["tiles"]:
+                    children.setdefault((kt, parent), []).append(
+                        st["tiles"][(kt, clvl, b0)]
+                    )
+            for (kt, parent), tiles in children.items():
+                st["tiles"][(kt, lvl, parent)] = self._merge_tiles(tiles)
+
+    def _merge_tiles(self, tiles: list[dict]) -> dict:
+        """Merge tile partials (all families are mergeable by construction)."""
+        ni = len(self.inputs)
+        sc = []
+        for j in range(ni):
+            n = 0
+            s = 0
+            s2 = 0.0
+            mn = mx = None
+            for t in tiles:
+                tn, ts_, ts2, tmn, tmx = t["sc"][j]
+                n += tn
+                if ts_ is not None:
+                    s += ts_
+                if ts2 is not None:
+                    s2 += ts2
+                if tmn is not None:
+                    mn = tmn if mn is None else min(mn, tmn)
+                if tmx is not None:
+                    mx = tmx if mx is None else max(mx, tmx)
+            sc.append((n, s, s2, mn, mx) if n else (0, 0, 0.0, None, None))
+        cate = []
+        for j in range(len(self.cate_specs)):
+            acc: dict = {}
+            for t in tiles:
+                for cat, (n_, s_, mn_, mx_) in t["cate"][j].items():
+                    cur = acc.get(cat)
+                    if cur is None:
+                        acc[cat] = (n_, s_, mn_, mx_)
+                    else:
+                        acc[cat] = (
+                            cur[0] + n_,
+                            cur[1] + s_,
+                            min(cur[2], mn_),
+                            max(cur[3], mx_),
+                        )
+            cate.append(acc)
+        tops = []
+        for j in range(len(self.top_specs)):
+            c = Counter()
+            for t in tiles:
+                c.update(t["top"][j])
+            tops.append(c)
+        ratios = []
+        for j in range(len(self.ratio_specs)):
+            acc = {}
+            for t in tiles:
+                for cat, (d_, n_) in t["ratio"][j].items():
+                    cur = acc.get(cat)
+                    acc[cat] = (d_ , n_) if cur is None else (cur[0] + d_, cur[1] + n_)
+            ratios.append(acc)
+        return {"sc": sc, "cate": cate, "top": tops, "ratio": ratios}
+
+    def _cover_tiles(self, key_tiles, last_start):
+        """Greedy multi-granularity interior cover: coarsest tiles fully
+        inside every emitted window first (b0 > last_start — the start edge
+        never enters them this batch; the head side is always covered
+        because closed tiles end at/before the previous watermark), then
+        finer tiles filling the remainder toward the start edge. With a
+        single granularity this degrades to the plain b0 > last_start scan."""
+        if len(self.grans) == 1:
+            return [t for _lvl, b0, t in key_tiles if b0 > last_start]
+        selected: list = []
+        chosen: list[set] = [set() for _ in self.grans]
+        for lvl in range(len(self.grans) - 1, -1, -1):
+            G = self.grans[lvl]
+            for tlvl, b0, tile in key_tiles:
+                if tlvl != lvl or b0 <= last_start:
+                    continue
+                covered = any(
+                    ((b0 // self.grans[cl]) * self.grans[cl]) in chosen[cl]
+                    for cl in range(lvl + 1, len(self.grans))
+                )
+                if covered:
+                    continue
+                chosen[lvl].add(b0)
+                selected.append(tile)
+        return selected
 
     def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, key_tiles, edge):
         """Evaluate every spec at the emitted rows of one key: tile partials
-        fully inside the window merge statically; the start-edge buckets come
-        pre-sliced from the batch's spill prefetch (``edge``, ts-sorted) at
-        row resolution; head rows sweep with the usual add/retract
-        two-pointer. ``key_tiles`` is this key's [(bucket_start, tile)]
-        slice of the tile map. Returns a dict of output columns."""
+        fully inside the window merge statically (greedy coarse→fine ladder
+        cover); the start-edge buckets come pre-sliced from the batch's
+        spill prefetch (``edge``, ts-sorted) at row resolution; head rows
+        sweep with the usual add/retract two-pointer. ``key_tiles`` is this
+        key's [(level, bucket_start, tile)] slice of the tile map. Returns
+        a dict of output columns."""
         import numpy as np
 
         emit_idx = np.flatnonzero(emit_mask)
         last_emit = int(seg_ts[emit_idx[-1]])
         last_start = last_emit - self.L
 
-        # tiles fully inside every emitted window: b0 > last_start (the start
-        # edge never enters them this batch; the head side is always covered
-        # because closed tiles end at/before the previous watermark < emissions)
         from collections import Counter
 
         ni = len(self.inputs)
@@ -798,9 +924,9 @@ class _GroupCore:
         cstatic: list[dict] = [{} for _ in range(nc)]
         hstatic: list[Counter] = [Counter() for _ in range(nt)]
         rstatic: list[dict] = [{} for _ in range(nrt)]
-        for b0, tile in key_tiles:
-            if b0 <= last_start:
-                continue
+        cover = self._cover_tiles(key_tiles, last_start)
+        self.tiles_merged += len(cover)
+        for tile in cover:
             for j in range(ni):
                 n_, s_, s2_, mn_, mx_ = tile["sc"][j]
                 agg = static[j]
@@ -1147,7 +1273,7 @@ def tiled_sliding_window_stream(
     specs: list[TiledSpec],
     passthrough: list[str],
     lateness: str = "10 minutes",
-    granularity: str | None = None,
+    granularity: str | list[str] | None = None,
     prepared: dict | None = None,
     n_buckets: int = 64,
     spill_root: str | None = None,
@@ -1178,7 +1304,13 @@ def tiled_sliding_window_stream(
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     L = frame.micros
-    g = interval_to_micros(granularity) if granularity else _auto_granularity_us(L)
+    if granularity is None:
+        g = [_auto_granularity_us(L)]
+    elif isinstance(granularity, (list, tuple)):
+        # multi-granularity ladder, fine→coarse (reference tiles.rs tree)
+        g = [interval_to_micros(x) for x in granularity]
+    else:
+        g = [interval_to_micros(granularity)]
     # When no spill_root is given, derive it at RUN time from the streaming
     # query id (Spark persists it in the checkpoint metadata and republishes
     # it as a task-local property every micro-batch), so a query restarted

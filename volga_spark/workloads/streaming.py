@@ -363,6 +363,11 @@ def q_stream_tiled_window_month(spark, sf_dir):
         key_cols="user_id",
         ts_col="ts",
         frame=range_frame("21 days"),
+        # multi-granularity ladder (reference tiles.rs tree): interiors
+        # merge 1-day tiles, edges descend to 2-hour resolution — fewer
+        # tile merges than fine-only AND fewer raw edge rows than
+        # coarse-only, bit-equal to both (asserted in test_tiled_window)
+        granularity=["2 hours", "1 day"],
         specs=[
             TiledSpec("cnt_21d", "count", "vc", "bigint"),
             TiledSpec("sum_21d", "sum", "vc", "double", finish=lambda s: s / 100.0),
