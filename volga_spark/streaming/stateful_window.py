@@ -180,7 +180,7 @@ def sliding_window_stream(
         else:
             starts = ends = np.empty(0, dtype=np.int64)
 
-        out_frames = []
+        results = []
         keep_mask = np.zeros(n, dtype=bool)
         for s0, s1 in zip(starts, ends):
             # plain-python key tuple: numpy scalars would leak into the
@@ -205,7 +205,7 @@ def sliding_window_stream(
                     res[c] = seg_cols[c][emit_mask]
                 for (name, _, _, _), vals in zip(spec_data, outs):
                     res[name] = [v for v, m in zip(vals, emit_mask) if m]
-                out_frames.append(pd.DataFrame(res))
+                results.append(res)
                 cursors[kt] = int(seg_ts[emit_mask].max())
 
             # prune: keep unemitted rows + window context behind the watermark
@@ -227,8 +227,20 @@ def sliding_window_stream(
                 [v for _, v in cur_items],
             )
         )
-        if out_frames:
-            yield pd.concat(out_frames, ignore_index=True)
+        # one output frame per batch (a DataFrame per key + concat was a
+        # measured hot spot in the tiled sibling; same shape here)
+        if results:
+            out_cols = {}
+            for c in results[0]:
+                pieces = [r[c] for r in results]
+                if isinstance(pieces[0], np.ndarray):
+                    out_cols[c] = np.concatenate(pieces)
+                else:
+                    flat = []
+                    for p in pieces:
+                        flat.extend(p)
+                    out_cols[c] = flat
+            yield pd.DataFrame(out_cols)
 
     out = work.groupBy(BKT).applyInPandasWithState(
         handler,
