@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Reference benchmark-harness shapes, reproduced 1:1 (SURVEY §6).
+
+The reference publishes no absolute numbers — its benchmarks are harnesses
+that print records/sec at run time. This script reproduces the same three
+workload SHAPES against this engine so the throughput comparison the
+reference enables is directly runnable here (results recorded in
+SCALING.md):
+
+1. window_default — reference WindowBenchmarkConfig::default()
+   (window_operator_benchmark.rs:73-92): 20,000 records, 4 keys, 1 ms
+   event-time steps, ``SUM(value) OVER (PARTITION BY key ORDER BY
+   event_time RANGE BETWEEN INTERVAL '1000' MILLISECOND PRECEDING AND
+   CURRENT ROW)`` (Retractable, num_windows=1), streamed through the
+   stateful sliding-window handler to completion.
+2. request_rows10k — reference test_window_benchmark_basic
+   (window_operator_benchmark.rs:590-618): 200,000 records, 40 keys,
+   ``MIN(value) OVER (... ROWS BETWEEN 10000 PRECEDING AND CURRENT ROW)``
+   (Plain, Request mode). With requests == records, the reference's
+   request-mode evaluation computes exactly the per-row window — the
+   comparable Spark computation is the batch ROWS-frame window over the
+   same generated table (request rows would displace ROWS offsets if
+   unioned, which the reference's virtual points don't).
+3. word_count — reference word_count_benchmark.rs:172-201:
+   ``SELECT word, COUNT(*) FROM src GROUP BY word`` over a generated
+   dictionary, streamed (availableNow) to completion. The reference runs
+   time-bounded; we fix 1,000,000 records for a stable quotient.
+
+Batching note: the reference pushes 1000-record batches through a
+continuous dataflow; Spark's unit of progress is the micro-batch, so each
+stream here replays as 5 file-backed micro-batches + flush punctuation —
+end-to-end completion time over total records is the comparable quotient.
+
+Prints one JSON line: {"shapes": {name: {"records": N, "sec": s,
+"records_per_sec": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _gen(spark, n, fields, partitions=None):
+    from volga_spark.sources.datagen import DatagenSpec, generate
+
+    return generate(spark, DatagenSpec(n_rows=n, fields=fields), partitions)
+
+
+def _stream_dir(spark, df, ts_col, key_col, id_col, n_chunks=5, flush=True):
+    from volga_spark.streaming.sources import _write_chunks
+
+    out_dir = os.path.join("/tmp/volga_spark_refbench", uuid.uuid4().hex[:10])
+    _write_chunks(spark, df, out_dir, ts_col, n_chunks, key_col, id_col, flush)
+    return out_dir
+
+
+def window_default(spark):
+    """20k records, 4 keys, RANGE 1000ms, retractable SUM — stateful stream."""
+    from volga_spark.operators.window import range_frame
+    from volga_spark.sources.datagen import FieldSpec
+    from volga_spark.streaming.runner import run_available_now_to_memory
+    from volga_spark.streaming.sources import SENTINEL_ID, parquet_stream
+    from volga_spark.streaming.stateful_window import sliding_window_stream
+
+    n = 20_000
+    df = _gen(
+        spark,
+        n,
+        [
+            FieldSpec("event_time", "incremental_timestamp", start_s=1, step_ms=1),
+            FieldSpec("key", "key", num_unique=4),
+            FieldSpec("value", "increment"),
+        ],
+    ).withColumn("rid", F.col("value"))
+    src = _stream_dir(spark, df, "event_time", "key", "rid")
+
+    class _Sum:
+        def __init__(self):
+            self.s = 0
+
+        def add(self, v):
+            self.s += v
+
+        def retract(self, v):
+            self.s -= v
+
+    from volga_spark.functions.sliding import SlidingSpec
+
+    t0 = time.perf_counter()
+    stream = parquet_stream(spark, src, df.schema, files_per_trigger=2)
+    out = sliding_window_stream(
+        stream,
+        key_cols="key",
+        ts_col="event_time",
+        frame=range_frame("1000 milliseconds"),
+        specs=[SlidingSpec("sum_value", _Sum, ["value"], "bigint", finish=lambda a: a.s)],
+        passthrough=["rid", "value"],
+        lateness="0 seconds",
+    )
+    res = run_available_now_to_memory(out, output_mode="append")
+    produced = res.filter(F.col("rid") != SENTINEL_ID).count()
+    dt = time.perf_counter() - t0
+    assert produced == n, (produced, n)
+    shutil.rmtree(src, ignore_errors=True)
+    return n, dt
+
+
+def request_rows10k(spark):
+    """200k records, 40 keys, MIN OVER ROWS 10000 PRECEDING at every record's
+    own point (request mode with requests == records ≡ per-row window)."""
+    from pyspark.sql import Window as W
+
+    from volga_spark.sources.datagen import FieldSpec
+
+    n = 200_000
+    df = _gen(
+        spark,
+        n,
+        [
+            FieldSpec("event_time", "incremental_timestamp", start_s=1, step_ms=1),
+            FieldSpec("key", "key", num_unique=40),
+            FieldSpec("value", "increment"),
+        ],
+    )
+    t0 = time.perf_counter()
+    w = (
+        W.partitionBy("key")
+        .orderBy(F.unix_micros("event_time"))
+        .rowsBetween(-10_000, 0)
+    )
+    out = df.select(
+        "event_time", "key", "value", F.min("value").over(w).alias("min_value")
+    )
+    produced = out.select(
+        F.bit_xor(F.xxhash64("key", "min_value")).alias("h")
+    ).count()
+    assert produced == 1
+    dt = time.perf_counter() - t0
+    return n, dt
+
+
+def word_count(spark):
+    """1M records, 100-word dictionary, streamed GROUP BY count."""
+    from volga_spark.sources.datagen import FieldSpec
+    from volga_spark.streaming.runner import run_available_now_to_memory
+    from volga_spark.streaming.sources import parquet_stream
+
+    n = 1_000_000
+    df = _gen(
+        spark,
+        n,
+        [
+            FieldSpec("event_time", "incremental_timestamp", start_s=1, step_ms=1),
+            FieldSpec("word", "key", num_unique=100),
+        ],
+    )
+    src = _stream_dir(spark, df, "event_time", None, None, flush=False)
+    t0 = time.perf_counter()
+    stream = parquet_stream(spark, src, df.schema, files_per_trigger=2)
+    agg = stream.groupBy("word").agg(F.count("*").alias("count"))
+    res = run_available_now_to_memory(agg, output_mode="complete")
+    n_words = res.count()
+    total = res.agg(F.sum("count")).first()[0]
+    dt = time.perf_counter() - t0
+    assert n_words == 100 and total == n, (n_words, total)
+    shutil.rmtree(src, ignore_errors=True)
+    return n, dt
+
+
+def main():
+    from volga_spark.session import get_spark
+
+    spark = get_spark("refbench")
+    shapes = {}
+    for name, fn in (
+        ("window_default", window_default),
+        ("request_rows10k", request_rows10k),
+        ("word_count", word_count),
+    ):
+        # warm-up then measured run (JVM/python-worker warm, like bench.py)
+        fn(spark)
+        n, dt = fn(spark)
+        shapes[name] = {
+            "records": n,
+            "sec": round(dt, 3),
+            "records_per_sec": round(n / dt),
+        }
+        print(f"# {name}: {n} records in {dt:.2f}s = {n / dt:,.0f} rec/s", file=sys.stderr)
+    print(json.dumps({"shapes": shapes}))
+
+
+if __name__ == "__main__":
+    main()
