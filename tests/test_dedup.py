@@ -91,6 +91,39 @@ def test_winnow_fingerprints_match_python_and_detect_overlap(spark, corpus):
     assert inter > 0.5
 
 
+def test_duplicated_ngram_spans_exact(spark):
+    """Exact substring dedup: known corpus → known duplicated positions and
+    merged spans (n=4 keeps the fixture readable)."""
+    from volga_spark.operators.dedup import duplicated_ngram_spans
+
+    shared_a = "alpha beta gamma delta epsilon"  # 5 tokens → 4-grams at 1,2
+    shared_b = "omega psi chi phi"  # 4 tokens → one 4-gram
+    docs = [
+        # docs 1+2 share a 5-token prefix: dup 4-gram positions 1,2 → one
+        # span [1, 2+3] = 5 tokens
+        (1, shared_a + " unique tail one x1 y1 z1"),
+        (2, shared_a + " different ending two x2 y2 z2"),
+        # docs 3+4 share two far-apart regions → two spans in each
+        (3, shared_a + " filler3a f3b f3c f3d f3e " + shared_b),
+        (4, shared_a + " filler4a f4b f4c f4d f4e " + shared_b),
+        # doc 5 fully unique → absent from output
+        (5, "totally distinct words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_dup_positions, r.n_spans, r.dup_tokens)
+        for r in duplicated_ngram_spans(df, "text", "doc_id", n=4).collect()
+    }
+    assert 5 not in got
+    # docs 1,2: positions 1,2 → one merged span of 5 tokens
+    assert got[1] == (2, 1, 5)
+    assert got[2] == (2, 1, 5)
+    # docs 3,4: prefix span (5 tokens) + the shared_b 4-gram at the tail
+    # (positions 11..11 → 4 tokens) → 2 spans, 3 dup positions, 9 tokens
+    assert got[3] == (3, 2, 9)
+    assert got[4] == (3, 2, 9)
+
+
 def test_winnow_skew_guard_prunes_boilerplate(spark):
     """Σdf² skew guard: a boilerplate-heavy corpus (shared header in every
     doc) must trigger the histogram guard, prune the hot fingerprints, and

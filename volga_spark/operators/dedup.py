@@ -457,6 +457,67 @@ def exact_jaccard_pairs(
     )
 
 
+def duplicated_ngram_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """EXACT substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): dense word n-grams at every position
+    (stride 1); an n-gram occurring more than once ACROSS THE CORPUS marks
+    its positions duplicated, and overlapping/adjacent duplicated windows
+    merge into maximal spans — the per-document spans an exact-substring
+    dedup pass would cut. Returns one row per document that contains any
+    duplicated span: (id, n_dup_positions, n_spans, dup_tokens).
+
+    All native expressions — no Python stage. Scale shape: grams hash to
+    int64 (`xxhash64`) before the global frequency shuffle, so the wide agg
+    carries 8-byte keys, never gram text (the suffix-array of the paper is
+    replaced by the hash-group — same dup set, shuffle-friendly); the span
+    merge is one per-document window over duplicated positions only.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    )
+    gh = grams.select(
+        id_col, (F.col("pos0") + 1).alias("pos"), F.xxhash64("gram").alias("gh")
+    )
+    dup = gh.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
+    dpos = gh.join(dup, "gh").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    marked = dpos.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "new_span",
+        F.when(
+            F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = sess.groupBy(id_col, "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (n - 1)).alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    npos = dpos.groupBy(id_col).agg(F.count("*").alias("n_dup_positions"))
+    return per_doc.join(npos, id_col).select(
+        id_col, "n_dup_positions", "n_spans", "dup_tokens"
+    )
+
+
 def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al.): rolling hash over
     character k-grams, keep the minimum hash of each window of consecutive

@@ -113,6 +113,61 @@ def q_dedup_approx_pairs(spark, sf_dir):
 
 
 @workload(
+    "q_dedup_substring_spans",
+    oracle="""
+        WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        grams_pos AS (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+            FROM docs
+        ),
+        grams AS (
+            SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram
+            FROM grams_pos
+        ),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + 8
+                        THEN 1 ELSE 0 END AS new_span
+            FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sess AS (
+            SELECT doc_id, pos,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+            FROM marked
+        ),
+        spans AS (
+            SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+            FROM sess GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        ),
+        npos AS (SELECT doc_id, count(*) AS n_dup_positions FROM dpos GROUP BY doc_id)
+        SELECT p.doc_id, np.n_dup_positions, p.n_spans, p.dup_tokens
+        FROM per_doc p JOIN npos np USING (doc_id)
+    """,
+    tags=("dedup", "substring"),
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    """EXACT substring dedup over `documents` (Lee et al. 2021): dense word
+    8-grams, corpus-wide duplicated occurrences, overlapping windows merged
+    into maximal per-document spans. Fully native (no Python stage); the
+    global frequency shuffle carries xxhash64'd 8-byte gram keys — the
+    Spark-first stand-in for the paper's suffix array. The oracle groups
+    the gram STRINGS; results agree absent int64 hash collisions."""
+    from volga_spark.operators.dedup import duplicated_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(d, "text", "doc_id", n=8)
+
+
+@workload(
     "q_ngram_jaccard",
     oracle="""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
