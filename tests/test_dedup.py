@@ -124,6 +124,41 @@ def test_duplicated_ngram_spans_exact(spark):
     assert got[4] == (3, 2, 9)
 
 
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """13-gram decontamination: docs embedding an eval example's text are
+    flagged; clean docs aren't; counts are distinct contaminated grams."""
+    from volga_spark.operators.dedup import decontaminate
+
+    eval_q = " ".join(f"evaltok{i}" for i in range(15))  # 15 tokens → 3 13-grams
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words here " + eval_q + " suffix trailing"),
+            (2, " ".join(f"clean{i}" for i in range(40))),
+            (3, eval_q),  # verbatim benchmark item
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(eval_q,)], "q string")
+    out = {
+        r.doc_id: (r.contaminated, r.n_contaminated_grams)
+        for r in decontaminate(
+            corpus, bench, "text", "doc_id", bench_text_col="q"
+        ).collect()
+    }
+    assert out[2] == (False, 0)
+    assert out[3] == (True, 3)  # 15 tokens → 3 distinct 13-grams, all hit
+    assert out[1][0] is True and out[1][1] >= 3
+    # plan: benchmark grams must broadcast (no wide shuffle of corpus text)
+    plan = decontaminate(corpus, bench, "text", "doc_id", bench_text_col="q")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
 def test_winnow_skew_guard_prunes_boilerplate(spark):
     """Σdf² skew guard: a boilerplate-heavy corpus (shared header in every
     doc) must trigger the histogram guard, prune the hot fingerprints, and

@@ -539,7 +539,13 @@ if _HYP:
         n = draw(st.integers(min_value=30, max_value=250))
         n_keys = draw(st.integers(min_value=1, max_value=3))
         window_ms = draw(st.sampled_from([40, 170, 400, 1000]))
-        gran_ms = draw(st.sampled_from([25, 50, 100]))
+        # single granularities AND multi-granularity ladders (fine→coarse,
+        # each level a multiple of the finer)
+        gran_ms = draw(
+            st.sampled_from(
+                [25, 50, 100, (25, 100), (25, 50, 200), (50, 500)]
+            )
+        )
         ts = sorted(
             draw(
                 st.lists(
@@ -588,7 +594,11 @@ if _HYP:
             inputs=["v"],
             out_pass=["rid"],
             length_us=window_ms * MS,
-            gran_us=gran_ms * MS,
+            gran_us=(
+                [g * MS for g in gran_ms]
+                if isinstance(gran_ms, tuple)
+                else gran_ms * MS
+            ),
             specs=[
                 TiledSpec("cnt", "count", "v", "bigint"),
                 TiledSpec("s", "sum", "v", "bigint"),

@@ -518,6 +518,74 @@ def duplicated_ngram_spans(
     )
 
 
+def _gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gh) distinct xxhash64'd word n-grams per document."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("gh"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Training-set DECONTAMINATION against a held-out benchmark set — the
+    standard n-gram overlap rule (GPT-3 appendix C / PaLM: a training doc is
+    contaminated if it shares any 13-gram with an evaluation example).
+
+    Returns the corpus with two added columns: ``contaminated`` (boolean)
+    and ``n_contaminated_grams`` (distinct corpus-side n-grams that appear
+    in the benchmark; 0 when clean).
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so the
+    benchmark's distinct gram hashes BROADCAST and the corpus-side probe is
+    map-side only — one scan of the corpus, no wide shuffle of corpus text;
+    the per-doc count is a partial-aggregated groupBy on (id, 8-byte hash).
+    """
+    bench_grams = (
+        _gram_hashes(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("__bid"),
+                F.col(bench_text_col or text_col).alias("__btext"),
+            ),
+            "__btext",
+            "__bid",
+            n,
+        )
+        .select("gh")
+        .distinct()
+    )
+    hits = (
+        _gram_hashes(corpus, text_col, id_col, n)
+        .join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams", F.coalesce("n_contaminated_grams", F.lit(0))
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
 def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al.): rolling hash over
     character k-grams, keep the minimum hash of each window of consecutive
