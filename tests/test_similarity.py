@@ -79,3 +79,52 @@ def test_ivf_deterministic(spark, sf_dir):
     b = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_lists=16, n_probe=4)
                    .select("query_id", "neighbor_id", "rank").collect()))
     assert a == b
+
+
+def test_semdedup_keeps_one_per_group(spark):
+    """SemDeDup on a synthetic corpus with planted near-identical groups:
+    exactly one keeper per duplicate group (the member with the LOWEST
+    centroid cosine — the paper's keep rule), singletons all kept, and
+    every row appears exactly once."""
+    import numpy as np
+
+    from volga_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(17)
+    rows = []
+    vid = 0
+    group_members = {}
+    # 6 well-separated base directions; groups of 4 tiny perturbations each
+    for g in range(6):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        ids = []
+        for _ in range(4):
+            v = base + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+            vid += 1
+        group_members[g] = ids
+    singles = []
+    for _ in range(10):
+        v = rng.normal(size=16)
+        rows.append((vid, [float(x) for x in v]))
+        singles.append(vid)
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semdedup(df, threshold=0.98, n_lists=8, train_sample=64).collect()
+    assert len(out) == len(rows)
+    by_id = {r.vec_id: r for r in out}
+    # every planted group collapses to >= ... one component with exactly one keeper
+    for g, ids in group_members.items():
+        comps = {by_id[i].component for i in ids}
+        assert len(comps) == 1, (g, comps)
+        keepers = [i for i in ids if by_id[i].keep]
+        assert len(keepers) == 1, (g, keepers)
+        # keep rule: lowest centroid cosine (tie: lowest id)
+        expect = min(ids, key=lambda i: (by_id[i].cent_sim, i))
+        assert keepers[0] == expect, (g, keepers, expect)
+    # random singletons: kept, own component
+    for i in singles:
+        r = by_id[i]
+        assert r.keep and r.component == i, i

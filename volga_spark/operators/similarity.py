@@ -326,3 +326,84 @@ def blocked_neardup_pairs(
         .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 32,
+    train_sample: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with a spherical k-means quantizer, compare pairs only
+    WITHIN a cluster (cosine >= threshold => semantic duplicates), resolve
+    duplicate groups by connected components, and keep one representative
+    per group — the member with the LOWEST cosine to its cluster centroid
+    (the paper's keep rule: prefer the least-typical exemplar).
+
+    Returns (id, cluster_id, component, cent_sim, keep) for every row:
+    unduplicated rows form singleton components and are kept.
+
+    Scale shape: quantizer training is a bounded driver sample (the same
+    faiss/IVF discipline as ``ivf_topk``); assignment is one Arrow/numpy
+    pass; the pair scan is intra-cluster only, so worst-case volume is
+    sum(cluster_size^2) — bounded by raising n_lists as the corpus grows
+    (the paper runs ~50k clusters at billions of embeddings); the group
+    resolution is the same shuffle-based large-star/small-star CC used for
+    text near-dup clustering.
+    """
+    import pandas as pd
+
+    from volga_spark.operators.components import connected_components
+
+    sample_rows = (
+        df.select(vec_col).orderBy(F.xxhash64(F.col(id_col))).limit(train_sample).collect()
+    )
+    n_lists = max(1, min(n_lists, len(sample_rows) // 8))
+    cents = spherical_kmeans(
+        np.array([r[0] for r in sample_rows], dtype=np.float64), n_lists, seed=seed
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["__v"]), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cents.T
+            cl = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "cluster_id": cl.astype(np.int32),
+                    "cent_sim": sims[np.arange(len(cl)), cl],
+                }
+            )
+
+    assigned = widen_for_python(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    ).mapInPandas(gen, schema="__id bigint, cluster_id int, cent_sim double")
+    assigned = assigned.localCheckpoint(eager=False)  # feeds pairs AND keep rule
+
+    with_cluster = df.select(F.col(id_col), F.col(vec_col)).join(
+        assigned.withColumnRenamed("__id", id_col), id_col
+    )
+    pairs = blocked_neardup_pairs(
+        with_cluster, "cluster_id", threshold, id_col=id_col, vec_col=vec_col
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+
+    out = (
+        assigned.select(
+            F.col("__id").alias(id_col), "cluster_id", "cent_sim"
+        )
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    w = Window.partitionBy("component").orderBy("cent_sim", id_col)
+    return out.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select(id_col, "cluster_id", "component", "cent_sim", "keep")
