@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_dedup_approx_pairs",
     "q_dedup_clusters",
+    "q_dedup_substring_spans",
     "q_ann_brute_topk",
     "q_text_analysis",
     "q_asof_join",
@@ -49,6 +50,7 @@ BENCH_QUERIES = [
     "q_stream_groupby_count",
     "q_stream_sliding_window",
     "q_stream_tiled_window",
+    "q_stream_tiled_window_month",
 ]
 
 

@@ -477,21 +477,22 @@ def duplicated_ngram_spans(
     from pyspark.sql import Window as W
 
     toks = F.split(F.col(text_col), " ")
-    grams = df.select(
+    # hash the token-array SLICE inside the transform: the explode emits
+    # (pos, int64) only — no per-gram string concatenation, and the
+    # downstream shuffle never carries gram text (xxhash64 hashes arrays
+    # natively, distinguishing token boundaries better than a joined string)
+    gh = df.select(
         F.col(id_col),
         F.posexplode(
             F.when(
                 F.size(toks) >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    lambda i: F.xxhash64(F.slice(toks, i, n)),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos0", "gram"),
-    )
-    gh = grams.select(
-        id_col, (F.col("pos0") + 1).alias("pos"), F.xxhash64("gram").alias("gh")
-    )
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos0", "gh"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")
     dup = gh.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
     dpos = gh.join(dup, "gh").select(id_col, "pos")
     w = W.partitionBy(id_col).orderBy("pos")
