@@ -91,6 +91,42 @@ def test_winnow_fingerprints_match_python_and_detect_overlap(spark, corpus):
     assert inter > 0.5
 
 
+def test_simhash_hot_bucket_prefix_split(spark):
+    """Prefix-split: a hot band-0 bucket (30 docs sharing the low 16 bits)
+    collapses from ~n² candidates to per-sub-bucket pairs, while a true
+    near-dup pair (hamming 2, two clean bands) is still caught."""
+    from volga_spark.operators.dedup import simhash_candidates
+
+    rows = []
+    # 30 docs: identical band 0 (low 16 bits), everything else spread out —
+    # a classic boilerplate-concentrated hot bucket
+    for i in range(30):
+        sig = (i * 0x9E3779B1 & 0xFFFFFFFFFFFF) << 16 | 0x1234
+        rows.append((i, sig - (1 << 63)))
+    # docs 100, 101: hamming distance 2 (both flipped bits inside band 3),
+    # bands 0-2 all equal — survives any single-band split
+    base = 0x0123_4567_89AB_CDEF
+    rows.append((100, base - (1 << 63)))
+    rows.append((101, (base ^ (0b11 << 60)) - (1 << 63)))
+    df = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+
+    plain = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(df, "doc_id", bands=4).collect()
+    }
+    split = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(
+            df, "doc_id", bands=4, hot_bucket_threshold=10
+        ).collect()
+    }
+    assert (100, 101) in plain and (100, 101) in split
+    # the hot bucket contributed ~30*29/2 = 435 pairs unsplit; split keeps
+    # only pairs agreeing on band 1 too (crafted to differ) → collapse
+    assert len(plain) >= 435
+    assert len(split) < len(plain) / 5, (len(split), len(plain))
+
+
 def test_duplicated_ngram_spans_exact(spark):
     """Exact substring dedup: known corpus → known duplicated positions and
     merged spans (n=4 keeps the fixture readable)."""

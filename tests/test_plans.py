@@ -76,6 +76,15 @@ def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
     assert p.count("HashAggregate") >= 2  # partial agg before shuffle
 
 
+def test_substring_spans_stays_native(spark, sf_dir):
+    """Exact substring dedup: no Python stage anywhere (gram slices hash
+    in-transform), partial aggregation before the gram-frequency shuffle."""
+    p = plan(spark, sf_dir, "q_dedup_substring_spans")
+    for marker in ("Python", "Pandas", "BatchEvalPython"):
+        assert marker not in p, marker
+    assert p.count("HashAggregate") >= 2
+
+
 def test_no_dataframe_rdd_probe():
     """DataFrame.rdd finalizes the physical plan under AQE and can silently
     re-execute upstream stages — banned engine-wide (plan-side decisions

@@ -225,7 +225,11 @@ def add_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    sim_df: DataFrame, id_col: str, bands: int = 4, radius: int | None = None
+    sim_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    radius: int | None = None,
+    hot_bucket_threshold: int | None = None,
 ) -> DataFrame:
     """Hamming-radius candidates: split 64 bits into ``bands`` chunks; pairs
     equal in ≥1 chunk are candidates (pigeonhole: radius < bands guaranteed
@@ -249,7 +253,16 @@ def simhash_candidates(
 
     At ≥10^9 docs, 16-bit buckets hold ~15k docs each → 10^8 pairs per
     bucket; either drop the radius (fewer, wider bands) or split hot
-    buckets by a second chunk before pairing (the prefix-split)."""
+    buckets by a second chunk before pairing (the prefix-split —
+    ``hot_bucket_threshold`` below).
+
+    ``hot_bucket_threshold``: buckets larger than this are PREFIX-SPLIT —
+    members must also agree on the NEXT band's chunk to pair, cutting a hot
+    bucket's n² to ~n²/2^width. The recall trade is explicit: pairs whose
+    only clean band is the hot one now need a second clean band, so within
+    hot buckets the guarantee drops from radius<bands to radius<bands-1
+    (boilerplate-skewed corpora concentrate in few buckets, and those
+    near-identical docs agree on several bands anyway)."""
     if 64 % bands != 0:
         raise ValueError(f"bands must divide 64 evenly, got {bands}")
     if radius is not None and radius >= bands:
@@ -262,6 +275,17 @@ def simhash_candidates(
         )
     width = 64 // bands
     mask = (1 << width) - 1
+    if hot_bucket_threshold is not None and radius is not None and radius >= bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"prefix-split with radius={radius} and bands={bands}: pairs "
+            f"whose only clean band is a HOT bucket need a second clean "
+            f"band, so in-hot-bucket recall degrades to radius<{bands - 1} "
+            f"(acceptable for boilerplate-concentrated buckets; lower the "
+            f"radius or raise bands for a full guarantee)",
+            stacklevel=2,
+        )
     carry = [id_col, "simhash"] if radius is not None else [id_col]
     chunks = sim_df.select(
         *carry,
@@ -273,12 +297,37 @@ def simhash_candidates(
                         F.shiftrightunsigned(F.col("simhash"), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), ((b + 1) % bands) * width
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk2"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bc"),
-    ).select(*carry, "bc.band", "bc.chunk")
+    ).select(*carry, "bc.band", "bc.chunk", "bc.chunk2")
+    if hot_bucket_threshold is not None:
+        # hot buckets split by the next band's chunk; cold rows zero the
+        # secondary so the extra equi-key is a no-op for them. The hot set
+        # (bucket ids over the threshold) is tiny → broadcast.
+        hot = (
+            chunks.groupBy("band", "chunk")
+            .count()
+            .filter(F.col("count") > hot_bucket_threshold)
+            .select("band", "chunk", F.lit(True).alias("__hot"))
+        )
+        chunks = (
+            chunks.join(F.broadcast(hot), ["band", "chunk"], "left")
+            .withColumn(
+                "chunk2",
+                F.when(F.col("__hot"), F.col("chunk2")).otherwise(F.lit(0)),
+            )
+            .drop("__hot")
+        )
+    else:
+        chunks = chunks.withColumn("chunk2", F.lit(0))
     # both self-join sides read the chunks — checkpoint so the Python
     # simhash stage upstream runs once, not twice
     chunks = chunks.localCheckpoint(eager=False)
@@ -287,6 +336,7 @@ def simhash_candidates(
         b,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.chunk2") == F.col("b.chunk2"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
     if radius is None:
