@@ -249,3 +249,59 @@ def test_pipeline_spec_from_reference_json(spark, sf_dir):
             {"query": "SELECT 1", "sources": [
                 {"name": "e", "type": "kafka", "config": {"topic": "t"}}]}
         )
+
+
+def test_request_mode_service_matches_write_path(spark, sf_dir):
+    """ExecutionMode::Request parity (reference to_request_mode rewrite):
+    the SAME PipelineSpec compiles to (a) the emitting write path and (b) a
+    point-in-time request service; a lookup at an existing event's own
+    (key, ts) must return exactly that row's write-path window values —
+    natives AND ML UDAFs — because request rows never contribute."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    spec_json = {
+        "name": "req_parity",
+        "execution_mode": "request",
+        "query": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS cnt_1h,
+                   min(value) OVER w AS min_1h,
+                   sum_cate(CAST(round(value * 100) AS BIGINT), event_type)
+                       OVER w AS sc_1h,
+                   topn_frequency(event_type, 2) OVER w AS tf_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        """,
+        "sources": [
+            {"name": "events", "type": "parquet",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+        ],
+    }
+    spec = PipelineSpec.from_json(json.dumps(spec_json))
+    assert spec.execution_mode == "request"
+
+    write_path = spec.build(spark)
+    expected = {
+        r.event_id: (r.cnt_1h, r.min_1h, r.sc_1h, r.tf_1h)
+        for r in write_path.filter(F.col("event_id") % 7 == 0).collect()
+    }
+    assert expected
+
+    svc = spec.build_request_service(spark)
+    try:
+        ev = spec.sources[0].load(spark)
+        requests = ev.filter(F.col("event_id") % 7 == 0).select(
+            F.col("event_id").alias("request_id"), "user_id", "ts"
+        )
+        got = {
+            r.request_id: (r.cnt_1h, r.min_1h, r.sc_1h, r.tf_1h)
+            for r in svc.lookup(requests).collect()
+        }
+    finally:
+        svc.close()
+    assert set(got) == set(expected)
+    for rid, exp in expected.items():
+        assert got[rid] == exp, (rid, got[rid], exp)

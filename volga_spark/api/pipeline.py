@@ -22,8 +22,10 @@ CURRENT ROW)`` clauses:
 
 Execution modes: ``batch`` returns the result DataFrame; ``streaming``
 wraps the same pipeline over a streaming source and returns the streaming
-DataFrame (caller picks trigger/sink); ``request`` pairs with
-operators/request.point_in_time_lookup.
+DataFrame (caller picks trigger/sink); ``request`` compiles the SAME spec
+into a point-in-time serving object via ``build_request_service`` (the
+reference's ``to_request_mode`` graph rewrite) — ``build()`` stays the
+write path that maintains the state.
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from volga_spark.functions import cate_top
-from volga_spark.functions.sliding import apply_sliding_aggs
+from volga_spark.functions.sliding import SlidingSpec, apply_sliding_aggs
 from volga_spark.operators.window import Frame, range_frame, rows_frame
 
 _WHERE_FNS = ("sum", "avg", "count", "min", "max")
@@ -271,10 +273,6 @@ class PipelineSpec:
             else:
                 raise ValueError(f"unknown source type {stype!r}")
         mode = d.get("execution_mode", "batch")
-        if mode == "request":
-            # the read path is served by operators/request (point-in-time
-            # lookups over maintained state), not by this builder
-            mode = "batch"
         et = d.get("event_time")
         return cls(
             sql=d.get("query") or d["sql"],
@@ -284,6 +282,142 @@ class PipelineSpec:
             operator_overrides=d.get("operator_overrides", {}),
             event_time=tuple(et) if et else None,
         )
+
+    def build_request_service(self, spark: SparkSession) -> "PipelineRequestService":
+        """ExecutionMode::Request — the reference's ``to_request_mode`` graph
+        rewrite (reference src/api/logical_graph.rs:356-494): compile the
+        SAME spec into a point-in-time serving object instead of an emitting
+        pipeline. The write path (``build()``) maintains the state; here
+        every window expression in the SQL — native aggregates AND the ML
+        UDAF families — is evaluated at request (key, ts) virtual points
+        against the source state, one lookup job per request batch. The
+        returned object is duck-typed to ``FeatureService`` (``lookup`` /
+        ``get_features`` / ``key_cols`` / ``ts_col``), so
+        ``api.serving.FeatureServer`` serves it over HTTP unchanged.
+
+        v1 scope (the reference's request graph serves ONE window operator's
+        state): every OVER call must reference the same RANGE window.
+        """
+        from volga_spark.operators.window import RangeFrame
+
+        for src in self.sources:
+            src.load(spark).createOrReplaceTempView(src.name)
+        sql = _rewrite_where_family(self.sql)
+        windows = _parse_windows(sql)
+        if not windows:
+            raise ValueError("request mode needs a WINDOW clause")
+
+        class _NativeSweepAcc:
+            """count/sum/avg/min/max/stddev/variance as retractable sweep
+            accumulators — request mode evaluates natives through the same
+            virtual-point sweep as the ML UDAFs (reference
+            retractable_points.rs). Local class → cloudpickled by value."""
+
+            def __init__(self, op):
+                from volga_spark.functions.accumulators import MinMaxAcc
+
+                self.op = op
+                self.n = 0
+                self.s = 0.0
+                self.s2 = 0.0
+                self.mm = MinMaxAcc() if op in ("min", "max") else None
+
+            def add(self, v):
+                if v is None:
+                    return
+                self.n += 1
+                if self.mm is not None:
+                    self.mm.add(v)
+                else:
+                    self.s += v
+                    self.s2 += float(v) * float(v)
+
+            def retract(self, v):
+                if v is None:
+                    return
+                self.n -= 1
+                if self.mm is not None:
+                    self.mm.retract(v)
+                else:
+                    self.s -= v
+                    self.s2 -= float(v) * float(v)
+
+            def result(self):
+                import math
+
+                op, n = self.op, self.n
+                if op == "count":
+                    return n
+                if n == 0:
+                    return None
+                if op == "sum":
+                    return self.s
+                if op == "avg":
+                    return self.s / n
+                if op == "min":
+                    return self.mm.min()
+                if op == "max":
+                    return self.mm.max()
+                m2 = max(self.s2 - self.s * self.s / n, 0.0)
+                if op == "var_pop":
+                    return m2 / n
+                if op == "stddev_pop":
+                    return math.sqrt(m2 / n)
+                if n < 2:
+                    return None
+                if op in ("variance", "var_samp"):
+                    return m2 / (n - 1)
+                return math.sqrt(m2 / (n - 1))  # stddev / stddev_samp
+
+        specs: list = []
+        prepared: dict = {}
+        wnames: set[str] = set()
+        for start, end, fn, argstr, m_over in _find_calls(sql):
+            if m_over is None:
+                continue
+            fnl = fn.lower()
+            args = _split_args(argstr)
+            wname, alias = m_over.group(1), m_over.group(2)
+            if fnl in _CATE_FNS or fnl in _TOP_FNS or _TOPN_RE.match(fnl):
+                specs.append(_compile_sweep_call(fn, args, alias, prepared))
+            elif fnl in _NATIVE_AGGS:
+                if fnl == "stddev":
+                    fnl = "stddev_samp"
+                if fnl == "count" and (not args or args[0].strip() == "*"):
+                    # count(*): a constant prepared column — non-null on
+                    # state rows, NULL on request rows (prepared exprs are
+                    # evaluated on state only), so requests never count
+                    prepared.setdefault("__req_rows", F.lit(1))
+                    inputs = ["__req_rows"]
+                else:
+                    col = f"__req_{alias}"
+                    prepared[col] = F.expr(args[0]).cast("double")
+                    inputs = [col]
+                specs.append(
+                    SlidingSpec(
+                        alias,
+                        lambda op=fnl: _NativeSweepAcc(op),
+                        inputs,
+                        "bigint" if fnl == "count" else "double",
+                    )
+                )
+            else:
+                continue
+            wnames.add(wname)
+        if not specs:
+            raise ValueError("request mode: no OVER window expressions found")
+        if len(wnames) != 1:
+            raise ValueError(
+                f"request mode serves one window's state; SQL uses {sorted(wnames)}"
+            )
+        keys, order, frame, _ = windows[next(iter(wnames))]
+        if not isinstance(frame, RangeFrame):
+            raise ValueError("request-mode lookups are time-based: RANGE frames only")
+        table_m = re.search(r"FROM\s+(\w+)", sql, re.IGNORECASE)
+        if not table_m:
+            raise ValueError("cannot find FROM table")
+        state = spark.table(table_m.group(1))
+        return PipelineRequestService(state, keys, order, frame, specs, prepared)
 
     def build(self, spark: SparkSession) -> DataFrame:
         for src in self.sources:
@@ -379,3 +513,53 @@ class PipelineSpec:
                 sql = _WINDOW_CLAUSE_RE.sub("", sql)
 
         return spark.sql(sql)
+
+
+class PipelineRequestService:
+    """Serving front end produced by ``PipelineSpec.build_request_service``
+    (the reference's request graph: request_source → keyby →
+    window_request → request_sink). Duck-typed to
+    ``operators.request.FeatureService``, so ``api.serving.FeatureServer``
+    exposes it over HTTP unchanged; state pins in the block cache on first
+    lookup (``close()`` releases)."""
+
+    def __init__(self, state, key_cols, ts_col, frame, specs, prepared):
+        self.state = state
+        self.key_cols = list(key_cols)
+        self.ts_col = ts_col
+        self.frame = frame
+        self.specs = specs
+        self.prepared = prepared
+        self._cached = False
+
+    def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+        from volga_spark.operators.request import point_in_time_ml_lookup
+
+        if not self._cached:
+            self.state = self.state.persist()
+            self._cached = True
+        out = point_in_time_ml_lookup(
+            self.state,
+            requests,
+            key_cols=self.key_cols,
+            ts_col=self.ts_col,
+            frame=self.frame,
+            specs=self.specs,
+            prepared=self.prepared,
+            request_id_col=request_id_col,
+        )
+        return out.select(
+            request_id_col, *self.key_cols, self.ts_col,
+            *[s.name for s in self.specs],
+        )
+
+    def close(self) -> None:
+        if self._cached:
+            self.state.unpersist()
+            self._cached = False
+
+    def get_features(self, spark, points: list[tuple]) -> list[dict]:
+        """points = [(request_id, key..., ts)] → list of feature dicts."""
+        cols = ["request_id", *self.key_cols, self.ts_col]
+        req = spark.createDataFrame(points, cols)
+        return [r.asDict() for r in self.lookup(req).collect()]
