@@ -156,3 +156,60 @@ def test_http_serves_stream_built_tiles(spark, sf_dir):
             (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("s"),
         ).first()
         assert served[r.event_id] == (row.c, row.s), r.event_id
+
+
+def test_http_serves_pipeline_request_service(spark, sf_dir):
+    """A request-mode PipelineSpec compiled with build_request_service is
+    duck-typed to FeatureService — FeatureServer must serve it over HTTP
+    with values equal to the direct lookup (reference request path:
+    HTTP POST → request source → window_request → request sink)."""
+    from volga_spark.api.pipeline import PipelineSpec
+
+    spec = PipelineSpec.from_json(
+        {
+            "name": "http_req",
+            "execution_mode": "request",
+            "query": """
+                SELECT user_id,
+                       count(*) OVER w AS cnt_1h,
+                       sum_cate(CAST(round(value * 100) AS BIGINT), event_type)
+                           OVER w AS sc_1h
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+            """,
+            "sources": [
+                {"name": "events", "type": "parquet",
+                 "config": {"path": f"{sf_dir}/events.parquet"}},
+            ],
+        }
+    )
+    svc = spec.build_request_service(spark)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        pts = (
+            ev.filter(F.col("event_id") % 101 == 0)
+            .select("event_id", "user_id", "ts")
+            .limit(4)
+            .collect()
+        )
+        points = [(r.event_id, r.user_id, r.ts) for r in pts]
+        direct = {
+            r["request_id"]: (r["cnt_1h"], r["sc_1h"])
+            for r in svc.get_features(spark, points)
+        }
+        with FeatureServer(spark, svc) as srv:
+            status, body = _post(
+                srv.port,
+                {
+                    "requests": [
+                        {"request_id": rid, "user_id": uid, "ts": ts.isoformat()}
+                        for rid, uid, ts in points
+                    ]
+                },
+            )
+        assert status == 200
+        got = {r["request_id"]: (r["cnt_1h"], r["sc_1h"]) for r in body["features"]}
+        assert got == direct and len(got) == len(points)
+    finally:
+        svc.close()
