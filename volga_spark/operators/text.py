@@ -98,3 +98,67 @@ def normalized_fingerprint(text: str | Column) -> Column:
     reformatting duplicates."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+# the Gopher rule set's required "stop words" (Rae et al. 2021, A1.1:
+# a document must contain at least two of these)
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(text: str | Column) -> dict[str, Column]:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Appendix A1.1 —
+    the de-facto standard heuristic filter for LLM training corpora), each
+    rule as a named boolean column plus the combined ``gopher_pass``:
+
+    - word count in [50, 100 000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (``#`` or ``...``) ≤ 0.1
+    - < 90% of lines starting with a bullet, < 30% ending with ``...``
+    - ≥ 80% of words contain at least one alphabetic character
+    - ≥ 2 of the required stop words present
+
+    All native expressions over one scan — at 100 TB this is a pure
+    map-side pass fused into whatever scan precedes it.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    col_sql = text if isinstance(text, str) else None
+    toks = tokens(c)
+    n = F.size(toks).cast("double")
+    mean_len = avg_token_len(c)
+    hash_count = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    ellipsis_count = (
+        F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+    ) / F.lit(3)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("double")
+    if col_sql is None:
+        raise ValueError("gopher_quality_flags needs a column NAME for the "
+                         "higher-order-function rules")
+    bullet_lines = F.expr(
+        f"size(filter(split({col_sql}, '\\n'), "
+        f"l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))"
+    ).cast("double")
+    ellipsis_lines = F.expr(
+        f"size(filter(split({col_sql}, '\\n'), l -> l LIKE '%...'))"
+    ).cast("double")
+    alpha_words = F.expr(
+        f"size(filter(split({col_sql}, ' '), t -> t rlike '[A-Za-z]'))"
+    ).cast("double")
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    required_present = F.expr(
+        f"size(filter(array({req}), w -> array_contains(split({col_sql}, ' '), w)))"
+    )
+    flags = {
+        "g_word_count_ok": (n >= 50) & (n <= 100_000),
+        "g_mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
+        "g_symbol_ratio_ok": ((hash_count + ellipsis_count) / n) <= 0.1,
+        "g_bullet_lines_ok": (bullet_lines / n_lines) <= 0.9,
+        "g_ellipsis_lines_ok": (ellipsis_lines / n_lines) <= 0.3,
+        "g_alpha_word_ratio_ok": (alpha_words / n) >= 0.8,
+        "g_required_words_ok": required_present >= 2,
+    }
+    combined = None
+    for f in flags.values():
+        combined = f if combined is None else (combined & f)
+    flags["gopher_pass"] = combined
+    return flags

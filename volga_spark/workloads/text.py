@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from volga_spark.operators.text import (
+    gopher_quality_flags,
     LANG_STOPWORDS,
     avg_token_len,
     digit_ratio,
@@ -69,7 +70,19 @@ _LANG_CASE = """
                md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_fp,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
                    AS n_bpe_tokens,
-               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens,
+               (n >= 50 AND n <= 100000) AS g_word_count_ok,
+               ((length(text) - (n - 1)) / n >= 3
+                AND (length(text) - (n - 1)) / n <= 10) AS g_mean_word_len_ok,
+               (((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                / n <= 0.1) AS g_symbol_ratio_ok,
+               (len(list_filter(string_split(text, ' '),
+                                t -> regexp_matches(t, '[A-Za-z]'))) / n >= 0.8)
+                   AS g_alpha_word_ratio_ok,
+               (len(list_filter(['the','be','to','of','and','that','have','with'],
+                                w -> list_contains(string_split(text, ' '), w))) >= 2)
+                   AS g_required_words_ok
         FROM base
     """,
     tags=("text",),
@@ -100,4 +113,16 @@ def q_text_analysis(spark, sf_dir):
         normalized_fingerprint("text").alias("norm_fp"),
         F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("bigint").alias("n_bpe_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").alias("n_number_tokens"),
+        # Gopher rule subset with exact SQL mirrors (line-based rules are
+        # operator-only, pytest-covered)
+        *[
+            gopher_quality_flags("text")[k].alias(k)
+            for k in (
+                "g_word_count_ok",
+                "g_mean_word_len_ok",
+                "g_symbol_ratio_ok",
+                "g_alpha_word_ratio_ok",
+                "g_required_words_ok",
+            )
+        ],
     )
