@@ -508,7 +508,7 @@ def exact_jaccard_pairs(
 
 
 def duplicated_ngram_spans(
-    df: DataFrame, text_col: str, id_col: str, n: int = 8
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, wide_input: bool = False
 ) -> DataFrame:
     """EXACT substring dedup (Lee et al. 2021, "Deduplicating Training Data
     Makes Language Models Better"): dense word n-grams at every position
@@ -527,6 +527,11 @@ def duplicated_ngram_spans(
     from pyspark.sql import Window as W
 
     toks = F.split(F.col(text_col), " ")
+    # the tokenize/slice/hash explode is JVM-native but CPU-heavy; a small
+    # single-row-group scan arrives as ONE partition and would run the whole
+    # gram pass on one core — widen first (wide_input=True skips it when the
+    # scan is already split, i.e. any real multi-row-group corpus)
+    df = widen_for_python(df.select(id_col, text_col), known_wide=wide_input)
     # hash the token-array SLICE inside the transform: the explode emits
     # (pos, int64) only — no per-gram string concatenation, and the
     # downstream shuffle never carries gram text (xxhash64 hashes arrays

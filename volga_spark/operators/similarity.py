@@ -51,6 +51,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias(qid_col), F.col(vec_col).alias("__qvec")
     )
+    # the broadcast join preserves the corpus partitioning, so an
+    # under-split corpus scan would score (and pre-prune) on one core
+    corpus = widen_for_python(corpus.select(id_col, vec_col))
     scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(qid_col)).select(
         qid_col,
         F.col(id_col).alias("neighbor_id"),

@@ -24,6 +24,7 @@ from volga_spark.operators.text import (
     stopword_ratio,
     token_count,
 )
+from volga_spark.partitioning import widen_for_python
 from volga_spark.tables import load_table
 from volga_spark.workloads import workload
 
@@ -94,7 +95,12 @@ def q_text_analysis(spark, sf_dir):
     deterministic tie-break, content + normalized md5 fingerprints, and
     BPE-ish pre-tokenization counts (word / number / punctuation runs — the
     GPT-2 pre-tokenizer shape) via regexp_extract_all on both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    # every output column below is a regex / higher-order expr over `text` —
+    # JVM-native but CPU-heavy, and a single-row-group local scan would run
+    # it all on one core; widen first (no-op cost at scale: one round-robin
+    # pass over the 3-column projection, and a real corpus scan is already
+    # wide so the guard exists for under-split inputs)
+    d = widen_for_python(load_table(spark, sf_dir, "documents"))
     scores = lang_scores("text")
     # explicit space class: Spark SQL string literals consume backslash
     # escapes, so a '\s' pattern silently differs between engines
