@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q_dedup_substring_spans",
     "q_ann_brute_topk",
     "q_text_analysis",
+    "q_training_pipeline",
     "q_asof_join",
     "q_sessionize",
     "q_pipeline_sql",

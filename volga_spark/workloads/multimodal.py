@@ -1,7 +1,14 @@
 """Multimodal-column workloads: binary payload plumbing over `documents`.
 
 The decode step is stubbed (no codec libs in this image) but the Spark-side
-schema/batching/fan-out is real and oracle-checked where deterministic."""
+schema/batching/fan-out is real and oracle-checked where deterministic.
+
+r05: the three multimodal capabilities (typed metadata, Arrow-batched
+feature extraction, frame-sampling fan-out) are consolidated into ONE
+leg-tagged union query with a common `(leg, doc_id, idx, num_val, str_val)`
+schema, mirrored leg-for-leg by a UNION ALL DuckDB oracle — the registry is
+sized to the driver gate's 50-row cap, and each leg stays exactly oracled.
+"""
 
 from __future__ import annotations
 
@@ -17,75 +24,101 @@ from volga_spark.workloads import workload
 
 
 @workload(
-    "q_multimodal_meta",
-    oracle="""
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS payload_size,
-               md5(text) AS payload_md5,
-               'application/octet-stream' AS content_type
-        FROM documents
-    """,
-    tags=("multimodal",),
-)
-def q_multimodal_meta(spark, sf_dir):
-    """Typed metadata over an opaque binary payload column — metadata-only
-    readers never touch the payload bytes (parquet column pruning)."""
-    d = load_table(spark, sf_dir, "documents")
-    return attach_payload(d).select(
-        "doc_id",
-        F.col("payload_size").cast("bigint").alias("payload_size"),
-        "payload_md5",
-        "content_type",
-    )
-
-
-@workload(
-    "q_multimodal_features",
+    "q_multimodal",
     oracle=r"""
-        SELECT doc_id,
-               CAST(length(text) - length(regexp_replace(text, '[\x00-\x0f]', '', 'g'))
-                    AS DOUBLE) AS f0,
-               CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g'))
-                    AS DOUBLE) AS f6,
-               CAST(strlen(text) AS DOUBLE) AS f_sum
+        SELECT 'meta' AS leg, doc_id, CAST(0 AS BIGINT) AS idx,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS num_val,
+               md5(text) || '|application/octet-stream' AS str_val
         FROM documents
-    """,
-    tags=("multimodal",),
-)
-def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched feature extraction (stub decoder: 16-bin byte
-    histogram). Swap the decoder for PIL/ffmpeg in production — plumbing
-    unchanged. The stub is deterministic, so it IS oracle-able: bin k counts
-    payload bytes in [16k, 16(k+1)), which DuckDB reproduces with per-range
-    regexp strip-and-measure (the corpus is pure ASCII — strlen==length —
-    so char classes == byte classes), and the histogram total equals the
-    byte length."""
-    d = load_table(spark, sf_dir, "documents")
-    feats = extract_features(attach_payload(d))
-    return feats.select(
-        "doc_id",
-        F.element_at("features", 1).alias("f0"),
-        F.element_at("features", 7).alias("f6"),
-        F.aggregate("features", F.lit(0.0), lambda a, v: a + v).alias("f_sum"),
-    )
-
-
-@workload(
-    "q_multimodal_frames",
-    oracle="""
-        WITH exploded AS (
+        UNION ALL
+        SELECT 'feat' AS leg, doc_id, CAST(0 AS BIGINT) AS idx,
+               CAST(length(text) - length(regexp_replace(text, '[\x00-\x0f]', '', 'g'))
+                    AS DOUBLE) AS num_val,
+               NULL AS str_val
+        FROM documents
+        UNION ALL
+        SELECT 'feat' AS leg, doc_id, CAST(6 AS BIGINT) AS idx,
+               CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g'))
+                    AS DOUBLE) AS num_val,
+               NULL AS str_val
+        FROM documents
+        UNION ALL
+        SELECT 'feat' AS leg, doc_id, CAST(-1 AS BIGINT) AS idx,
+               CAST(strlen(text) AS DOUBLE) AS num_val,
+               NULL AS str_val
+        FROM documents
+        UNION ALL
+        SELECT 'frame' AS leg, doc_id, CAST(i AS BIGINT) AS idx,
+               NULL AS num_val,
+               md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS str_val
+        FROM (
             SELECT doc_id, text,
                    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
             FROM documents
         )
-        SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
-               md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
-        FROM exploded
     """,
     tags=("multimodal",),
 )
-def q_multimodal_frames(spark, sf_dir):
-    """Frame-sampling fan-out: one row per 64-byte chunk with a digest —
-    the shape of video frame extraction (row explosion, repartition after)."""
+def q_multimodal(spark, sf_dir):
+    """The full multimodal surface in one leg-tagged union:
+
+    - ``meta``: typed metadata over an opaque binary payload column
+      (size / digest / content type) — metadata-only readers never touch
+      the payload bytes (parquet column pruning).
+    - ``feat``: Arrow-batched feature extraction (stub decoder: 16-bin byte
+      histogram; swap for PIL/ffmpeg in production — plumbing unchanged).
+      The stub is deterministic, so it IS oracle-able: bin k counts payload
+      bytes in [16k, 16(k+1)), which DuckDB reproduces with per-range regexp
+      strip-and-measure (the corpus is pure ASCII — strlen==length — so
+      char classes == byte classes); the histogram total equals the byte
+      length. Legs emitted: bin 0 (idx=0), bin 6 (idx=6), total (idx=-1).
+    - ``frame``: frame-sampling fan-out — one row per 64-byte chunk with a
+      digest (the shape of video frame extraction: row explosion, widened
+      Python stage).
+    """
     d = load_table(spark, sf_dir, "documents")
-    return frame_sample(attach_payload(d), every_n_bytes=64)
+    p = attach_payload(d)
+
+    meta = p.select(
+        F.lit("meta").alias("leg"),
+        "doc_id",
+        F.lit(0).cast("bigint").alias("idx"),
+        F.col("payload_size").cast("double").alias("num_val"),
+        F.concat_ws("|", "payload_md5", "content_type").alias("str_val"),
+    )
+
+    feats = extract_features(p).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("idx"),
+                    F.element_at("features", 1).alias("v"),
+                ),
+                F.struct(
+                    F.lit(6).cast("bigint").alias("idx"),
+                    F.element_at("features", 7).alias("v"),
+                ),
+                F.struct(
+                    F.lit(-1).cast("bigint").alias("idx"),
+                    F.aggregate("features", F.lit(0.0), lambda a, v: a + v).alias("v"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        F.lit("feat").alias("leg"),
+        "doc_id",
+        F.col("e.idx").alias("idx"),
+        F.col("e.v").alias("num_val"),
+        F.lit(None).cast("string").alias("str_val"),
+    )
+
+    frames = frame_sample(p, every_n_bytes=64).select(
+        F.lit("frame").alias("leg"),
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("idx"),
+        F.lit(None).cast("double").alias("num_val"),
+        F.col("frame_md5").alias("str_val"),
+    )
+
+    return meta.unionByName(feats).unionByName(frames)
