@@ -159,3 +159,48 @@ def test_datagen_string_and_processing_ts_generators(spark):
     assert all(r.pt is not None for r in rows)
     with _pytest.raises(ValueError, match="not oracle-able"):
         duck_generate_sql(pspec)
+
+
+@pytest.fixture()
+def dup_stream_dir(tmp_path):
+    """Duplicate key 'k1' arrives three times: twice inside the watermark
+    horizon (batch 0, batch 1 at +10min) and once far beyond it (batch 2 at
+    +3h, after the watermark passed first-arrival ts + delay)."""
+    d = str(tmp_path / "dups")
+    os.makedirs(d)
+    base = 1_700_000_000
+    _write(d, [(1, 1, base, 1.0), (2, 2, base + 5, 1.0)], 0)
+    # watermark (30min delay) after batch 0 ≈ base+5-30min; this dup is kept
+    # in-state and dropped
+    _write(d, [(3, 1, base + 600, 1.0)], 1)
+    # +3h advances the watermark far past key-1's expiry (first ts + 30min);
+    # eviction applies at the END of the batch that advances the watermark,
+    # so the re-arrival goes one batch later
+    _write(d, [(4, 3, base + 10800, 1.0)], 2)
+    _write(d, [(5, 4, base + 10830, 1.0)], 3)
+    # key-1 state evicted by now — this re-arrival is NEW to the operator
+    _write(d, [(6, 1, base + 10860, 1.0)], 4)
+    return d
+
+
+def test_drop_duplicates_within_watermark_evicts_state(spark, dup_stream_dir):
+    """dropDuplicatesWithinWatermark: duplicates inside the horizon dedupe,
+    re-arrivals after state eviction re-emit — the bounded-state trade the
+    100 TB ingest path makes (vs exact dropDuplicates whose state grows with
+    the key space)."""
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_stream_dir)
+    )
+    out = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    res = run_available_now_to_memory(out, output_mode="append").toPandas()
+    emitted = sorted(res.event_id.tolist())
+    # event 3 (user 1 again, inside horizon) deduped; event 6 (user 1 after
+    # eviction) re-emitted
+    assert 3 not in emitted
+    assert {1, 2, 4, 5, 6} <= set(emitted)

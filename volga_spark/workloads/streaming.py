@@ -502,3 +502,71 @@ def q_stream_sliding_rows(spark, sf_dir):
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
         "event_id", "user_id", "ts", "cnt_50r", "min_50r"
     )
+
+
+@workload(
+    "q_stream_dedup",
+    oracle="""
+        SELECT 'dedup' AS leg,
+               user_id || '|' || event_type AS k_str,
+               CAST(NULL AS BIGINT) AS n
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        UNION ALL
+        SELECT 'enrich' AS leg, n_name AS k_str, count(*) AS n
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+        GROUP BY n_name
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming ingest dedup + enrichment — the two stream-side stages of a
+    training-data ingest pipeline, one leg-tagged union:
+
+    - ``dedup``: stateful exact deduplication (`dropDuplicates` keyed state)
+      over the 5-micro-batch event stream; each (user_id, event_type) key is
+      emitted exactly once, on first arrival — at-least-once upstream
+      delivery becomes exactly-once downstream. At 100 TB the same operator
+      runs with `dropDuplicatesWithinWatermark` so state is evicted past the
+      lateness horizon instead of growing with the corpus
+      (tests/test_streaming_semantics.py covers the eviction semantics);
+      this leg keeps full state so the result is exactly batch DISTINCT.
+    - ``enrich``: stream-static join against the broadcast customer/nation
+      dimensions (the reference stubs joins — Spark runs them natively in
+      streaming), aggregated per nation in complete mode. The static side
+      is broadcast, so the stream never shuffles for the join.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from volga_spark.tables import load_table
+
+    stream, _ = chunked_file_stream(
+        spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2
+    )
+
+    dedup = run_available_now_to_memory(
+        stream.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        ),
+        output_mode="append",
+    ).select(
+        F.lit("dedup").alias("leg"),
+        F.concat_ws("|", "user_id", "event_type").alias("k_str"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = (
+        stream.join(broadcast(customer), stream.user_id == customer.c_custkey)
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    enrich = run_available_now_to_memory(enriched, output_mode="complete").select(
+        F.lit("enrich").alias("leg"),
+        F.col("n_name").alias("k_str"),
+        F.col("n"),
+    )
+    return dedup.unionByName(enrich)
