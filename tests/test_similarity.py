@@ -128,3 +128,71 @@ def test_semdedup_keeps_one_per_group(spark):
     for i in singles:
         r = by_id[i]
         assert r.keep and r.component == i, i
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVF-PQ trades ranking exactness for 32x index memory; with generous
+    probing (8/16 lists) and 16-dim subspaces the ADC ranking still recovers
+    most of the exact top-5 on the clustered synthetic embeddings."""
+    from volga_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivfpq_topk(
+        emb, queries, k=5, n_lists=16, n_probe=8, m=8, ksub=256, refine_factor=8
+    ).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    found = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & found) / len(truth)
+    # ADC-only ranking measures ~0.5 here; the exact-cosine refine stage
+    # over the 40-candidate ADC shortlist recovers ~0.95+
+    assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
+
+
+def test_ivfpq_deterministic_and_codes_bounded(spark, sf_dir):
+    from volga_spark.operators.similarity import ivfpq_topk, pq_encode, pq_train
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivfpq_topk(emb, queries, k=3, n_lists=16, n_probe=4, m=4, ksub=64)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, ivfpq_topk(emb, queries, k=3, n_lists=16, n_probe=4, m=4, ksub=64)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b and a
+
+    # codes: m entries, each < ksub (fits uint8 at ksub<=256 — the 32x story)
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((128, 64))
+    books = pq_train(x, m=8, ksub=32, seed=1)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    codes = pq_encode(x, books)
+    assert codes.shape == (128, 8)
+    assert codes.min() >= 0 and codes.max() < 32
+
+
+def test_pq_adc_approximates_cosine():
+    """ADC inner product over trained codebooks must approximate the true
+    cosine of normalized vectors (quantization error bounded, ordering
+    mostly preserved on separable data)."""
+    import numpy as np
+    from volga_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.RandomState(3)
+    # two well-separated clusters
+    base = rng.standard_normal((2, 64)) * 4
+    x = np.vstack([base[i % 2] + rng.standard_normal(64) * 0.3 for i in range(256)])
+    books = pq_train(x, m=8, ksub=64, seed=2)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    codes = pq_encode(xn, books)
+    q = xn[0]
+    lut = np.einsum("md,mkd->mk", q.reshape(8, 8), books)
+    adc = lut[np.arange(8)[None, :], codes].sum(axis=1)
+    true = xn @ q
+    err = np.abs(adc - true)
+    assert err.mean() < 0.05, err.mean()
+    # same-cluster neighbors must outrank cross-cluster under ADC
+    same = adc[2::2].mean()   # even rows share cluster 0 with q
+    other = adc[1::2].mean()
+    assert same > other

@@ -144,14 +144,26 @@ def q_training_pipeline(spark, sf_dir):
         & flags["g_ellipsis_lines_ok"]
         & flags["g_alpha_word_ratio_ok"]
     )
-    w = Window.partitionBy(F.md5("text"))
+    # evaluate every text-derived metric MAP-SIDE and reduce the row to
+    # (ids, digest, flags) before the canonical-pick exchange: the shuffle
+    # carries a 16-byte digest + booleans, never document text — at 100 TB
+    # the window exchange is the only wide move in this pipeline and must
+    # not ship the corpus
+    per_doc = dec.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        quality_ok.alias("quality_ok"),
+        flags["gopher_pass"].alias("gopher_pass"),
+        F.md5("text").alias("__fp"),
+        "n_contaminated_grams",
+        "contaminated",
+    )
+    w = Window.partitionBy("__fp")
     return (
-        dec.withColumn("quality_ok", quality_ok)
-        .withColumn("gopher_pass", flags["gopher_pass"])
-        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        per_doc.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
         .select(
             "doc_id",
-            token_count("text").cast("bigint").alias("n_tokens"),
+            "n_tokens",
             "quality_ok",
             "gopher_pass",
             "is_canonical",

@@ -84,8 +84,13 @@ def q_ann_lsh_topk(spark, sf_dir):
       quantizer trained on a bounded sample, corpus assigned to nearest
       list in one Arrow/numpy pass, queries probe the n_probe nearest
       lists. Scoring volume ≈ corpus × n_probe / n_lists.
+    - ``ivfpq``: IVF + product quantization — the MEMORY scale path: corpus
+      vectors stored as m-byte PQ codes (32× compression), candidates
+      scored by ADC table lookups, then an exact-cosine refine over the
+      ADC shortlist. Raw vectors appear only in the bounded training
+      sample, the broadcast queries, and the O(queries·k·refine) fetch.
     """
-    from volga_spark.operators.similarity import ivf_topk
+    from volga_spark.operators.similarity import ivf_topk, ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -95,4 +100,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     ivf = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=8).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank"
     )
-    return lsh.unionAll(ivf)
+    ivfpq = ivfpq_topk(
+        emb, queries, k=5, n_lists=16, n_probe=8, m=8, ksub=256, refine_factor=8
+    ).select(F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "rank")
+    return lsh.unionAll(ivf).unionAll(ivfpq)
