@@ -123,3 +123,27 @@ def test_python_stage_gets_shuffle_width(spark, sf_dir):
     df = widen_for_python(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     p = df._jdf.queryExecution().executedPlan().toString()
     assert f"RoundRobinPartitioning({n})" in p, p[:1500]
+
+
+def test_salted_count_distinct_exact_and_two_level(spark, sf_dir):
+    """salted_count_distinct must equal the plain countDistinct and show two
+    aggregation levels with the salt in the first grouping (the hot-key
+    distinct state split across n_salts tasks)."""
+    from pyspark.sql import functions as F
+
+    from volga_spark.partitioning import salted_count_distinct
+    from volga_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_count_distinct(
+        li, ["l_returnflag"], "l_partkey", out="parts", n_salts=16
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("parts")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    p = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in p
+    # two reduce levels: (key, salt) then (key)
+    assert p.count("HashAggregate") >= 4, p[:2000]

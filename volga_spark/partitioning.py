@@ -48,3 +48,37 @@ def widen_for_python(
         spark.sparkContext.defaultParallelism,
     )
     return df.repartition(n)
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    out: str = "n_distinct",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Skew-proof exact COUNT(DISTINCT col) per group.
+
+    For {sum,count,min,max}, Catalyst's map-side partial aggregation already
+    neutralizes hot keys — no salting needed, and this module deliberately
+    does not wrap those. The aggregate that DOES die on a hot key is
+    count-distinct: the single reduce task for the hot group must hold the
+    whole distinct set. `groupBy(k).agg(countDistinct(x))` on a key with 10⁹
+    rows behind it is the classic 100 TB stage-killer.
+
+    Fix: shard the VALUE space, not the rows — salt = hash(col) % n_salts,
+    partial `count_distinct` at (keys, salt), merge by SUM at (keys). Exact,
+    because a hash-partitioned value space makes the per-salt distinct sets
+    provably disjoint; the hot group's state is split across n_salts tasks
+    and each partial set is ~1/n_salts of the original — expressed as an
+    explicit two-level plan so it composes with other aggregates.
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(col)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count_distinct(F.col(col)).alias("__pn")
+    )
+    return partial.groupBy(*keys).agg(F.sum("__pn").cast("bigint").alias(out))
