@@ -109,3 +109,35 @@ def test_stream_built_tiles_equal_batch(spark, sf_dir):
         .sort_index()
     )
     pd.testing.assert_frame_equal(streamed, batch, check_like=True)
+
+
+def test_auto_service_picks_by_density_and_answers_match(spark, sf_dir):
+    """auto_feature_service: sparse corpus → naive; forced low threshold →
+    tiled; both answer identical values for the same points."""
+    from volga_spark.operators.tiles import auto_feature_service
+
+    ev = load_table(spark, sf_dir, "events")
+    frame = range_frame("1 hour")
+    # ~2 events/user/day → far below any sane threshold
+    naive = auto_feature_service(ev, "user_id", "ts", "value", frame)
+    assert naive.chosen == "naive", naive.est_rows_per_key_window
+    tiled = auto_feature_service(
+        ev, "user_id", "ts", "value", frame, threshold=0.0
+    )
+    assert tiled.chosen == "tiled"
+    assert naive.est_rows_per_key_window == tiled.est_rows_per_key_window > 0
+
+    pts = [
+        (1, int(r["user_id"]), r["ts"])
+        for r in ev.orderBy("event_id").limit(3).collect()
+    ]
+    pts = [(i, u, t) for i, (_, u, t) in enumerate(pts)]
+    a = {d["request_id"]: d for d in naive.get_features(spark, pts)}
+    b = {d["request_id"]: d for d in tiled.get_features(spark, pts)}
+    naive.close(); tiled.close()
+    assert set(a) == set(b) and a
+    for rid in a:
+        assert a[rid]["cnt"] == b[rid]["cnt"]
+        assert abs((a[rid]["sum_value"] or 0) - (b[rid]["sum_value"] or 0)) < 1e-9
+        assert a[rid]["min_value"] == b[rid]["min_value"]
+        assert a[rid]["max_value"] == b[rid]["max_value"]

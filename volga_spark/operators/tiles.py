@@ -229,3 +229,86 @@ def tiled_lookup(
             F.coalesce("i_max", F.col("e_max")), F.coalesce("e_max", F.col("i_max"))
         ).alias("max_value"),
     )
+
+
+def estimate_rows_per_key_window(
+    events: DataFrame, key_cols: str | list[str], ts_col: str, frame: RangeFrame
+) -> float:
+    """Expected raw rows inside one (key, window) — the quantity that
+    decides naive vs tiled serving. ONE aggregation pass: total rows,
+    approx distinct keys (one-pass HLL — never a distinct shuffle), event-
+    time span; density ≈ rows/keys × window/span."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    row = events.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(F.struct(*keys)).alias("k"),
+        F.min(ts_col).alias("lo"),
+        F.max(ts_col).alias("hi"),
+    ).collect()[0]
+    if not row["n"] or row["lo"] is None:
+        return 0.0
+    span = max((row["hi"] - row["lo"]).total_seconds() * 1_000_000, 1.0)
+    w = min(float(frame.micros), span)
+    return (row["n"] / max(row["k"], 1)) * (w / span)
+
+
+def auto_feature_service(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    frame: RangeFrame,
+    granularity: str = "1 minute",
+    threshold: float = 512.0,
+    cache: bool = True,
+):
+    """Pick the serving plan by MEASURED key density (SCALING.md's request-
+    serving table): below ``threshold`` expected rows per key-window the
+    naive union+window plan wins (one shuffle, per-key sorts over few rows);
+    above it the tiled plan's O(window/granularity + edges) per-request cost
+    beats the naive path's O(rows-in-window) sort. Returns a duck-typed
+    service (``lookup``/``get_features``) answering COUNT / SUM / MIN / MAX
+    over [ts - W, ts]; both plans are exact and bit-identical
+    (tests/test_tiles.py), so the choice is purely a cost call — inspect it
+    via ``.chosen`` / ``.est_rows_per_key_window``.
+    """
+    from volga_spark.operators.request import FeatureService, masked
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    density = estimate_rows_per_key_window(events, keys, ts_col, frame)
+    if density >= threshold:
+        svc = TiledFeatureService(
+            events.select(*keys, ts_col, value_col),
+            build_tiles(events, keys, ts_col, value_col, granularity),
+            key_cols=keys,
+            ts_col=ts_col,
+            value_col=value_col,
+            frame=frame,
+            granularity=granularity,
+            cache=cache,
+        )
+        svc.chosen = "tiled"
+    else:
+
+        def agg_builder(w):
+            mv = masked(value_col)
+            return {
+                "cnt": F.count(mv).over(w),
+                "sum_value": (
+                    F.sum(F.round(mv * 100).cast("long")).over(w) / F.lit(100.0)
+                ),
+                "min_value": F.min(mv).over(w),
+                "max_value": F.max(mv).over(w),
+            }
+
+        svc = FeatureService(
+            events.select(*keys, ts_col, value_col),
+            key_cols=keys,
+            ts_col=ts_col,
+            frame=frame,
+            agg_builder=agg_builder,
+            cache=cache,
+        )
+        svc.chosen = "naive"
+    svc.est_rows_per_key_window = density
+    return svc
