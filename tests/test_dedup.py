@@ -264,3 +264,34 @@ def test_simhash_band_guard_and_fused_verify(spark, corpus):
         if h <= 3:
             unfused.add((r.id_a, r.id_b, h))
     assert fused == unfused and (2, 3, 0) in fused
+
+
+def test_add_signatures_matches_single_method_generators(spark, sf_dir):
+    """The one-pass signature frame must be bit-identical to the three
+    single-method generators (shared tokenization changes nothing)."""
+    from volga_spark.operators.dedup import (
+        add_minhash,
+        add_signatures,
+        add_simhash,
+        add_winnow_fingerprints,
+    )
+    from volga_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").limit(80)
+    one = {
+        r["doc_id"]: r
+        for r in add_signatures(d, "text", "doc_id", k=64, n=3).collect()
+    }
+    mh = {r["doc_id"]: r["signature"] for r in add_minhash(d, "text", "doc_id", k=64, n=3)
+          .select("doc_id", "signature").collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in add_simhash(d, "text", "doc_id")
+          .select("doc_id", "simhash").collect()}
+    wf = {}
+    for r in add_winnow_fingerprints(d, "text", "doc_id").collect():
+        wf.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert set(one) == set(mh)
+    for i, r in one.items():
+        assert r["signature"] == mh[i]
+        assert r["simhash"] == sh[i]
+        assert set(r["winnow_fps"]) == wf[i]

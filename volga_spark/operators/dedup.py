@@ -795,3 +795,93 @@ def add_winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
     return widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)
+
+
+def add_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    n: int = 3,
+    winnow_k: int = 5,
+    winnow_window: int = 8,
+) -> DataFrame:
+    """ALL THREE near-dup signature families in ONE Arrow pass:
+    (id, signature array<bigint> [MinHash-k], simhash bigint,
+    winnow_fps array<bigint>).
+
+    The separate ``add_minhash``/``add_simhash``/``add_winnow_fingerprints``
+    generators each tokenize and re-read the corpus; a multi-method dedup
+    pass (the `q_dedup_approx_pairs` shape — run every detector, union the
+    verdicts) should pay the scan + split + Arrow transfer ONCE. Outputs are
+    bit-identical to the single-method generators (asserted in
+    tests/test_dedup.py), so the candidate stages (`lsh_candidate_pairs`,
+    `simhash_candidates`, `winnow_candidate_pairs`) consume the shared frame
+    unchanged. At 100 TB this turns three full-corpus Python stages into
+    one; callers localCheckpoint the result so the three candidate branches
+    read it instead of recomputing."""
+    import volga_spark.operators.dedup as _self
+
+    register_by_value(_self)
+    a, b = _perm_params(k)
+    schema = (
+        f"{id_col} bigint, signature array<bigint>, simhash bigint, "
+        "winnow_fps array<bigint>"
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_h: dict[str, int] = {}
+        tok_bits: dict = {}
+        for pdf in batches:
+            sigs, shs, wfps = [], [], []
+            for t in pdf[text_col]:
+                toks = t.split()
+                # minhash over word n-gram shingles (shared token-hash cache)
+                for tok in toks:
+                    if tok not in tok_h:
+                        tok_h[tok] = _stable_h61(tok)
+                hv = _shingle_hashes(toks, n, tok_h)
+                if hv.size == 0:
+                    sigs.append([MERSENNE] * k)
+                else:
+                    m = (hv[None, :] * a[:, None] + b[:, None]) % MERSENNE
+                    sigs.append(np.min(m, axis=1).tolist())
+                # simhash over the distinct-token bit-vectors
+                rows = []
+                for tok in set(toks):
+                    bv = tok_bits.get(tok)
+                    if bv is None:
+                        h = int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8], "little"
+                        )
+                        bv = (
+                            ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int8)
+                            * 2
+                            - 1
+                        )
+                        tok_bits[tok] = bv
+                    rows.append(bv)
+                acc = (
+                    np.sum(np.stack(rows), axis=0, dtype=np.int64)
+                    if rows
+                    else np.zeros(64, dtype=np.int64)
+                )
+                v = 0
+                for i in np.flatnonzero(acc > 0):
+                    v |= 1 << int(i)
+                shs.append(v - (1 << 63))
+                # winnowing fingerprints (char-gram rolling hash)
+                wfps.append(sorted(set(winnow_fingerprints_np(t, winnow_k, winnow_window))))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "signature": sigs,
+                    "simhash": shs,
+                    "winnow_fps": wfps,
+                }
+            )
+
+    return widen_for_python(df.select(id_col, text_col)).mapInPandas(
+        gen, schema=schema
+    )

@@ -13,8 +13,6 @@ from pyspark.sql import functions as F
 
 from volga_spark.operators.components import connected_components
 from volga_spark.operators.dedup import (
-    add_minhash,
-    add_simhash,
     all_pairs_jaccard,
     exact_jaccard_pairs,
     lsh_candidate_pairs,
@@ -62,7 +60,15 @@ def q_dedup_approx_pairs(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
 
-    sigs = add_minhash(d, "text", "doc_id", k=64, n=3)
+    # ONE Arrow pass computes all three signature families (shared
+    # tokenization), checkpointed so the three candidate branches read the
+    # cached frame instead of re-running the Python stage per method
+    from volga_spark.operators.dedup import add_signatures
+
+    sigs = add_signatures(d, "text", "doc_id", k=64, n=3).localCheckpoint(
+        eager=False
+    )
+
     mh_cands = lsh_candidate_pairs(sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4)
     minhash = (
         exact_jaccard_pairs(d, mh_cands, "text", "doc_id", n=3)
@@ -75,11 +81,10 @@ def q_dedup_approx_pairs(spark, sf_dir):
         )
     )
 
-    sh = add_simhash(d, "text", "doc_id")
     # hamming verify fused into the banding join (simhash_candidates radius
     # arg): the quadratic per-bucket candidate set never leaves its stage
     simhash = simhash_candidates(
-        sh.select("doc_id", "simhash"), "doc_id", bands=4, radius=3
+        sigs.select("doc_id", "simhash"), "doc_id", bands=4, radius=3
     ).select(
         F.lit("simhash").alias("method"),
         "id_a",
@@ -87,12 +92,9 @@ def q_dedup_approx_pairs(spark, sf_dir):
         F.col("hamming").cast("double").alias("score"),
     )
 
-    from volga_spark.operators.dedup import (
-        add_winnow_fingerprints,
-        winnow_candidate_pairs,
-    )
+    from volga_spark.operators.dedup import winnow_candidate_pairs
 
-    fps = add_winnow_fingerprints(d, "text", "doc_id")
+    fps = sigs.select("doc_id", F.explode("winnow_fps").alias("fp"))
     # skew-guarded fingerprint join: Σdf² estimated from the df histogram,
     # hot (boilerplate) fingerprints pruned when it exceeds the limit
     wpairs, _ = winnow_candidate_pairs(fps, "doc_id")
