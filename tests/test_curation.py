@@ -64,3 +64,35 @@ def test_gopher_pass_implies_quality_ok(result):
     for r in result.values():
         if r["gopher_pass"]:
             assert r["quality_ok"], r
+
+
+def test_sampling_within_keep_and_budget(result):
+    """sampled ⊆ keep; rates in [0,1]; realized token budget near the 0.5×
+    target (deterministic hash draw → tight at corpus sizes)."""
+    kept_tok = sum(r["n_tokens"] for r in result.values() if r["keep"])
+    samp_tok = sum(r["n_tokens"] for r in result.values() if r["sampled"])
+    for r in result.values():
+        if r["sampled"]:
+            assert r["keep"], r
+        assert 0.0 <= r["mix_rate"] <= 1.0, r
+        if not r["keep"]:
+            assert not r["sampled"]
+    assert kept_tok > 0
+    assert 0.35 <= samp_tok / kept_tok <= 0.65, samp_tok / kept_tok
+
+
+def test_small_sources_upweighted(result):
+    """α=0.5 temperature must give token-poor sources a HIGHER sampling rate
+    than token-rich ones (the whole point of the rebalance)."""
+    tok = {}
+    rate = {}
+    for r in result.values():
+        if r["keep"]:
+            tok[r["source"]] = tok.get(r["source"], 0) + r["n_tokens"]
+            rate[r["source"]] = r["mix_rate"]
+    if len(tok) < 2:
+        return
+    lo = min(tok, key=tok.get)
+    hi = max(tok, key=tok.get)
+    if tok[lo] < tok[hi]:
+        assert rate[lo] >= rate[hi], (tok[lo], rate[lo], tok[hi], rate[hi])

@@ -32,7 +32,7 @@ _GRAM_N = 13
 
 _ORACLE = f"""
     WITH corpus AS (
-        SELECT doc_id, text, string_split(text, ' ') AS t
+        SELECT doc_id, text, source, string_split(text, ' ') AS t
         FROM documents WHERE doc_id % {_BENCH_MOD} <> 0
     ),
     bench AS (
@@ -56,7 +56,7 @@ _ORACLE = f"""
         GROUP BY c.doc_id
     ),
     flags AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, source,
                CAST(len(t) AS BIGINT) AS n_tokens,
                CAST(len(t) AS DOUBLE) AS n,
                (length(text) - (len(t) - 1)) / len(t) AS mean_len,
@@ -75,7 +75,7 @@ _ORACLE = f"""
         FROM corpus
     ),
     gated AS (
-        SELECT doc_id, text, n_tokens,
+        SELECT doc_id, text, source, n_tokens,
                (n >= 50 AND n <= 100000)
                AND (mean_len >= 3 AND mean_len <= 10)
                AND ((hash_count + ellipsis_count) / n <= 0.1)
@@ -92,16 +92,39 @@ _ORACLE = f"""
         FROM flags
     ),
     canon AS (
-        SELECT doc_id, n_tokens, quality_ok, gopher_pass,
+        SELECT doc_id, source, n_tokens, quality_ok, gopher_pass,
                doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
         FROM gated
+    ),
+    final AS (
+        SELECT c.doc_id, c.source, c.n_tokens, c.quality_ok, c.gopher_pass,
+               c.is_canonical,
+               COALESCE(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+               COALESCE(h.n_contaminated_grams, 0) > 0 AS contaminated,
+               c.quality_ok AND c.is_canonical
+                   AND COALESCE(h.n_contaminated_grams, 0) = 0 AS keep
+        FROM canon c LEFT JOIN hits h USING (doc_id)
+    ),
+    src AS (
+        SELECT source, sum(n_tokens) AS tok_s FROM final WHERE keep GROUP BY source
+    ),
+    zt AS (
+        SELECT sum(CAST(floor(sqrt(tok_s)) AS BIGINT)) AS z,
+               sum(tok_s) AS total_tok
+        FROM src
+    ),
+    rates AS (
+        SELECT source,
+               least(1.0, 0.5 * total_tok * floor(sqrt(tok_s)) / z / tok_s)
+                   AS mix_rate
+        FROM src, zt
     )
-    SELECT c.doc_id, c.n_tokens, c.quality_ok, c.gopher_pass, c.is_canonical,
-           COALESCE(h.n_contaminated_grams, 0) AS n_contaminated_grams,
-           COALESCE(h.n_contaminated_grams, 0) > 0 AS contaminated,
-           c.quality_ok AND c.is_canonical
-               AND COALESCE(h.n_contaminated_grams, 0) = 0 AS keep
-    FROM canon c LEFT JOIN hits h USING (doc_id)
+    SELECT f.doc_id, f.source, f.n_tokens, f.quality_ok, f.gopher_pass,
+           f.is_canonical, f.n_contaminated_grams, f.contaminated, f.keep,
+           COALESCE(r.mix_rate, 0.0) AS mix_rate,
+           f.keep AND ((f.doc_id * 2654435761) % 4294967296) / 4294967296.0
+               < COALESCE(r.mix_rate, 0.0) AS sampled
+    FROM final f LEFT JOIN rates r USING (source)
 """
 
 
@@ -125,13 +148,21 @@ def q_training_pipeline(spark, sf_dir):
        broadcast, corpus probe map-side.
     4. **Verdict** — ``keep`` = passes quality AND canonical AND clean,
        with per-document token counts for downstream budget accounting.
+    5. **Domain mixing + budget sampling** — temperature-weighted per-source
+       rates (w_s ∝ tok_s^0.5, the Pile/LLaMA-style α=0.5 rebalance toward
+       small domains) scaled to a 50%-of-kept-tokens budget, then a
+       DETERMINISTIC per-document draw (Knuth multiplicative hash of
+       doc_id) — ``sampled`` is the final training-set membership, and the
+       identical arithmetic runs on both engines so even the float mixing
+       rates hash-match. Per-source totals are a tiny aggregate (sources
+       are O(100) at any scale) broadcast back onto the corpus.
     """.format(mod=_BENCH_MOD)
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
     # the gram explode + regex rules are native but CPU-heavy — widen the
     # under-split local scan (no-op shape at real corpus scale)
     corpus = widen_for_python(
-        d.filter(F.col("doc_id") % _BENCH_MOD != 0).select("doc_id", "text")
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0).select("doc_id", "text", "source")
     )
 
     dec = decontaminate(corpus, bench, "text", "doc_id", n=_GRAM_N)
@@ -151,6 +182,7 @@ def q_training_pipeline(spark, sf_dir):
     # not ship the corpus
     per_doc = dec.select(
         "doc_id",
+        "source",
         token_count("text").cast("bigint").alias("n_tokens"),
         quality_ok.alias("quality_ok"),
         flags["gopher_pass"].alias("gopher_pass"),
@@ -159,20 +191,64 @@ def q_training_pipeline(spark, sf_dir):
         "contaminated",
     )
     w = Window.partitionBy("__fp")
+    final = per_doc.withColumn(
+        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality_ok",
+        "gopher_pass",
+        "is_canonical",
+        "n_contaminated_grams",
+        "contaminated",
+        (
+            F.col("quality_ok")
+            & F.col("is_canonical")
+            & ~F.col("contaminated")
+        ).alias("keep"),
+    )
+
+    # domain mixing: per-source kept-token totals → α=0.5 temperature
+    # weights → rates for a 0.5×total budget (identical expression order on
+    # both engines so the double-typed rates are bit-identical)
+    src = final.filter("keep").groupBy("source").agg(
+        F.sum("n_tokens").alias("tok_s")
+    )
+    # weights integer-quantized (floor of an IEEE-exact sqrt) so the
+    # cross-source normalizer Z is an exact INTEGER sum — float sums are
+    # accumulation-order-sensitive and would drift ulps between engines
+    zt = src.agg(
+        F.sum(F.floor(F.sqrt("tok_s")).cast("bigint")).alias("z"),
+        F.sum("tok_s").alias("total_tok"),
+    )
+    rates = src.crossJoin(F.broadcast(zt)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5)
+            * F.col("total_tok")
+            * F.floor(F.sqrt("tok_s"))
+            / F.col("z")
+            / F.col("tok_s"),
+        ).alias("mix_rate"),
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) / F.lit(4294967296.0)
     return (
-        per_doc.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        final.join(F.broadcast(rates), "source", "left")
+        .withColumn("mix_rate", F.coalesce("mix_rate", F.lit(0.0)))
+        .withColumn("sampled", F.col("keep") & (u < F.col("mix_rate")))
         .select(
             "doc_id",
+            "source",
             "n_tokens",
             "quality_ok",
             "gopher_pass",
             "is_canonical",
             "n_contaminated_grams",
             "contaminated",
-            (
-                F.col("quality_ok")
-                & F.col("is_canonical")
-                & ~F.col("contaminated")
-            ).alias("keep"),
+            "keep",
+            "mix_rate",
+            "sampled",
         )
     )
