@@ -176,6 +176,81 @@ def word_count(spark):
     return n, dt
 
 
+def watermark_matrix(spark):
+    """Reference watermark_streaming_benchmark_test.rs:108-234 — delivered-row
+    COMPLETENESS under (out-of-orderness, allowed-lateness) pairs. 12,000
+    records, 4 keys, 1 ms event-time steps; ARRIVAL order carries a
+    deterministic jitter of up to `ooo` ms (chunks are cut on arrival, the
+    watermark rides event time), windowed count in append mode, flush
+    punctuation closes the tail windows. lateness ≥ disorder must deliver
+    every row; lateness < disorder drops the stragglers — the same
+    completeness matrix the reference's harness writes as JSON."""
+    from volga_spark.sources.datagen import FieldSpec
+    from volga_spark.streaming.runner import run_available_now_to_memory
+    from volga_spark.streaming.sources import SENTINEL_ID, parquet_stream
+
+    n = 12_000
+    cases = {}
+    t_all0 = time.perf_counter()
+    # the reference's matrix pairs lateness == disorder and asserts
+    # completeness (watermark_streaming_benchmark_test.rs:118
+    # ooo_late_pairs = [(0,0),(50,50),(250,250)]); the extra (1500, 50)
+    # case exercises the DROP path — disorder must exceed window + lateness
+    # + one micro-batch's arrival span before a straggler can miss its
+    # window's eviction batch (Spark evicts with the previous batch's
+    # watermark, so same-batch stragglers still merge)
+    for ooo_ms, late_ms in ((0, 0), (50, 50), (250, 250), (1500, 50)):
+        df = _gen(
+            spark,
+            n,
+            [
+                FieldSpec("event_time", "incremental_timestamp", start_s=1, step_ms=1),
+                FieldSpec("key", "key", num_unique=4),
+                FieldSpec("value", "increment"),
+            ],
+        ).withColumn("rid", F.col("value"))
+        df = df.withColumn(
+            "arrival",
+            F.timestamp_micros(
+                F.unix_micros(F.col("event_time"))
+                + F.pmod(F.xxhash64("rid"), F.lit(max(ooo_ms, 1))) * 1000
+            ),
+        )
+        # chunk span must be comparable to the disorder: a straggler is
+        # only DROPPED when it arrives in a batch after the one that evicted
+        # its window (same-batch stragglers still merge before eviction), so
+        # 2.4 s chunks would mask 250 ms jitter entirely. 40 chunks ≈ 300 ms
+        # of arrival per micro-batch.
+        src = _stream_dir(spark, df, "arrival", "key", "rid", n_chunks=40)
+        stream = parquet_stream(spark, src, df.schema, files_per_trigger=1)
+        agg = (
+            stream.withWatermark("event_time", f"{late_ms} milliseconds")
+            # 100 ms windows: a straggler can only be dropped once disorder
+            # exceeds window + lateness, so sub-disorder windows are what
+            # make the matrix discriminate (1 s windows mask 250 ms jitter)
+            .groupBy(F.window("event_time", "100 milliseconds"), "key")
+            .agg(
+                F.sum(
+                    F.when(F.col("rid") != SENTINEL_ID, 1).otherwise(0)
+                ).alias("delivered")
+            )
+        )
+        res = run_available_now_to_memory(agg, output_mode="append")
+        delivered = res.agg(F.sum("delivered")).first()[0] or 0
+        completeness = delivered / n
+        cases[f"ooo{ooo_ms}_late{late_ms}"] = round(completeness, 4)
+        if late_ms >= ooo_ms:
+            assert completeness == 1.0, (ooo_ms, late_ms, completeness)
+        else:
+            assert completeness < 1.0, (ooo_ms, late_ms, completeness)
+        shutil.rmtree(src, ignore_errors=True)
+    dt = time.perf_counter() - t_all0
+    # completeness matrix rides along in the name→value map; the quotient is
+    # total records pushed across the 3 cases
+    watermark_matrix.cases = cases
+    return 4 * n, dt
+
+
 def main():
     from volga_spark.session import get_spark
 
@@ -185,15 +260,21 @@ def main():
         ("window_default", window_default),
         ("request_rows10k", request_rows10k),
         ("word_count", word_count),
+        ("watermark_matrix", watermark_matrix),
     ):
-        # warm-up then measured run (JVM/python-worker warm, like bench.py)
-        fn(spark)
+        # warm-up then measured run (JVM/python-worker warm, like bench.py);
+        # the watermark matrix measures COMPLETENESS, not throughput — one
+        # run is the signal and its 160+ micro-batches aren't worth doubling
+        if fn is not watermark_matrix:
+            fn(spark)
         n, dt = fn(spark)
         shapes[name] = {
             "records": n,
             "sec": round(dt, 3),
             "records_per_sec": round(n / dt),
         }
+        if hasattr(fn, "cases"):
+            shapes[name]["completeness"] = fn.cases
         print(f"# {name}: {n} records in {dt:.2f}s = {n / dt:,.0f} rec/s", file=sys.stderr)
     print(json.dumps({"shapes": shapes}))
 

@@ -152,6 +152,14 @@ def _write_chunks(spark, df, out_dir, ts_col, n_chunks, key_col, id_col, flush):
             rows = []
             for k in keys:
                 row = {f.name: _default(f.dataType) for f in df.schema.fields}
+                # punctuation means "end of stream": EVERY time column jumps
+                # to the far-future mark, not just the chunk-order column —
+                # with a separate arrival/event-time pair, leaving event time
+                # at max_ts would hold the watermark one lateness short of
+                # closing the final window
+                for f in df.schema.fields:
+                    if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+                        row[f.name] = max_ts + datetime.timedelta(hours=delta_h)
                 row[key_col] = k
                 row[ts_col] = max_ts + datetime.timedelta(hours=delta_h)
                 if id_col:
