@@ -1,0 +1,124 @@
+"""Stream-stream watermarked interval joins vs the DuckDB batch oracle.
+
+The reference stubs its join operator (reference
+src/runtime/functions/join/join_function.rs:14-18); here the full
+streaming semantics run through Spark's native stream-stream join and the
+RESULT is hash-compared to the equivalent batch interval join in DuckDB —
+same discipline as the driver's CORRECTNESS gate, in pytest because the
+registry is pinned at the driver's 50-row cap.
+
+Workload: view→click attribution over the `events` stream — for every
+`view`, the `click`s by the same user within the following 30 minutes.
+Both sides replay the SAME time-ordered chunk files (one file per
+micro-batch), so this is also the self-join-over-one-topic shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.oracle import compare_frames, run_oracle
+from volga_spark.streaming.joins import stream_interval_join
+from volga_spark.streaming.runner import run_available_now_to_memory
+from volga_spark.streaming.sources import SENTINEL_ID, chunked_file_stream
+
+INNER_ORACLE = """
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+OUTER_ORACLE = """
+SELECT v.event_id AS view_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+def _sides(spark, sf_dir, flush: bool):
+    stream, _ = chunked_file_stream(
+        spark, sf_dir, "events", "ts", n_chunks=4,
+        key_col="user_id", id_col="event_id", flush=flush,
+    )
+    # keep sentinels flowing INTO the join (they advance the watermark for
+    # outer-null emission); they are filtered from the OUTPUT
+    views = stream.filter(
+        (F.col("event_type") == "view") | (F.col("event_id") == SENTINEL_ID)
+    )
+    stream2, _ = chunked_file_stream(
+        spark, sf_dir, "events", "ts", n_chunks=4,
+        key_col="user_id", id_col="event_id", flush=flush,
+    )
+    clicks = stream2.filter(
+        (F.col("event_type") == "click") | (F.col("event_id") == SENTINEL_ID)
+    )
+    return views, clicks
+
+
+def test_stream_interval_join_inner_matches_duckdb(spark, sf_dir):
+    views, clicks = _sides(spark, sf_dir, flush=False)
+    joined = stream_interval_join(
+        views, clicks, keys=["user_id"],
+        lower_ms=0, upper_ms=30 * 60 * 1000, how="inner",
+    )
+    out = run_available_now_to_memory(joined, output_mode="append").filter(
+        (F.col("event_id") != SENTINEL_ID) & (F.col("r_event_id") != SENTINEL_ID)
+    ).select(
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("r_ts").alias("click_ts"),
+    )
+    spark_pdf = out.toPandas()
+    assert len(spark_pdf) > 0, "attribution join produced no pairs"
+    oracle_pdf = run_oracle(INNER_ORACLE, sf_dir)
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_interval_join_left_outer_matches_duckdb(spark, sf_dir):
+    views, clicks = _sides(spark, sf_dir, flush=True)
+    # delay must satisfy: punctuation_jump (2h) - delay > interval (30m),
+    # else the final watermark (max_ts + 2h - delay) never passes the last
+    # real views' eviction point and their outer nulls never emit; any
+    # positive delay is safe for eviction itself because the watermark is
+    # computed from the PREVIOUS batch's max, which trails the chunk replay
+    joined = stream_interval_join(
+        views, clicks, keys=["user_id"],
+        lower_ms=0, upper_ms=30 * 60 * 1000, how="left_outer",
+        left_delay="10 minutes", right_delay="10 minutes",
+    )
+    out = run_available_now_to_memory(joined, output_mode="append").filter(
+        (F.col("event_id") != SENTINEL_ID)
+        & (F.col("r_event_id").isNull() | (F.col("r_event_id") != SENTINEL_ID))
+    ).select(
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+    )
+    spark_pdf = out.toPandas()
+    oracle_pdf = run_oracle(OUTER_ORACLE, sf_dir)
+    assert spark_pdf["click_id"].isna().any(), (
+        "outer join emitted no unmatched views — watermark flush broken"
+    )
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_interval_join_validates_inputs(spark, sf_dir):
+    import pytest
+
+    views, clicks = _sides(spark, sf_dir, flush=False)
+    with pytest.raises(ValueError, match="how="):
+        stream_interval_join(views, clicks, keys=["user_id"], how="cross")
+    with pytest.raises(ValueError, match="lower_ms"):
+        stream_interval_join(
+            views, clicks, keys=["user_id"], lower_ms=10, upper_ms=0
+        )
+    with pytest.raises(ValueError, match="absent"):
+        stream_interval_join(views, clicks, keys=["no_such_key"])
