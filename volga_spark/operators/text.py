@@ -162,3 +162,148 @@ def gopher_quality_flags(text: str | Column) -> dict[str, Column]:
         combined = f if combined is None else (combined & f)
     flags["gopher_pass"] = combined
     return flags
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, Table A1 — "repetition removal").
+# Two tiers: line/paragraph duplication is pure native HOF expressions (one
+# map-side pass); n-gram character coverage is one Arrow batch pass (a
+# per-document hash-map count is O(tokens) — the native-HOF alternative is
+# O(tokens²) per doc, which dies on 100k-token web documents).
+
+# rule → max allowed fraction (Table A1 thresholds)
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_fracs(col_sql: str, sep: str) -> tuple[Column, Column]:
+    """(duplicate-unit fraction, duplicate-unit CHAR fraction) for non-empty
+    units produced by splitting on ``sep`` — duplicates = occurrences beyond
+    the first of each distinct unit, char-weighted for the second metric."""
+    units = f"filter(split({col_sql}, '{sep}'), x -> length(x) > 0)"
+    n = f"size({units})"
+    nd = f"size(array_distinct({units}))"
+    chars = f"aggregate({units}, 0L, (a, x) -> a + length(x))"
+    chars_d = f"aggregate(array_distinct({units}), 0L, (a, x) -> a + length(x))"
+    frac = F.expr(
+        f"IF({n} = 0, 0.0D, CAST({n} - {nd} AS DOUBLE) / {n})"
+    )
+    char_frac = F.expr(
+        f"IF({chars} = 0, 0.0D, CAST({chars} - {chars_d} AS DOUBLE) / {chars})"
+    )
+    return frac, char_frac
+
+
+def line_repetition_flags(text: str) -> dict[str, Column]:
+    """The line/paragraph half of Gopher Table A1 as native expressions:
+    ``dup_line_frac``, ``dup_line_char_frac`` (lines = '\\n' units),
+    ``dup_para_frac``, ``dup_para_char_frac`` (paragraphs = '\\n\\n' units),
+    plus per-rule ``*_ok`` booleans at the Table A1 thresholds. Empty units
+    are excluded (a run of blank lines is formatting, not repetition)."""
+    line_frac, line_char = _dup_fracs(text, "\\n")
+    para_frac, para_char = _dup_fracs(text, "\\n\\n")
+    metrics = {
+        "dup_line_frac": line_frac,
+        "dup_line_char_frac": line_char,
+        "dup_para_frac": para_frac,
+        "dup_para_char_frac": para_char,
+    }
+    out = dict(metrics)
+    for k, col in metrics.items():
+        out[f"{k}_ok"] = col <= GOPHER_REPETITION_THRESHOLDS[k]
+    return out
+
+
+def repetition_ngram_metrics(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """The n-gram half of Gopher Table A1, one Arrow pass per partition:
+
+    - ``top_{n}gram_char_frac``: characters covered by the single most
+      character-covering n-gram value (count × rendered length — under
+      frequency ties Gopher's "most frequent" is ambiguous, so we take the
+      max of count×length, which is deterministic on both engines and is
+      the quantity the threshold actually bounds) / total characters.
+    - ``dup_{n}gram_char_frac``: characters inside ANY occurrence of an
+      n-gram that appears more than once (span-coverage union, the
+      datatrove/Gopher semantics — overlapping duplicate spans are not
+      double-counted) / total characters.
+
+    Tokenization is single-space split, matching ``tokens()`` and the SQL
+    oracles; documents are independent, so the pass is map-side only
+    (``widen_for_python`` guards under-split local inputs). Per doc cost is
+    O(tokens × |ns|) time and one Counter per (doc, n) — no shuffle, no
+    driver collect; at 100 TB this scales with input splits alone.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from volga_spark.partitioning import widen_for_python
+
+    top_cols = [f"top_{n}gram_char_frac" for n in top_ns]
+    dup_cols = [f"dup_{n}gram_char_frac" for n in dup_ns]
+    id_type = dict(df.dtypes)[id_col]
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{c} double" for c in top_cols + dup_cols]
+    )
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = {id_col: pdf[id_col].to_numpy()}
+            cols = {c: np.zeros(len(pdf)) for c in top_cols + dup_cols}
+            for row_i, text in enumerate(pdf[text_col].astype(str)):
+                toks = [t for t in text.split(" ") if t]
+                if not toks:
+                    continue
+                total = len(" ".join(toks))
+                # char offset of token i in the single-space rendering
+                offs = np.empty(len(toks) + 1, dtype=np.int64)
+                offs[0] = 0
+                for i, t in enumerate(toks):
+                    offs[i + 1] = offs[i] + len(t) + 1
+                for n, col in zip(top_ns, top_cols):
+                    if len(toks) < n:
+                        continue
+                    grams = Counter(
+                        tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                    best = max(
+                        c * (sum(len(w) for w in g) + n - 1)
+                        for g, c in grams.items()
+                    )
+                    cols[col][row_i] = best / total
+                for n, col in zip(dup_ns, dup_cols):
+                    if len(toks) < n:
+                        continue
+                    gram_list = [
+                        tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    ]
+                    counts = Counter(gram_list)
+                    mask = np.zeros(total, dtype=bool)
+                    for i, g in enumerate(gram_list):
+                        if counts[g] > 1:
+                            mask[offs[i] : offs[i + n] - 1] = True
+                    cols[col][row_i] = mask.sum() / total
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema)
