@@ -1,0 +1,148 @@
+"""TPC-H breadth suite: the SAME SQL text runs on Spark (`spark.sql` over
+temp views) and DuckDB, results hash-compared — the deepest possible
+ANSI-surface parity check (multi-way joins, correlated EXISTS / NOT
+EXISTS, scalar subqueries, IN-subqueries, conditional aggregation).
+
+Queries are TPC-H Q3/Q4/Q5/Q6/Q10/Q12/Q14/Q18/Q19/Q22 adapted to the
+driver testdata's reduced column set (no l_commitdate / l_shipmode /
+p_container / c_phone — predicates substituted with available columns,
+shapes preserved). Monetary aggregates go through DECIMAL(18,2) so sums
+are order-independent-exact on both engines (the repo's float-parity
+rule); ratios divide the two exact sums as doubles.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from volga_spark.oracle import compare_frames, run_oracle
+from volga_spark.tables import TABLE_NAMES, load_table
+
+DEC = "CAST({0} AS DECIMAL(18,2))"
+REV = (
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+)
+
+QUERIES = {
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, CAST({REV} AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+    """,
+    "q4_order_priority_exists": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, CAST({REV} AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, CAST({REV} AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+    """,
+    "q12_priority_lines": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    "q14_promo_effect": f"""
+        SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST({REV} AS DOUBLE) AS DOUBLE) AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "q18_large_volume_customer": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    "q19_discounted_revenue": f"""
+        SELECT CAST({REV} AS DOUBLE) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 21)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 40))
+    """,
+    "q22_dormant_customers": """
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(max(c_acctbal) AS DOUBLE) / 2 FROM customer)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+    """,
+}
+
+
+@pytest.fixture(scope="module")
+def tpch_views(spark, sf_dir):
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    yield
+    for t in TABLE_NAMES:
+        spark.catalog.dropTempView(t)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_tpch_query_matches_duckdb(spark, sf_dir, tpch_views, name):
+    sql = QUERIES[name]
+    got = spark.sql(sql).toPandas()
+    oracle = run_oracle(sql, sf_dir)
+    assert len(got) > 0, f"{name}: empty result"
+    problems = compare_frames(got, oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
