@@ -1,0 +1,103 @@
+"""The reference README's flagship pipeline shape — `users u JOIN orders o`
+under UDAF windows (reference README.md:107-150) — through PipelineSpec.
+
+Correctness baseline: the identical SQL over a PRE-JOINED single view (the
+single-table path, which is driver-oracled via q_pipeline_sql). The join
+normalization stage must produce bit-identical results to it.
+
+Note: `*_cate_where` takes (value, condition, category) — the order the
+reference's executable tests use (reference cate/tests/basic.rs:42); its
+README example writes (value, category, condition), which its own engine
+would reject (non-boolean filter).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from volga_spark.api.pipeline import PipelineSpec, SourceSpec
+from volga_spark.tables import load_table
+
+README_SQL = """
+SELECT user_id,
+       o.event_time,
+       count(*) OVER w_short AS purchases_1h,
+       sum(o.amount) OVER w_long AS spent_7d,
+       top(o.product_id, 3) OVER w_long AS top_products_7d,
+       topn_frequency(o.product_id, 3) OVER w_long AS top_product_freq_7d,
+       top1_ratio(o.product_id) OVER w_rows AS top_product_dominance,
+       sum_cate(o.amount, o.product_type) OVER w_long AS spent_per_category,
+       count_cate_where(o.product_id, o.product_type = 'click',
+                        o.product_type) OVER w_short AS click_count_1h
+FROM users u JOIN orders_fact o ON u.user_id = o.buyer_id
+WINDOW w_short AS (PARTITION BY user_id ORDER BY event_time
+                   RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW),
+       w_long AS (PARTITION BY user_id ORDER BY event_time
+                  RANGE BETWEEN INTERVAL '7 day' PRECEDING AND CURRENT ROW),
+       w_rows AS (PARTITION BY user_id ORDER BY event_time
+                  ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _tables(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    orders_fact = ev.select(
+        F.col("user_id").alias("buyer_id"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("amount"),
+        F.col("event_type").alias("product_type"),
+        (F.col("event_id") % 20).cast("string").alias("product_id"),
+    )
+    users = ev.select(F.col("user_id")).distinct()
+    return users, orders_fact
+
+
+def test_readme_join_pipeline_matches_prejoined(spark, sf_dir):
+    users, orders_fact = _tables(spark, sf_dir)
+    joined_spec = PipelineSpec(
+        sql=README_SQL,
+        sources=[
+            SourceSpec("users", dataframe=users),
+            SourceSpec("orders_fact", dataframe=orders_fact),
+        ],
+    )
+    got = joined_spec.build(spark).toPandas()
+
+    prejoined = users.join(
+        orders_fact, users["user_id"] == orders_fact["buyer_id"]
+    )
+    flat_sql = README_SQL.replace(
+        "FROM users u JOIN orders_fact o ON u.user_id = o.buyer_id",
+        "FROM joined_flat",
+    ).replace("o.", "")
+    baseline_spec = PipelineSpec(
+        sql=flat_sql, sources=[SourceSpec("joined_flat", dataframe=prejoined)]
+    )
+    expect = baseline_spec.build(spark).toPandas()
+
+    key = ["user_id", "event_time", "purchases_1h"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    expect = expect.sort_values(key).reset_index(drop=True)[sorted(expect.columns)]
+    assert list(got.columns) == list(expect.columns)
+    assert len(got) > 0
+    assert got.equals(expect), "joined pipeline diverges from pre-joined baseline"
+
+
+def test_join_with_duplicate_columns_rejected(spark, sf_dir):
+    users, orders_fact = _tables(spark, sf_dir)
+    dup = orders_fact.withColumn("user_id", F.col("buyer_id"))
+    spec = PipelineSpec(
+        sql="""
+        SELECT user_id, sum(o.amount) OVER w AS s
+        FROM users u JOIN orders_dup o ON u.user_id = o.buyer_id
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_time
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        """,
+        sources=[
+            SourceSpec("users", dataframe=users),
+            SourceSpec("orders_dup", dataframe=dup),
+        ],
+    )
+    with pytest.raises(ValueError, match="duplicate columns"):
+        spec.build(spark)

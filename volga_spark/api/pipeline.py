@@ -64,6 +64,57 @@ _WINDOW_DEF_RE = re.compile(
 )
 _CALL_START_RE = re.compile(r"\b(\w+)\s*\(")
 _OVER_TAIL_RE = re.compile(r"\s+OVER\s+(\w+)\s+AS\s+(\w+)", re.IGNORECASE)
+_FROM_RE = re.compile(
+    r"\bFROM\b(.*?)(?=\bWINDOW\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
+    r"|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_KEYWORDS = {"LEFT", "RIGHT", "INNER", "OUTER", "FULL", "CROSS", "SEMI", "ANTI"}
+
+
+def _normalize_from(spark: SparkSession, sql: str) -> tuple[str, str | None]:
+    """Single-relation-ize the pipeline SQL: if the FROM clause is more than
+    a bare table (the reference README's flagship example joins ``users u``
+    with ``orders o`` under its UDAF windows — README.md:107-150), run the
+    join as its own stage (`SELECT * FROM <relation>` → temp view), swap the
+    view into the FROM clause, and strip the now-dangling ``alias.`` column
+    qualifiers from the rest of the query. This mirrors the reference
+    compiler, which plans the join upstream of the window operator
+    (src/api/planner.rs) — the sweep engine then sees one keyed relation.
+
+    Returns (rewritten sql, base table name). Duplicate column names across
+    the joined tables are rejected (alias them in an explicit sub-select)."""
+    m = _FROM_RE.search(sql)
+    if not m:
+        return sql, None
+    rel = m.group(1).strip()
+    if re.fullmatch(r"\w+", rel):
+        return sql, rel
+    joined = spark.sql(f"SELECT * FROM {rel}")
+    dupes = sorted({c for c in joined.columns if joined.columns.count(c) > 1})
+    if dupes:
+        raise ValueError(
+            f"joined FROM clause produces duplicate columns {dupes}; "
+            "project/alias them in a sub-select"
+        )
+    import uuid
+
+    view = f"__vs_rel_{uuid.uuid4().hex[:10]}"
+    joined.createOrReplaceTempView(view)
+    # table aliases declared in the relation (for qualifier stripping —
+    # only those, so numeric literals like 1.5 are never touched)
+    aliases: set[str] = set()
+    for part in re.split(r"\bJOIN\b|,", rel, flags=re.IGNORECASE):
+        head = re.split(r"\bON\b|\bUSING\b", part, flags=re.IGNORECASE)[0]
+        toks = [t for t in head.split() if t.upper() not in _JOIN_KEYWORDS]
+        if toks:
+            aliases.add(toks[-1])  # alias if present, else the table name
+            aliases.add(toks[0])
+    out = sql[: m.start()] + f" FROM {view} " + sql[m.end() :]
+    if aliases:
+        pat = re.compile(rf"\b({'|'.join(re.escape(a) for a in aliases)})\.(\w+)")
+        out = pat.sub(r"\2", out)
+    return out, view
 
 
 def _find_calls(sql: str):
@@ -303,6 +354,7 @@ class PipelineSpec:
         for src in self.sources:
             src.load(spark).createOrReplaceTempView(src.name)
         sql = _rewrite_where_family(self.sql)
+        sql, _ = _normalize_from(spark, sql)
         windows = _parse_windows(sql)
         if not windows:
             raise ValueError("request mode needs a WINDOW clause")
@@ -429,6 +481,7 @@ class PipelineSpec:
             df.createOrReplaceTempView(src.name)
 
         sql = _rewrite_where_family(self.sql)
+        sql, _ = _normalize_from(spark, sql)
         windows = _parse_windows(sql)
 
         # extract ML sweep calls and native window-agg calls per window

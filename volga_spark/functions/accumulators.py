@@ -97,11 +97,19 @@ class SubAcc:
         self.mm = MinMaxAcc() if kind in ("min", "max") else None
 
     def add(self, v):
+        if self.kind == "count":
+            # count ignores the value's magnitude AND type — the reference
+            # counts string values too (README count_cate_where(product_id…))
+            self.sum.n += 1
+            return
         self.sum.add(v)
         if self.mm is not None:
             self.mm.add(v)
 
     def retract(self, v):
+        if self.kind == "count":
+            self.sum.n -= 1
+            return
         self.sum.retract(v)
         if self.mm is not None:
             self.mm.retract(v)
