@@ -43,6 +43,7 @@ WINDOW w_short AS (PARTITION BY user_id ORDER BY event_time
 def _tables(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     orders_fact = ev.select(
+        F.col("event_id").alias("order_id"),
         F.col("user_id").alias("buyer_id"),
         F.col("ts").alias("event_time"),
         F.col("value").alias("amount"),
@@ -82,6 +83,48 @@ def test_readme_join_pipeline_matches_prejoined(spark, sf_dir):
     assert list(got.columns) == list(expect.columns)
     assert len(got) > 0
     assert got.equals(expect), "joined pipeline diverges from pre-joined baseline"
+
+
+def test_join_request_mode_matches_write_path(spark, sf_dir):
+    """Request mode over a joined FROM: lookups at existing (key, ts) points
+    equal the write path's rows (exact-value aggregates only — the same
+    discipline as the single-table request parity test)."""
+    users, orders_fact = _tables(spark, sf_dir)
+    spec = PipelineSpec(
+        sql="""
+        SELECT order_id, user_id,
+               count(*) OVER w AS cnt_1h,
+               min(o.amount) OVER w AS min_1h,
+               sum_cate(CAST(round(o.amount * 100) AS BIGINT),
+                        o.product_type) OVER w AS sc_1h
+        FROM users u JOIN orders_fact o ON u.user_id = o.buyer_id
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_time
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        """,
+        sources=[
+            SourceSpec("users", dataframe=users),
+            SourceSpec("orders_fact", dataframe=orders_fact),
+        ],
+    )
+    expected = {
+        r.order_id: (r.cnt_1h, r.min_1h, r.sc_1h)
+        for r in spec.build(spark).filter(F.col("order_id") % 7 == 0).collect()
+    }
+    assert expected
+    svc = spec.build_request_service(spark)
+    try:
+        requests = orders_fact.filter(F.col("order_id") % 7 == 0).select(
+            F.col("order_id").alias("request_id"),
+            F.col("buyer_id").alias("user_id"),
+            "event_time",
+        )
+        got = {
+            r.request_id: (r.cnt_1h, r.min_1h, r.sc_1h)
+            for r in svc.lookup(requests).collect()
+        }
+    finally:
+        svc.close()
+    assert got == expected
 
 
 def test_join_with_duplicate_columns_rejected(spark, sf_dir):
