@@ -127,6 +127,37 @@ def test_join_request_mode_matches_write_path(spark, sf_dir):
     assert got == expected
 
 
+def test_join_with_where_clause_and_subquery(spark, sf_dir):
+    """The relation scanner must stop at a TOP-LEVEL WHERE (kept outside the
+    join stage) while a WHERE inside a FROM-subquery stays inside it; a
+    numeric literal like 2.5 must survive qualifier stripping."""
+    users, orders_fact = _tables(spark, sf_dir)
+    spec = PipelineSpec(
+        sql="""
+        SELECT user_id, o.event_time,
+               sum_cate(CAST(round(o.amount * 100) AS BIGINT),
+                        o.product_type) OVER w AS sc
+        FROM users u JOIN (SELECT * FROM orders_fact WHERE amount > 0.5) o
+             ON u.user_id = o.buyer_id
+        WHERE o.amount > 2.5
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_time
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        """,
+        sources=[
+            SourceSpec("users", dataframe=users),
+            SourceSpec("orders_fact", dataframe=orders_fact),
+        ],
+    )
+    got = spec.build(spark).toPandas()
+    base = orders_fact.filter(F.col("amount") > 0.5).toPandas()
+    # windows compute over the amount>0.5 relation (FROM-subquery filter =
+    # pre-window); the top-level WHERE is an EMISSION filter (documented
+    # PipelineSpec semantics) — it selects which rows are emitted, not
+    # which rows feed the window state
+    assert len(got) == (base["amount"] > 2.5).sum()
+    assert (got["sc"].str.len() > 0).all()
+
+
 def test_join_with_duplicate_columns_rejected(spark, sf_dir):
     users, orders_fact = _tables(spark, sf_dir)
     dup = orders_fact.withColumn("user_id", F.col("buyer_id"))

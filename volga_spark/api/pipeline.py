@@ -64,12 +64,28 @@ _WINDOW_DEF_RE = re.compile(
 )
 _CALL_START_RE = re.compile(r"\b(\w+)\s*\(")
 _OVER_TAIL_RE = re.compile(r"\s+OVER\s+(\w+)\s+AS\s+(\w+)", re.IGNORECASE)
-_FROM_RE = re.compile(
-    r"\bFROM\b(.*?)(?=\bWINDOW\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
-    r"|\bLIMIT\b|$)",
-    re.IGNORECASE | re.DOTALL,
-)
 _JOIN_KEYWORDS = {"LEFT", "RIGHT", "INNER", "OUTER", "FULL", "CROSS", "SEMI", "ANTI"}
+_REL_END_KEYWORDS = {"WHERE", "WINDOW", "GROUP", "HAVING", "ORDER", "LIMIT"}
+
+
+def _find_from_relation(sql: str) -> tuple[int, int] | None:
+    """(start, end) of the FROM clause's relation text — ends at the first
+    PAREN-DEPTH-0 clause keyword (WHERE/WINDOW/GROUP/…), so a WHERE inside
+    a FROM-subquery does not truncate the relation. Regex lookaheads cannot
+    express the depth condition, hence the scanner."""
+    m = re.search(r"\bFROM\b", sql, re.IGNORECASE)
+    if not m:
+        return None
+    depth = 0
+    for tok in re.finditer(r"[()]|\b\w+\b", sql[m.end() :]):
+        t = tok.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() in _REL_END_KEYWORDS:
+            return m.end(), m.end() + tok.start()
+    return m.end(), len(sql)
 
 
 def _normalize_from(spark: SparkSession, sql: str) -> tuple[str, str | None]:
@@ -84,10 +100,10 @@ def _normalize_from(spark: SparkSession, sql: str) -> tuple[str, str | None]:
 
     Returns (rewritten sql, base table name). Duplicate column names across
     the joined tables are rejected (alias them in an explicit sub-select)."""
-    m = _FROM_RE.search(sql)
-    if not m:
+    span = _find_from_relation(sql)
+    if span is None:
         return sql, None
-    rel = m.group(1).strip()
+    rel = sql[span[0] : span[1]].strip()
     if re.fullmatch(r"\w+", rel):
         return sql, rel
     joined = spark.sql(f"SELECT * FROM {rel}")
@@ -106,11 +122,16 @@ def _normalize_from(spark: SparkSession, sql: str) -> tuple[str, str | None]:
     aliases: set[str] = set()
     for part in re.split(r"\bJOIN\b|,", rel, flags=re.IGNORECASE):
         head = re.split(r"\bON\b|\bUSING\b", part, flags=re.IGNORECASE)[0]
-        toks = [t for t in head.split() if t.upper() not in _JOIN_KEYWORDS]
+        toks = [
+            t
+            for t in head.split()
+            if t.upper() not in _JOIN_KEYWORDS
+            and re.fullmatch(r"[A-Za-z_]\w*", t)  # identifiers only — never
+        ]  # numeric tokens, so a literal like 2.5 can't be "stripped"
         if toks:
             aliases.add(toks[-1])  # alias if present, else the table name
             aliases.add(toks[0])
-    out = sql[: m.start()] + f" FROM {view} " + sql[m.end() :]
+    out = sql[: span[0]] + f" {view} " + sql[span[1] :]
     if aliases:
         pat = re.compile(rf"\b({'|'.join(re.escape(a) for a in aliases)})\.(\w+)")
         out = pat.sub(r"\2", out)
@@ -281,6 +302,14 @@ class PipelineSpec:
     that window's sweep operator — e.g. ``{"w_long": {"bucket_by": "1 day"}}``
     turns on the hot-key time-bucket splitter for one window only. Overridden
     windows never reuse upstream partitioning (their plan shape is explicit).
+
+    Filter semantics in windowed specs: filters INSIDE the FROM relation
+    (a sub-select, or the join's ON) apply before the windows — they shape
+    the state. A TOP-LEVEL ``WHERE`` is an EMISSION filter: every window
+    aggregate is computed over the full relation first, then the WHERE
+    selects which rows are emitted (the feature-pipeline reading — "only
+    emit features for X" must not change the features' values). Put a
+    filter in a FROM-subquery when it should shrink the window state.
 
     ``event_time`` mirrors the reference spec's per-pipeline event-time
     declaration (column name + allowed lateness; reference compiler.rs:125-128
