@@ -92,3 +92,19 @@ def test_pack_sequences_matches_reference_and_invariants(spark, sf_dir):
         assert (
             g.groupby("bin_id")["bin_tokens"].max() == sums
         ).all()
+
+
+def test_chunk_documents_plan_stays_native(spark, sf_dir):
+    """The chunker must be pure JVM: explode of a per-row sequence, no
+    Python stage anywhere in the plan."""
+    import contextlib
+    import io
+
+    df = chunk_documents(load_table(spark, sf_dir, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Generate" in p  # posexplode
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in p, marker

@@ -122,3 +122,29 @@ def test_stream_interval_join_validates_inputs(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="absent"):
         stream_interval_join(views, clicks, keys=["no_such_key"])
+
+
+def test_stream_interval_join_negative_lower_bound(spark, sf_dir):
+    """lower_ms < 0 ("right side may precede left") must build and run —
+    the interval literal path differs from the non-negative case."""
+    views, clicks = _sides(spark, sf_dir, flush=False)
+    joined = stream_interval_join(
+        views, clicks, keys=["user_id"],
+        lower_ms=-10 * 60 * 1000, upper_ms=10 * 60 * 1000, how="inner",
+    )
+    out = run_available_now_to_memory(joined, output_mode="append").filter(
+        (F.col("event_id") != SENTINEL_ID) & (F.col("r_event_id") != SENTINEL_ID)
+    )
+    n = out.count()
+    oracle = run_oracle(
+        """
+        SELECT count(*) AS n
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts - INTERVAL 10 MINUTE
+         AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        """,
+        sf_dir,
+    )
+    assert n == int(oracle["n"].iloc[0])
