@@ -148,3 +148,76 @@ def test_stream_interval_join_negative_lower_bound(spark, sf_dir):
         sf_dir,
     )
     assert n == int(oracle["n"].iloc[0])
+
+
+def test_stream_join_recovers_from_checkpoint(spark, tmp_path):
+    """Kill+restart drill for the stream-stream join (reference
+    checkpoint_tests discipline): pairs whose two sides arrive on OPPOSITE
+    sides of the restart must still emit — the buffered-row join state rides
+    Spark's checkpoint — and the parquet sink must stay exactly-once."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _write(d, rows, i):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"chunk_{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    ckpt, outp = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    base = 1_700_000_000
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+
+    def run():
+        views = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(vdir)
+        )
+        clicks = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(cdir)
+        )
+        joined = stream_interval_join(
+            views, clicks, keys=["user_id"],
+            lower_ms=0, upper_ms=10 * 60 * 1000, how="inner",
+            left_delay="10 minutes", right_delay="10 minutes",
+        ).select(
+            F.col("event_id").alias("view_id"), F.col("r_event_id").alias("click_id")
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    # phase 1: V1/V2 and C1 arrive, then the query dies
+    _write(vdir, [(11, 1, base + 0), (12, 1, base + 120)], 0)
+    _write(cdir, [(21, 1, base + 60)], 0)
+    run()
+    # phase 2: C2 matches BOTH pre-restart views (state spans the restart);
+    # V3/C3 are a fresh post-restart pair
+    _write(vdir, [(13, 1, base + 700)], 1)
+    _write(cdir, [(22, 1, base + 300)], 1)
+    _write(vdir, [(14, 2, base + 9000)], 2)  # watermark pushers
+    _write(cdir, [(23, 1, base + 1000), (24, 2, base + 9000)], 2)
+    run()
+
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    expected = {(11, 21), (11, 22), (12, 22), (13, 23), (14, 24)}
+    assert got == expected
+    # exactly-once: no duplicate pair rows across the restart
+    n = spark.read.parquet(outp).count()
+    assert n == len(expected)
