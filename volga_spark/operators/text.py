@@ -307,3 +307,62 @@ def repetition_ngram_metrics(
             yield pd.DataFrame(out)
 
     return widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# C4 rule set (Raffel et al. 2020, §2.2 — the other canonical web-corpus
+# cleaning recipe next to Gopher). Two tiers, both fully native:
+# page-level drop flags and a LINE-level cleaner that rewrites the text.
+
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy",
+                     "uses cookies")
+C4_PLACEHOLDER_PHRASES = ("lorem ipsum",)
+
+
+def c4_quality_flags(text: str) -> dict[str, Column]:
+    """Page-level C4 drop rules as named boolean columns (True = keep):
+
+    - no curly brace (code, not prose)
+    - no "lorem ipsum" placeholder
+    - no policy boilerplate phrase (terms of use / privacy policy / …)
+    - at least 3 sentences (terminal-punctuation count ≥ 3)
+
+    The paper's bad-words list is site-policy-specific; plug a real list
+    into the same `any-phrase-present` shape. One scan, map-side.
+    """
+    c = F.col(text)
+    lower = F.lower(c)
+
+    def _any_phrase(phrases: tuple[str, ...]) -> Column:
+        cond = None
+        for p in phrases:
+            hit = lower.contains(p)
+            cond = hit if cond is None else (cond | hit)
+        return cond
+
+    sentences = F.size(F.expr(f"regexp_extract_all({text}, '[.!?]', 0)"))
+    flags = {
+        "c4_no_braces_ok": ~c.contains("{"),
+        "c4_no_placeholder_ok": ~_any_phrase(C4_PLACEHOLDER_PHRASES),
+        "c4_no_policy_ok": ~_any_phrase(C4_POLICY_PHRASES),
+        "c4_min_sentences_ok": sentences >= 3,
+    }
+    combined = None
+    for f in flags.values():
+        combined = f if combined is None else (combined & f)
+    flags["c4_pass"] = combined
+    return flags
+
+
+def c4_clean_lines(text: str) -> Column:
+    """C4's line-level cleaner, as one native expression: keep only lines
+    that end in terminal punctuation, have ≥ 5 words, and do not mention
+    javascript; re-join with newlines. Empty result → empty string (pair
+    with `c4_quality_flags`/length gates downstream)."""
+    kept = (
+        f"filter(split({text}, '\\n'), l -> "
+        f"l rlike '[.!?\"]\\\\s*$' "
+        f"AND size(split(trim(l), ' +')) >= 5 "
+        f"AND NOT lower(l) rlike 'javascript')"
+    )
+    return F.expr(f"array_join({kept}, '\\n')")
