@@ -53,6 +53,10 @@ def get_spark(
         # read them as plain TIMESTAMP (UTC session) rather than TIMESTAMP_NTZ so
         # epoch arithmetic (unix_micros) stays valid engine-wide
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write timestamps as INT64 micros, not legacy INT96: INT96 columns
+        # carry no parquet min/max footer stats, which silently disables
+        # zone-map file skipping on every timestamp-clustered table
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
