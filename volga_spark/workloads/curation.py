@@ -191,6 +191,13 @@ def q_training_pipeline(spark, sf_dir):
         "contaminated",
     )
     w = Window.partitionBy("__fp")
+    # `final` feeds THREE plan branches (per-source token totals, the Z
+    # normalizer via src, and the output join); without materialization the
+    # gram-explode + quality-flag upstream executes once per branch (~3 full
+    # corpus passes, 9 scans / 26 exchanges measured at sf0.1).
+    # localCheckpoint pins the small reduced frame (ids + booleans, no text)
+    # so the expensive subtree runs exactly once — blocks are released by
+    # `caching.release_cached_blocks` (bench does this per trial).
     final = per_doc.withColumn(
         "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
     ).select(
@@ -207,7 +214,7 @@ def q_training_pipeline(spark, sf_dir):
             & F.col("is_canonical")
             & ~F.col("contaminated")
         ).alias("keep"),
-    )
+    ).localCheckpoint(eager=False)
 
     # domain mixing: per-source kept-token totals → α=0.5 temperature
     # weights → rates for a 0.5×total budget (identical expression order on
