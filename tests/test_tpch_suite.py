@@ -3,10 +3,12 @@ temp views) and DuckDB, results hash-compared — the deepest possible
 ANSI-surface parity check (multi-way joins, correlated EXISTS / NOT
 EXISTS, scalar subqueries, IN-subqueries, conditional aggregation).
 
-Queries are TPC-H Q3/Q4/Q5/Q6/Q10/Q12/Q14/Q18/Q19/Q22 adapted to the
-driver testdata's reduced column set (no l_commitdate / l_shipmode /
-p_container / c_phone — predicates substituted with available columns,
-shapes preserved). Monetary aggregates go through DECIMAL(18,2) so sums
+Queries are TPC-H Q2/Q3/Q4/Q5/Q6/Q10/Q11/Q12/Q14/Q15/Q16/Q17/Q18/Q19/Q21/
+Q22 adapted to the driver testdata's reduced column set (no l_commitdate /
+l_shipmode / p_container / c_phone — predicates substituted with available
+columns, shapes preserved: correlated scalar subqueries, EXISTS+NOT EXISTS
+on the same table, NOT IN, HAVING vs global scalar, derived-view max,
+DISTINCT counting). Monetary aggregates go through DECIMAL(18,2) so sums
 are order-independent-exact on both engines (the repo's float-parity
 rule); ratios divide the two exact sums as doubles.
 """
@@ -125,6 +127,80 @@ QUERIES = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_nationkey
+    """,
+    # Q2 shape: correlated scalar subquery choosing the per-part minimum
+    "q2_min_cost_supplier": """
+        SELECT p_partkey, s_name, s_acctbal
+        FROM part, supplier, lineitem
+        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+          AND p_size < 10
+          AND s_acctbal = (SELECT max(s2.s_acctbal)
+                           FROM supplier s2, lineitem l2
+                           WHERE l2.l_partkey = p_partkey
+                             AND l2.l_suppkey = s2.s_suppkey)
+        GROUP BY p_partkey, s_name, s_acctbal
+    """,
+    # Q11 shape: HAVING against a global scalar subquery over the same agg
+    "q11_important_stock": """
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2)))
+               > (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2))) * 0.001
+                  FROM lineitem)
+    """,
+    # Q15 shape: top revenue supplier(s) via derived view + scalar max
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {REV} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    # Q16 shape: distinct-count with a NOT IN subquery exclusion
+    "q16_parts_supplier_count": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    # Q17 shape: per-part average threshold from a correlated subquery
+    "q17_small_quantity_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+    # Q21 shape: EXISTS + NOT EXISTS on the same table with role predicates
+    "q21_waiting_supplier": """
+        SELECT l1.l_suppkey, count(*) AS numwait
+        FROM lineitem l1, orders
+        WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY l1.l_suppkey
     """,
 }
 
