@@ -481,6 +481,8 @@ def test_top_ratio_ordered_specs_vs_untiled_accumulators(tmp_path):
             TiledTopSpec("t3", "top", "cat", k=3),
             TiledTopSpec("tf", "topn_frequency", "cat", k=2),
             TiledTopSpec("t1r", "top1_ratio", "cat", out_type="double"),
+            TiledTopSpec("cd", "count_distinct", "cat", out_type="bigint"),
+            TiledTopSpec("cdv", "count_distinct", "v", out_type="bigint"),
         ],
         ratio_specs=[
             TiledRatioSpec("tvr", "value", 2, "v", "cond", "cat"),
@@ -521,6 +523,10 @@ def test_top_ratio_ordered_specs_vs_untiled_accumulators(tmp_path):
         assert got.loc[rid, "t1r"] == fr.top1_ratio(), rid
         assert got.loc[rid, "tks"] == ga.result(), rid
         assert got.loc[rid, "tvr"] == rt.result(), rid
+        # count_distinct = size of the same merged multiset, exact across
+        # tiles + spill edges + retraction
+        assert got.loc[rid, "cd"] == g["cat"].nunique(), rid
+        assert got.loc[rid, "cdv"] == g["v"].nunique(), rid
 
 
 try:

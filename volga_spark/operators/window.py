@@ -145,3 +145,17 @@ def var_samp_cents_over(col: str | Column, w: WindowSpec) -> Column:
 
 def stddev_samp_cents_over(col: str | Column, w: WindowSpec) -> Column:
     return F.sqrt(var_samp_cents_over(col, w))
+
+
+def count_distinct_over(col: str | Column, w: WindowSpec) -> Column:
+    """Exact windowed COUNT(DISTINCT col) — beyond the reference's aggregate
+    set (its streaming twin is ``TiledTopSpec(op="count_distinct")``).
+
+    Spark rejects ``countDistinct().over``; ``size(collect_set())`` is the
+    supported exact form (nulls excluded by collect_set, matching COUNT
+    DISTINCT semantics). State per frame is the distinct set — the same
+    O(distinct-in-window) bound as the streaming multiset. DuckDB oracles it
+    directly as ``count(DISTINCT col) OVER w``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.collect_set(c).over(w)).cast("bigint")

@@ -150,22 +150,32 @@ class TiledCateSpec:
 
 @dataclass
 class TiledTopSpec:
-    """``top(col, k)`` / ``topn_frequency(col, k)`` / ``top1_ratio(col)``
-    with tiled state: the value→count multiset those accumulators maintain
-    is mergeable, so each closed bucket stores its per-key value-count map
-    and the window merges interior maps with the raw-edge Counter. Rendering
-    delegates to the untiled accumulators for bit parity."""
+    """``top(col, k)`` / ``topn_frequency(col, k)`` / ``top1_ratio(col)`` /
+    ``count_distinct(col)`` with tiled state: the value→count multiset those
+    accumulators maintain is mergeable, so each closed bucket stores its
+    per-key value-count map and the window merges interior maps with the
+    raw-edge Counter. Rendering delegates to the untiled accumulators for
+    bit parity.
+
+    ``count_distinct`` (beyond the reference's aggregate set) is the size of
+    the same merged multiset — the multiset is the minimal retractable
+    distinct-count state, so it rides the existing partials for free. An
+    HLL-sketch partial would bound tile size for ultra-high-cardinality
+    columns but cannot retract, and the per-row emission cadence sweeps the
+    window edge with add/retract — the exact multiset is the correct
+    default; state is O(distinct values in window) per key either way
+    because the edge sweep needs the raw values."""
 
     name: str
-    op: str  # top | topn_frequency | top1_ratio
+    op: str  # top | topn_frequency | top1_ratio | count_distinct
     col: str
     k: int | None = None
     out_type: str = "string"
 
     def __post_init__(self):
-        if self.op not in ("top", "topn_frequency", "top1_ratio"):
+        if self.op not in ("top", "topn_frequency", "top1_ratio", "count_distinct"):
             raise ValueError(f"unsupported top op {self.op!r}")
-        if self.op != "top1_ratio" and self.k is None:
+        if self.op in ("top", "topn_frequency") and self.k is None:
             raise ValueError(f"{self.op} needs k")
 
 
@@ -1229,6 +1239,8 @@ class _GroupCore:
         per-call accumulator construction was a measured hot spot;
         bit-parity with the untiled accumulators is pinned by
         test_top_ratio_ordered_specs_vs_untiled_accumulators."""
+        if spec.op == "count_distinct":
+            return len(merged)
         if spec.op == "top":
             acc = TopValueAccumulator(spec.k)
             acc.counts = merged
