@@ -29,16 +29,36 @@ def range_join(
     how: str = "inner",
 ) -> DataFrame:
     """Rows paired when right_ts ∈ [left_ts + lower_us, left_ts + upper_us]
-    (microsecond offsets, inclusive). Columns: all left + all right."""
+    (microsecond offsets, inclusive). Columns: all left + all right.
+
+    ``how``: 'inner' or 'left' ('left_outer'). The naive approach of passing
+    an outer ``how`` into the bucketed equi-join is WRONG twice over — the
+    residual time filter would drop null-extended rows, and the 2-bucket
+    explode would emit unmatched left rows once per bucket — so the outer
+    form is composed instead: inner result ∪ (left ∖ matched) with
+    null-extended right columns, matched-ness tracked by an internal
+    surrogate id. The anti side is a cheap (id)-keyed semi-join against the
+    inner OUTPUT's id set (ids + nothing else shuffles for it).
+    """
     if upper_us <= lower_us:
         raise ValueError("upper_us must be > lower_us")
-    if how != "inner":
-        # the residual time filter runs post-join (drops null-extended rows)
-        # and the 2-bucket explode duplicates unmatched left rows — both
-        # break outer semantics; implement via unmatched re-join if needed
-        raise NotImplementedError("range_join supports how='inner' only")
+    if how not in ("inner", "left", "left_outer"):
+        raise NotImplementedError(
+            "range_join supports how='inner' and 'left'/'left_outer' only"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     width = upper_us - lower_us
+
+    outer = how != "inner"
+    if outer:
+        # the stamped left feeds BOTH the inner branch and the anti branch;
+        # monotonically_increasing_id is only stable if the plan beneath it
+        # evaluates identically in both, so pin it (lazy localCheckpoint —
+        # same discipline as dedup/CC; blocks released via
+        # caching.release_cached_blocks)
+        left = left.withColumn(
+            "__rjid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
 
     lt = F.unix_micros(F.col(left_ts))
     rt = F.unix_micros(F.col(right_ts))
@@ -55,8 +75,20 @@ def range_join(
         ),
     )
     r = right.withColumn("__lb", F.floor(rt / F.lit(width)).cast("long"))
-    joined = l.join(r, keys + ["__lb"], how).filter(
-        (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) + F.lit(lower_us))
-        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + F.lit(upper_us))
+    inner = (
+        l.join(r, keys + ["__lb"], "inner")
+        .filter(
+            (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) + F.lit(lower_us))
+            & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + F.lit(upper_us))
+        )
+        .drop("__lb")
     )
-    return joined.drop("__lb")
+    if not outer:
+        return inner
+
+    matched = inner.select("__rjid").distinct()
+    right_only = [c for c in r.columns if c not in keys + ["__lb"]]
+    unmatched = left.join(matched, "__rjid", "left_anti").select(
+        "*", *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in right_only]
+    )
+    return inner.unionByName(unmatched.select(inner.columns)).drop("__rjid")
