@@ -81,6 +81,7 @@ def test_tiled_stream_matches_reference_model(spark, tmp_path):
     sweep merges tile interiors with raw edges — counts must stay exact."""
     from volga_spark.streaming.tiled_window import (
         TiledSpec,
+        TiledTopSpec,
         tiled_sliding_window_stream,
     )
 
@@ -111,7 +112,13 @@ def test_tiled_stream_matches_reference_model(spark, tmp_path):
         key_cols="user_id",
         ts_col="ts",
         frame=range_frame("2000 milliseconds"),
-        specs=[TiledSpec("cnt", "count", "value", "bigint")],
+        specs=[
+            TiledSpec("cnt", "count", "value", "bigint"),
+            # values alternate 1.0/2.0 → window-distinct is exactly
+            # min(i+1, 2); pins count_distinct through the FULL Spark path
+            # (state schema, round-trip, render), not just the core
+            TiledTopSpec("cdv", "count_distinct", "value", out_type="bigint"),
+        ],
         passthrough=["event_id"],
         lateness="250 milliseconds",
         granularity="100 milliseconds",
@@ -121,11 +128,12 @@ def test_tiled_stream_matches_reference_model(spark, tmp_path):
         run_available_now_to_memory(out, output_mode="append")
         .filter(F.col("event_id") >= 0)
         .toPandas()
-        .set_index("event_id")["cnt"]
+        .set_index("event_id")
         .sort_index()
     )
     assert len(res) == N
-    assert (res.values == [_expected_cnt(i) for i in range(N)]).all()
+    assert (res["cnt"].values == [_expected_cnt(i) for i in range(N)]).all()
+    assert (res["cdv"].values == [min(i + 1, 2) for i in range(N)]).all()
 
 
 @pytest.mark.parametrize("batch_rows", [1000, 250])
