@@ -68,7 +68,7 @@ BANDS = {
     "q_join_multi_broadcast": 1.9,
     "q_topk_per_group": 1.1,
     "q_window_core": 1.8,
-    "q_window_advanced": 1.6,
+    "q_window_advanced": 2.2,
     "q_ml_where_family": 0.9,
     "q_ml_cate_full": 2.9,
     "q_ml_top_full": 2.9,

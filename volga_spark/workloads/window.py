@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from volga_spark.operators.window import (
     avg_cents_over,
     cents,
+    count_distinct_over,
     event_window,
     range_frame,
     rows_frame,
@@ -96,6 +97,7 @@ def q_window_core(spark, sf_dir):
                     / count(value) OVER w_long)
                  / (count(value) OVER w_long - 1)
                END) AS stddev_samp_6h,
+               count(DISTINCT event_type) OVER w_long AS cd_types_6h,
                row_number() OVER w_full AS rn,
                lag(value, 1) OVER w_full AS prev_value,
                lead(value, 1) OVER w_full AS next_value,
@@ -138,6 +140,7 @@ def q_window_advanced(spark, sf_dir):
         F.min("value").over(w_rows).alias("min_50"),
         var_samp_cents_over("value", w_long).alias("var_samp_6h"),
         stddev_samp_cents_over("value", w_long).alias("stddev_samp_6h"),
+        count_distinct_over("event_type", w_long).alias("cd_types_6h"),
         F.row_number().over(w_full).alias("rn"),
         F.lag("value", 1).over(w_full).alias("prev_value"),
         F.lead("value", 1).over(w_full).alias("next_value"),
