@@ -46,7 +46,7 @@ _NATIVE_AGGS = {
     "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
 }
 _CATE_FNS = {f"{a}_cate" for a in _WHERE_FNS} | {f"{a}_cate_where" for a in _WHERE_FNS}
-_TOP_FNS = {"top", "topn_frequency", "top1_ratio"}
+_TOP_FNS = {"top", "topn_frequency", "top1_ratio", "count_distinct"}
 _TOPN_RE = re.compile(
     r"top_n_(key|value)_(sum|avg|count|min|max|ratio)_cate(?:_where)?$"
 )
@@ -262,6 +262,9 @@ def _compile_sweep_call(fn: str, args: list[str], alias: str, prepared: dict):
     if fnl == "top1_ratio":
         (v,) = args
         return cate_top.top1_ratio(alias, prep(v))
+    if fnl == "count_distinct":
+        (v,) = args
+        return cate_top.count_distinct(alias, prep(v))
     raise ValueError(f"unsupported UDAF: {fn}")
 
 

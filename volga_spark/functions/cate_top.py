@@ -103,6 +103,20 @@ def top1_ratio(name, value) -> SlidingSpec:
     )
 
 
+def count_distinct(name, value) -> SlidingSpec:
+    """Exact windowed COUNT(DISTINCT value): the size of the retractable
+    value→count multiset FrequencyAccumulator already maintains (streaming
+    twin: ``TiledTopSpec(op="count_distinct")``; native batch twin:
+    ``operators.window.count_distinct_over``)."""
+    return SlidingSpec(
+        name=name,
+        factory=lambda: FrequencyAccumulator(),
+        inputs=[value],
+        out_type="bigint",
+        finish=lambda acc: len(acc.counts),
+    )
+
+
 def top_n_cate_where(name, agg, order, value, cond, category, k, scale=1.0) -> SlidingSpec:
     """top_n_{key|value}_{agg}_cate_where."""
     return SlidingSpec(
