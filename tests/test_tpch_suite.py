@@ -3,12 +3,13 @@ temp views) and DuckDB, results hash-compared — the deepest possible
 ANSI-surface parity check (multi-way joins, correlated EXISTS / NOT
 EXISTS, scalar subqueries, IN-subqueries, conditional aggregation).
 
-Queries are TPC-H Q2/Q3/Q4/Q5/Q6/Q10/Q11/Q12/Q14/Q15/Q16/Q17/Q18/Q19/Q21/
-Q22 adapted to the driver testdata's reduced column set (no l_commitdate /
-l_shipmode / p_container / c_phone — predicates substituted with available
-columns, shapes preserved: correlated scalar subqueries, EXISTS+NOT EXISTS
-on the same table, NOT IN, HAVING vs global scalar, derived-view max,
-DISTINCT counting). Monetary aggregates go through DECIMAL(18,2) so sums
+Queries are 19 TPC-H shapes (Q2-Q12, Q14-Q19, Q21, Q22) adapted to the
+driver testdata's reduced column set (no l_commitdate / l_shipmode /
+p_container / c_phone; synthetic NATION_N names — predicates substituted
+with available columns/values, shapes preserved: correlated scalar
+subqueries, EXISTS+NOT EXISTS on the same table, NOT IN, HAVING vs global
+scalar, derived-view max, DISTINCT counting, nation-pair disjunctions,
+conditional market-share fractions, year extraction over 6-8-way joins). Monetary aggregates go through DECIMAL(18,2) so sums
 are order-independent-exact on both engines (the repo's float-parity
 rule); ratios divide the two exact sums as doubles.
 """
@@ -187,6 +188,62 @@ QUERIES = {
           AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
                             FROM lineitem l2
                             WHERE l2.l_partkey = p_partkey)
+    """,
+    # Q7 shape: nation-pair volume with year extraction
+    "q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(volume) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_4')
+                OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_3'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    # Q8 shape: market share — conditional fraction of a grouped sum
+    "q8_market_share": f"""
+        SELECT o_year,
+               CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+              AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    # Q9 shape: profit by nation and year (expression agg over a 6-way join)
+    "q9_product_profit": """
+        SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   - CAST(p_retailprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%a%'
+        ) profit
+        GROUP BY nation, o_year
     """,
     # Q21 shape: EXISTS + NOT EXISTS on the same table with role predicates
     "q21_waiting_supplier": """
