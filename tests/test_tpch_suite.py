@@ -3,7 +3,9 @@ temp views) and DuckDB, results hash-compared — the deepest possible
 ANSI-surface parity check (multi-way joins, correlated EXISTS / NOT
 EXISTS, scalar subqueries, IN-subqueries, conditional aggregation).
 
-Queries are 19 TPC-H shapes (Q2-Q12, Q14-Q19, Q21, Q22) adapted to the
+Queries are all 21 TPC-H shapes beyond Q1 (Q2-Q22; Q1 is the driver-oracled
+`q_tpch_q1` registry query, so the full 22-query surface is covered) adapted
+to the
 driver testdata's reduced column set (no l_commitdate / l_shipmode /
 p_container / c_phone; synthetic NATION_N names — predicates substituted
 with available columns/values, shapes preserved: correlated scalar
@@ -244,6 +246,42 @@ QUERIES = {
               AND p_name LIKE '%a%'
         ) profit
         GROUP BY nation, o_year
+    """,
+    # Q13 shape: LEFT OUTER JOIN with an extra join-side predicate, then a
+    # distribution over the per-customer counts (two-level group by; the
+    # o_comment NOT LIKE filter substituted with o_orderpriority per the
+    # reduced column set)
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    # Q20 shape: nested IN subqueries with a correlated half-of-shipped-qty
+    # threshold (the availqty predicate substituted with an acctbal bound on
+    # the per-(part,supplier) shipped total per the reduced column set)
+    "q20_promotion_part_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l1.l_suppkey FROM lineitem l1
+            WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_name LIKE 'small%')
+              AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l1.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l1.l_suppkey, l1.l_partkey
+            HAVING sum(CAST(l1.l_quantity AS DECIMAL(18,2)))
+                   > (SELECT 0.2 * sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l1.l_partkey
+                        AND l2.l_suppkey = l1.l_suppkey)
+        )
+          AND s_acctbal > 0
     """,
     # Q21 shape: EXISTS + NOT EXISTS on the same table with role predicates
     "q21_waiting_supplier": """
