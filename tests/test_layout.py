@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from volga_spark.operators.layout import (
     file_column_ranges,
+    write_bucketed,
     write_partitioned,
     write_range_clustered,
 )
@@ -74,6 +75,79 @@ def test_range_clustered_files_are_disjoint(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_bucketed_join_skips_both_shuffles(spark, sf_dir):
+    """Co-bucketed tables join with ZERO Exchange on either side (and zero
+    Sort, since sortBy matches the join key) — the write-time layout that
+    amortizes a fact⋈fact shuffle across every downstream query. Control:
+    the identical join over plain parquet shuffles both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+    t_events = write_bucketed(
+        ev.select("event_id", "user_id", "value"),
+        "events_bucketed", _tmp("events_bucketed"),
+        bucket_cols=["user_id"], num_buckets=8, sort_cols=["user_id"],
+    )
+    t_stats = write_bucketed(
+        agg, "user_stats_bucketed", _tmp("user_stats_bucketed"),
+        bucket_cols=["user_id"], num_buckets=8, sort_cols=["user_id"],
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = t_events.join(t_stats, "user_id")
+        n = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:3000]
+        assert "SortMergeJoin" in plan, plan[:3000]
+
+        # control: same join over non-bucketed reads shuffles both sides
+        pe = spark.read.parquet(_tmp("events_bucketed"))
+        ps = spark.read.parquet(_tmp("user_stats_bucketed"))
+        ctrl = pe.join(ps, "user_id")
+        n_ctrl = ctrl.count()
+        ctrl_plan = ctrl._jdf.queryExecution().executedPlan().toString()
+        assert ctrl_plan.count("Exchange") >= 2, ctrl_plan[:3000]
+        assert n == n_ctrl == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS events_bucketed")
+        spark.sql("DROP TABLE IF EXISTS user_stats_bucketed")
+
+
+def test_bucketed_groupby_skips_shuffle_and_prunes_buckets(spark, sf_dir):
+    """A bucketed scan satisfies the aggregation's required distribution
+    (no Exchange before the group-by), and an equality predicate on the
+    bucket column prunes the scan to 1/N of the buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    t = write_bucketed(
+        ev.select("event_id", "user_id", "value"),
+        "events_bucketed_agg", _tmp("events_bucketed_agg"),
+        bucket_cols=["user_id"], num_buckets=8,
+    )
+    try:
+        grouped = t.groupBy("user_id").agg(F.sum("value").alias("s"))
+        grouped.count()
+        plan = grouped._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:3000]
+
+        # bucket pruning: the planner's auto-bucketed-scan heuristic turns
+        # the bucketed read OFF when no operator needs the distribution
+        # (plain filter), which also forfeits pruning — pin it on, as a
+        # point-lookup-heavy deployment would
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        one_key = t.filter(F.col("user_id") == 7)
+        one_key.count()
+        kplan = one_key._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in kplan, kplan[:3000]
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS events_bucketed_agg")
 
 
 def test_unclustered_files_overlap(spark, sf_dir):

@@ -6,7 +6,12 @@ the read side can prune:
 1. **Hive partitioning** (`write_partitioned`) — coarse categorical/date
    dirs; Catalyst turns `WHERE event_date = X` into `PartitionFilters`
    (zero I/O for non-matching partitions).
-2. **Range clustering** (`write_range_clustered`) — `repartitionByRange` +
+2. **Bucketing** (`write_bucketed`) — hash-bucket + sort a table on its
+   dominant join/group key at WRITE time; every later join or aggregation
+   on that key then reads pre-partitioned (and pre-sorted) input and skips
+   its shuffle entirely. At 100 TB a fact⋈fact join's shuffle IS the cost —
+   bucketing amortizes it across every downstream query of the table.
+3. **Range clustering** (`write_range_clustered`) — `repartitionByRange` +
    `sortWithinPartitions` on the clustering key before the write, so each
    parquet file covers a narrow, mostly disjoint key range; min/max footer
    stats then let ANY engine (Spark row-group skipping, DuckDB zone maps)
@@ -41,6 +46,55 @@ def write_partitioned(
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Hash-bucketed (and optionally sorted) parquet table write; returns
+    the re-read catalog table.
+
+    Spark's bucketing records `HashPartitioning(bucket_cols, num_buckets)`
+    in the table catalog; a scan of the table then SATISFIES that output
+    partitioning, so a sort-merge join (or aggregation) keyed on
+    `bucket_cols` against an equally-bucketed table needs NO Exchange on
+    either side — and with `sort_cols == bucket_cols` no Sort either. The
+    table is written as an EXTERNAL table at `path` (bucketing metadata
+    requires the catalog; the explicit path keeps data placement under
+    caller control, as any cluster deployment would).
+
+    Scale rules:
+    - `num_buckets` must MATCH between co-joined tables (Spark only elides
+      the shuffle on equal bucket counts) — standardize per key domain,
+      e.g. 4096 buckets for user-keyed tables.
+    - Pick num_buckets so one bucket ≈ 100-500 MB at full scale: buckets
+      are the read parallelism floor (one task per bucket when the join
+      uses bucketing), so too few buckets caps the cluster.
+    - Bucket pruning: equality predicates on the bucket column scan 1/N of
+      the files (Catalyst's `SELECT * WHERE user_id = k` → one bucket).
+
+    The reference has no write-side layout control (its storage tier is a
+    row-oriented state store, reference src/storage/mod.rs); bucketing is
+    part of the beyond-reference batch scale tier.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)
 
 
 def write_range_clustered(
