@@ -114,3 +114,35 @@ def test_duplicate_view_name_rejected(spark, sf_dir):
     views[1].name = "val"
     with pytest.raises(ValueError, match="duplicate"):
         get_historical_features(spine, "sts", views)
+
+
+def test_online_store_equals_offline_at_now(spark, sf_dir):
+    """Train/serve consistency: stream-materialized online state must equal
+    get_historical_features evaluated at a timestamp after the stream's
+    end — both are latest-row-at-or-before-ts per key."""
+    from volga_spark.api.feature_store import OnlineStore, materialize_online
+    from volga_spark.streaming.sources import chunked_file_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    view = FeatureView(
+        name="val",
+        source=ev.select("user_id", "ts", "value"),
+        keys=["user_id"],
+        ts_col="ts",
+    )
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=3)
+    online = materialize_online(stream, view)
+    assert isinstance(online, OnlineStore)
+
+    users = ev.select("user_id").distinct()
+    served = online.lookup(users)
+
+    now = ev.agg(F.max("ts")).first()[0]
+    spine = users.withColumn("sts", F.lit(now) + F.expr("INTERVAL 1 HOUR"))
+    offline = get_historical_features(spine, "sts", [view]).drop("sts")
+
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, offline.collect()))
+    assert got == want
+    assert served.count() == users.count()
+    online.close()

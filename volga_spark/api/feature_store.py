@@ -20,6 +20,14 @@ sides once.
 
 Feature names are prefixed ``<view>__<column>`` so views can't collide —
 the flattened wide-row layout training pipelines expect.
+
+The ONLINE half (`materialize_online` / `OnlineStore.lookup`) feeds the
+same view definition from a stream through the exactly-once keyed upsert
+sink (`streaming/runner.upsert_by_key`) into latest-per-key state and
+serves key lookups from it. Train/serve consistency is a theorem here,
+not a hope: the online value for a key equals `get_historical_features`
+evaluated at "now" because both reduce to latest-row-at-or-before-ts per
+key — and the test suite asserts that equality end-to-end.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from volga_spark.operators.asof import asof_join
 
@@ -92,3 +101,77 @@ def get_historical_features(
             tolerance_us=v.ttl_us,
         )
     return out
+
+
+@dataclass
+class OnlineStore:
+    """Latest-per-key feature state for one view, served by key lookup.
+
+    ``state`` holds exactly one row per entity key (the stream's newest by
+    event time, exactly-once via the epoch-retry-idempotent upsert sink).
+    ``lookup`` broadcast-joins a batch of entity keys against it — the
+    serving-path shape of `operators/request.FeatureService`, here for
+    plain latest-value features. `cache=True` pins the state in the block
+    cache after the first lookup (call ``close()`` to release).
+    """
+
+    view_name: str
+    keys: list[str]
+    ts_col: str
+    features: list[str]
+    state: DataFrame
+    cache: bool = True
+    _cached: bool = False
+
+    def lookup(self, entities: DataFrame) -> DataFrame:
+        if self.cache and not self._cached:
+            self.state = self.state.persist()
+            self._cached = True
+        # left join keeps every requested entity (missing keys → NULLs);
+        # left-outer can only broadcast its RIGHT side, and at serving
+        # scale the state is the big side — so this relies on the pinned
+        # block cache + key-pruned scan, the FeatureService discipline
+        out = entities.join(self.state, self.keys, "left")
+        return out.select(
+            *entities.columns,
+            *[
+                F.col(c).alias(f"{self.view_name}__{c}")
+                for c in self.features
+            ],
+        )
+
+    def close(self) -> None:
+        if self._cached:
+            self.state.unpersist()
+            self._cached = False
+
+
+def materialize_online(
+    stream_df: DataFrame,
+    view: FeatureView,
+    timeout_s: int = 300,
+) -> OnlineStore:
+    """Fold a streaming DataFrame (same schema as the view's source) into
+    latest-per-key online state via the exactly-once keyed upsert sink.
+
+    The stream side needs no watermark: upsert-latest is monotone (a late
+    row older than the stored one loses the in-batch priority window and
+    the state keeps the newer value), so state size is O(keys) regardless
+    of stream length — the online-store bound.
+    """
+    from volga_spark.streaming.runner import upsert_by_key
+
+    cols = [*view.keys, view.ts_col, *view.features]
+    state = upsert_by_key(
+        stream_df.select(*cols),
+        key_cols=view.keys,
+        order_cols=[view.ts_col],
+        timeout_s=timeout_s,
+    )
+    return OnlineStore(
+        view_name=view.name,
+        keys=list(view.keys),
+        ts_col=view.ts_col,
+        features=list(view.features),
+        state=state,
+    )
