@@ -102,3 +102,39 @@ def test_scoring_plan_stays_jvm_side(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "Pandas", "PythonUDF"):
         assert marker not in plan, marker
+
+
+def test_classifier_scores_stream_identically(spark, tmp_path):
+    """The fitted classifier scores a streaming frame exactly as it does
+    the batch frame — the batch→stream curation-parity property the other
+    curation tiers pin, extended to the learned gate."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from volga_spark.streaming.runner import run_available_now_to_memory
+
+    df = _crafted(spark)
+    clf = train_quality_classifier(df)
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pdf = df.select("doc_id", "text").toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(d, "part0.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(d)
+    streamed = run_available_now_to_memory(
+        score_quality(stream, clf).select("doc_id", "quality_score"),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(
+        map(
+            tuple,
+            score_quality(df, clf).select("doc_id", "quality_score").collect(),
+        )
+    )
+    assert got == want

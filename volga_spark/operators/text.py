@@ -9,7 +9,7 @@ pipeline inside one stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # language → stopword list for the n-gram/stopword language-ID heuristic.
@@ -366,3 +366,69 @@ def c4_clean_lines(text: str) -> Column:
         f"AND NOT lower(l) rlike 'javascript')"
     )
     return F.expr(f"array_join({kept}, '\\n')")
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train a token vocabulary: (token, token_id, count), ids dense from 0.
+
+    The tokenizer-training step of a data pipeline, distributed: one
+    exploded groupBy for counts (map-side partials — shuffle volume is
+    |vocab|, not |tokens|), then ids assigned by (count DESC, token ASC) —
+    a TOTAL order, so ids are deterministic for a given corpus regardless
+    of partitioning (frequency-only ordering would tie-break by shuffle
+    luck). The ranking window is a single-partition sort over |vocab| rows
+    — fine for real vocab sizes (10^5-10^6), which min_count/vocab_size
+    exist to enforce; it is NOT a corpus-sized sort.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = W.orderBy(F.col("count").desc(), F.col("token").asc())
+    ranked = counts.withColumn(
+        "token_id", F.row_number().over(w) - F.lit(1)
+    ).select("token", "token_id", "count")
+    if vocab_size is not None:
+        ranked = ranked.filter(F.col("token_id") < vocab_size)
+    return ranked
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Append `out_col`: array<int> of per-token vocabulary ids, document
+    order preserved, out-of-vocab → ``unk_id``.
+
+    Plan shape: posexplode → ONE broadcast join against the vocab (bounded
+    by construction) → collect back per (doc, pos). The per-doc
+    reassembly sorts by position inside `array_sort` on (pos, id) structs,
+    not a window — one exchange on the document id total.
+    """
+    id_cols = [c for c in docs.columns]
+    pos = docs.select(
+        *id_cols, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    )
+    joined = pos.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    packed = joined.groupBy(*id_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "token_id"))
+        ).alias("__pairs")
+    )
+    ids = F.transform(
+        F.col("__pairs"),
+        lambda s: F.coalesce(s["token_id"], F.lit(unk_id)),
+    )
+    return packed.withColumn(out_col, ids).drop("__pairs")
