@@ -160,3 +160,49 @@ def test_unclustered_files_overlap(spark, sf_dir):
     ranges.sort()
     overlaps = sum(1 for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]) if hi1 > lo2)
     assert overlaps > 0
+
+
+def test_zorder_bounds_ranges_on_both_columns(spark, sf_dir):
+    """Z-order vs 1-D range clustering on (user_id, value): the 1-D layout
+    leaves `value` unclustered (every file spans ~the full value range);
+    Z-order bounds the average per-file span on BOTH columns below the
+    1-D layout's span on its unclustered column. Round-trip contents and
+    row counts are preserved."""
+    from volga_spark.operators.layout import write_zorder_clustered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = _tmp("events_zorder")
+    rpath = _tmp("events_range_1d")
+    back = write_zorder_clustered(ev, zpath, ["user_id", "value"], n_files=16)
+    assert back.count() == ev.count()
+    write_range_clustered(ev, rpath, ["user_id"], n_files=16)
+
+    def spans(path, column):
+        ranges = file_column_ranges(path, column)
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        width = (hi - lo) or 1
+        return [(r[1] - r[0]) / width for r in ranges]
+
+    def avg(xs):
+        return sum(xs) / len(xs)
+
+    # the 1-D control: value is unclustered -> files span most of the range
+    ctrl_value = avg(spans(rpath, "value"))
+    assert ctrl_value > 0.6, ctrl_value
+    # z-order: both columns bounded, and strictly better than the control
+    # on the column the 1-D layout ignores
+    z_user = avg(spans(zpath, "user_id"))
+    z_value = avg(spans(zpath, "value"))
+    assert z_user < 0.5, z_user
+    assert z_value < 0.5, z_value
+    assert z_value < ctrl_value
+
+    # contents survive (sum of values exact via cents)
+    import pyspark.sql.functions as F
+
+    a = ev.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
+    b = back.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
+    assert a == b
