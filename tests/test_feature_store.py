@@ -146,3 +146,17 @@ def test_online_store_equals_offline_at_now(spark, sf_dir):
     assert got == want
     assert served.count() == users.count()
     online.close()
+
+
+def test_view_resolution_is_single_shuffle_carry(spark, sf_dir):
+    """Plan audit: resolving one feature view is the as-of carry — ONE hash
+    exchange per side on the entity key feeding a sort-merge carry, no
+    BroadcastNestedLoop / cartesian anywhere (the N-way pre-join
+    anti-pattern would show as extra exchanges of the spine)."""
+    spine, views = _setup(spark, sf_dir)
+    out = get_historical_features(spine, "sts", views[:1])
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(user_id") <= 2, plan[:3000]

@@ -173,3 +173,37 @@ def _write_chunks(spark, df, out_dir, ts_col, n_chunks, key_col, id_col, flush):
             os.utime(dst, (1_700_000_000 + chunk_no,) * 2)
             chunk_no += 1
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def decode_json_with_quarantine(
+    raw: DataFrame,
+    schema,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a (kafka-shaped) frame into decoded rows and a quarantine.
+
+    `from_json` is PERMISSIVE: a malformed payload decodes to a NULL
+    struct instead of failing the query — the right default for an
+    unbounded stream (one bad producer must not kill ingestion), but
+    silently DROPPING those rows loses the evidence. This helper returns
+    (good, quarantined): good carries the decoded columns, quarantined
+    the ORIGINAL raw payload + a capture timestamp for replay after a
+    schema fix. Both frames are plain filters over one decode projection,
+    so the split works identically on batch and streaming inputs (write
+    the quarantine with its own sink in a stream).
+
+    A payload whose every field is null (e.g. the JSON literal ``{}``
+    against a non-nullable business schema) also lands in quarantine:
+    indistinguishable from a decode failure at the engine level, and
+    operationally the same event.
+    """
+    decoded = raw.withColumn(
+        "__j", F.from_json(F.col(value_col).cast("string"), schema)
+    )
+    is_bad = F.col("__j").isNull() | (F.to_json(F.col("__j")) == "{}")
+    good = decoded.filter(~is_bad).select("__j.*")
+    quarantined = decoded.filter(is_bad).select(
+        F.col(value_col).cast("string").alias("raw_payload"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return good, quarantined
