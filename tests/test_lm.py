@@ -169,3 +169,53 @@ def test_scoring_plan_is_native_with_broadcast_model(spark, sf_dir):
     for marker in ("Python", "Pandas", "BatchEval"):
         assert marker not in plan, marker
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_lm_scores_stream_identically(spark, sf_dir, tmp_path):
+    """The map-side scorer runs unchanged on a streaming frame in append
+    mode (no aggregation, no watermark needed) and matches batch — the
+    one-definition-N-modes property for the perplexity gate; the
+    explode/agg path is the batch-throughput twin (tolerance-compared:
+    float sum order differs)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from volga_spark.streaming.runner import run_available_now_to_memory
+    from volga_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    lm = train_bigram_lm(docs, min_count=2)
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pdf = docs.toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(d, "p0.parquet"),
+    )
+    from volga_spark.operators.lm import perplexity_udf
+
+    h = perplexity_udf(lm)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(d)
+    streamed = run_available_now_to_memory(
+        stream.select("doc_id", h("text").alias("cross_entropy")),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    # bit-exact vs the SAME udf on the batch frame
+    want = sorted(
+        map(
+            tuple,
+            docs.select("doc_id", h("text").alias("cross_entropy")).collect(),
+        )
+    )
+    assert got == want
+    # and ~1e-12-relative vs the explode/agg batch path (float sum order)
+    agg = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in score_perplexity(docs, lm).collect()
+    }
+    for doc_id, ce in got:
+        assert ce == pytest.approx(agg[doc_id], rel=1e-12)

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -183,3 +184,52 @@ def perplexity_filter(
     Unscoreable (<2 token) docs are dropped — no evidence they are text."""
     scored = score_perplexity(docs, lm, text_col=text_col, id_col=id_col, k=k)
     return scored.filter(F.col("perplexity") <= F.lit(float(max_perplexity)))
+
+
+def perplexity_udf(lm: BigramLM, k: float = 1.0):
+    """Map-side per-document scorer: `text -> cross_entropy` as an
+    Arrow-batched pandas UDF with the model dictionaries in the task
+    closure.
+
+    The explode/agg path above is the batch-throughput shape; this one is
+    for contexts that cannot re-aggregate per document — streaming append
+    mode (a streaming groupBy would demand watermark semantics the
+    score doesn't need) and request-mode point scoring. The closure ships
+    the same frequency-capped model the broadcast join does (`min_count`
+    bounds it), so executor memory is vocab-bounded, not corpus-bounded.
+
+    Exactness: python sums the per-bigram log2 terms in document order,
+    the explode/agg path in shuffle order — float addition reorders, so
+    the two paths agree to ~1e-12 relative, not bit-exact (the pytest pins
+    the tolerance; the STREAM vs BATCH parity of THIS udf is bit-exact).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = {r["w"] for r in lm.vocab.collect()}
+    c12 = {
+        (r["w1"], r["w2"]): r["c12"] for r in lm.bigrams.collect()
+    }
+    c1 = {r["w"]: r["c1"] for r in lm.unigrams.collect()}
+    v = float(lm.vocab_size)
+    kk = float(k)
+
+    @pandas_udf("double")
+    def h(texts: pd.Series) -> pd.Series:
+        import math
+
+        out = []
+        for t in texts:
+            ws = [w if w in vocab else UNK for w in t.split(" ")]
+            pairs = list(zip(ws, ws[1:]))
+            if not pairs:
+                out.append(None)
+                continue
+            s = 0.0
+            for a, b in pairs:
+                s += math.log2(
+                    (c12.get((a, b), 0) + kk) / (c1.get(a, 0) + kk * v)
+                )
+            out.append(-s / len(pairs))
+        return pd.Series(out, dtype="float64")
+
+    return h
