@@ -305,3 +305,63 @@ def test_request_mode_service_matches_write_path(spark, sf_dir):
     assert set(got) == set(expected)
     for rid, exp in expected.items():
         assert got[rid] == exp, (rid, got[rid], exp)
+
+
+def test_pipeline_spec_datagen_source_from_reference_json(spark):
+    """The reference's third SourceSpecKind (Datagen) parses from its
+    serde-JSON shape and runs through the same SQL front end; generated
+    values follow the documented deterministic recipes."""
+    from volga_spark.api.pipeline import PipelineSpec
+
+    spec = PipelineSpec.from_json(
+        {
+            "name": "datagen_pipe",
+            "execution_mode": "batch",
+            "query": """
+                SELECT k, count(*) AS n, sum(v) AS s, max(ts) AS last_ts
+                FROM gen GROUP BY k
+            """,
+            "sources": [
+                {
+                    "name": "gen",
+                    "type": "datagen",
+                    "config": {
+                        "limit": 100,
+                        "fields": {
+                            "ts": {"IncrementalTimestamp": {
+                                "start_ms": 1700000000500, "step_ms": 250}},
+                            "k": {"Key": {"num_unique": 4}},
+                            "v": {"Increment": {"start": 10, "step": 3}},
+                            "cat": {"Values": {"values": ["a", "b"]}},
+                        },
+                    },
+                },
+            ],
+        }
+    )
+    rows = {r["k"]: r for r in spec.build(spark).collect()}
+    assert set(rows) == {"k0", "k1", "k2", "k3"}
+    assert all(r["n"] == 25 for r in rows.values())
+    # increment: v_i = 10 + 3i; per-key sums partition the total exactly
+    total = sum(r["s"] for r in rows.values())
+    assert total == sum(10 + 3 * i for i in range(100))
+    # ms-precision start survives (start_ms not divisible by 1000)
+    last = max(r["last_ts"] for r in rows.values())
+    assert last.microsecond == (500_000 + 99 * 250_000) % 1_000_000
+
+
+def test_pipeline_spec_datagen_rejects_bytes_scalars(spark):
+    from volga_spark.api.pipeline import PipelineSpec
+
+    with pytest.raises(ValueError, match="ScalarValueAsBytes"):
+        PipelineSpec.from_json(
+            {
+                "query": "SELECT * FROM g",
+                "sources": [{
+                    "name": "g", "type": "datagen",
+                    "config": {"limit": 1, "fields": {
+                        "x": {"Increment": {"start": "base64:AAA", "step": 1}},
+                    }},
+                }],
+            }
+        )

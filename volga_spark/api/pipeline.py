@@ -161,15 +161,21 @@ def _find_calls(sql: str):
 
 @dataclass
 class SourceSpec:
-    """A named source: parquet path (batch) or streaming DataFrame factory."""
+    """A named source: parquet path (batch), streaming DataFrame factory,
+    or a datagen spec (the reference's third SourceSpecKind)."""
 
     name: str
     parquet: str | None = None
     dataframe: DataFrame | None = None
+    datagen: object | None = None  # sources.datagen.DatagenSpec
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self.dataframe is not None:
             return self.dataframe
+        if self.datagen is not None:
+            from volga_spark.sources.datagen import generate
+
+            return generate(spark, self.datagen)
         if self.parquet:
             from volga_spark.tables import _nanos_ts_columns
 
@@ -183,6 +189,56 @@ class SourceSpec:
                     df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
             return df
         raise ValueError(f"source {self.name} has no parquet path or dataframe")
+
+
+def _datagen_from_ref_json(cfg: dict):
+    """Reference DatagenSpec JSON → sources.datagen.DatagenSpec.
+
+    Serde's externally-tagged enum shape (datagen_source.rs:71-92):
+    ``fields: {col: "ProcessingTimestamp" | {"IncrementalTimestamp":
+    {start_ms, step_ms}} | {"String": {length}} | {"Key": {num_unique}} |
+    {"Increment": {start, step}} | {"Uniform": {min, max}} | {"Values":
+    {values}}}``; row count from ``limit``. Increment/Uniform/Values carry
+    plain JSON numbers/strings here — the reference's binary
+    ScalarValueAsBytes encoding (a DataFusion internal) is rejected with a
+    pointer to the plain form."""
+    from volga_spark.sources.datagen import DatagenSpec, FieldSpec
+
+    if "limit" not in cfg:
+        raise ValueError("datagen source needs 'limit' (row count)")
+    fields = []
+    for name, g in cfg.get("fields", {}).items():
+        if g == "ProcessingTimestamp":
+            fields.append(FieldSpec(name, "processing_timestamp"))
+            continue
+        if not isinstance(g, dict) or len(g) != 1:
+            raise ValueError(f"field {name!r}: expected one-variant object, got {g!r}")
+        (variant, v), = g.items()
+        if any(isinstance(x, (bytes,)) or (isinstance(x, str) and x.startswith("base64:"))
+               for x in (v.values() if isinstance(v, dict) else [])):
+            raise ValueError(
+                f"field {name!r}: ScalarValueAsBytes encoding not supported — "
+                "send plain JSON numbers/strings for start/step/min/max/values"
+            )
+        if variant == "IncrementalTimestamp":
+            fields.append(FieldSpec(name, "incremental_timestamp",
+                                    start_ms=int(v["start_ms"]), step_ms=int(v["step_ms"])))
+        elif variant == "String":
+            fields.append(FieldSpec(name, "string", length=int(v["length"])))
+        elif variant == "Key":
+            fields.append(FieldSpec(name, "key", num_unique=int(v["num_unique"])))
+        elif variant == "Increment":
+            fields.append(FieldSpec(name, "increment",
+                                    inc_start=int(v.get("start", 0)),
+                                    inc_step=int(v.get("step", 1))))
+        elif variant == "Uniform":
+            fields.append(FieldSpec(name, "uniform",
+                                    lo=float(v["min"]), hi=float(v["max"])))
+        elif variant == "Values":
+            fields.append(FieldSpec(name, "values", values=tuple(v["values"])))
+        else:
+            raise ValueError(f"unknown field generator {variant!r}")
+    return DatagenSpec(n_rows=int(cfg["limit"]), fields=fields)
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -346,6 +402,10 @@ class PipelineSpec:
             cfg = s.get("config", {})
             if stype == "parquet":
                 sources.append(SourceSpec(s["name"], parquet=cfg["path"]))
+            elif stype == "datagen":
+                sources.append(
+                    SourceSpec(s["name"], datagen=_datagen_from_ref_json(cfg))
+                )
             elif stype == "kafka":
                 raise ValueError(
                     "kafka source requires the spark-sql-kafka package on the "

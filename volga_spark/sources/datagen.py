@@ -46,11 +46,22 @@ class FieldSpec:
     values: tuple = ()
     # string: deterministic md5-derived text of this length
     length: int = 8
+    # incremental_timestamp: ms-precision start (reference start_ms); when
+    # set it wins over start_s
+    start_ms: int | None = None
+    # increment: start + i*step (reference Increment{start, step})
+    inc_start: int = 0
+    inc_step: int = 1
 
     def column(self, i) -> F.Column:
         if self.kind == "incremental_timestamp":
+            base_us = (
+                self.start_ms * 1000
+                if self.start_ms is not None
+                else self.start_s * 1_000_000
+            )
             return F.timestamp_micros(
-                F.lit(self.start_s * 1_000_000) + i * F.lit(self.step_ms * 1000)
+                F.lit(base_us) + i * F.lit(self.step_ms * 1000)
             )
         if self.kind == "processing_timestamp":
             # wall-clock at generation (reference ProcessingTimestamp) —
@@ -67,7 +78,7 @@ class FieldSpec:
         if self.kind == "key":
             return F.concat(F.lit("k"), (i % F.lit(self.num_unique)).cast("string"))
         if self.kind == "increment":
-            return i
+            return F.lit(self.inc_start) + i * F.lit(self.inc_step)
         if self.kind == "uniform":
             # exact 1-decimal values — no round() anywhere (engines disagree
             # on tie rules: Spark HALF_UP vs DuckDB HALF_EVEN)
@@ -86,8 +97,13 @@ class FieldSpec:
     def duck_sql(self, i: str = "i") -> str:
         """The identical recipe in DuckDB SQL (for oracles)."""
         if self.kind == "incremental_timestamp":
+            base_us = (
+                self.start_ms * 1000
+                if self.start_ms is not None
+                else self.start_s * 1_000_000
+            )
             return (
-                f"make_timestamp(CAST({self.start_s} AS BIGINT) * 1000000"
+                f"make_timestamp(CAST({base_us} AS BIGINT)"
                 f" + {i} * {self.step_ms * 1000}) AS {self.name}"
             )
         if self.kind == "processing_timestamp":
@@ -100,7 +116,7 @@ class FieldSpec:
         if self.kind == "key":
             return f"'k' || CAST({i} % {self.num_unique} AS VARCHAR) AS {self.name}"
         if self.kind == "increment":
-            return f"{i} AS {self.name}"
+            return f"{self.inc_start} + {i} * {self.inc_step} AS {self.name}"
         if self.kind == "uniform":
             span10 = int((self.hi - self.lo) * 10)
             return (
