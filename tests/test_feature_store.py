@@ -160,3 +160,48 @@ def test_view_resolution_is_single_shuffle_carry(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(user_id") <= 2, plan[:3000]
+
+
+def test_online_store_serves_over_http(spark, sf_dir):
+    """The OnlineStore plugs into the same HTTP front end as the
+    point-in-time FeatureService — latest-value lookups with key-only
+    requests, responses equal to a direct lookup."""
+    import json
+    import urllib.request
+
+    from volga_spark.api.feature_store import FeatureView, materialize_online
+    from volga_spark.api.serving import FeatureServer
+    from volga_spark.streaming.sources import chunked_file_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    view = FeatureView(
+        name="val",
+        source=ev.select("user_id", "ts", "value"),
+        keys=["user_id"],
+        ts_col="ts",
+    )
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=3)
+    online = materialize_online(stream, view)
+
+    users = [r["user_id"] for r in ev.select("user_id").distinct().limit(5).collect()]
+    with FeatureServer(spark, online) as srv:
+        body = json.dumps(
+            {"requests": [{"request_id": i, "user_id": u} for i, u in enumerate(users)]}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/features",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())["features"]
+
+    served = {r["user_id"]: r["val__value"] for r in out}
+    direct = {
+        r["user_id"]: r["val__value"]
+        for r in online.lookup(
+            spark.createDataFrame([(u,) for u in users], ["user_id"])
+        ).collect()
+    }
+    assert served == direct and len(served) == len(users)
+    online.close()

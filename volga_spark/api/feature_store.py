@@ -145,6 +145,18 @@ class OnlineStore:
             self.state.unpersist()
             self._cached = False
 
+    # --- FeatureServer protocol (api/serving.py): latest-value services
+    # declare key-only request columns (no timestamp in the request) ---
+
+    @property
+    def request_columns(self) -> list[str]:
+        return ["request_id", *self.keys]
+
+    def get_features(self, spark, points: list[tuple]) -> list[dict]:
+        """points = [(request_id, key...)] → list of feature dicts."""
+        req = spark.createDataFrame(points, self.request_columns)
+        return [r.asDict() for r in self.lookup(req).collect()]
+
 
 def materialize_online(
     stream_df: DataFrame,

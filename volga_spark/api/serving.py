@@ -67,10 +67,18 @@ class FeatureServer:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
                     reqs = body["requests"]
-                    cols = ["request_id", *outer.service.key_cols, outer.service.ts_col]
+                    # point-in-time services take (keys, ts); latest-value
+                    # services (OnlineStore) declare their own request
+                    # columns without a timestamp
+                    cols = getattr(outer.service, "request_columns", None) or [
+                        "request_id",
+                        *outer.service.key_cols,
+                        outer.service.ts_col,
+                    ]
+                    ts_col = getattr(outer.service, "ts_col", None)
                     points = [
                         tuple(
-                            _parse_ts(r[c]) if c == outer.service.ts_col else r[c]
+                            _parse_ts(r[c]) if c == ts_col and c in r else r[c]
                             for c in cols
                         )
                         for r in reqs
