@@ -206,3 +206,32 @@ def test_zorder_bounds_ranges_on_both_columns(spark, sf_dir):
     a = ev.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
     b = back.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
     assert a == b
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir):
+    """A deliberately fragmented write compacts to ~target size with
+    contents preserved (exact cents-sum)."""
+    from volga_spark.operators.layout import compact_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    frag = _tmp("events_fragmented")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    import glob
+
+    n_before = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert n_before >= 32
+
+    out = _tmp("events_compacted")
+    back = compact_files(frag, spark, target_file_mb=256, out_path=out)
+    n_after = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n_after < n_before / 4
+    a = ev.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
+    b = back.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
+    assert a == b and back.count() == ev.count()
+
+    # in-place compaction also round-trips
+    back2 = compact_files(frag, spark, target_file_mb=256)
+    assert back2.count() == ev.count()
+    assert len(glob.glob(os.path.join(frag, "*.parquet"))) < n_before / 4

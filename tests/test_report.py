@@ -70,3 +70,33 @@ def test_global_report_consistent_with_grouped(spark, sf_dir):
     assert 0.0 <= glob["gopher_pass_rate"] <= 1.0
     # distinct counts can only shrink when groups merge
     assert glob["distinct_docs"] <= sums["d"]
+
+
+SKEW_ORACLE = """
+    WITH counts AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT count(*) AS t FROM events)
+    SELECT event_type, n, n / (SELECT t FROM tot) AS share
+    FROM counts ORDER BY n DESC, event_type ASC LIMIT 3
+"""
+
+
+def test_skew_report_matches_duckdb(spark, sf_dir):
+    from volga_spark.operators.report import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    got = skew_report(ev, ["event_type"], top_k=3).toPandas()
+    oracle = run_oracle(SKEW_ORACLE, sf_dir)
+    assert not compare_frames(got, oracle)
+
+
+def test_skew_report_flags_injected_hot_key(spark, sf_dir):
+    from volga_spark.operators.report import skew_report
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hot = spark.range(ev.count() * 2).select(F.lit(-1).alias("user_id"))
+    skewed = ev.union(hot)
+    top = skew_report(skewed, ["user_id"], top_k=1).first()
+    assert top["user_id"] == -1
+    assert top["share"] > 0.6

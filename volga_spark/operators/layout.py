@@ -23,7 +23,8 @@ so the read side can prune:
    multi-column clustering: bounded per-file min/max ranges on EVERY
    clustering column, for tables filtered on several keys.
 
-Both return the re-read DataFrame so callers can verify the round trip.
+All return the re-read DataFrame so callers can verify the round trip;
+`compact_files` is the paired maintenance job (small-files rewrite).
 The reference writes per-task parquet part files with no layout control
 (reference src/runtime/functions/sink/parquet/mod.rs:45-70); layout-aware
 writes are part of the beyond-reference scale tier.
@@ -238,3 +239,51 @@ def write_zorder_clustered(
         if prev is not None:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     return spark.read.parquet(path)
+
+
+def compact_files(
+    path: str,
+    spark: SparkSession,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` (by on-disk size), optionally re-sorted.
+
+    Streaming sinks and per-batch writers leave thousands of small files;
+    at 100 TB that means footer-fetch storms and task-launch overhead on
+    every scan (the classic lakehouse maintenance job — Delta OPTIMIZE /
+    Iceberg rewrite_data_files). File count is sized from the CURRENT
+    on-disk bytes (compressed), not row counts — the one signal that
+    predicts output size; re-sorting composes with
+    `write_range_clustered`'s zone-map story.
+
+    Writes to ``out_path`` (default: in-place via an overwrite of `path` —
+    safe in Spark only because the read materializes before the write
+    job starts is NOT guaranteed; pass out_path for production and swap
+    atomically).
+    """
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    dest = out_path or path
+    if dest == path:
+        # in-place: Spark cannot read and overwrite the same path in one
+        # job — pin the input first
+        df = df.localCheckpoint()
+    if sort_cols:
+        (
+            df.repartitionByRange(n_files, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode(mode)
+            .parquet(dest)
+        )
+    else:
+        df.repartition(n_files).write.mode(mode).parquet(dest)
+    return spark.read.parquet(dest)

@@ -70,3 +70,33 @@ def corpus_report(
         ).alias("exact_dup_rate"),
         (F.col("gopher_pass") / F.col("n_docs")).alias("gopher_pass_rate"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle key: the top-k
+    key values by row count with their share of the table — the number
+    that tells you whether a join/agg on ``keys`` needs AQE skew
+    splitting, salting (`partitioning.salted_count_distinct` discipline),
+    or a broadcast instead.
+
+    One groupBy + one global count; rates are single IEEE divisions of
+    exact integers (hash-comparable vs DuckDB like `corpus_report`).
+    Rule of thumb at 1000 executors: a key holding >1/width of the rows
+    (share > ~0.1%) stalls its reducer; share > a few % means the plan,
+    not the cluster, must change.
+    """
+    total = df.count()
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_k)
+        .select(
+            *keys,
+            "n",
+            (F.col("n") / F.lit(total)).alias("share"),
+        )
+    )
