@@ -432,3 +432,42 @@ def encode_tokens(
         lambda s: F.coalesce(s["token_id"], F.lit(unk_id)),
     )
     return packed.withColumn(out_col, ids).drop("__pairs")
+
+
+def html_to_text(html: str | Column) -> Column:
+    """Crawl-payload HTML → visible text, as one chain of native regexps —
+    the WET-extraction step between raw crawl bytes and every quality
+    gate above (full boilerplate removal à la trafilatura needs a DOM;
+    this is the regex tier that handles the bulk of WET-style extraction,
+    and it is deliberately DuckDB-mirrorable for oracle checks).
+
+    Order matters and is load-bearing:
+    1. drop <script>/<style>/<!-- --> SUBTREES (tag-stripping alone would
+       leak javascript/css text into the document);
+    2. block-level closers → newline (layout preserved for the line-based
+       Gopher/C4 rules);
+    3. strip remaining tags;
+    4. decode the five XML entities + &nbsp;
+    5. collapse runs of spaces/tabs per line, trim, drop empty lines.
+
+    Case-insensitive via (?i); (?s) makes . span newlines inside subtrees.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?i)<br\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    # per-line: collapse whitespace runs, trim; then drop empty lines
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    lines = F.split(t, "\n")
+    kept = F.filter(F.transform(lines, lambda l: F.trim(l)), lambda l: l != "")
+    return F.array_join(kept, "\n")
