@@ -574,6 +574,90 @@ def duplicated_ngram_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, wide_input: bool = False
+) -> DataFrame:
+    """The REWRITE step of exact substring dedup (Lee et al. 2021): where
+    `duplicated_ngram_spans` reports the duplicated spans, this excises them
+    and rebuilds the text, keeping one canonical copy corpus-wide.
+
+    Semantics (deterministic, SQL-mirrorable): each duplicated n-gram keeps
+    its CANONICAL occurrence — first by (id, pos) total order — and every
+    other occurrence marks its n token positions for removal; overlapping/
+    adjacent marked windows merge into maximal spans (the merged spans cover
+    exactly the union of the marked windows), spans are cut, and the text is
+    rebuilt single-space-joined. Returns one row per input document:
+    (id, clean_text, removed_tokens) — docs without duplicated spans pass
+    through with removed_tokens = 0.
+
+    Scale shape: same as `duplicated_ngram_spans` — grams shuffle as int64
+    hashes, never text; the canonical pick is one window over gram-hash
+    groups; the cut itself is a per-document HOF filter over a bounded
+    span array (no Python stage anywhere).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text_col), " ")
+    base = widen_for_python(df.select(id_col, text_col), known_wide=wide_input)
+    gh = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.xxhash64(F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos0", "gh"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")
+    # non-canonical occurrences of corpus-duplicated grams → cut windows
+    occ_rank = W.partitionBy("gh").orderBy(id_col, "pos")
+    cuts = (
+        gh.withColumn("rk", F.row_number().over(occ_rank))
+        .withColumn("n_occ", F.count("*").over(W.partitionBy("gh")))
+        .filter((F.col("n_occ") > 1) & (F.col("rk") > 1))
+        .select(id_col, "pos")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    sess = (
+        cuts.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    spans = (
+        sess.groupBy(id_col, "span_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (n - 1)).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    joined = df.join(spans, id_col, "left")
+    jtoks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.transform(jtoks, lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))),
+        lambda s: ~F.coalesce(
+            F.exists(
+                F.col("__spans"),
+                lambda sp: (s["pos"] >= sp["s"]) & (s["pos"] <= sp["e"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda k: k["tok"]), " ").alias("clean_text"),
+        (F.size(jtoks) - F.size(kept)).cast("bigint").alias("removed_tokens"),
+    )
+
+
 def _gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gh) distinct xxhash64'd word n-grams per document."""
     toks = F.split(F.col(text_col), " ")
