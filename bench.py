@@ -73,7 +73,7 @@ BANDS = {
     "q_ml_cate_full": 2.9,
     "q_ml_top_full": 2.9,
     "q_dedup_exact": 1.1,
-    "q_dedup_approx_pairs": 10.0,
+    "q_dedup_approx_pairs": 12.0,
     "q_dedup_clusters": 8.0,
     "q_dedup_substring_spans": 8.5,
     "q_ann_brute_topk": 1.5,
