@@ -726,6 +726,64 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """FUZZY decontamination: flag a training doc when ≥ ``threshold`` of a
+    benchmark example's distinct n-grams appear in it (the containment-rule
+    family used by PaLM 2 / Llama-style dirty-eval marking). Catches
+    near-verbatim leakage — an embedded benchmark question with a token
+    edited or numbers substituted — that the exact 13-gram rule
+    (`decontaminate`) misses entirely, since one edit in a short example
+    kills every verbatim 13-gram.
+
+    Returns the corpus with ``contaminated`` (boolean) and
+    ``best_containment`` (max over benchmark examples; 0.0 when clean).
+
+    Scale shape: identical to `decontaminate` — the benchmark side
+    (grams-with-example-id AND per-example gram counts) broadcasts, the
+    corpus probe is map-side, and the only shuffle is the partial-aggregated
+    (doc, example) match counts, bounded by actual overlaps. Containment
+    |grams(bench) ∩ grams(doc)| / |grams(bench)| is EXACT — no sketch is
+    needed because the small side fits in a broadcast; MinHash-style
+    approximation only buys anything when both sides are corpus-sized.
+    """
+    bid = "__bid"  # internal alias — avoids collision with the corpus id
+    bench = benchmark.select(
+        (
+            F.col(bench_id_col)
+            if bench_id_col
+            else F.xxhash64(F.col(bench_text_col or text_col))
+        ).alias(bid),
+        F.col(bench_text_col or text_col).alias("__btext"),
+    )
+    bgrams = _gram_hashes(bench, "__btext", bid, n).distinct()
+    bsizes = bgrams.groupBy(bid).agg(F.count("*").alias("__bn"))
+    scored = (
+        _gram_hashes(corpus, text_col, id_col, n)
+        .join(F.broadcast(bgrams), "gh")
+        .groupBy(id_col, bid)
+        .agg(F.count("*").alias("__matches"))
+        .join(F.broadcast(bsizes), bid)
+        .withColumn("__containment", F.col("__matches") / F.col("__bn"))
+        .filter(F.col("__containment") >= threshold)
+        .groupBy(id_col)
+        .agg(F.max("__containment").alias("best_containment"))
+    )
+    return (
+        corpus.join(scored, id_col, "left")
+        .withColumn("best_containment", F.coalesce("best_containment", F.lit(0.0)))
+        .withColumn("contaminated", F.col("best_containment") > 0)
+    )
+
+
 def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al.): rolling hash over
     character k-grams, keep the minimum hash of each window of consecutive
