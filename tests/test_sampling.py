@@ -1,0 +1,91 @@
+"""Deterministic sampling operators: DuckDB parity (identical row sets from
+the same md5 rule), growth stability, and the temperature-mixing math."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from volga_spark.operators.sampling import (
+    bernoulli_oracle_pred,
+    bernoulli_sample,
+    bottom_k_oracle_sql,
+    bottom_k_sample,
+    stratified_oracle_pred,
+    stratified_sample,
+    temperature_rates,
+)
+from volga_spark.oracle import compare_frames, run_oracle
+from volga_spark.tables import load_table
+
+DOCS = "read_parquet('{sf}/documents.parquet')"
+
+
+def test_bottom_k_matches_duckdb_and_is_plan_sane(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    got = bottom_k_sample(df, "doc_id", 97, seed="s1")
+    sql = bottom_k_oracle_sql(
+        f"(SELECT doc_id, source FROM {DOCS.format(sf=sf_dir)})", "doc_id", 97, "s1"
+    )
+    assert not compare_frames(got.toPandas(), run_oracle(sql, sf_dir))
+    # scalable shape: per-partition top-k merge, not a global sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bernoulli_matches_duckdb_and_is_growth_stable(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    got = bernoulli_sample(df, "doc_id", 0.25, seed="s2")
+    pred = bernoulli_oracle_pred("doc_id", 0.25, "s2")
+    sql = f"SELECT doc_id, n_chars FROM {DOCS.format(sf=sf_dir)} WHERE {pred}"
+    assert not compare_frames(got.toPandas(), run_oracle(sql, sf_dir))
+    # growth stability: sampling half the corpus keeps exactly the kept rows
+    # of that half — membership is per-row, independent of what else exists
+    half = df.filter(F.col("doc_id") % 2 == 0)
+    kept_half = set(
+        r[0] for r in bernoulli_sample(half, "doc_id", 0.25, "s2").select("doc_id").collect()
+    )
+    kept_full = set(r[0] for r in got.select("doc_id").collect())
+    assert kept_half == {d for d in kept_full if d % 2 == 0}
+    # and the rate is in the statistical ballpark (n=500, ±4σ band)
+    n, total = len(kept_full), df.count()
+    assert 0.15 < n / total < 0.35
+
+
+def test_stratified_matches_duckdb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fr = {"src0": 1.0, "src1": 0.2, "src2": 0.5}
+    got = stratified_sample(df, "source", "doc_id", fr, default_fraction=0.0, seed="s3")
+    pred = stratified_oracle_pred("source", "doc_id", fr, 0.0, "s3")
+    sql = f"SELECT doc_id, source FROM {DOCS.format(sf=sf_dir)} WHERE {pred}"
+    assert not compare_frames(got.toPandas(), run_oracle(sql, sf_dir))
+    # fraction-1.0 stratum keeps everything; default-0.0 strata keep nothing
+    src_counts = dict(df.groupBy("source").count().collect())
+    kept_counts = dict(got.groupBy("source").count().collect())
+    assert kept_counts.get("src0") == src_counts["src0"]
+    assert set(kept_counts) <= {"src0", "src1", "src2"}
+
+
+def test_temperature_rates_math():
+    sizes = {"en": 1_000_000, "fr": 10_000, "sw": 100}
+    # alpha=1: proportional — every source sampled at the same rate
+    r1 = temperature_rates(sizes, 1.0, 100_000)
+    rates = {k: r1[k] for k in sizes}
+    assert max(rates.values()) - min(rates.values()) < 1e-9
+    # alpha<1 boosts small sources relative to proportional
+    r03 = temperature_rates(sizes, 0.3, 100_000)
+    assert r03["sw"] > r1["sw"] and r03["en"] < r1["en"]
+    # expected kept rows hit the budget (within rounding)
+    expected = sum(r03[k] * sizes[k] for k in sizes)
+    assert abs(expected - 100_000) < 1.0
+    # cap + redistribute: tiny source hits 1.0, budget still met
+    r_cap = temperature_rates(sizes, 0.0, 200_000)  # uniform wants 66k of sw's 100
+    assert r_cap["sw"] == 1.0
+    expected = sum(r_cap[k] * sizes[k] for k in sizes)
+    assert abs(expected - 200_000) < 1.0
+    # degenerate budgets
+    assert temperature_rates(sizes, 0.5, 0) == {k: 0.0 for k in sizes}
+    all_of_it = temperature_rates(sizes, 0.5, 10_000_000)
+    assert all(v == 1.0 for v in all_of_it.values())
+    with pytest.raises(ValueError):
+        temperature_rates(sizes, -0.1, 10)
