@@ -196,3 +196,26 @@ def test_pq_adc_approximates_cosine():
     same = adc[2::2].mean()   # even rows share cluster 0 with q
     other = adc[1::2].mean()
     assert same > other
+
+
+def test_ivf_distributed_training_recall(spark, sf_dir):
+    """train='distributed' (MLlib k-means|| over the full corpus — zero
+    driver-side vector collect) reaches the same recall band as the
+    sample-trained quantizer."""
+    from volga_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=8, train="distributed"
+    ).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    found = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.7, f"distributed-IVF recall too low: {recall}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="train must be"):
+        ivf_topk(emb, queries, k=5, train="bogus").collect()

@@ -252,6 +252,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
+    train: str = "sample",
 ) -> DataFrame:
     """IVF approximate top-k (the inverted-file scale path, complementing
     ``lsh_topk``): train a coarse quantizer on a bounded deterministic
@@ -260,28 +261,66 @@ def ivf_topk(
     ``n_probe`` closest lists per query, and score only candidates in probed
     lists. Scoring volume ≈ corpus × n_probe / n_lists.
 
-    At 100 TB: training stays O(train_sample × dim) on the driver (the
-    standard IVF discipline — faiss trains its quantizer on a sample too);
-    assignment is one embarrassingly-parallel pass; the candidate join
-    shuffles (list_id) ints, and list skew is bounded by k-means balance —
-    raise n_lists (and n_probe proportionally) as the corpus grows."""
+    Training (``train=``):
+
+    - ``"sample"`` (default): O(train_sample × dim) driver-side spherical
+      k-means on a bounded deterministic sample — the standard IVF
+      discipline (faiss trains its quantizer on a sample too), and
+      bit-deterministic across runs/partitionings.
+    - ``"distributed"``: MLlib ``KMeans`` (k-means||) over the FULL
+      normalized corpus — no driver-side data collect at all (only the
+      n_lists × dim centroid matrix comes back, which every variant ships
+      in the assignment closure anyway). Use when the corpus distribution
+      is too diverse for a fixed sample; deterministic per Spark version
+      via ``seed`` but not bit-stable across versions.
+
+    Assignment is one embarrassingly-parallel pass either way; the
+    candidate join shuffles (list_id) ints, and list skew is bounded by
+    k-means balance — raise n_lists (and n_probe proportionally) as the
+    corpus grows."""
     import pandas as pd
 
-    # deterministic pseudo-random sample: order by id hash, take the prefix
-    sample_rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(train_sample)
-        .collect()
-    )
-    # the usual IVF training guard: ≥ ~8 training points per list, else the
-    # quantizer overfits the sample and lists go near-empty (faiss warns at
-    # 39×; small test corpora would otherwise crater recall)
-    n_lists = max(1, min(n_lists, len(sample_rows) // 8))
-    n_probe = min(n_probe, n_lists)
-    cents = spherical_kmeans(
-        np.array([r[0] for r in sample_rows], dtype=np.float64), n_lists, seed=seed
-    )
+    if train == "distributed":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n_corpus = corpus.count()
+        # same ≥8-points-per-list guard as the sample path
+        n_lists = max(1, min(n_lists, n_corpus // 8))
+        n_probe = min(n_probe, n_lists)
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        feats = corpus.select(
+            array_to_vector(
+                F.transform(
+                    F.col(vec_col), lambda x: x / F.greatest(nrm, F.lit(1e-12))
+                ).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=n_lists, seed=seed, maxIter=15).fit(feats)
+        cents = np.array([np.asarray(c) for c in model.clusterCenters()])
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    elif train == "sample":
+        # deterministic pseudo-random sample: order by id hash, take the prefix
+        sample_rows = (
+            corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(train_sample)
+            .collect()
+        )
+        # the usual IVF training guard: ≥ ~8 training points per list, else the
+        # quantizer overfits the sample and lists go near-empty (faiss warns at
+        # 39×; small test corpora would otherwise crater recall)
+        n_lists = max(1, min(n_lists, len(sample_rows) // 8))
+        n_probe = min(n_probe, n_lists)
+        cents = spherical_kmeans(
+            np.array([r[0] for r in sample_rows], dtype=np.float64), n_lists, seed=seed
+        )
+    else:
+        raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
 
     def assign_gen(n_top):
         def gen(batches):
