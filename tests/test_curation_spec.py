@@ -1,0 +1,113 @@
+"""CurationSpec: JSON round-trip, stage-for-stage equality with the directly
+composed operators, gate semantics, and validation errors."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from volga_spark.api.curation import CurationSpec
+from volga_spark.tables import load_table
+
+
+def test_json_round_trip_and_validation():
+    spec = CurationSpec.from_json(
+        json.dumps(
+            {
+                "stages": [
+                    {"op": "gopher_gate"},
+                    {"op": "split", "fractions": {"train": 0.9, "val": 0.1}},
+                ],
+                "text_col": "body",
+            }
+        )
+    )
+    assert spec.text_col == "body" and len(spec.stages) == 2
+    assert CurationSpec.from_json(spec.to_json()).stages == spec.stages
+    with pytest.raises(ValueError, match="unknown op"):
+        CurationSpec(stages=[{"op": "definitely_not_a_stage"}])
+    with pytest.raises(ValueError, match="'op' key"):
+        CurationSpec(stages=["gopher_gate"])
+
+
+def test_spec_equals_direct_composition(spark, sf_dir):
+    """A 5-stage spec produces exactly the frame the hand-written chain
+    does — composition adds nothing and loses nothing."""
+    from volga_spark.operators.pii import redact_pii
+    from volga_spark.operators.sampling import stratified_sample
+    from volga_spark.operators.splits import hash_split
+    from volga_spark.operators.text import c4_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    spec = CurationSpec(
+        stages=[
+            {"op": "min_chars", "n": 10},
+            {"op": "pii_redact"},
+            {"op": "c4_gate"},
+            {"op": "stratified_sample", "strata_col": "source",
+             "fractions": {"src0": 1.0, "src1": 0.4}, "default_fraction": 0.8,
+             "seed": "t"},
+            {"op": "split", "fractions": {"train": 0.9, "val": 0.1}, "seed": "t"},
+        ]
+    )
+    got = spec.build(spark, docs)
+
+    manual = docs.filter(F.length("text") >= 10).withColumn(
+        "text", redact_pii("text")
+    )
+    manual = manual.filter(c4_quality_flags("text")["c4_pass"])
+    manual = stratified_sample(
+        manual, "source", "doc_id", {"src0": 1.0, "src1": 0.4}, 0.8, "t"
+    )
+    manual = hash_split(manual, "doc_id", {"train": 0.9, "val": 0.1}, "t")
+
+    g = sorted(map(tuple, got.collect()))
+    m = sorted(map(tuple, manual.collect()))
+    assert g == m and got.columns == manual.columns
+
+
+def test_dedup_stages_and_expect_gate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique text alpha\n\ncommon paragraph body", "a"),
+            (2, "common paragraph body\n\nunique text beta", "a"),
+            (3, "unique text alpha\n\ncommon paragraph body", "b"),  # exact dup of 1
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    spec = CurationSpec(
+        stages=[
+            {"op": "exact_dedup"},
+            {"op": "paragraph_dedup", "min_chars": 5},
+            {"op": "expect", "checks": [{"type": "unique", "col": "doc_id"},
+                                         {"type": "min_rows", "n": 2}]},
+        ]
+    )
+    out = {r["doc_id"]: (r["text"], r["source"]) for r in spec.build(spark, df).collect()}
+    assert 3 not in out  # exact dup dropped (smallest id wins)
+    assert out[1][0] == "unique text alpha\n\ncommon paragraph body"
+    assert out[2][0] == "unique text beta"  # shared paragraph removed
+    assert out[2][1] == "a"  # non-text columns survive paragraph_dedup
+    # the expect gate raises when violated
+    bad = CurationSpec(stages=[{"op": "expect", "checks": [{"type": "min_rows", "n": 99}]}])
+    with pytest.raises(ValueError, match="min_rows"):
+        bad.build(spark, df)
+
+
+def test_decontaminate_stage(spark, tmp_path):
+    bench_path = str(tmp_path / "bench.parquet")
+    words = " ".join(f"w{i}" for i in range(20))
+    spark.createDataFrame([(100, words)], "doc_id bigint, text string").write.parquet(
+        bench_path
+    )
+    corpus = spark.createDataFrame(
+        [(1, words + " extra tail here"), (2, "totally different content " * 5)],
+        "doc_id bigint, text string",
+    )
+    spec = CurationSpec(
+        stages=[{"op": "decontaminate", "benchmark_path": bench_path, "n": 13}]
+    )
+    kept = [r["doc_id"] for r in spec.build(spark, corpus).collect()]
+    assert kept == [2]  # doc 1 contains a 13-gram of the benchmark
