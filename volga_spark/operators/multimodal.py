@@ -105,3 +105,108 @@ def frame_sample(
             yield pd.DataFrame({id_col: ids, "frame_no": nos, "frame_md5": digests})
 
     return widen_for_python(df.select(id_col, payload_col)).mapInPandas(gen, schema=schema)
+
+
+# --- Real header probing (no codec libraries needed) ------------------------
+#
+# Dimensions and format live in the CONTAINER HEADER, not the pixel data —
+# parsing them needs byte arithmetic, not a decoder. This is what PIL's lazy
+# `Image.open().size` does; implementing it directly removes the "stub" from
+# the most common multimodal metadata query (format/size census over a
+# crawl) while heavyweight decoding stays injectable.
+
+
+def probe_image(payload: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from container magic + header fields for
+    PNG / JPEG / GIF / BMP / WebP (VP8, VP8L, VP8X); (None, None, None) for
+    anything unrecognized or truncated. Pure bytes — no codec call."""
+    try:
+        b = payload
+        if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+            # IHDR is the mandatory first chunk: length(4) type(4) data
+            if b[12:16] == b"IHDR":
+                w = int.from_bytes(b[16:20], "big")
+                h = int.from_bytes(b[20:24], "big")
+                return "png", w, h
+            return "png", None, None
+        if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        if len(b) >= 26 and b[:2] == b"BM":
+            return (
+                "bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+            )
+        if len(b) >= 2 and b[:2] == b"\xff\xd8":
+            # JPEG: walk marker segments to the first SOFn frame header
+            i = 2
+            sof = {
+                0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            }
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if marker in sof:
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    return "jpeg", w, h
+                i += 2 + seg_len
+            return "jpeg", None, None
+        if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            kind = b[12:16]
+            if kind == b"VP8X" and len(b) >= 30:
+                w = int.from_bytes(b[24:27], "little") + 1
+                h = int.from_bytes(b[27:30], "little") + 1
+                return "webp", w, h
+            if kind == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+                bits = int.from_bytes(b[21:25], "little")
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if kind == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+                return (
+                    "webp",
+                    int.from_bytes(b[26:28], "little") & 0x3FFF,
+                    int.from_bytes(b[28:30], "little") & 0x3FFF,
+                )
+            return "webp", None, None
+        return None, None, None
+    except (IndexError, ValueError):
+        return None, None, None
+
+
+def probe_media(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Format/dimension census over a binary corpus: one Arrow-batched pass,
+    header bytes only (a real crawl pipeline would read just the first KB per
+    object — parquet binary columns hand us the payload either way)."""
+    import volga_spark.operators.multimodal as _self
+
+    register_by_value(_self)
+    schema = f"{id_col} bigint, format string, width int, height int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for p in pdf[payload_col]:
+                f_, w_, h_ = probe_image(bytes(p))
+                fmts.append(f_)
+                ws.append(w_)
+                hs.append(h_)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "format": fmts, "width": ws, "height": hs}
+            )
+
+    return widen_for_python(df.select(id_col, payload_col)).mapInPandas(
+        gen, schema=schema
+    )
