@@ -83,3 +83,81 @@ def test_probe_media_census(spark):
     assert got[2] == ("jpeg", 32, 16)
     assert got[3] == (None, None, None)
     assert got[4] == ("gif", 5, 6)
+
+
+def _wav(ch, rate, bits, n_samples):
+    data_len = n_samples * ch * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _flac(ch, rate, total):
+    # fLaC + STREAMINFO block (type 0, length 34): 10 bytes block/frame
+    # sizes, then the packed 64-bit rate(20)/channels(3)/bps(5)/total(36)
+    # field, then the md5 signature
+    si = b"\x00" * 10
+    si += bytes(
+        [
+            (rate >> 12) & 0xFF,
+            (rate >> 4) & 0xFF,
+            ((rate & 0x0F) << 4) | ((ch - 1) << 1),  # + bps high bit (0)
+            (total >> 32) & 0x0F,  # bps low nibble (0) | total bits 35..32
+        ]
+    )
+    si += struct.pack(">I", total & 0xFFFFFFFF)  # total bits 31..0
+    block = b"\x00" + struct.pack(">I", 34)[1:] + si + b"\x00" * (34 - len(si))
+    return b"fLaC" + block
+
+
+def _mp3_id3(rate_code=0):
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10  # syncsafe size 10
+    frame = bytes([0xFF, 0xFB, 0x90 | (rate_code << 2), 0xC0])  # stereo→code 3? hdr
+    return tag + frame + b"\x00" * 16
+
+
+def _mp4(duration, timescale):
+    mvhd = (
+        struct.pack(">I", 108)
+        + b"mvhd"
+        + b"\x00\x00\x00\x00"  # version 0 + flags
+        + b"\x00" * 8  # ctime/mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80
+    )
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_probe_audio_headers():
+    from volga_spark.operators.multimodal import probe_audio
+
+    fmt, ch, rate, dur = probe_audio(_wav(2, 44100, 16, 44100))
+    assert (fmt, ch, rate) == ("wav", 2, 44100)
+    assert abs(dur - 1.0) < 1e-9
+
+    fmt, ch, rate, dur = probe_audio(_flac(2, 48000, 96000))
+    assert (fmt, ch, rate) == ("flac", 2, 48000)
+    assert abs(dur - 2.0) < 1e-9
+
+    fmt, ch, rate, dur = probe_audio(_mp3_id3())
+    assert fmt == "mp3" and rate == 44100 and dur is None
+
+    assert probe_audio(b"OggS\x00junk")[0] == "ogg"
+    assert probe_audio(b"nonsense") == (None, None, None, None)
+    assert probe_audio(b"RIFF\x00\x00\x00\x00WAVE")[0] == "wav"  # truncated
+
+
+def test_probe_video_headers():
+    from volga_spark.operators.multimodal import probe_video
+
+    fmt, dur = probe_video(_mp4(3000, 1000))
+    assert fmt == "mp4" and abs(dur - 3.0) < 1e-9
+    assert probe_video(b"\x1a\x45\xdf\xa3rest") == ("webm", None)
+    assert probe_video(b"RIFF\x00\x00\x00\x00AVI junk") == ("avi", None)
+    assert probe_video(b"plain text") == (None, None)
+    # malformed box size must not loop forever
+    bad = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00" + struct.pack(">I", 2) + b"moov"
+    assert probe_video(bad) == ("mp4", None)

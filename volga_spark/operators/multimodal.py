@@ -210,3 +210,99 @@ def probe_media(
     return widen_for_python(df.select(id_col, payload_col)).mapInPandas(
         gen, schema=schema
     )
+
+
+def probe_audio(payload: bytes) -> tuple[str | None, int | None, int | None, float | None]:
+    """(format, channels, sample_rate, duration_s) from audio container
+    headers: WAV (RIFF fmt/data chunks), FLAC (STREAMINFO), MP3 (first
+    MPEG-1 Layer III frame header; duration unknowable without a full scan
+    for VBR, so None), OGG (magic only). No codec call."""
+    try:
+        b = payload
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i, ch, rate, bits, data_len = 12, None, None, None, None
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(b):
+                    ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                    rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                    bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                elif cid == b"data":
+                    data_len = clen
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+            dur = None
+            if None not in (ch, rate, bits, data_len) and ch and rate and bits:
+                dur = data_len / (rate * ch * (bits // 8))
+            return "wav", ch, rate, dur
+        if len(b) >= 26 and b[:4] == b"fLaC":
+            # STREAMINFO is the mandatory first metadata block (type 0)
+            if b[4] & 0x7F == 0:
+                rate = (int.from_bytes(b[18:21], "big") >> 4) & 0xFFFFF
+                ch = ((b[20] >> 1) & 0x07) + 1
+                total = (
+                    ((b[21] & 0x0F) << 32) | int.from_bytes(b[22:26], "big")
+                )
+                dur = total / rate if rate and total else None
+                return "flac", ch, rate, dur
+            return "flac", None, None, None
+        if len(b) >= 4 and (b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0)):
+            i = 0
+            if b[:3] == b"ID3" and len(b) >= 10:
+                # syncsafe tag size, then the first audio frame follows
+                size = (
+                    (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+                )
+                i = 10 + size
+            if i + 4 <= len(b) and b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+                rates = {0: 44100, 1: 48000, 2: 32000}
+                rate = rates.get((b[i + 2] >> 2) & 0x03)
+                ch = 1 if (b[i + 3] >> 6) & 0x03 == 3 else 2
+                return "mp3", ch, rate, None
+            return "mp3", None, None, None
+        if len(b) >= 4 and b[:4] == b"OggS":
+            return "ogg", None, None, None
+        return None, None, None, None
+    except (IndexError, ValueError, ZeroDivisionError):
+        return None, None, None, None
+
+
+def probe_video(payload: bytes) -> tuple[str | None, float | None]:
+    """(format, duration_s) from video container headers: MP4/MOV (walk
+    top-level boxes to moov/mvhd — duration/timescale live there), WebM/
+    Matroska and AVI (magic only; EBML duration needs element parsing)."""
+    try:
+        b = payload
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+
+            def walk(lo: int, hi: int, depth: int = 0):
+                i = lo
+                while i + 8 <= hi and depth < 6:
+                    size = int.from_bytes(b[i : i + 4], "big")
+                    box = b[i + 4 : i + 8]
+                    if size < 8:
+                        return None
+                    if box == b"moov":
+                        got = walk(i + 8, min(i + size, hi), depth + 1)
+                        if got is not None:
+                            return got
+                    if box == b"mvhd" and i + 28 <= hi:
+                        ver = b[i + 8]
+                        if ver == 1 and i + 40 <= hi:
+                            ts = int.from_bytes(b[i + 28 : i + 32], "big")
+                            dur = int.from_bytes(b[i + 32 : i + 40], "big")
+                        else:
+                            ts = int.from_bytes(b[i + 20 : i + 24], "big")
+                            dur = int.from_bytes(b[i + 24 : i + 28], "big")
+                        return dur / ts if ts else None
+                    i += size
+                return None
+
+            return "mp4", walk(0, len(b))
+        if len(b) >= 4 and b[:4] == b"\x1a\x45\xdf\xa3":
+            return "webm", None
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            return "avi", None
+        return None, None
+    except (IndexError, ValueError, ZeroDivisionError):
+        return None, None
