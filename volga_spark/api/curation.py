@@ -53,6 +53,17 @@ def _stage_pii_redact(df, spec, categories=None, **_):
     return df.withColumn(spec.text_col, redact_pii(spec.text_col, cats))
 
 
+def _stage_normalize_text(
+    df, spec, accents=True, punctuation=True, controls=True, whitespace=True, **_
+):
+    from volga_spark.operators.text import normalize_text
+
+    return df.withColumn(
+        spec.text_col,
+        normalize_text(spec.text_col, accents, punctuation, controls, whitespace),
+    )
+
+
 def _stage_c4_clean_lines(df, spec, **_):
     from volga_spark.operators.text import c4_clean_lines
 
@@ -185,6 +196,7 @@ def _stage_expect(df, spec, checks=(), on_fail="raise", **_):
 
 _STAGES = {
     "html_extract": _stage_html_extract,
+    "normalize_text": _stage_normalize_text,
     "pii_redact": _stage_pii_redact,
     "c4_clean_lines": _stage_c4_clean_lines,
     "url_blocklist": _stage_url_blocklist,

@@ -471,3 +471,87 @@ def html_to_text(html: str | Column) -> Column:
     lines = F.split(t, "\n")
     kept = F.filter(F.transform(lines, lambda l: F.trim(l)), lambda l: l != "")
     return F.array_join(kept, "\n")
+
+
+# --- Pre-tokenization text normalization ------------------------------------
+#
+# The standard cleanup pass before hashing/tokenizing (CCNet normalizes
+# before paragraph hashing; tokenizer training wants one canonical quote/
+# dash/space alphabet). Everything is native translate/regexp_replace in
+# the RE2∩Java subset, and the SAME tables drive the DuckDB twin, so the
+# normalization is engine-exact by construction. NOT full Unicode NFC —
+# that needs ICU; this is the curated common-case table (latin-1/latin-ext
+# accent folding + typographic punctuation), which covers the punctuation
+# and accent noise web text actually carries.
+
+_ACCENT_SRC = (
+    "àáâãäåāăąçćčèéêëēĕėęěìíîïĩīĭįñńňòóôõöøōŏőśšùúûüũūŭůýÿžźż"
+    "ÀÁÂÃÄÅĀĂĄÇĆČÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÑŃŇÒÓÔÕÖØŌŎŐŚŠÙÚÛÜŨŪŬŮÝŸŽŹŻ"
+)
+# per-letter group sizes mirror _ACCENT_SRC exactly (asserted by test)
+_ACCENT_DST = (
+    "a" * 9 + "c" * 3 + "e" * 9 + "i" * 8 + "n" * 3 + "o" * 9
+    + "s" * 2 + "u" * 8 + "y" * 2 + "z" * 3
+    + "A" * 9 + "C" * 3 + "E" * 9 + "I" * 8 + "N" * 3 + "O" * 9
+    + "S" * 2 + "U" * 8 + "Y" * 2 + "Z" * 3
+)
+# typographic -> ASCII, 1:1 (the 1->3 ellipsis expansion runs as a regexp
+# first). Groups: 4 single-quote forms, 3 double-quote forms, prime,
+# double-prime, 4 dash forms, 4 space forms (nbsp/figure/narrow/ideographic)
+_PUNCT_SRC = "‘’‚‛“”„′″–—―−   　"
+_PUNCT_DST = "''''" + '"""' + "'" + '"' + "----" + "    "
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(
+    text: str | Column,
+    accents: bool = True,
+    punctuation: bool = True,
+    controls: bool = True,
+    whitespace: bool = True,
+) -> Column:
+    """Canonicalize text: fold common accents to ASCII, unify typographic
+    quotes/dashes/spaces, strip control characters, collapse runs of
+    spaces/tabs (newlines preserved — line-based gates depend on them),
+    trim. Each step is optional; all native."""
+    c = F.col(text) if isinstance(text, str) else text
+    if punctuation:
+        c = F.regexp_replace(c, "…", "...")
+        c = F.translate(c, _PUNCT_SRC, _PUNCT_DST)
+    if accents:
+        c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    if controls:
+        c = F.regexp_replace(c, _CONTROL_RE, "")
+    if whitespace:
+        c = F.regexp_replace(c, "[ \\t]+", " ")
+        c = F.regexp_replace(c, " ?\\n ?", "\n")
+        c = F.trim(c)
+    return c
+
+
+def normalize_text_oracle_sql(
+    text_sql: str,
+    accents: bool = True,
+    punctuation: bool = True,
+    controls: bool = True,
+    whitespace: bool = True,
+) -> str:
+    """DuckDB expression applying the identical normalization (same tables,
+    same order)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    e = text_sql
+    if punctuation:
+        e = f"replace({e}, '…', '...')"
+        e = f"translate({e}, '{q(_PUNCT_SRC)}', '{q(_PUNCT_DST)}')"
+    if accents:
+        e = f"translate({e}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+    if controls:
+        e = f"regexp_replace({e}, '{_CONTROL_RE}', '', 'g')"
+    if whitespace:
+        e = f"regexp_replace({e}, '[ \\t]+', ' ', 'g')"
+        e = f"regexp_replace({e}, ' ?\\n ?', chr(10), 'g')"
+        e = f"trim({e})"
+    return e
