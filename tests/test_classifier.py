@@ -138,3 +138,25 @@ def test_classifier_scores_stream_identically(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_scoring_survives_session_observation(spark, sf_dir):
+    """Regression: a pyspark Observation lazily creates the session's
+    ObservationManager (not Serializable); a freshly-fit LR model retains
+    summary -> predictions -> session, so shipping it in the transform
+    closure then fails with 'Task not serializable'. train_quality_classifier
+    must hand back a summary-detached model (save/load round trip)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("obs_regression")
+    load_table(spark, sf_dir, "orders").observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).count()
+    assert obs.get["n"] > 0  # manager now exists on the session
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.withColumn(
+        "label", (F.length("text") > 200).cast("double")
+    )
+    clf = train_quality_classifier(labeled)
+    assert score_quality(docs, clf).count() == docs.count()

@@ -33,6 +33,7 @@ training-data surface (BASELINE north star).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -89,9 +90,16 @@ def train_quality_classifier(
     label_col: str = "label",
     reg_param: float = 1e-4,
     max_iter: int = 50,
+    scratch_dir: str | None = None,
 ) -> QualityClassifier:
     """Fit logistic regression on (text, label). The input should be a
-    bounded labeled sample, not the full corpus — sample upstream."""
+    bounded labeled sample, not the full corpus — sample upstream.
+
+    `scratch_dir`: where the summary-detach save/load round trip (see the
+    comment below) writes its transient model artifact. Defaults to a
+    driver-local temp dir, which is correct on local mode and any
+    single-filesystem deployment; on a multi-node cluster pass a SHARED
+    path (the save is a Spark job — executors write the files)."""
     from pyspark.ml.classification import LogisticRegression
 
     feats = _featurize(labeled, text_col)
@@ -101,7 +109,32 @@ def train_quality_classifier(
         regParam=reg_param,
         maxIter=max_iter,
     )
-    return QualityClassifier(model=lr.fit(feats))
+    # Detach the fitted model from its training-summary object graph before
+    # it ever ships in a task closure: a freshly-fit model retains summary →
+    # predictions DataFrame → SparkSession, and once any pyspark Observation
+    # has run on the session, the session holds a non-serializable
+    # ObservationManager — scoring then dies with "Task not serializable" on
+    # the transform closure. model.copy() does NOT drop the summary (Scala's
+    # copy re-attaches it), so round-trip through disk: a loaded model has
+    # no summary by construction. The artifact is a coefficient vector
+    # (numFeatures doubles) — trivial I/O, and the same path `save`/`load`
+    # use for real model persistence. Pinned by
+    # test_scoring_survives_session_observation.
+    fitted = lr.fit(feats)
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    tmp = scratch_dir or tempfile.mkdtemp(prefix="volga_lr_")
+    try:
+        path = os.path.join(tmp, "model")
+        fitted.write().overwrite().save(path)
+        detached = LogisticRegressionModel.load(path)
+    finally:
+        if scratch_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return QualityClassifier(model=detached)
 
 
 def score_quality(
