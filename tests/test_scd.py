@@ -1,0 +1,137 @@
+"""SCD Type-2 dimension maintenance: bootstrap hash-matches the DuckDB
+twin over `events`, ranges partition time per key, applies are idempotent,
+late changes split the covering range, and point-in-time lookup reads the
+version valid at each fact's timestamp."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.operators.scd import (
+    scd2_apply,
+    scd2_init,
+    scd2_lookup,
+    scd2_oracle_sql,
+)
+from volga_spark.oracle import compare_frames, run_oracle
+from volga_spark.tables import load_table
+
+# events deduped to one change per (user_id, ts) — scd2 requires unique
+# effective timestamps per key (documented contract)
+_CHANGES_SQL = """
+    SELECT user_id, ts AS eff_ts, max(event_type) AS tier
+    FROM events GROUP BY user_id, ts
+"""
+
+
+def _changes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.col("ts").alias("eff_ts")).agg(
+        F.max("event_type").alias("tier")
+    ).select("user_id", "eff_ts", "tier")
+
+
+def test_bootstrap_matches_duckdb(spark, sf_dir):
+    got = scd2_init(
+        _changes(spark, sf_dir), "user_id", ["tier"]
+    ).toPandas()
+    oracle = run_oracle(
+        scd2_oracle_sql(_CHANGES_SQL, "user_id", ["tier"]), sf_dir
+    )
+    assert len(got) > 0
+    assert not compare_frames(got, oracle)
+
+
+def test_ranges_partition_time_per_key(spark, sf_dir):
+    dim = scd2_init(_changes(spark, sf_dir), "user_id", ["tier"])
+    # exactly one open row per key
+    opens = dim.filter(F.col("valid_to").isNull()).groupBy("user_id").count()
+    assert opens.filter(F.col("count") != 1).count() == 0
+    # each closed row's valid_to equals the next row's valid_from (no gaps,
+    # no overlaps)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    bad = (
+        dim.withColumn("__next", F.lead("valid_from").over(w))
+        .filter(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") != F.col("__next"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_apply_is_idempotent(spark, sf_dir):
+    ch = _changes(spark, sf_dir).filter(F.col("user_id") < 50)
+    dim = scd2_init(ch, "user_id", ["tier"])
+    again = scd2_apply(dim, ch, "user_id", ["tier"])
+    a = sorted(map(tuple, dim.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_late_change_splits_range(spark):
+    dim0 = scd2_init(
+        spark.createDataFrame(
+            [(1, 10, "bronze"), (1, 50, "gold")],
+            "k bigint, eff_ts bigint, tier string",
+        ),
+        "k",
+        ["tier"],
+        ts_col="eff_ts",
+    )
+    late = spark.createDataFrame(
+        [(1, 30, "silver")], "k bigint, eff_ts bigint, tier string"
+    )
+    rows = sorted(
+        map(tuple, scd2_apply(dim0, late, "k", ["tier"]).collect())
+    )
+    assert rows == [
+        (1, "bronze", 10, 30),
+        (1, "gold", 50, None),
+        (1, "silver", 30, 50),
+    ]
+
+
+def test_noop_change_is_suppressed(spark):
+    dim0 = scd2_init(
+        spark.createDataFrame(
+            [(1, 10, "bronze")], "k bigint, eff_ts bigint, tier string"
+        ),
+        "k",
+        ["tier"],
+    )
+    noop = spark.createDataFrame(
+        [(1, 20, "bronze")], "k bigint, eff_ts bigint, tier string"
+    )
+    out = scd2_apply(dim0, noop, "k", ["tier"])
+    assert sorted(map(tuple, out.collect())) == [(1, "bronze", 10, None)]
+
+
+def test_point_in_time_lookup(spark):
+    dim = scd2_init(
+        spark.createDataFrame(
+            [(1, 10, "bronze"), (1, 30, "silver"), (2, 5, "gold")],
+            "k bigint, eff_ts bigint, tier string",
+        ),
+        "k",
+        ["tier"],
+    )
+    facts = spark.createDataFrame(
+        [(1, 9), (1, 10), (1, 29), (1, 30), (2, 100), (3, 50)],
+        "k bigint, ts bigint",
+    )
+    got = {
+        (r["k"], r["ts"]): r["tier"]
+        for r in scd2_lookup(facts, dim, "k", "ts", ["tier"]).collect()
+    }
+    assert got == {
+        (1, 9): None,       # before first version
+        (1, 10): "bronze",  # inclusive lower bound
+        (1, 29): "bronze",
+        (1, 30): "silver",  # exclusive upper bound of the old version
+        (2, 100): "gold",   # open range
+        (3, 50): None,      # unknown key
+    }

@@ -81,3 +81,27 @@ def test_diff_plan_ships_digests_not_text(spark, sf_dir):
     for seg in plan.split("Exchange")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head, head
+
+
+def test_schema_diff_and_breaking_changes(spark):
+    from volga_spark.operators.versioning import breaking_changes, schema_diff
+
+    old = spark.createDataFrame(
+        [], "doc_id int, text string, score float, stale string"
+    )
+    new = spark.createDataFrame(
+        [], "doc_id bigint, text string, score string, fresh string"
+    )
+    diff = schema_diff(old, new)
+    assert diff == [
+        ("doc_id", "retyped", "int", "bigint"),
+        ("fresh", "added", None, "string"),
+        ("score", "retyped", "float", "string"),
+        ("stale", "removed", "string", None),
+    ]
+    breaking = breaking_changes(diff)
+    # widening int->bigint is compatible; float->string and the removal break
+    assert [(c, ch) for c, ch, *_ in breaking] == [
+        ("score", "retyped"), ("stale", "removed")
+    ]
+    assert schema_diff(old, old) == []

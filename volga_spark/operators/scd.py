@@ -1,0 +1,170 @@
+"""Slowly-changing dimension (Type 2) maintenance — versioned upserts with
+point-in-time reads.
+
+Dimension data (customer tier, document license, source reputation) changes
+over time, and training-set construction must see the attribute values AS OF
+each fact's timestamp — the batch-warehouse twin of the online feature
+store's point-in-time correctness (`api/feature_store.py`). SCD2 is the
+standard encoding: one row per (key, version) with a [valid_from, valid_to)
+range, open rows carry valid_to = NULL.
+
+`scd2_apply` merges a batch of changes into a dimension WITHOUT a MERGE
+statement (plain parquet tables; the lakehouse MERGE is a rewrite of the
+same logic):
+
+  1. union the existing version rows with the incoming changes (tagged),
+  2. one window per key ordered by (valid_from, is_change): recompute every
+     valid_to as lead(valid_from) — late-arriving changes slot into place
+     and SPLIT the range they land inside, no special cases,
+  3. suppress no-op changes (attrs equal to the chronologically previous
+     row's) so re-delivered batches are idempotent.
+
+Everything is native exprs over one keyed window — one shuffle on the key.
+The whole operator is exact and hash-compares against a DuckDB twin.
+
+Scale: cost is one exchange of (key, attrs, ts) rows — dimension tables are
+small next to facts (even a billion-key dimension is GBs of narrow rows).
+The rewrite is append-plus-replace of the affected PARTITIONS when the
+dimension is written partitioned by key range; at 100 TB the fact table is
+never touched. `scd2_lookup` joins facts to the dimension on
+key + [valid_from, valid_to) containment — a broadcast range probe for
+normal dimension sizes, the same shape as `operators/tiles` lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_init(
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "eff_ts",
+) -> DataFrame:
+    """Bootstrap a dimension from an initial change set (same semantics as
+    applying the changes to an empty dimension)."""
+    empty = changes.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lit(None).cast(changes.schema[ts_col].dataType).alias("valid_to"),
+    ).limit(0)
+    return scd2_apply(empty, changes, key_col, attr_cols, ts_col)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "eff_ts",
+) -> DataFrame:
+    """Return the new dimension content: existing versions ∪ changes, with
+    valid_to recomputed per key and no-op changes suppressed.
+
+    `dim` columns: key, attrs, valid_from, valid_to. `changes` columns:
+    key, attrs, `ts_col` (effective timestamp). Ties on (key, valid_from)
+    resolve change-last, so a change at an existing version's exact
+    timestamp replaces it going forward (its range becomes empty and is
+    dropped)."""
+    existing = dim.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col("valid_from"),
+        F.lit(0).alias("__chg"),
+    )
+    incoming = changes.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lit(1).alias("__chg"),
+    )
+    both = existing.unionByName(incoming)
+    w = Window.partitionBy(key_col).orderBy("valid_from", "__chg")
+    prev_attrs = [F.lag(c).over(w).alias(f"__p_{c}") for c in attr_cols]
+    rows = both.select(
+        "*", *prev_attrs, F.lag(key_col).over(w).isNotNull().alias("__has_prev")
+    )
+    # no-op suppression: a CHANGE row whose attrs all equal the previous
+    # row's is dropped (null-safe so NULL attrs compare equal); existing
+    # rows always survive (history is immutable).
+    same_as_prev = F.lit(True)
+    for c in attr_cols:
+        same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+    keep = (F.col("__chg") == 0) | ~(F.col("__has_prev") & same_as_prev)
+    kept = rows.filter(keep)
+    # valid_to recompute must run over the KEPT rows (a suppressed no-op
+    # must not split its neighbor's range)
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "__chg")
+    out = kept.select(
+        key_col,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "__chg",
+    )
+    # zero-width ranges (replaced-at-same-timestamp) drop out
+    return out.filter(
+        F.col("valid_to").isNull() | (F.col("valid_from") != F.col("valid_to"))
+    ).drop("__chg")
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Point-in-time enrich: each fact row gets the dimension attrs valid
+    at its `ts_col` (NULL attrs when no version covers it). Broadcast range
+    probe — the dimension is the small side by construction."""
+    d = dim.select(
+        F.col(key_col).alias("__dk"),
+        *[F.col(c) for c in attr_cols],
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (facts[ts_col] >= d["valid_from"])
+        & (d["valid_to"].isNull() | (facts[ts_col] < d["valid_to"]))
+        & (facts[key_col] == d["__dk"])
+    )
+    return facts.join(F.broadcast(d), cond, "left").drop(
+        "__dk", "valid_from", "valid_to"
+    )
+
+
+def scd2_oracle_sql(
+    changes_sql: str,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "eff_ts",
+) -> str:
+    """DuckDB twin of `scd2_init` (bootstrap-from-changes): same window,
+    same change-last tie order, same no-op suppression, same zero-width
+    drop."""
+    attrs = ", ".join(attr_cols)
+    same = " AND ".join(
+        f"({c} IS NOT DISTINCT FROM lag({c}) OVER w)" for c in attr_cols
+    )
+    return f"""
+    WITH ch AS ({changes_sql}),
+    seq AS (
+        SELECT {key_col}, {attrs}, {ts_col} AS valid_from,
+               lag({key_col}) OVER w IS NOT NULL AS has_prev,
+               ({same}) AS same_as_prev
+        FROM ch
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})
+    ),
+    kept AS (
+        SELECT * FROM seq WHERE NOT (has_prev AND same_as_prev)
+    )
+    SELECT {key_col}, {attrs}, valid_from,
+           lead(valid_from) OVER
+               (PARTITION BY {key_col} ORDER BY valid_from) AS valid_to
+    FROM kept
+    QUALIFY valid_to IS NULL OR valid_from <> valid_to
+    """

@@ -52,3 +52,38 @@ def snapshot_diff(
 def diff_summary(diff: DataFrame) -> DataFrame:
     """(change, n) counts — the retrain-trigger numbers."""
     return diff.groupBy("change").agg(F.count("*").alias("n"))
+
+
+def schema_diff(
+    old: DataFrame, new: DataFrame
+) -> list[tuple[str, str, str | None, str | None]]:
+    """Schema-level delta between two snapshots — the data-contract check
+    that runs BEFORE the row-level diff: (column, change, old_type,
+    new_type) with change ∈ {'added', 'removed', 'retyped'}. Pure metadata
+    (no jobs); unchanged columns are omitted."""
+    o = dict(old.dtypes)
+    n = dict(new.dtypes)
+    out: list[tuple[str, str, str | None, str | None]] = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            out.append((c, "removed", o[c], None))
+        elif c not in o:
+            out.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            out.append((c, "retyped", o[c], n[c]))
+    return out
+
+
+def breaking_changes(
+    diff: list[tuple[str, str, str | None, str | None]],
+    widenings: frozenset[tuple[str, str]] = frozenset(
+        {("int", "bigint"), ("float", "double"), ("date", "timestamp")}
+    ),
+) -> list[tuple[str, str, str | None, str | None]]:
+    """The contract gate: additions are always compatible; removals always
+    break; retypes break unless they are in the allowed widening set."""
+    return [
+        (c, ch, ot, nt)
+        for (c, ch, ot, nt) in diff
+        if ch == "removed" or (ch == "retyped" and (ot, nt) not in widenings)
+    ]
