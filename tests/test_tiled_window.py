@@ -653,3 +653,90 @@ if _HYP:
         for rid in got.index:
             for c in ("cnt", "s", "mn"):
                 assert got.loc[rid, c] == exp.loc[rid, c], (rid, c)
+
+
+def test_quantile_spec_exact_vs_duckdb_and_bruteforce(tmp_path):
+    """op='quantile' rides the same merged multiset: per-row sliding-window
+    discrete quantiles must equal BOTH a rank-rule brute force and DuckDB's
+    windowed quantile_disc over the same rows (pinning the ceil(q*n) rule
+    to the engine the oracles use), across batches and state round-trips."""
+    import duckdb
+    import math as _math
+
+    from volga_spark.streaming.tiled_window import TiledTopSpec, _GroupCore
+
+    n = 2200
+    rng = np.random.default_rng(31)
+    ts = np.sort(rng.integers(0, n * MS, size=n))
+    rows = pd.DataFrame(
+        {
+            KEY: (np.arange(n) % 2).astype(np.int64),
+            TS: ts.astype(np.int64),
+            "v": rng.integers(-30, 70, size=n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    window_ms, gran_ms = 350, 40
+    core = _GroupCore(
+        keys=[KEY],
+        inputs=[],
+        out_pass=["rid"],
+        length_us=window_ms * MS,
+        gran_us=gran_ms * MS,
+        specs=[],
+        spill_path=str(tmp_path / "spill"),
+        top_specs=[
+            TiledTopSpec("p50", "quantile", "v", q=0.5, out_type="bigint"),
+            TiledTopSpec("p95", "quantile", "v", q=0.95, out_type="bigint"),
+        ],
+    )
+    batches = []
+    wm = -(10**12)
+    for i in range(0, n, 300):
+        batches.append((rows.iloc[i : i + 300], wm))
+        wm = int(rows.iloc[i : i + 300][TS].max())
+    batches.append((rows.iloc[:0], int(rows[TS].max()) + 10**12))
+    res, _, _ = _drive(core, batches)
+    got = res.set_index("rid").sort_index()
+    assert len(got) == n
+
+    # brute force with the ceil(q*n) rank rule
+    def brute_q(q):
+        out = np.empty(n, dtype=np.int64)
+        for _, g in rows.groupby(KEY):
+            gts = g[TS].to_numpy()
+            gv = g["v"].to_numpy()
+            for i in range(len(g)):
+                w = np.sort(gv[(gts >= gts[i] - window_ms * MS) & (gts <= gts[i])])
+                out[g["rid"].iloc[i]] = w[_math.ceil(q * len(w)) - 1]
+        return out
+
+    for name, q in (("p50", 0.5), ("p95", 0.95)):
+        exp = brute_q(q)[got.index.to_numpy()]
+        assert (got[name].to_numpy() == exp).all(), name
+
+    # and the same numbers from DuckDB's windowed quantile_disc
+    con = duckdb.connect()
+    con.register("rows_tbl", rows.rename(columns={KEY: "k", TS: "t"}))
+    duck = con.execute(
+        f"""
+        SELECT rid,
+               quantile_disc(v, 0.5) OVER w AS p50,
+               quantile_disc(v, 0.95) OVER w AS p95
+        FROM rows_tbl
+        WINDOW w AS (PARTITION BY k ORDER BY t
+                     RANGE BETWEEN {window_ms * MS} PRECEDING AND CURRENT ROW)
+        """
+    ).fetchdf().set_index("rid").sort_index()
+    assert (got["p50"].to_numpy() == duck["p50"].to_numpy()).all()
+    assert (got["p95"].to_numpy() == duck["p95"].to_numpy()).all()
+
+
+def test_quantile_spec_validation():
+    from volga_spark.streaming.tiled_window import TiledTopSpec
+
+    with pytest.raises(ValueError):
+        TiledTopSpec("bad", "quantile", "v")  # missing q
+    with pytest.raises(ValueError):
+        TiledTopSpec("bad", "quantile", "v", q=1.5)
+    TiledTopSpec("ok", "quantile", "v", q=0.99)

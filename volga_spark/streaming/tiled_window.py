@@ -167,16 +167,28 @@ class TiledTopSpec:
     because the edge sweep needs the raw values."""
 
     name: str
-    op: str  # top | topn_frequency | top1_ratio | count_distinct
+    op: str  # top | topn_frequency | top1_ratio | count_distinct | quantile
     col: str
     k: int | None = None
     out_type: str = "string"
+    q: float | None = None
 
     def __post_init__(self):
-        if self.op not in ("top", "topn_frequency", "top1_ratio", "count_distinct"):
+        if self.op not in (
+            "top", "topn_frequency", "top1_ratio", "count_distinct",
+            "quantile",
+        ):
             raise ValueError(f"unsupported top op {self.op!r}")
         if self.op in ("top", "topn_frequency") and self.k is None:
             raise ValueError(f"{self.op} needs k")
+        if self.op == "quantile":
+            # exact sliding-window discrete quantile over the SAME merged
+            # multiset (values sort numerically; rank = ceil(q·n), the
+            # percentile_disc / DuckDB quantile_disc rule — the result is an
+            # actual data value, so oracle parity needs no float scaling).
+            # Set out_type to the input column's type.
+            if self.q is None or not (0.0 < self.q <= 1.0):
+                raise ValueError("quantile needs q in (0, 1]")
 
 
 @dataclass
@@ -1241,6 +1253,17 @@ class _GroupCore:
         test_top_ratio_ordered_specs_vs_untiled_accumulators."""
         if spec.op == "count_distinct":
             return len(merged)
+        if spec.op == "quantile":
+            if not merged:
+                return None
+            m = sum(merged.values())
+            rank = math.ceil(spec.q * m)
+            cum = 0
+            for v in sorted(merged):
+                cum += merged[v]
+                if cum >= rank:
+                    return v
+            return v  # pragma: no cover — rank <= m by construction
         if spec.op == "top":
             acc = TopValueAccumulator(spec.k)
             acc.counts = merged
