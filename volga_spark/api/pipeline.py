@@ -46,7 +46,7 @@ _NATIVE_AGGS = {
     "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
 }
 _CATE_FNS = {f"{a}_cate" for a in _WHERE_FNS} | {f"{a}_cate_where" for a in _WHERE_FNS}
-_TOP_FNS = {"top", "topn_frequency", "top1_ratio", "count_distinct"}
+_TOP_FNS = {"top", "topn_frequency", "top1_ratio", "count_distinct", "quantile_disc"}
 _TOPN_RE = re.compile(
     r"top_n_(key|value)_(sum|avg|count|min|max|ratio)_cate(?:_where)?$"
 )
@@ -321,6 +321,9 @@ def _compile_sweep_call(fn: str, args: list[str], alias: str, prepared: dict):
     if fnl == "count_distinct":
         (v,) = args
         return cate_top.count_distinct(alias, prep(v))
+    if fnl == "quantile_disc":
+        v, q = args
+        return cate_top.quantile_disc(alias, prep(v), float(q))
     raise ValueError(f"unsupported UDAF: {fn}")
 
 

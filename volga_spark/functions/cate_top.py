@@ -18,6 +18,8 @@ for float-parity; metric output is divided back by it.
 
 from __future__ import annotations
 
+import math
+
 from volga_spark.functions.accumulators import (
     CateAccumulator,
     FrequencyAccumulator,
@@ -114,6 +116,36 @@ def count_distinct(name, value) -> SlidingSpec:
         inputs=[value],
         out_type="bigint",
         finish=lambda acc: len(acc.counts),
+    )
+
+
+def quantile_disc(name, value, q, out_type="double") -> SlidingSpec:
+    """Exact windowed discrete quantile off the retractable value->count
+    multiset (rank = ceil(q*n), percentile_disc semantics — the streaming
+    twin is ``TiledTopSpec(op="quantile")``, the native batch twin
+    ``operators.window.quantile_disc_over``). Returned as float for a
+    stable sweep-output dtype (exact for integer-valued inputs <= 2^53)."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+
+    def _finish(acc):
+        m = sum(acc.counts.values())
+        if m == 0:
+            return None
+        rank = math.ceil(q * m)
+        cum = 0
+        for v in sorted(acc.counts):
+            cum += acc.counts[v]
+            if cum >= rank:
+                return float(v)
+        return float(v)
+
+    return SlidingSpec(
+        name=name,
+        factory=lambda: FrequencyAccumulator(),
+        inputs=[value],
+        out_type=out_type,
+        finish=_finish,
     )
 
 

@@ -159,3 +159,25 @@ def count_distinct_over(col: str | Column, w: WindowSpec) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.collect_set(c).over(w)).cast("bigint")
+
+
+def quantile_disc_over(col: str | Column, q: float, w: WindowSpec) -> Column:
+    """Exact windowed discrete quantile — the batch twin of
+    ``TiledTopSpec(op="quantile")`` (rank = ceil(q·n), percentile_disc /
+    DuckDB ``quantile_disc`` semantics; the result is an actual data value,
+    so no float-parity scaling is needed).
+
+    Spark's native ``percentile`` window aggregate INTERPOLATES (a
+    different rule), so the supported exact form is
+    ``element_at(sort_array(collect_list(col)), ceil(q·n))`` — nulls
+    excluded by collect_list, matching the aggregate's null semantics.
+    State per frame is the value list, the same O(rows-in-window) bound the
+    sort-based frame evaluation already pays; the streaming twin holds the
+    multiset instead (O(distinct))."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.sort_array(F.collect_list(c).over(w))
+    n = F.size(arr)
+    rank = F.ceil(F.lit(float(q)) * n).cast("int")
+    return F.when(n > 0, F.element_at(arr, rank))
