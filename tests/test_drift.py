@@ -174,3 +174,39 @@ def test_suggest_edges_spans_reference(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     lo, hi = suggest_edges(ev, "value", nbins=10)
     assert lo < hi
+
+
+def test_stream_drift_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-fed cumulative histogram == batch histogram over the same
+    rows, and stream PSI == batch PSI exactly (the batch<->stream
+    unification discipline for the monitoring tier)."""
+    from volga_spark.operators.drift import StreamDriftMonitor, psi_from_counts
+    from volga_spark.streaming.sources import chunked_file_stream
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    numeric = {"value": (0.0, 50.0, 8)}
+    cats = ["event_type"]
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    mon = StreamDriftMonitor(histogram(ref, numeric, cats), numeric, cats)
+
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=4)
+    q = stream.writeStream.foreachBatch(mon).trigger(
+        availableNow=True
+    ).option(
+        "checkpointLocation", str(tmp_path / "drift_ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    # cumulative stream counts == one-shot batch counts, bin for bin
+    batch_counts: dict = {}
+    for r in histogram(ev, numeric, cats).collect():
+        batch_counts.setdefault(r["column"], {})[r["bin"]] = r["n"]
+    assert mon.cur == batch_counts
+
+    # and the PSI gate equals the batch-computed PSI exactly
+    batch_psi = psi_totals(drift_report(ref, ev, numeric, cats))
+    stream_psi = mon.psi()
+    assert set(stream_psi) == set(batch_psi)
+    for c in batch_psi:
+        assert math.isclose(stream_psi[c], batch_psi[c], rel_tol=1e-12)

@@ -178,3 +178,80 @@ def drifted_columns(
     'retrain' line), with their PSI values."""
     totals = psi_totals(drift_report(ref, cur, numeric, categorical))
     return {c: v for c, v in totals.items() if v > threshold}
+
+
+def psi_from_counts(
+    ref_counts: dict[str, dict[str, int]],
+    cur_counts: dict[str, dict[str, int]],
+) -> dict[str, float]:
+    """Pure-Python PSI from {column: {bin: n}} maps — the same smoothing /
+    rank arithmetic as `drift_report`, shared by the streaming monitor and
+    usable on any pre-aggregated counts. Bins union per column; order is
+    sorted(bin) so the float sum is reproducible."""
+    out: dict[str, float] = {}
+    for col in sorted(set(ref_counts) | set(cur_counts)):
+        r = ref_counts.get(col, {})
+        c = cur_counts.get(col, {})
+        bins = sorted(set(r) | set(c))
+        k = len(bins)
+        if k == 0:
+            out[col] = 0.0
+            continue
+        tr = sum(r.values())
+        tc = sum(c.values())
+        total = 0.0
+        terms = []
+        for b in bins:
+            p = (r.get(b, 0) + EPS) / (tr + EPS * k)
+            q = (c.get(b, 0) + EPS) / (tc + EPS * k)
+            terms.append((p - q) * (math.log(p) - math.log(q)))
+        out[col] = math.fsum(terms)
+    return out
+
+
+class StreamDriftMonitor:
+    """Streaming twin of `drift_report`: fold each micro-batch's histogram
+    (the SAME `histogram()` pass, so bin assignment is identical to the
+    batch/oracle path) into cumulative per-column counts, and read PSI vs a
+    pinned reference at any time.
+
+    Use with foreachBatch:
+
+        mon = StreamDriftMonitor(ref_hist, numeric=..., categorical=...)
+        q = stream.writeStream.foreachBatch(mon).start()
+        ...
+        mon.psi()             # {column: PSI so far}
+        mon.drifted(0.25)     # the gate
+
+    `ref_hist` is the reference snapshot's `histogram(...)` result,
+    collected — #columns × #bins rows, a driver-sized object by
+    construction (same as the batch report). Per micro-batch cost: one
+    histogram aggregation of the BATCH (batch-sized, not stream-sized) and
+    a driver-side dict merge of #bins entries. The monitor state is
+    cumulative counts — exact, so stream-fed PSI equals the batch PSI over
+    the same rows (pinned by test_drift_stream)."""
+
+    def __init__(
+        self,
+        ref_hist: DataFrame,
+        numeric: dict[str, tuple[float, float, int]] | None = None,
+        categorical: list[str] | None = None,
+    ) -> None:
+        self.numeric = numeric or {}
+        self.categorical = categorical or []
+        self.ref: dict[str, dict[str, int]] = {}
+        for r in ref_hist.collect():
+            self.ref.setdefault(r["column"], {})[r["bin"]] = r["n"]
+        self.cur: dict[str, dict[str, int]] = {}
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        h = histogram(batch_df, self.numeric, self.categorical)
+        for r in h.collect():
+            col = self.cur.setdefault(r["column"], {})
+            col[r["bin"]] = col.get(r["bin"], 0) + r["n"]
+
+    def psi(self) -> dict[str, float]:
+        return psi_from_counts(self.ref, self.cur)
+
+    def drifted(self, threshold: float = 0.25) -> dict[str, float]:
+        return {c: v for c, v in self.psi().items() if v > threshold}
