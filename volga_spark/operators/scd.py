@@ -42,6 +42,7 @@ def scd2_init(
     key_col: str,
     attr_cols: list[str],
     ts_col: str = "eff_ts",
+    suppress_noops: bool = True,
 ) -> DataFrame:
     """Bootstrap a dimension from an initial change set (same semantics as
     applying the changes to an empty dimension)."""
@@ -51,7 +52,10 @@ def scd2_init(
         F.col(ts_col).alias("valid_from"),
         F.lit(None).cast(changes.schema[ts_col].dataType).alias("valid_to"),
     ).limit(0)
-    return scd2_apply(empty, changes, key_col, attr_cols, ts_col)
+    return scd2_apply(
+        empty, changes, key_col, attr_cols, ts_col,
+        suppress_noops=suppress_noops,
+    )
 
 
 def scd2_apply(
@@ -60,15 +64,27 @@ def scd2_apply(
     key_col: str,
     attr_cols: list[str],
     ts_col: str = "eff_ts",
+    suppress_noops: bool = True,
 ) -> DataFrame:
     """Return the new dimension content: existing versions ∪ changes, with
-    valid_to recomputed per key and no-op changes suppressed.
+    valid_to recomputed per key and (optionally) no-op changes suppressed.
 
     `dim` columns: key, attrs, valid_from, valid_to. `changes` columns:
     key, attrs, `ts_col` (effective timestamp). Ties on (key, valid_from)
     resolve change-last, so a change at an existing version's exact
     timestamp replaces it going forward (its range becomes empty and is
-    dropped)."""
+    dropped).
+
+    `suppress_noops` caveat (hypothesis-found, pinned by
+    tests/test_scd_property.py): suppression is only SOUND when each key's
+    changes arrive chronologically across batches. A dropped no-op cannot
+    be recovered, so a LATER batch carrying an EARLIER timestamp can make
+    the discarded change significant again and point-in-time values then
+    diverge from an all-at-once bootstrap (e.g. b@0 then b@2 suppresses
+    the second b; a late a@1 leaves 'a' open past t=2 where bootstrap says
+    'b'). For out-of-order feeds pass ``suppress_noops=False`` — every
+    change row is kept, ranges stay exact for ANY arrival order, at the
+    cost of redundant version boundaries."""
     existing = dim.select(
         F.col(key_col),
         *[F.col(c) for c in attr_cols],
