@@ -111,3 +111,27 @@ def test_decontaminate_stage(spark, tmp_path):
     )
     kept = [r["doc_id"] for r in spec.build(spark, corpus).collect()]
     assert kept == [2]  # doc 1 contains a 13-gram of the benchmark
+
+
+def test_expect_report_mode_is_observable(spark):
+    """on_fail='report' must not gate silently: the report lands on
+    spec.expect_reports (one DataFrame per expect stage, per build)."""
+    from volga_spark.api.curation import CurationSpec
+
+    df = spark.createDataFrame(
+        [(i, "text %d" % i) for i in range(5)], "doc_id int, text string"
+    )
+    spec = CurationSpec(
+        stages=[
+            {"op": "expect", "on_fail": "report",
+             "checks": [{"type": "min_rows", "n": 99}]},
+        ]
+    )
+    out = spec.build(spark, df)
+    assert out.count() == 5  # report mode never drops rows
+    assert len(spec.expect_reports) == 1
+    rows = {r["check_name"]: r["passed"] for r in spec.expect_reports[0].collect()}
+    assert False in rows.values()  # the min_rows check failed, observably
+    # a second build resets the reports (they belong to that build)
+    spec.build(spark, df)
+    assert len(spec.expect_reports) == 1

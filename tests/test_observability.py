@@ -112,3 +112,26 @@ def test_listener_name_filter_excludes_other_queries(spark, sf_dir):
 
         time.sleep(1.0)  # give delivery a chance; nothing should fold in
         assert m.snapshot()[METRIC_RECORDS_RECV] == 0
+
+
+def test_watermark_lag_parses_both_timestamp_shapes():
+    """Spark emits event-time stamps with OR without fractional seconds
+    depending on version; both shapes must produce a lag, never a silent
+    stale None."""
+    import json as _json
+    from types import SimpleNamespace
+
+    from volga_spark.observability import PipelineMetrics
+
+    m = PipelineMetrics()
+    for wm, mx, want_ms in [
+        ("2026-01-01T00:00:00.000Z", "2026-01-01T00:00:01.500Z", 1500.0),
+        ("2026-01-01T00:00:10Z", "2026-01-01T00:00:12Z", 2000.0),
+        ("2026-01-01T00:00:10Z", "2026-01-01T00:00:10.250Z", 250.0),
+    ]:
+        p = {"numInputRows": 0, "durationMs": {},
+             "eventTime": {"watermark": wm, "max": mx}}
+        ev = SimpleNamespace(progress=SimpleNamespace(json=_json.dumps(p)))
+        m.watermark_lag_ms = None
+        m.onQueryProgress(ev)
+        assert m.watermark_lag_ms == want_ms, (wm, mx)

@@ -69,3 +69,26 @@ def test_audit_runs_on_staged_files(spark, tmp_path):
     with pytest.raises(ValueError, match="in_range"):
         publish_version(df, root, checks=[in_range("v", 0.0, 10.0)])
     assert latest_version(root) is None
+
+
+def test_publish_on_explicit_file_uri(spark, tmp_path):
+    """Publish routes every path op through the Hadoop FileSystem resolved
+    from the root URI, so an explicit scheme (file://) behaves identically
+    to a bare local path — the regression that motivated the Hadoop FS
+    rewrite (write and publish must share one filesystem)."""
+    from volga_spark.operators.expectations import min_rows
+    from volga_spark.operators.publish import (
+        latest_version,
+        publish_version,
+        read_latest,
+    )
+
+    root = "file://" + str(tmp_path / "ds_uri")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    v1 = publish_version(df, root, checks=[min_rows(1)])
+    assert v1 == 1
+    assert latest_version(root, spark) == 1
+    assert read_latest(spark, root).count() == 10
+    v2 = publish_version(df.limit(4), root, checks=[min_rows(1)])
+    assert v2 == 2
+    assert read_latest(spark, root).count() == 4

@@ -107,3 +107,20 @@ def test_read_warc_to_curated_text(spark, tmp_path):
         ).collect()
     }
     assert ("https://a.example/1", "Hello archived world.") in texts
+
+
+def test_corrupt_gzip_member_quarantined_not_raised():
+    """A corrupt gzip member mid-file yields the records decoded before it
+    instead of propagating zlib.error into the Spark task (per-file
+    quarantine contract)."""
+    raw = _warc_bytes()
+    half = len(raw) // 2
+    good = gzip.compress(raw[:half])
+    bad = b"\x1f\x8b" + b"\x00" * 32  # gzip magic, garbage member
+    tail = gzip.compress(raw[half:])
+    recs = parse_warc_records(good + bad + tail)
+    # everything before the corrupt member parses; nothing raises
+    assert len(recs) >= 1
+    assert recs[0]["record_type"] == "warcinfo"
+    # fully-corrupt single member: empty, not an exception
+    assert parse_warc_records(b"\x1f\x8b" + b"\xff" * 16) == []

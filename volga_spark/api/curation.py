@@ -190,7 +190,11 @@ def _build_check(c: dict):
 def _stage_expect(df, spec, checks=(), on_fail="raise", **_):
     from volga_spark.operators.expectations import validate
 
-    validate(df, [_build_check(c) for c in checks], on_fail=on_fail)
+    report = validate(df, [_build_check(c) for c in checks], on_fail=on_fail)
+    # on_fail="report" costs a scan but must not gate silently: stash the
+    # report on the spec (spec.expect_reports, appended per expect stage)
+    # so the caller can inspect/persist it after build().
+    spec.expect_reports.append(report)
     return df  # a gate, not a transform — rows pass through unchanged
 
 
@@ -221,6 +225,10 @@ class CurationSpec:
     stages: list = field(default_factory=list)
     id_col: str = "doc_id"
     text_col: str = "text"
+    # Reports from `expect` stages with on_fail="report": one DataFrame
+    # per stage, in stage order, populated by build(). Runtime state, not
+    # part of the serialized spec (to_json/from_json ignore it).
+    expect_reports: list = field(default_factory=list, compare=False, repr=False)
 
     def __post_init__(self) -> None:
         for i, st in enumerate(self.stages):
@@ -246,6 +254,7 @@ class CurationSpec:
         )
 
     def build(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        self.expect_reports.clear()  # reports belong to THIS build
         out = df
         for st in self.stages:
             params = {k: v for k, v in st.items() if k != "op"}

@@ -196,8 +196,13 @@ class PipelineMetrics(StreamingQueryListener):
                 try:
                     from datetime import datetime
 
-                    fmt = "%Y-%m-%dT%H:%M:%S.%fZ"
-                    lag = datetime.strptime(mx, fmt) - datetime.strptime(wm, fmt)
+                    # Spark emits these with or without fractional seconds
+                    # depending on version; fromisoformat (after stripping
+                    # the Z) accepts both, so lag never silently goes stale.
+                    def _parse(s: str) -> datetime:
+                        return datetime.fromisoformat(s.rstrip("Z"))
+
+                    lag = _parse(mx) - _parse(wm)
                     self.watermark_lag_ms = lag.total_seconds() * 1000.0
                 except ValueError:
                     pass

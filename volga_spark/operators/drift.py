@@ -51,7 +51,13 @@ def _bin_expr(col: str, lo: float, hi: float, nbins: int) -> str:
     """SQL text for the bin index of a numeric column — 0 = underflow,
     1..nbins = interior, nbins+1 = overflow, -1 = NULL. The SAME text runs
     on Spark and DuckDB (both evaluate it as double arithmetic + floor),
-    so bin assignment cannot diverge between engines."""
+    so bin assignment cannot diverge between engines.
+
+    Rounding edge: for x just below hi, (x - lo) * nbins / (hi - lo) can
+    round UP to exactly nbins, labeling the value as overflow (nbins + 1).
+    Engine parity is unaffected — both sides evaluate the identical IEEE
+    expression — but the overflow bin may contain a value numerically
+    inside [lo, hi); PSI only cares that assignment is consistent."""
     # Interior formula: floor((x - lo) * nbins / (hi - lo)) + 1, clamped so
     # x == hi lands in bin nbins (right-closed last bin, the PSI convention).
     return (
@@ -114,7 +120,6 @@ def drift_report(
     against a DuckDB twin."""
     numeric = numeric or {}
     categorical = categorical or []
-    nbins_map = {c: nb for c, (_, _, nb) in numeric.items()}
 
     h_ref = histogram(ref, numeric, categorical).withColumnRenamed(
         "n", "n_ref"

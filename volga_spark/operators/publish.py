@@ -14,11 +14,16 @@ commits) on plain parquet:
      not just data bugs). One extra scan of the new version only.
   3. PUBLISH by moving the staged dir to ``v<N>/`` and atomically rewriting
      the ``LATEST`` pointer file. Readers resolve ``LATEST`` → version dir,
-     so the commit point is a single small-file swap: on a POSIX fs the
-     rename is atomic; on an object store the pointer PUT is the atomic
-     unit (directory "rename" is copy-based there, which is why the pointer
-     — not the directory — carries commit semantics). A failed audit
-     leaves the staging dir for inspection and the pointer untouched.
+     so the commit point is a single small-file swap.
+
+ALL path operations (list, rename, pointer swap, manifest write) go through
+the Hadoop FileSystem API resolved FROM THE ROOT URI — the same filesystem
+Spark writes the parquet to. On ``file://`` and HDFS the directory move and
+the pointer rename are metadata operations; on object stores (s3a://, gs://)
+the directory "rename" is copy-based, so there the pointer PUT — not the
+directory — carries the commit semantics: the staged dir is promoted first
+and only the final pointer write makes it visible. A failed audit leaves
+the staging dir for inspection and the pointer untouched.
 
 Versions are immutable once published; `read_version`/`read_latest` give
 time travel, and `operators/versioning.snapshot_diff` diffs any two.
@@ -32,21 +37,77 @@ as it is for every pointer-file scheme without a locking service.
 from __future__ import annotations
 
 import json
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from volga_spark.operators.expectations import Check, validate
-
 LATEST = "LATEST"
 
 
-def _versions(root: str) -> list[int]:
-    if not os.path.isdir(root):
-        return []
+class _HadoopFs:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem resolved from a
+    path URI, so publish operates on the SAME filesystem Spark writes to
+    (local, HDFS, or an object store) rather than assuming the driver's
+    POSIX fs."""
+
+    def __init__(self, spark: SparkSession, any_path: str):
+        jvm = spark._jvm
+        jsc = spark._jsc
+        self._jvm = jvm
+        self._conf = jsc.hadoopConfiguration()
+        self._fs = jvm.org.apache.hadoop.fs.Path(any_path).getFileSystem(
+            self._conf
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def listdir(self, path: str) -> list[str]:
+        if not self.exists(path):
+            return []
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._p(path))
+        ]
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self._p(src), self._p(dst)))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)  # overwrite=True
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        inp = self._fs.open(self._p(path))
+        try:
+            br = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(inp, "UTF-8")
+            )
+            lines = []
+            line = br.readLine()
+            while line is not None:
+                lines.append(line)
+                line = br.readLine()
+            return "\n".join(lines)
+        finally:
+            inp.close()
+
+
+def _versions(fs: _HadoopFs, root: str) -> list[int]:
     out = []
-    for name in os.listdir(root):
+    for name in fs.listdir(root):
         if name.startswith("v") and name[1:].isdigit():
             out.append(int(name[1:]))
     return sorted(out)
@@ -55,57 +116,64 @@ def _versions(root: str) -> list[int]:
 def publish_version(
     df: DataFrame,
     root: str,
-    checks: list[Check] | None = None,
+    checks: list | None = None,
 ) -> int:
     """Write-audit-publish `df` as the next version under `root`; returns
     the committed version number. Raises (leaving the staged files for
     inspection and LATEST untouched) when the audit fails."""
-    os.makedirs(root, exist_ok=True)
-    version = (_versions(root)[-1] + 1) if _versions(root) else 1
-    stage = os.path.join(root, "_staging", f"v{version}-{uuid.uuid4().hex[:8]}")
+    from volga_spark.operators.expectations import validate
+
+    spark = df.sparkSession
+    fs = _HadoopFs(spark, root)
+    fs.mkdirs(root)
+    vs = _versions(fs, root)
+    version = (vs[-1] + 1) if vs else 1
+    stage = f"{root.rstrip('/')}/_staging/v{version}-{uuid.uuid4().hex[:8]}"
 
     # 1. write
     df.write.mode("errorifexists").parquet(stage)
 
     # 2. audit the staged FILES, not the input plan
-    spark = df.sparkSession
     staged = spark.read.parquet(stage)
     if checks:
         validate(staged, checks, on_fail="raise")  # raises on failure
 
-    # 3. publish: move dir into place, then swap the pointer (the commit)
-    final = os.path.join(root, f"v{version}")
-    os.rename(stage, final)
+    # 3. publish: promote the staged dir, then swap the pointer (the
+    #    commit). On copy-based-rename stores the dir promotion is not
+    #    atomic, which is fine: nothing reads v<N> until the pointer —
+    #    the single atomic unit on every fs — names it.
+    final = f"{root.rstrip('/')}/v{version}"
+    if not fs.rename(stage, final):
+        raise IOError(f"failed to promote staged version {stage} -> {final}")
     manifest = {
         "version": version,
         "n_files": len(
-            [f for f in os.listdir(final) if f.endswith(".parquet")]
+            [f for f in fs.listdir(final) if f.endswith(".parquet")]
         ),
         "checks": [c.name for c in (checks or [])],
     }
-    with open(os.path.join(final, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh)
-    tmp_ptr = os.path.join(root, f".{LATEST}.{uuid.uuid4().hex[:8]}")
-    with open(tmp_ptr, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp_ptr, os.path.join(root, LATEST))  # atomic swap
+    fs.write_text(f"{final}/_manifest.json", json.dumps(manifest))
+    fs.write_text(f"{root.rstrip('/')}/{LATEST}", str(version))
     return version
 
 
-def latest_version(root: str) -> int | None:
-    ptr = os.path.join(root, LATEST)
-    if not os.path.exists(ptr):
+def latest_version(root: str, spark: SparkSession | None = None) -> int | None:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("latest_version needs an active SparkSession")
+    fs = _HadoopFs(spark, root)
+    ptr = f"{root.rstrip('/')}/{LATEST}"
+    if not fs.exists(ptr):
         return None
-    with open(ptr) as fh:
-        return int(fh.read().strip())
+    return int(fs.read_text(ptr).strip())
 
 
 def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, f"v{version}"))
+    return spark.read.parquet(f"{root.rstrip('/')}/v{version}")
 
 
 def read_latest(spark: SparkSession, root: str) -> DataFrame:
-    v = latest_version(root)
+    v = latest_version(root, spark)
     if v is None:
         raise FileNotFoundError(f"no published version under {root}")
     return read_version(spark, root, v)

@@ -50,7 +50,15 @@ def _gunzip_members(raw: bytes) -> bytes:
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.write(d.decompress(raw[pos:]))
+        try:
+            out.write(d.decompress(raw[pos:]))
+        except zlib.error:
+            # One corrupt gzip member must not fail the whole Spark task
+            # (after retries, the job): keep the members decoded so far —
+            # Content-Length framing in parse_warc_records stops cleanly at
+            # the truncation point, matching the per-file quarantine
+            # contract ("raises nothing").
+            break
         consumed = len(raw[pos:]) - len(d.unused_data)
         if consumed <= 0:
             break
