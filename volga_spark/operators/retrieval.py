@@ -1,0 +1,187 @@
+"""Distributed BM25 full-text retrieval over a document corpus.
+
+The missing piece between the dedup/quality tier and the similarity tier:
+lexical top-k search (data curation uses it for decontamination lookups,
+hard-negative mining, and as the sparse half of hybrid retrieval next to
+`operators/similarity`). Everything is expressed as DataFrame ops so
+Catalyst plans it; no Python in the hot path.
+
+Pipeline shape (all shuffles map-side combinable, query side broadcast):
+
+  tokens    = explode(split(text))                -- narrow
+  postings  = tokens.groupBy(doc_id, term).count  -- shuffle on (doc_id, term)
+  doclen    = tokens.groupBy(doc_id).count        -- same shuffle key family
+  stats     = doclen.agg(N, sum_dl)               -- 1 row, crossJoin(broadcast)
+  qterms    = queries exploded, DISTINCT          -- tiny, broadcast
+  matched   = postings ⋈ broadcast(qterms)        -- prunes to query terms
+  df        = matched.groupBy(term).countDistinct -- df over PRUNED term set
+  score     = Σ_t floor(idf(t) · tfnorm(t,d) · 1e6)  -- exact BIGINT sum
+  topk      = row_number over (query_id / score desc, doc_id) ≤ k
+
+Scoring uses the Lucene/Robertson BM25 form
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfnorm(t,d) = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+with one deliberate engine-parity twist: each per-term contribution is
+quantized to integer micro-units (floor(x·1e6) AS BIGINT) BEFORE the
+per-document sum. Double sums depend on accumulation order, and ln()
+differs between the JVM and DuckDB libm in the last ULP for some inputs
+(see verify notes); summing BIGINT micro-units is order-independent and
+the only residual divergence risk is a floor-boundary crossing at ~1e-9
+probability per (term, doc) pair. Ranking ties at micro-unit granularity
+break by doc_id — deterministic on both engines.
+
+100 TB: the posting/doclen shuffles are the classic inverted-index build —
+partial aggregation halves them map-side; df is computed AFTER the
+broadcast semi-prune to query terms, so the full vocabulary is never
+aggregated for a lookup workload; per-query top-k is window-partitioned by
+query_id (thousands of concurrent queries scale across executors). For a
+standing index, persist `postings`/`doclen` once (bucketed by term) and
+amortize across query batches.
+
+Reference: the reference engine has no text retrieval operator (its
+surface is windows/aggs — reference src/runtime/operators/, .rs); this
+module belongs to the training-data tier the north star adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term) rows: whitespace tokens, empties dropped. The same split
+    the text-analysis operators use, mirrored by string_split_regex in the
+    DuckDB oracle."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs per query by BM25. `queries` is a small (query_id, qtext)
+    frame — broadcast. Returns (query_id, rank, doc_id, score_micro) with
+    score_micro = Σ_t floor(idf·tfnorm·1e6) (exact BIGINT, see module doc).
+    """
+    toks = tokenize(docs, id_col, text_col)
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.trim(F.col("qtext")), TOKEN_SPLIT)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+    # prune the index to query terms FIRST (broadcast), then df over the
+    # pruned set — df(t) is still exact (every doc containing t survives
+    # the prune) but the full vocabulary is never aggregated.
+    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+    )
+    # the contribution expression runs as ONE identical SQL text on Spark
+    # and DuckDB (module doc explains the floor(·1e6) quantization)
+    contrib = F.expr(
+        f"CAST(FLOOR(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({k1} + 1)) "
+        f" / (tf + {k1} * (1 - {b} + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        f" * 1000000) AS BIGINT)"
+    )
+    scores = (
+        scored.select("query_id", id_col, contrib.alias("c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_micro")
+    )
+
+
+def bm25_topk_oracle_sql(
+    queries_values_sql: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` over the pre-registered `documents`
+    view. `queries_values_sql` is a VALUES list `(query_id, qtext)`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        postings AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM doclen),
+        q(query_id, qtext) AS (VALUES {queries_values_sql}),
+        qterms AS (
+            SELECT DISTINCT query_id, t.term
+            FROM q, unnest(string_split_regex(trim(qtext), '\\s+')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        matched AS (
+            SELECT p.doc_id, p.term, p.tf FROM postings p
+            WHERE p.term IN (SELECT term FROM qterms)
+        ),
+        df_t AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+        contribs AS (
+            SELECT qt.query_id, m.doc_id,
+                   CAST(FLOOR(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                        * (m.tf * ({k1} + 1))
+                        / (m.tf + {k1} * (1 - {b} + {b} * d.dl
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                        * 1000000) AS BIGINT) AS c
+            FROM matched m
+            JOIN df_t f USING (term)
+            JOIN doclen d USING (doc_id)
+            JOIN qterms qt USING (term)
+            CROSS JOIN stats s
+        ),
+        scores AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+            FROM contribs GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, score_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_micro DESC, doc_id ASC) AS rank
+            FROM scores
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
+        FROM ranked WHERE rank <= {k}
+    """

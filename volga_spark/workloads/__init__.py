@@ -55,6 +55,8 @@ _MODULES = [
     "volga_spark.workloads.datagen",
     "volga_spark.workloads.multimodal",
     "volga_spark.workloads.text",
+    "volga_spark.workloads.retrieval",
+    "volga_spark.workloads.packing",
     "volga_spark.workloads.curation",
     "volga_spark.workloads.dedup",
     "volga_spark.workloads.similarity",

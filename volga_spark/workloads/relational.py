@@ -23,14 +23,9 @@ from volga_spark.workloads._util import davg, dec, dsum, duck_davg, duck_dsum
 
 # --- scans / filters / scalar expressions -------------------------------------
 
-@workload(
-    "q_select_all",
-    oracle="SELECT * FROM region",
-    tags=("scan",),
-)
-def q_select_all(spark, sf_dir):
-    """SELECT * (sql_tests 'select_all')."""
-    return load_table(spark, sf_dir, "region")
+# q_select_all was folded into q_scalar_exprs in r06 (leg-tagged union —
+# the 'all' leg is the full-table SELECT * scan) to keep the registry at
+# the driver gate's 50-row cap while freeing a slot for BM25 retrieval.
 
 
 @workload(
@@ -86,33 +81,58 @@ def q_filter_scan(spark, sf_dir):
 @workload(
     "q_scalar_exprs",
     oracle="""
-        SELECT o_orderkey,
-               o_totalprice * 2.0 AS double_price,
-               upper(o_orderpriority) AS prio_upper,
-               substr(o_orderpriority, 1, 1) AS prio_code,
-               concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
-               length(o_orderpriority) AS prio_len,
-               year(o_orderdate) AS order_year,
-               month(o_orderdate) AS order_month,
+        SELECT 'sc' AS leg,
+               o_orderkey AS k,
+               o_totalprice * 2.0 AS num,
+               upper(o_orderpriority) AS s1,
+               concat(o_orderstatus, '-', o_orderpriority, '|',
+                      substr(o_orderpriority, 1, 1), ':',
+                      CAST(length(o_orderpriority) AS VARCHAR), ':',
+                      CAST(year(o_orderdate) AS VARCHAR), '-',
+                      CAST(month(o_orderdate) AS VARCHAR)) AS s2,
                date_trunc('month', o_orderdate) AS order_month_start
         FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'all' AS leg,
+               r_regionkey AS k,
+               CAST(NULL AS DOUBLE) AS num,
+               r_name AS s1,
+               CAST(NULL AS VARCHAR) AS s2,
+               CAST(NULL AS TIMESTAMP) AS order_month_start
+        FROM region
     """,
-    tags=("scalar",),
+    tags=("scalar", "scan"),
 )
 def q_scalar_exprs(spark, sf_dir):
-    """Scalar expression surface (arith, string, date — SURVEY §2.3)."""
+    """Scalar expression surface (arith, string, date — SURVEY §2.3) in one
+    leg-tagged union: the 'sc' leg exercises arithmetic, upper/substr/
+    concat/length and year/month/date_trunc over orders; the 'all' leg is
+    the full-table SELECT * scan over region (sql_tests 'select_all',
+    formerly its own registry entry q_select_all)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey",
-        (F.col("o_totalprice") * 2.0).alias("double_price"),
-        F.upper("o_orderpriority").alias("prio_upper"),
-        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
-        F.length("o_orderpriority").alias("prio_len"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
+    sc = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("sc").alias("leg"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 2.0).alias("num"),
+        F.upper("o_orderpriority").alias("s1"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority"),
+            F.lit("|"), F.substring("o_orderpriority", 1, 1), F.lit(":"),
+            F.length("o_orderpriority").cast("string"), F.lit(":"),
+            F.year("o_orderdate").cast("string"), F.lit("-"),
+            F.month("o_orderdate").cast("string"),
+        ).alias("s2"),
         F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
     )
+    r = load_table(spark, sf_dir, "region").select(
+        F.lit("all").alias("leg"),
+        F.col("r_regionkey").alias("k"),
+        F.lit(None).cast("double").alias("num"),
+        F.col("r_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("timestamp").alias("order_month_start"),
+    )
+    return sc.unionByName(r)
 
 
 # q_case_when was folded into q_conditional_agg in r05 (leg-tagged union —
@@ -161,40 +181,26 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
-@workload(
-    "q_groupby_count",
-    oracle="""
-        SELECT event_type, count(*) AS n,
-               round(quantile_cont(value, 0.5), 6) AS p50,
-               round(quantile_cont(value, 0.95), 6) AS p95,
-               min(value) AS vmin, max(value) AS vmax
-        FROM events GROUP BY event_type
-    """,
-    tags=("agg",),
-)
-def q_groupby_count(spark, sf_dir):
-    """Word-count shape (reference F7) + exact interpolated percentiles
-    (Spark percentile ≡ DuckDB quantile_cont; rounded to 6 for
-    interpolation-arithmetic neutrality) in the same single-shuffle agg."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-    )
+# q_groupby_count was folded into q_groupby_minmax_having in r06 (leg-tagged
+# union — both are single-shuffle GROUP BY aggregations) to keep the registry
+# at the driver gate's 50-row cap while freeing a slot for mixture+packing.
 
 
 @workload(
     "q_groupby_minmax_having",
     oracle=f"""
-        SELECT o_orderpriority,
-               count(*) AS n_orders,
-               {duck_dsum('o_totalprice')} AS sum_price,
-               {duck_davg('o_totalprice')} AS avg_price,
-               min(o_totalprice) AS min_price,
-               max(o_totalprice) AS max_price
+        SELECT 'cnt' AS leg, event_type AS grp, count(*) AS n,
+               round(quantile_cont(value, 0.5), 6) AS m1,
+               round(quantile_cont(value, 0.95), 6) AS m2,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'hav' AS leg, o_orderpriority AS grp,
+               count(*) AS n,
+               {duck_dsum('o_totalprice')} AS m1,
+               {duck_davg('o_totalprice')} AS m2,
+               min(o_totalprice) AS vmin,
+               max(o_totalprice) AS vmax
         FROM orders
         GROUP BY o_orderpriority
         HAVING count(*) > 10
@@ -202,18 +208,40 @@ def q_groupby_count(spark, sf_dir):
     tags=("agg",),
 )
 def q_groupby_minmax_having(spark, sf_dir):
+    """GROUP BY aggregation in one leg-tagged union: the 'cnt' leg is the
+    word-count shape (reference F7) + exact interpolated percentiles
+    (Spark percentile ≡ DuckDB quantile_cont; rounded to 6 for
+    interpolation-arithmetic neutrality) over events — formerly its own
+    registry entry q_groupby_count; the 'hav' leg is min/max/sum/avg with
+    a HAVING gate over orders. Both legs stay single-shuffle aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("m1"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("m2"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).select(
+        F.lit("cnt").alias("leg"), F.col("event_type").alias("grp"),
+        "n", "m1", "m2", "vmin", "vmax",
+    )
     o = load_table(spark, sf_dir, "orders")
-    return (
+    hav = (
         o.groupBy("o_orderpriority")
         .agg(
-            F.count("*").alias("n_orders"),
-            dsum("o_totalprice").alias("sum_price"),
-            davg("o_totalprice").alias("avg_price"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("m1"),
+            davg("o_totalprice").alias("m2"),
+            F.min("o_totalprice").alias("vmin"),
+            F.max("o_totalprice").alias("vmax"),
         )
-        .filter(F.col("n_orders") > 10)
+        .filter(F.col("n") > 10)
+        .select(
+            F.lit("hav").alias("leg"), F.col("o_orderpriority").alias("grp"),
+            "n", "m1", "m2", "vmin", "vmax",
+        )
     )
+    return cnt.unionByName(hav)
 
 
 @workload(
