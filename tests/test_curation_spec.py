@@ -135,3 +135,30 @@ def test_expect_report_mode_is_observable(spark):
     # a second build resets the reports (they belong to that build)
     spec.build(spark, df)
     assert len(spec.expect_reports) == 1
+
+
+def test_mixture_and_packing_stages(spark):
+    """The declarative spec drives mixture_select + pack_sequences
+    identically to the direct composition."""
+    from volga_spark.api.curation import CurationSpec
+    from volga_spark.operators.packing import mixture_select, pack_sequences
+
+    rows = [
+        (i, "tok " * (2 + i % 7), ["a", "b"][i % 2]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    spec = CurationSpec(
+        stages=[
+            {"op": "mixture_select",
+             "weights": {"a": 0.6, "b": 0.4}, "token_budget": 100},
+            {"op": "pack_sequences", "seq_len": 17},
+        ]
+    )
+    via_spec = sorted(map(tuple, spec.build(spark, df).collect()))
+    direct = sorted(map(tuple, pack_sequences(
+        mixture_select(df, {"a": 0.6, "b": 0.4}, 100), 17
+    ).collect()))
+    assert via_spec == direct and len(direct) > 0
+    # JSON round trip keeps the stage params
+    spec2 = CurationSpec.from_json(spec.to_json())
+    assert sorted(map(tuple, spec2.build(spark, df).collect())) == via_spec

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from volga_spark.operators.retrieval import bm25_topk, tokenize
 
 DOCS = [
@@ -85,3 +87,93 @@ def test_bm25_plan_no_python_and_broadcast_queries(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_incremental_index_merge_equals_rebuild(spark):
+    """merge_index(index(batch1), index(batch2)) scores identically to
+    index(batch1 ∪ batch2) — the standing-index maintenance contract."""
+    from volga_spark.operators.retrieval import (
+        bm25_index,
+        bm25_topk_from_index,
+        merge_index,
+    )
+
+    all_docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    b1 = all_docs.filter("doc_id <= 3")
+    b2 = all_docs.filter("doc_id > 3")
+    qs = spark.createDataFrame(QUERIES, "query_id int, qtext string")
+
+    merged = merge_index(bm25_index(b1), bm25_index(b2))
+    got = sorted(map(tuple, bm25_topk_from_index(merged, qs, k=10).collect()))
+    want = sorted(map(tuple, bm25_topk_from_index(bm25_index(all_docs), qs, k=10).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_rrf_fusion_exact_and_oracled(spark, sf_dir):
+    """RRF fusion: pure-integer scores match DuckDB bit-for-bit, and the
+    hybrid composition (BM25 ∪ crafted dense ranking) behaves sanely."""
+    import duckdb
+
+    from volga_spark.operators.retrieval import (
+        RRF_SCALE,
+        rrf_fuse,
+        rrf_fuse_oracle_sql,
+    )
+
+    # two crafted rankings with partial overlap
+    r1 = [(1, 1, 10), (1, 2, 20), (1, 3, 30), (2, 1, 40)]
+    r2 = [(1, 1, 20), (1, 2, 99), (2, 1, 40), (2, 2, 41)]
+    schema = "query_id int, rank int, doc_id bigint"
+    d1 = spark.createDataFrame(r1, schema)
+    d2 = spark.createDataFrame(r2, schema)
+    got = sorted(map(tuple, rrf_fuse([d1, d2], k=10).collect()))
+
+    def vals(rows):
+        return ", ".join(f"({q}, {r}, {d})" for q, r, d in rows)
+
+    sql = rrf_fuse_oracle_sql(
+        [
+            f"SELECT * FROM (VALUES {vals(r1)}) AS t(query_id, rank, doc_id)",
+            f"SELECT * FROM (VALUES {vals(r2)}) AS t(query_id, rank, doc_id)",
+        ],
+        k=10,
+    )
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want
+
+    # doc 20 appears in both lists (ranks 2, 1) — it must outrank docs
+    # appearing once; and its score is the exact integer formula
+    q1 = {d: (s, n) for _, rk, d, s, n in got if _ == 1}
+    assert q1[20][1] == 2 and q1[30][1] == 1
+    assert q1[20][0] == RRF_SCALE // 62 + RRF_SCALE // 61
+
+
+def test_hybrid_bm25_plus_ann_rankings_fuse(spark, sf_dir):
+    """End-to-end hybrid: BM25 over documents fused with a dense ranking
+    (brute-force cosine over embeddings, ids aligned with doc_ids)."""
+    from volga_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from volga_spark.operators.similarity import brute_force_topk
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(
+        [(0, "spark window agg"), (1, "hash join merge")],
+        "query_id int, qtext string",
+    )
+    sparse = bm25_topk(docs, qs, k=5)
+    dense = (
+        brute_force_topk(emb, emb.filter("vec_id < 2"), k=5)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "rank",
+            F.col("neighbor_id").alias("doc_id"),
+        )
+    )
+    fused = rrf_fuse([sparse, dense], k=8).collect()
+    assert len(fused) > 0
+    for r in fused:
+        assert r["n_lists"] in (1, 2)
+    # determinism under repartition
+    fused2 = rrf_fuse([sparse.repartition(5), dense.repartition(3)], k=8).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, fused2))

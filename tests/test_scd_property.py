@@ -1,13 +1,16 @@
 """Property tests for SCD2 (hypothesis), against a pure-Python twin of the
 operator's window logic:
 
-- chronological batch application == bootstrap, row for row;
-- ARBITRARY arrival order (late batches) keeps the range invariants and is
-  point-in-time EQUIVALENT to bootstrap at every timestamp — row sets may
-  differ because history rows are immutable (a late arrival can make an
-  already-published version a retroactive no-op; the operator keeps the
-  published row, which splits a range without changing any lookup value);
-- re-applying a batch is a no-op (idempotency);
+- chronological batch application == bootstrap, row for row (no-op
+  suppression ON — its documented sound regime);
+- ARBITRARY arrival order (late batches) with suppression OFF — the
+  operator's documented contract for out-of-order feeds — is row-for-row
+  EQUAL to bootstrap and point-in-time EQUIVALENT to the SUPPRESSED
+  bootstrap at every timestamp (suppression only merges equal-value
+  adjacent ranges; hypothesis found that suppression ON is NOT sound under
+  late arrivals: b@0 then b@2 suppresses the second b, and a late a@1
+  leaves 'a' open past t=2 — the counterexample is pinned below);
+- re-applying a batch is a no-op (idempotency), in both modes;
 - one drawn case replays through the real Spark operator per run.
 """
 
@@ -28,9 +31,10 @@ _changes = st.lists(
 )
 
 
-def _apply_ref(dim, batch):
+def _apply_ref(dim, batch, suppress=True):
     """Pure-Python twin of scd2_apply: (valid_from, change-last) order,
-    no-op suppression of CHANGE rows vs the immediate predecessor,
+    optional no-op suppression of CHANGE rows vs the immediate predecessor
+    (scd2_apply's suppress_noops — sound only for chronological feeds),
     zero-width drop of same-ts replaced rows, valid_to = next survivor."""
     per_key: dict = {}
     for k, a, vf, _ in dim:
@@ -42,7 +46,7 @@ def _apply_ref(dim, batch):
         seq.sort()
         kept = []
         for i, (ts, chg, a) in enumerate(seq):
-            if chg == 1 and i > 0 and seq[i - 1][2] == a:
+            if suppress and chg == 1 and i > 0 and seq[i - 1][2] == a:
                 continue
             kept.append((ts, a))
         for i, (ts, a) in enumerate(kept):
@@ -53,8 +57,8 @@ def _apply_ref(dim, batch):
     return sorted(out)
 
 
-def _bootstrap(changes):
-    return _apply_ref([], list(changes))
+def _bootstrap(changes, suppress=True):
+    return _apply_ref([], list(changes), suppress=suppress)
 
 
 def _value_at(dim, k, ts):
@@ -90,17 +94,40 @@ def test_chronological_batches_equal_bootstrap(changes, n_batches):
 @given(_changes, st.integers(min_value=1, max_value=4))
 def test_late_arrivals_preserve_point_in_time_semantics(changes, n_batches):
     # batches are slices of the GENERATED order — arbitrary interleaving,
-    # so later batches routinely carry earlier timestamps
+    # so later batches routinely carry earlier timestamps. Suppression OFF
+    # per the operator contract for out-of-order feeds.
     step = max(1, len(changes) // n_batches)
     dim: list = []
     for i in range(0, len(changes), step):
-        dim = _apply_ref(dim, changes[i : i + step])
+        dim = _apply_ref(dim, changes[i : i + step], suppress=False)
     _check_invariants(dim)
+    # row-for-row equal to the unsuppressed bootstrap — arrival order is
+    # irrelevant when every observation is kept
+    assert dim == _bootstrap(changes, suppress=False)
+    # and point-in-time equivalent to the SUPPRESSED bootstrap: suppression
+    # only merges equal-value adjacent ranges, never changes a lookup
     boot = _bootstrap(changes)
     keys = {k for k, _, _ in changes}
     for k in keys:
         for ts in range(42):
             assert _value_at(dim, k, ts) == _value_at(boot, k, ts), (k, ts)
+
+
+def test_suppression_unsound_under_late_arrival_pinned():
+    """The hypothesis-found counterexample, pinned: with suppression ON, a
+    late arrival diverges from bootstrap (the documented caveat that
+    motivates suppress_noops=False for out-of-order feeds)."""
+    changes = [(1, 0, "b"), (1, 2, "b"), (1, 1, "a")]
+    dim = _apply_ref(_apply_ref([], changes[:2]), changes[2:])
+    boot = _bootstrap(changes)
+    assert _value_at(dim, 1, 2) == "a"  # suppressed re-assertion lost
+    assert _value_at(boot, 1, 2) == "b"
+    # suppression OFF restores equivalence on the same feed
+    dim2 = _apply_ref(
+        _apply_ref([], changes[:2], suppress=False), changes[2:], suppress=False
+    )
+    for ts in range(4):
+        assert _value_at(dim2, 1, ts) == _value_at(boot, 1, ts)
 
 
 @settings(max_examples=100, deadline=None)
@@ -133,3 +160,31 @@ def test_spark_operator_matches_python_reference(spark):
         for r in out.collect()
     )
     assert got == _apply_ref(_bootstrap(b1), b2)
+
+
+def test_spark_operator_unsuppressed_matches_twin_on_late_arrival(spark):
+    """The real operator with suppress_noops=False reproduces the twin on
+    the pinned late-arrival counterexample (the out-of-order-feed mode)."""
+    from volga_spark.operators.scd import scd2_apply, scd2_init
+
+    schema = "k bigint, eff_ts bigint, tier string"
+    b1 = [(1, 0, "b"), (1, 2, "b")]
+    b2 = [(1, 1, "a")]
+    dim = scd2_init(
+        spark.createDataFrame(b1, schema), "k", ["tier"],
+        suppress_noops=False,
+    )
+    out = scd2_apply(
+        dim, spark.createDataFrame(b2, schema), "k", ["tier"],
+        suppress_noops=False,
+    )
+    got = sorted(
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+    want = _apply_ref(
+        _apply_ref([], b1, suppress=False), b2, suppress=False
+    )
+    assert got == want
+    # and the value at t=2 is 'b' again — the re-assertion survives
+    assert _value_at(got, 1, 2) == "b"

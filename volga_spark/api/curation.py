@@ -198,6 +198,29 @@ def _stage_expect(df, spec, checks=(), on_fail="raise", **_):
     return df  # a gate, not a transform — rows pass through unchanged
 
 
+def _stage_mixture_select(
+    df, spec, weights=None, token_budget=0, domain_col="source",
+    seed="volga-mix", **_,
+):
+    """Domain-weighted token-budget selection (operators/packing). Output
+    schema changes to (id, domain, n_tokens, rank) — place before
+    `pack_sequences` (or terminally)."""
+    from volga_spark.operators.packing import mixture_select
+
+    return mixture_select(
+        df, weights or {}, token_budget, domain_col=domain_col,
+        id_col=spec.id_col, text_col=spec.text_col, seed=seed,
+    )
+
+
+def _stage_pack_sequences(df, spec, seq_len=2048, **_):
+    """Fixed-length sequence packing over a mixture_select output frame.
+    Terminal stage: output rows are training-sequence spans."""
+    from volga_spark.operators.packing import pack_sequences
+
+    return pack_sequences(df, seq_len, id_col=spec.id_col)
+
+
 _STAGES = {
     "html_extract": _stage_html_extract,
     "normalize_text": _stage_normalize_text,
@@ -215,6 +238,8 @@ _STAGES = {
     "stratified_sample": _stage_stratified_sample,
     "split": _stage_split,
     "expect": _stage_expect,
+    "mixture_select": _stage_mixture_select,
+    "pack_sequences": _stage_pack_sequences,
 }
 
 

@@ -74,57 +74,9 @@ def bm25_topk(
     frame — broadcast. Returns (query_id, rank, doc_id, score_micro) with
     score_micro = Σ_t floor(idf·tfnorm·1e6) (exact BIGINT, see module doc).
     """
-    toks = tokenize(docs, id_col, text_col)
-    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = doclen.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-    )
-
-    qterms = (
-        queries.select(
-            "query_id",
-            F.explode(F.split(F.trim(F.col("qtext")), TOKEN_SPLIT)).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-
-    # prune the index to query terms FIRST (broadcast), then df over the
-    # pruned set — df(t) is still exact (every doc containing t survives
-    # the prune) but the full vocabulary is never aggregated.
-    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
-    df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
-
-    scored = (
-        matched.join(F.broadcast(df_t), "term")
-        .join(doclen, id_col)
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(qterms), "term")
-    )
-    # the contribution expression runs as ONE identical SQL text on Spark
-    # and DuckDB (module doc explains the floor(·1e6) quantization)
-    contrib = F.expr(
-        f"CAST(FLOOR(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
-        f" * (tf * ({k1} + 1)) "
-        f" / (tf + {k1} * (1 - {b} + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
-        f" * 1000000) AS BIGINT)"
-    )
-    scores = (
-        scored.select("query_id", id_col, contrib.alias("c"))
-        .groupBy("query_id", id_col)
-        .agg(F.sum("c").alias("score_micro"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), F.col(id_col).asc()
-    )
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, "score_micro")
+    return bm25_topk_from_index(
+        bm25_index(docs, id_col, text_col), queries, k=k, k1=k1, b=b,
+        id_col=id_col,
     )
 
 
@@ -183,5 +135,172 @@ def bm25_topk_oracle_sql(
             FROM scores
         )
         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+# --- standing index + incremental maintenance --------------------------------
+
+
+def bm25_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Build the standing index as three frames: postings (id, term, tf),
+    doclen (id, dl), stats (n_docs, sum_dl). All three are ADDITIVE —
+    :func:`merge_index` folds a new batch in with groupBy-sum, no rebuild.
+    Persist postings bucketed by term to amortize across query batches."""
+    toks = tokenize(docs, id_col, text_col)
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    return postings, doclen, stats
+
+
+def merge_index(old, delta):
+    """Fold a new document batch's index into a standing index. Documents
+    must be NEW ids (append-only corpus — the dedup tier upstream owns
+    identity); tf/dl/stats are sums, so the merge is a union + re-agg that
+    Spark executes as one map-side-combinable shuffle per frame."""
+    po, do_, so = old
+    pd_, dd, sd = delta
+    id_col = [c for c in do_.columns if c != "dl"][0]
+    postings = (
+        po.unionByName(pd_).groupBy(id_col, "term").agg(F.sum("tf").alias("tf"))
+    )
+    doclen = do_.unionByName(dd).groupBy(id_col).agg(F.sum("dl").alias("dl"))
+    stats = so.unionByName(sd).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
+    return postings, doclen, stats
+
+
+def bm25_topk_from_index(
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k from a prebuilt (postings, doclen, stats) index — the repeated-
+    lookup path. Identical scoring to :func:`bm25_topk` (which is
+    equivalent to bm25_topk_from_index(bm25_index(docs), ...))."""
+    postings, doclen, stats = index
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.trim(F.col("qtext")), TOKEN_SPLIT)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+    )
+    contrib = F.expr(
+        f"CAST(FLOOR(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({k1} + 1)) "
+        f" / (tf + {k1} * (1 - {b} + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        f" * 1000000) AS BIGINT)"
+    )
+    scores = (
+        scored.select("query_id", id_col, contrib.alias("c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_micro")
+    )
+
+
+# --- hybrid fusion -----------------------------------------------------------
+
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query rankings
+    — the standard way to combine BM25 with embedding-ANN results (hybrid
+    retrieval). Each input frame needs (query_id, rank, `id_col`).
+
+    Scoring is EXACT integer arithmetic: contribution = RRF_SCALE
+    div (k_rrf + rank) summed as BIGINT — no floats anywhere, so the
+    result is bit-identical across engines, partitionings, and input
+    order (ties broken by id). Scale: inputs are top-k frames (rows ≈
+    queries × k × n_rankings — tiny next to the corpora that produced
+    them); the union + groupBy is one small shuffle on (query_id, id).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col),
+            F.expr(f"CAST({RRF_SCALE} div ({k_rrf} + rank) AS BIGINT)").alias("c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scores = u.groupBy("query_id", id_col).agg(
+        F.sum("c").alias("rrf_nano"), F.count("*").alias("n_lists")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "rrf_nano", "n_lists")
+    )
+
+
+def rrf_fuse_oracle_sql(
+    ranking_sqls: list[str],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`; each ranking_sql yields
+    (query_id, rank, `id_col`)."""
+    union = " UNION ALL ".join(
+        f"SELECT query_id, {id_col}, "
+        f"CAST({RRF_SCALE} // ({k_rrf} + rank) AS BIGINT) AS c FROM ({r})"
+        for r in ranking_sqls
+    )
+    return f"""
+        WITH u AS ({union}),
+        scores AS (
+            SELECT query_id, {id_col},
+                   CAST(sum(c) AS BIGINT) AS rrf_nano,
+                   count(*) AS n_lists
+            FROM u GROUP BY query_id, {id_col}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_nano DESC, {id_col} ASC) AS rank
+            FROM scores
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, {id_col}, rrf_nano, n_lists
         FROM ranked WHERE rank <= {k}
     """

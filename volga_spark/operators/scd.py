@@ -98,19 +98,27 @@ def scd2_apply(
         F.lit(1).alias("__chg"),
     )
     both = existing.unionByName(incoming)
-    w = Window.partitionBy(key_col).orderBy("valid_from", "__chg")
-    prev_attrs = [F.lag(c).over(w).alias(f"__p_{c}") for c in attr_cols]
-    rows = both.select(
-        "*", *prev_attrs, F.lag(key_col).over(w).isNotNull().alias("__has_prev")
-    )
-    # no-op suppression: a CHANGE row whose attrs all equal the previous
-    # row's is dropped (null-safe so NULL attrs compare equal); existing
-    # rows always survive (history is immutable).
-    same_as_prev = F.lit(True)
-    for c in attr_cols:
-        same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.col(f"__p_{c}"))
-    keep = (F.col("__chg") == 0) | ~(F.col("__has_prev") & same_as_prev)
-    kept = rows.filter(keep)
+    if suppress_noops:
+        w = Window.partitionBy(key_col).orderBy("valid_from", "__chg")
+        prev_attrs = [F.lag(c).over(w).alias(f"__p_{c}") for c in attr_cols]
+        rows = both.select(
+            "*",
+            *prev_attrs,
+            F.lag(key_col).over(w).isNotNull().alias("__has_prev"),
+        )
+        # no-op suppression: a CHANGE row whose attrs all equal the previous
+        # row's is dropped (null-safe so NULL attrs compare equal); existing
+        # rows always survive (history is immutable).
+        same_as_prev = F.lit(True)
+        for c in attr_cols:
+            same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+        keep = (F.col("__chg") == 0) | ~(F.col("__has_prev") & same_as_prev)
+        kept = rows.filter(keep)
+    else:
+        # out-of-order-feed mode: every change row is kept (the docstring
+        # caveat — a dropped no-op cannot be recovered once a late arrival
+        # slots in front of it)
+        kept = both
     # valid_to recompute must run over the KEPT rows (a suppressed no-op
     # must not split its neighbor's range)
     w2 = Window.partitionBy(key_col).orderBy("valid_from", "__chg")
