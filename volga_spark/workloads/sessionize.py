@@ -67,19 +67,41 @@ def q_sessionize(spark, sf_dir):
 @workload(
     "q_rollup_decimal",
     oracle="""
-        SELECT l_returnflag, l_linestatus,
+        SELECT 'rollup' AS leg, l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
                count(*) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2))
                     AS VARCHAR) AS price_dec,
                CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS linenum_sum
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'cube' AS leg, l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2))
+                    AS VARCHAR) AS price_dec,
+               CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS linenum_sum
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'gsets' AS leg, l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2))
+                    AS VARCHAR) AS price_dec,
+               CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS linenum_sum
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """,
     tags=("agg", "decimal"),
 )
 def q_rollup_decimal(spark, sf_dir):
-    """ROLLUP subtotals (beyond the reference's SQL surface — its planner
-    errors on grouping sets; native on Spark), carrying Decimal128 and
+    """Multi-grouping aggregation in one leg-tagged union — ROLLUP, CUBE,
+    and explicit GROUPING SETS, each with the ANSI GROUPING bitmask (gid:
+    rightmost grouping column = least-significant bit, identical encoding
+    on Spark and DuckDB). Beyond the reference's SQL surface — its planner
+    errors on grouping sets; native on Spark. Carries Decimal128 and
     integer-widening parity columns (SURVEY §1.2: the reference widens
     Decimal sums to Decimal128 and unsigned ints to u64 —
     reference src/runtime/operators/window/top/format.rs:31-32):
@@ -89,12 +111,38 @@ def q_rollup_decimal(spark, sf_dir):
     float64 — so the string form is the representation-stable exact check);
     ``linenum_sum`` widens a 32-bit int to BIGINT."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-        .cast("decimal(24,2)")
-        .cast("string")
-        .alias("price_dec"),
-        F.sum(F.col("l_linenumber").cast("bigint")).cast("bigint").alias("linenum_sum"),
+
+    def aggs():
+        return [
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(24,2)")
+            .cast("string")
+            .alias("price_dec"),
+            F.sum(F.col("l_linenumber").cast("bigint"))
+            .cast("bigint")
+            .alias("linenum_sum"),
+        ]
+
+    cols = ["l_returnflag", "l_linestatus", "gid", "n", "qty", "price_dec",
+            "linenum_sum"]
+    r = li.rollup("l_returnflag", "l_linestatus").agg(*aggs()).select(
+        F.lit("rollup").alias("leg"), *cols
     )
+    c = li.cube("l_returnflag", "l_linestatus").agg(*aggs()).select(
+        F.lit("cube").alias("leg"), *cols
+    )
+    g = (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(*aggs())
+        .select(F.lit("gsets").alias("leg"), *cols)
+    )
+    return r.unionByName(c).unionByName(g)
