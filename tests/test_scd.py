@@ -135,3 +135,40 @@ def test_point_in_time_lookup(spark):
         (2, 100): "gold",   # open range
         (3, 50): None,      # unknown key
     }
+
+
+def test_scd2_lookup_enriches_stream_same_as_batch(spark, sf_dir):
+    """Point-in-time dimension enrichment runs UNCHANGED on a streaming
+    fact feed (stateless broadcast range probe → valid in stream-static
+    joins) and matches the batch result row for row."""
+    from volga_spark.operators.scd import scd2_init, scd2_lookup
+    from volga_spark.streaming.runner import run_available_now_to_memory
+    from volga_spark.streaming.sources import chunked_file_stream
+    from volga_spark.tables import load_table
+
+    changes = [
+        (u, ts, tier)
+        for u in range(50)
+        for ts, tier in [(0, "bronze"), (500_000, "silver"), (900_000, "gold")]
+    ]
+    dim_src = spark.createDataFrame(changes, "user_id bigint, eff_ts bigint, tier string")
+    dim = scd2_init(dim_src, "user_id", ["tier"], ts_col="eff_ts")
+
+    facts = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "(unix_micros(ts) div 1000000) % 1000000 AS fact_ts"
+    )
+    batch_out = scd2_lookup(facts, dim, "user_id", "fact_ts", ["tier"])
+
+    stream, _ = chunked_file_stream(
+        spark, sf_dir, "events", ts_col="ts", n_chunks=3
+    )
+    sfacts = stream.selectExpr(
+        "event_id", "user_id", "(unix_micros(ts) div 1000000) % 1000000 AS fact_ts"
+    )
+    stream_out = run_available_now_to_memory(
+        scd2_lookup(sfacts, dim, "user_id", "fact_ts", ["tier"]),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, stream_out.collect()))
+    want = sorted(map(tuple, batch_out.collect()))
+    assert got == want and len(want) > 0

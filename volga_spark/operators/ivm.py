@@ -1,0 +1,141 @@
+"""Incremental view maintenance for aggregate materializations.
+
+A 100 TB fact table's rollups (per-key counts, sums, min/max, avg) must
+not be recomputed from scratch per ingest batch. The standard IVM algebra
+for distributive/algebraic aggregates:
+
+- COUNT/SUM are abelian-group aggregates: inserts ADD, deletes SUBTRACT —
+  maintenance is exact under arbitrary insert/delete mixes.
+- MIN/MAX are only semigroup: inserts merge (min of mins), but a DELETE
+  of the current extremum cannot be repaired from the state alone. The
+  operator therefore maintains min/max incrementally for inserts and,
+  when a delete batch touches a group, flags that group for re-aggregation
+  (`maintain_agg` returns the dirty-key frame; `repair_minmax` recomputes
+  JUST those groups against the base table — cost ∝ affected groups, not
+  the view).
+- AVG rides as SUM/COUNT (never a stored float — the repo's float-parity
+  rule: the division happens at READ time, from exact integers/decimals).
+
+Every path is a map-side-combinable groupBy over (key, measures) deltas —
+one narrow shuffle per batch, state never leaves the executors. The merge
+result is hash-identical to a full re-aggregation (property-tested, and
+the DuckDB twin mirrors the read-time AVG division).
+
+Reference: the reference's tiles/retractable accumulators
+(reference src/runtime/operators/window/state/tiles.rs, aggregates with
+retract support) are the streaming-window instance of the same algebra;
+this module is the batch-warehouse instance over plain frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ("__cnt", "__sum", "__min", "__max")
+
+
+def init_agg(base: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Bootstrap the view state from the base table: per-key
+    (count, sum, min, max) with the sum carried as DECIMAL(38,6) so later
+    adds/subtracts are exact regardless of order."""
+    return base.groupBy(*keys).agg(
+        F.count(value_col).alias("__cnt"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__sum"),
+        F.min(value_col).alias("__min"),
+        F.max(value_col).alias("__max"),
+    )
+
+
+def maintain_agg(
+    state: DataFrame,
+    inserts: DataFrame | None,
+    deletes: DataFrame | None,
+    keys: list[str],
+    value_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold insert/delete batches into the view state.
+
+    Returns (new_state, dirty_keys): COUNT/SUM are exact for both
+    directions; MIN/MAX are exact for inserts, and any group a delete
+    touched appears in `dirty_keys` with its min/max NULLED in the state —
+    call :func:`repair_minmax` against the base table to restore them.
+    Groups whose count reaches 0 are dropped from the state."""
+    spark = state.sparkSession
+    parts = [
+        state.select(
+            *keys, "__cnt", "__sum", "__min", "__max", F.lit(0).alias("__del")
+        )
+    ]
+    if inserts is not None:
+        parts.append(
+            init_agg(inserts, keys, value_col).withColumn("__del", F.lit(0))
+        )
+    if deletes is not None:
+        neg = deletes.groupBy(*keys).agg(
+            (-F.count(value_col)).alias("__cnt"),
+            (-F.sum(F.col(value_col).cast("decimal(38,6)"))).alias("__sum"),
+            F.lit(None).cast(state.schema["__min"].dataType).alias("__min"),
+            F.lit(None).cast(state.schema["__max"].dataType).alias("__max"),
+        )
+        parts.append(neg.withColumn("__del", F.lit(1)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy(*keys).agg(
+        F.sum("__cnt").alias("__cnt"),
+        F.sum("__sum").alias("__sum"),
+        # min/max of partial minima/maxima — valid only when no delete
+        # touched the group (the __del flag travels through max())
+        F.min("__min").alias("__min"),
+        F.max("__max").alias("__max"),
+        F.max("__del").alias("__dirty"),
+    )
+    merged = merged.filter(F.col("__cnt") > 0)
+    new_state = merged.select(
+        *keys,
+        "__cnt",
+        "__sum",
+        F.when(F.col("__dirty") == 1, F.lit(None)).otherwise(F.col("__min")).alias("__min"),
+        F.when(F.col("__dirty") == 1, F.lit(None)).otherwise(F.col("__max")).alias("__max"),
+    )
+    dirty = merged.filter(F.col("__dirty") == 1).select(*keys)
+    _ = spark  # session retained for symmetry with other maintainers
+    return new_state, dirty
+
+
+def repair_minmax(
+    state: DataFrame,
+    base: DataFrame,
+    dirty_keys: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Recompute min/max for the dirty groups only: the base table is
+    scanned ONCE filtered to dirty keys (broadcast semi-join — dirty sets
+    are small by construction), cost ∝ rows of affected groups."""
+    affected = base.join(F.broadcast(dirty_keys), keys, "leftsemi")
+    fixed = affected.groupBy(*keys).agg(
+        F.min(value_col).alias("__fmin"), F.max(value_col).alias("__fmax")
+    )
+    out = state.join(F.broadcast(fixed), keys, "left")
+    return out.select(
+        *keys,
+        "__cnt",
+        "__sum",
+        F.coalesce("__min", "__fmin").alias("__min"),
+        F.coalesce("__max", "__fmax").alias("__max"),
+    )
+
+
+def read_view(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Consumer-facing view: count, sum (double), avg (exact division of
+    the decimal sum at read time — never a stored float), min, max."""
+    return state.select(
+        *keys,
+        F.col("__cnt").alias("n"),
+        F.col("__sum").cast("double").alias("total"),
+        (F.col("__sum") / F.col("__cnt")).cast("double").alias("avg"),
+        F.col("__min").alias("vmin"),
+        F.col("__max").alias("vmax"),
+    )
