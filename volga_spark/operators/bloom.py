@@ -16,10 +16,11 @@ this is a first-class PySpark implementation with both halves
 distribution-correct:
 
 - BUILD (:func:`build_bloom`): k bit positions per key from
-  `xxhash64(key, seed_i)` — computed JVM-side, collected per partition
-  into a numpy bitmap, OR-merged with `treeAggregate`. The driver only
-  ever holds bitmaps (m/8 bytes each), never keys; a 10M-key filter at
-  fpp≈0.01 is ~12 MB.
+  `xxhash64(key, seed_i)` — computed JVM-side, folded to (word_idx,
+  bits) rows with native shift exprs and OR-merged by a `bit_or`
+  aggregate (map-side combinable; no Python, no `.rdd` — the engine-wide
+  ban). The driver only ever collects the NONZERO bitmap words (≤ m/64
+  rows), never keys; a 10M-key filter at fpp≈0.01 is ~12 MB.
 - PROBE (:func:`might_contain`): a pure native-expression predicate —
   for each of the k hashes, test bit `pmod(xxhash64(col, seed), m)` in
   the bitmap shipped as an array<long> literal. No Python in the probe
@@ -75,34 +76,38 @@ def build_bloom(
     expected_items: int | None = None,
     bits_per_key: int = DEFAULT_BITS_PER_KEY,
 ) -> BloomFilter:
-    """Distributed build: k JVM-side xxhash64 positions per key, numpy
-    bitmaps per partition, treeAggregate OR-merge. Driver memory = one
-    bitmap, independent of key count."""
+    """Distributed build, fully native: per key, k xxhash64 positions →
+    (word_idx, single-bit word) rows via shift exprs → `bit_or` aggregate
+    (map-side combinable). The driver collects only the nonzero words
+    (≤ m/64 rows), independent of key count."""
     if expected_items is None:
         expected_items = build.select(key_col).distinct().count()
     n_bits, k = _n_bits_k(max(expected_items, 1), bits_per_key)
-
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(_SEED_BASE + i)), F.lit(n_bits))
-        .cast("long")
-        .alias(f"p{i}")
-        for i in range(k)
-    ]
-    positions = build.select(*pos_cols)
     n_words = n_bits // 64
 
-    def seq(acc: np.ndarray, row) -> np.ndarray:
-        for i in range(k):
-            p = row[i]
-            acc[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
-        return acc
-
-    def comb(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return a | b
-
-    words = positions.rdd.treeAggregate(
-        np.zeros(n_words, dtype=np.uint64), seq, comb
+    pos_cols = F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.col(key_col), F.lit(_SEED_BASE + i)),
+                F.lit(n_bits),
+            ).cast("long")
+            for i in range(k)
+        ]
     )
+    words_df = (
+        build.select(F.explode(pos_cols).alias("p"))
+        .select(
+            F.shiftright(F.col("p"), 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bits"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("word"))
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in words_df.collect():
+        words[int(r["word_idx"])] = np.uint64(np.int64(r["word"]))
     return BloomFilter(words, n_bits, k)
 
 
