@@ -74,9 +74,19 @@ def bm25_topk(
     frame — broadcast. Returns (query_id, rank, doc_id, score_micro) with
     score_micro = Σ_t floor(idf·tfnorm·1e6) (exact BIGINT, see module doc).
     """
+    postings, doclen, stats = bm25_index(docs, id_col, text_col)
+    # one-shot path: pin the branch point — postings feeds doclen/stats/
+    # matched and would otherwise re-run the explode+shuffle per consumer
+    # (the q_training_pipeline lesson; a standing index persists instead)
+    postings = postings.localCheckpoint(eager=False)
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl")).localCheckpoint(
+        eager=False
+    )
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
     return bm25_topk_from_index(
-        bm25_index(docs, id_col, text_col), queries, k=k, k1=k1, b=b,
-        id_col=id_col,
+        (postings, doclen, stats), queries, k=k, k1=k1, b=b, id_col=id_col
     )
 
 
@@ -149,7 +159,13 @@ def bm25_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
     Persist postings bucketed by term to amortize across query batches."""
     toks = tokenize(docs, id_col, text_col)
     postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # doclen/stats derive FROM postings (dl = Σ tf), not from a second
+    # aggregation of the raw token stream — one explode+shuffle of the
+    # corpus feeds all three frames. Callers that fan postings out to
+    # multiple consumers pin the branch point themselves: persist() for a
+    # standing index (SearchService), lazy localCheckpoint for the
+    # one-shot bm25_topk path.
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
