@@ -168,6 +168,10 @@ def pack_sequences(
     d = d.withColumn(
         "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
     )
+    # branch point: d feeds BOTH the bucket-totals aggregate and the final
+    # join — pin it so the upstream mixture window runs once, not per
+    # consumer (lazy localCheckpoint, the repo's branch discipline)
+    d = d.localCheckpoint(eager=False)
 
     # phase 2: 256-row bucket totals → exclusive bases (tiny window), then
     # broadcast the bases back
