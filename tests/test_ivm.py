@@ -119,3 +119,39 @@ def test_maintenance_plan_is_one_shuffle(spark):
     # narrow (key + 4 measures); no joins, no Python
     assert p.count("hashpartitioning(") <= 2, p[:3000]
     assert "BatchEvalPython" not in p and "Join" not in p
+
+
+def test_distinct_sketch_merge_equals_rebuild_exactly(spark):
+    """HLL union is deterministic: batch-folded sketches give BIT-identical
+    estimates to a one-shot build, and estimates track exact distincts."""
+    from volga_spark.operators.ivm import (
+        init_distinct,
+        maintain_distinct,
+        read_distinct,
+    )
+
+    rows = [(f"k{i % 5}", i % 400) for i in range(3000)]
+    base = spark.createDataFrame(rows[:1000], "k string, v bigint")
+    b1 = spark.createDataFrame(rows[1000:2000], "k string, v bigint")
+    b2 = spark.createDataFrame(rows[2000:], "k string, v bigint")
+
+    state = init_distinct(base, ["k"], "v")
+    state = maintain_distinct(state, b1, ["k"], "v").localCheckpoint(eager=True)
+    state = maintain_distinct(state, b2, ["k"], "v")
+    got = {r["k"]: r["approx_distinct"] for r in read_distinct(state, ["k"]).collect()}
+
+    full = init_distinct(
+        spark.createDataFrame(rows, "k string, v bigint"), ["k"], "v"
+    )
+    want = {r["k"]: r["approx_distinct"] for r in read_distinct(full, ["k"]).collect()}
+    assert got == want  # bit-identical, not merely close
+
+    exact = {
+        r["k"]: r["d"]
+        for r in spark.createDataFrame(rows, "k string, v bigint")
+        .groupBy("k")
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

@@ -139,3 +139,47 @@ def read_view(state: DataFrame, keys: list[str]) -> DataFrame:
         F.col("__min").alias("vmin"),
         F.col("__max").alias("vmax"),
     )
+
+
+# --- COUNT DISTINCT maintenance (HLL sketch state) ---------------------------
+#
+# COUNT DISTINCT is neither distributive nor algebraic — it cannot ride the
+# (cnt, sum, min, max) state above. The mergeable form is a per-group HLL
+# sketch (Spark 3.5+ ships Apache DataSketches HLL as native
+# hll_sketch_agg / hll_union_agg expressions): state is a small binary per
+# group, batch maintenance is one union-merge shuffle, and merge(b1, b2)
+# is bit-identical to rebuild(b1 ∪ b2) (sketch union is associative and
+# deterministic — asserted in tests, not just approximately equal).
+# Insert-only: HLL cannot retract; route deletes through a full re-agg of
+# the affected groups, the min/max repair discipline above.
+
+
+def init_distinct(
+    base: DataFrame, keys: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Bootstrap per-group HLL sketch state (lg_k=12 → ~1.6% rel. error,
+    4 KB max per group)."""
+    return base.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("__hll")
+    )
+
+
+def maintain_distinct(
+    state: DataFrame, inserts: DataFrame, keys: list[str], value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Fold an insert batch into the sketch state: one map-side-combinable
+    union-merge shuffle of (keys, sketch) rows."""
+    delta = init_distinct(inserts, keys, value_col, lg_k)
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("__hll").alias("__hll"))
+    )
+
+
+def read_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys, approx_distinct) view of the sketch state."""
+    return state.select(
+        *keys, F.hll_sketch_estimate("__hll").alias("approx_distinct")
+    )
