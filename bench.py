@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_text_analysis",
     "q_bm25_topk",
     "q_mix_pack",
+    "q_hybrid_rrf",
     "q_training_pipeline",
     "q_asof_join",
     "q_sessionize",
@@ -82,6 +83,7 @@ BANDS = {
     "q_text_analysis": 1.5,
     "q_bm25_topk": 3.5,
     "q_mix_pack": 2.0,
+    "q_hybrid_rrf": 5.5,
     "q_training_pipeline": 2.5,
     "q_asof_join": 1.4,
     "q_sessionize": 1.3,

@@ -89,3 +89,78 @@ def test_temperature_rates_math():
     assert all(v == 1.0 for v in all_of_it.values())
     with pytest.raises(ValueError):
         temperature_rates(sizes, -0.1, 10)
+
+
+def test_weighted_bottom_k_matches_python_reference(spark):
+    """A-ES with md5-derived u: the Spark selection equals an independent
+    Python replay of the same formula, and is partition-independent."""
+    import hashlib
+    import math
+
+    from volga_spark.operators.sampling import weighted_bottom_k
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+
+    def py_key(i, w, seed="volga"):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        u = (int(h[:12], 16) + 0.5) / 2**48
+        return math.log(u) / w
+
+    want = {
+        i for i, _ in sorted(
+            rows, key=lambda r: py_key(r[0], r[1]), reverse=True
+        )[:40]
+    }
+    got = {r["doc_id"] for r in weighted_bottom_k(df, "doc_id", "w", 40).collect()}
+    assert got == want
+    got2 = {
+        r["doc_id"]
+        for r in weighted_bottom_k(df.repartition(11), "doc_id", "w", 40).collect()
+    }
+    assert got2 == want
+
+
+def test_weighted_bottom_k_inclusion_tracks_weight(spark):
+    """Higher-weight rows are selected at measurably higher rates across
+    independent seeds (inclusion ∝ weight is the A-ES contract)."""
+    from volga_spark.operators.sampling import weighted_bottom_k
+
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    heavy_hits = light_hits = 0
+    for s in range(8):
+        sel = {
+            r["doc_id"]
+            for r in weighted_bottom_k(df, "doc_id", "w", 200, seed=f"s{s}").collect()
+        }
+        heavy_hits += sum(1 for i in sel if i < 100)
+        light_hits += sum(1 for i in sel if i >= 100)
+    # 100 heavy (w=10) vs 900 light (w=1): heavy inclusion rate must be
+    # several times the light rate (exact rates depend on k/N regime)
+    heavy_rate = heavy_hits / (8 * 100)
+    light_rate = light_hits / (8 * 900)
+    assert heavy_rate > 3 * light_rate, (heavy_rate, light_rate)
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id bigint, w double"
+    )
+    sel2 = {r["doc_id"] for r in weighted_bottom_k(df2, "doc_id", "w", 3).collect()}
+    assert sel2 == {3}
+
+
+def test_weighted_bottom_k_plan_take_ordered(spark):
+    import contextlib
+    import io
+
+    from volga_spark.operators.sampling import weighted_bottom_k
+
+    df = spark.createDataFrame(
+        [(i, 1.0 + i % 5) for i in range(500)], "doc_id bigint, w double"
+    )
+    out = weighted_bottom_k(df, "doc_id", "w", 25)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p  # no global sort

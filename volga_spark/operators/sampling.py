@@ -164,3 +164,44 @@ def temperature_rates(
             break
         remaining = budget - sum(sizes[k] for k in capped)
     return rates
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "volga",
+) -> DataFrame:
+    """EXACT-size weighted sample without replacement — deterministic
+    Efraimidis–Spirakis (2006) A-ES: each row gets key u^(1/w) with u
+    derived from md5(seed:id) (uniform in (0,1), never rand()), and the k
+    LARGEST keys win; inclusion probability is proportional to weight,
+    without replacement, in one pass.
+
+    Same plan shape as :func:`bottom_k_sample`: orderBy(key).limit(k)
+    compiles to TakeOrderedAndProject — per-partition top-k + a P×k driver
+    merge, no global sort. Deterministic across runs, partitionings, and
+    engines up to float ULPs in ln (the ORDER is float-valued; crafted
+    integer-ratio weights in tests sidestep tie ambiguity, and real
+    corpora have measure-zero ties).
+
+    The quality-weighted corpus-selection knob: w = classifier score or
+    perplexity-derived weight, k = document budget. Zero-weight rows are
+    excluded outright (their key underflows to the minimum)."""
+    # u in (0,1): 48 bits of the md5, offset by 0.5 ulp so u > 0
+    u = (
+        F.conv(F.substring(_rank(id_col, seed), 1, 12), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2 ** 48))
+    # key = ln(u)/w  (monotone transform of u^(1/w); avoids pow overflow
+    # for tiny weights). Larger is better: ln(u) < 0, so DIVIDING by a
+    # larger w moves the key toward 0. Keep the k LARGEST.
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__aes", key)
+        .orderBy(F.col("__aes").desc())
+        .limit(k)
+        .drop("__aes")
+    )

@@ -403,59 +403,65 @@ def q_join_multi_broadcast(spark, sf_dir):
 
 @workload(
     "q_join_semi_anti",
-    oracle="""
-        SELECT 'semi' AS kind, c_custkey, c_name
+    oracle=f"""
+        SELECT 'semi' AS kind, c_custkey, c_name AS s,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total
         FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
         UNION ALL
-        SELECT 'anti' AS kind, c_custkey, c_name
+        SELECT 'anti' AS kind, c_custkey, c_name AS s,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
-    """,
-    tags=("join",),
-)
-def q_join_semi_anti(spark, sf_dir):
-    """Semi join (customers with a ≥300k order) unioned with anti join
-    (customers with no ≥400k order — filtered build side, so non-empty at
-    every SF), tagged by kind. Both probe sides broadcast-able dims."""
-    c = load_table(spark, sf_dir, "customer")
-    semi_o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
-    anti_o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
-    semi = (
-        c.join(semi_o, c.c_custkey == semi_o.o_custkey, "left_semi")
-        .select(F.lit("semi").alias("kind"), "c_custkey", "c_name")
-    )
-    anti = (
-        c.join(anti_o, c.c_custkey == anti_o.o_custkey, "left_anti")
-        .select(F.lit("anti").alias("kind"), "c_custkey", "c_name")
-    )
-    return semi.unionAll(anti)
-
-
-@workload(
-    "q_join_outer",
-    oracle=f"""
-        SELECT c.c_custkey,
-               coalesce(count(o.o_orderkey), 0) AS n_orders,
-               {duck_dsum('o.o_totalprice')} AS total_spent
+        UNION ALL
+        SELECT 'outer' AS kind, c.c_custkey, CAST(NULL AS VARCHAR) AS s,
+               coalesce(count(o.o_orderkey), 0) AS n,
+               {duck_dsum('o.o_totalprice')} AS total
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey
     """,
     tags=("join",),
 )
-def q_join_outer(spark, sf_dir):
+def q_join_semi_anti(spark, sf_dir):
+    """Join-shape surface in one leg-tagged union: semi join (customers
+    with a ≥300k order), anti join (customers with no ≥400k order —
+    filtered build side, so non-empty at every SF), and the LEFT OUTER
+    join + aggregate that was formerly its own registry entry
+    q_join_outer (folded in r06 to free a slot for hybrid RRF). All probe
+    sides broadcast-able dims."""
     c = load_table(spark, sf_dir, "customer")
+    semi_o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    anti_o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    nulls = [
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("total"),
+    ]
+    semi = (
+        c.join(semi_o, c.c_custkey == semi_o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("kind"), "c_custkey",
+                F.col("c_name").alias("s"), *nulls)
+    )
+    anti = (
+        c.join(anti_o, c.c_custkey == anti_o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("kind"), "c_custkey",
+                F.col("c_name").alias("s"), *nulls)
+    )
     o = load_table(spark, sf_dir, "orders")
-    return (
+    outer = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            F.coalesce(F.count("o_orderkey"), F.lit(0)).alias("n_orders"),
-            dsum("o_totalprice").alias("total_spent"),
+            F.coalesce(F.count("o_orderkey"), F.lit(0)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .select(
+            F.lit("outer").alias("kind"), "c_custkey",
+            F.lit(None).cast("string").alias("s"), "n", "total",
         )
     )
+    return semi.unionByName(anti).unionByName(outer)
 
 
 @workload(
