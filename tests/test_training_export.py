@@ -1,0 +1,93 @@
+"""Training export: sequences are the exact concatenation of the selected
+BPE id stream, all-but-last exactly seq_len, manifest accounts for every
+token, deterministic rebuild."""
+
+from __future__ import annotations
+
+import hashlib
+
+from volga_spark.api.training_export import (
+    build_sequences,
+    export_training_shards,
+    read_manifest,
+)
+from volga_spark.operators.bpe import encode_bpe, train_bpe
+from volga_spark.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(200)
+
+
+def test_sequences_are_exact_token_stream(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    L = 128
+    seqs = {
+        r["seq_id"]: r["token_ids"]
+        for r in build_sequences(docs, model, L).collect()
+    }
+    # contiguous ids; all but last exactly L; last non-empty
+    assert sorted(seqs) == list(range(len(seqs)))
+    for sid, toks in seqs.items():
+        if sid != max(seqs):
+            assert len(toks) == L, sid
+        else:
+            assert 0 < len(toks) <= L
+    # the concatenated stream equals the selected docs' ids in rank order
+    enc = encode_bpe(docs, model)
+    rows = [
+        (r["doc_id"], r["bpe_ids"])
+        for r in enc.collect()
+        if len(r["bpe_ids"]) > 0
+    ]
+
+    def rank(i):
+        return hashlib.md5(f"volga-export:{i}".encode()).hexdigest()
+
+    rows.sort(key=lambda r: (rank(r[0]), r[0]))
+    want_stream = [t for _, ids in rows for t in ids]
+    got_stream = [t for sid in sorted(seqs) for t in seqs[sid]]
+    assert got_stream == want_stream
+
+
+def test_export_manifest_and_determinism(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    root = str(tmp_path / "export")
+    m = export_training_shards(docs, model, root, seq_len=128, n_shards=4)
+    assert m == read_manifest(spark, root)
+    assert m["total_tokens"] == sum(
+        s["n_tokens"] for s in m["shards"].values()
+    )
+    # totals match the sequence frame exactly
+    seqs = build_sequences(docs, model, 128)
+    agg = seqs.groupBy().sum("n_tokens").collect()[0][0]
+    assert m["total_tokens"] == agg and m["total_seqs"] == seqs.count()
+
+    # re-export reproduces identical sequences (deterministic provenance)
+    root2 = str(tmp_path / "export2")
+    export_training_shards(docs, model, root2, seq_len=128, n_shards=4)
+    a = sorted(
+        map(tuple, spark.read.parquet(f"{root}/shards").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(f"{root2}/shards").collect())
+    )
+    assert a == b
+
+
+def test_export_with_mixture_budget(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(docs.limit(100), num_merges=30)
+    m = export_training_shards(
+        docs,
+        model,
+        str(tmp_path / "mix"),
+        seq_len=64,
+        n_shards=2,
+        weights={"src0": 0.6, "src1": 0.4},
+        token_budget=3000,
+    )
+    # budgets bound the stream: ≤ budget + one straddling doc per domain
+    assert 0 < m["total_tokens"] < 3000 + 2 * 2000

@@ -14,6 +14,10 @@ The last data-side steps before tokens hit a trainer:
   sequences (GPT-style "concat then chunk"). A document whose tokens
   straddle a boundary yields one span row per sequence it touches:
   (doc_id, seq_id, seq_offset, doc_offset, span_len).
+  (The OTHER packing variant — greedy first-fit bins that never split a
+  document, per-shard — is `operators/chunking.pack_sequences`; this one
+  is the exact-fixed-length trainer shape, that one is the
+  no-truncation retrieval/context shape.)
 
 The packing prefix sum is the interesting distributed bit. A naive
 `SUM OVER (ORDER BY rank)` with no PARTITION BY collapses the whole corpus
@@ -91,14 +95,26 @@ def mixture_select(
     token total (exclusive) is under floor(weight·budget). Domains absent
     from `weights` are dropped. Output keeps (id, domain, n_tokens, rank).
     """
+    d = _with_tokens(docs, text_col).withColumn("rank", _rank(id_col, seed))
+    return budget_select(d, weights, token_budget, domain_col, id_col)
+
+
+def budget_select(
+    d: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The budget-window core of :func:`mixture_select` over a frame that
+    ALREADY carries `n_tokens` and `rank` columns — callers with their own
+    token accounting (e.g. BPE-id counts in the training export) use this
+    directly."""
     budgets = domain_budgets(weights, token_budget)
     budget_expr = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )[F.col(domain_col)]
-    d = _with_tokens(docs, text_col).filter(
-        F.col(domain_col).isin(list(budgets))
-    )
-    d = d.withColumn("rank", _rank(id_col, seed))
+    d = d.filter(F.col(domain_col).isin(list(budgets)))
     w = (
         Window.partitionBy(domain_col)
         .orderBy("rank", id_col)
