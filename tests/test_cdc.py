@@ -124,3 +124,44 @@ def test_stream_apply_equals_batch(spark, tmp_path):
     final = cdc_stream_apply(stream, ["k"])
     got = sorted(map(tuple, final.select("k", "val", "seq").collect()))
     assert got == _replay(changes)
+
+
+def test_stream_scd2_history_equals_bootstrap(spark, tmp_path):
+    """The streamed SCD2 dimension (suppress_noops=False, the out-of-order
+    contract) equals a one-shot bootstrap over all changes — including a
+    deliberately late-arriving batch."""
+    from volga_spark.operators.cdc import cdc_stream_scd2
+    from volga_spark.operators.scd import scd2_init
+
+    schema = "k bigint, eff_ts bigint, tier string"
+    changes = [
+        (u, ts, t)
+        for u in range(6)
+        for ts, t in [(0, "b"), (20, "b"), (10, "a"), (30, "c")]
+    ]
+    # chunk so the (10, 'a') rows arrive AFTER (20, 'b') — late data
+    src = str(tmp_path / "scd_src")
+    thirds = [changes[0::3], changes[1::3], changes[2::3]]
+    for i, part in enumerate(thirds):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dim = cdc_stream_scd2(stream, ["k"], ["tier"])
+    got = sorted(
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"])
+        for r in dim.collect()
+    )
+    boot = scd2_init(
+        spark.createDataFrame(changes, schema), "k", ["tier"],
+        suppress_noops=False,
+    )
+    want = sorted(
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"])
+        for r in boot.collect()
+    )
+    assert got == want and len(want) > 0

@@ -167,3 +167,81 @@ def cdc_stream_apply(
             change_stream.drop(op_col).schema,
         )
     return spark.read.parquet(f"{root}/v{cur['version']}")
+
+
+def cdc_stream_scd2(
+    change_stream: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "eff_ts",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Maintain a FULL SCD2 history (not just current state) under a CDC
+    change stream: each micro-batch folds into the versioned dimension via
+    `operators/scd.scd2_apply` with ``suppress_noops=False`` — the only
+    mode that is exact under the arbitrary cross-batch arrival order a
+    stream delivers (the hypothesis-pinned late-arrival contract). Same
+    versioned-parquet/epoch-retry discipline as :func:`cdc_stream_apply`;
+    returns the final dimension (key, attrs, valid_from, valid_to).
+
+    This is the warehouse bridge: the same change feed can drive BOTH the
+    current-state mirror (cdc_stream_apply) and the time-travel dimension
+    (this) from one checkpointed stream."""
+    import shutil
+
+    from volga_spark.operators.scd import scd2_apply
+    from volga_spark.streaming.runner import (
+        _checkpoint_dir,
+        _state_root,
+        _stream_shuffle,
+    )
+
+    spark = change_stream.sparkSession
+    root = _state_root()
+    cur = {"version": None}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        prev_version = cur["version"]
+        if prev_version == epoch_id:
+            return
+        key0 = key_cols[0]
+        if prev_version is not None:
+            prev = batch_df.sparkSession.read.parquet(f"{root}/v{prev_version}")
+        else:
+            prev = (
+                batch_df.select(
+                    *key_cols,
+                    *attr_cols,
+                    F.col(ts_col).alias("valid_from"),
+                    F.lit(None)
+                    .cast(batch_df.schema[ts_col].dataType)
+                    .alias("valid_to"),
+                ).limit(0)
+            )
+        new_dim = scd2_apply(
+            prev, batch_df, key0, attr_cols, ts_col, suppress_noops=False
+        )
+        new_dim.write.mode("overwrite").parquet(f"{root}/v{epoch_id}")
+        cur["version"] = epoch_id
+        if prev_version is not None and prev_version != epoch_id:
+            shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
+
+    ckpt = _checkpoint_dir()
+    with _stream_shuffle(spark):
+        q = (
+            change_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if cur["version"] is None:
+        return change_stream.sparkSession.createDataFrame(
+            [], f"{key_cols[0]} bigint, valid_from bigint, valid_to bigint"
+        )
+    return spark.read.parquet(f"{root}/v{cur['version']}")
