@@ -109,3 +109,58 @@ def test_full_pretraining_pipeline(spark, sf_dir):
     row = report1.collect()[0]
     assert row["n_docs"] == n3
     assert row["exact_dup_rate"] == 0.0  # we just deduped
+
+
+def test_curation_to_export_to_search_composes(spark, sf_dir, tmp_path):
+    """The r06 tiers compose end-to-end: curation spec → publish (atomic
+    version) → training export over the PUBLISHED corpus → standing BM25
+    index over the same corpus answers queries. Each stage's exactness is
+    pinned elsewhere; this pins the hand-offs."""
+    from volga_spark.api.curation import CurationSpec
+    from volga_spark.api.training_export import (
+        export_training_shards,
+        read_manifest,
+    )
+    from volga_spark.operators.bpe import train_bpe
+    from volga_spark.operators.publish import publish_version, read_latest
+    from volga_spark.operators.retrieval import bm25_index, bm25_topk_from_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    # 1. curate (gate + dedup) and publish as v1
+    spec = CurationSpec(
+        stages=[
+            {"op": "min_chars", "n": 20},
+            {"op": "exact_dedup"},
+        ]
+    )
+    curated = spec.build(spark, docs)
+    root = str(tmp_path / "corpus")
+    assert publish_version(curated, root) == 1
+    published = read_latest(spark, root)
+    n_pub = published.count()
+    assert 0 < n_pub <= docs.count()
+
+    # 2. export training shards FROM the published version
+    model = train_bpe(published, num_merges=40)
+    ex_root = str(tmp_path / "export")
+    manifest = export_training_shards(
+        published, model, ex_root, seq_len=96, n_shards=2
+    )
+    assert manifest == read_manifest(spark, ex_root)
+    assert manifest["total_tokens"] > 0
+    shards = spark.read.parquet(f"{ex_root}/shards")
+    assert shards.count() == manifest["total_seqs"]
+
+    # 3. standing BM25 index over the SAME published corpus serves queries
+    #    whose hits are all published doc_ids
+    idx = bm25_index(published)
+    qs = spark.createDataFrame(
+        [(1, "spark window agg")], "query_id int, qtext string"
+    )
+    hits = bm25_topk_from_index(idx, qs, k=5).collect()
+    assert len(hits) > 0
+    pub_ids = {r["doc_id"] for r in published.select("doc_id").collect()}
+    assert all(r["doc_id"] in pub_ids for r in hits)
