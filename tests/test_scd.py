@@ -172,3 +172,19 @@ def test_scd2_lookup_enriches_stream_same_as_batch(spark, sf_dir):
     got = sorted(map(tuple, stream_out.collect()))
     want = sorted(map(tuple, batch_out.collect()))
     assert got == want and len(want) > 0
+
+
+def test_unsuppressed_bootstrap_matches_duckdb(spark, sf_dir):
+    """suppress_noops=False hash-matches its DuckDB twin too (the
+    out-of-order-feed mode keeps every observation)."""
+    got = scd2_init(
+        _changes(spark, sf_dir), "user_id", ["tier"], suppress_noops=False
+    ).toPandas()
+    oracle = run_oracle(
+        scd2_oracle_sql(
+            _CHANGES_SQL, "user_id", ["tier"], suppress_noops=False
+        ),
+        sf_dir,
+    )
+    assert len(got) > 0
+    assert not compare_frames(got, oracle)

@@ -166,13 +166,18 @@ def scd2_oracle_sql(
     key_col: str,
     attr_cols: list[str],
     ts_col: str = "eff_ts",
+    suppress_noops: bool = True,
 ) -> str:
     """DuckDB twin of `scd2_init` (bootstrap-from-changes): same window,
-    same change-last tie order, same no-op suppression, same zero-width
-    drop."""
+    same change-last tie order, same zero-width drop, and the same
+    `suppress_noops` switch as the operator (False = keep every
+    observation, the out-of-order-feed mode)."""
     attrs = ", ".join(attr_cols)
     same = " AND ".join(
         f"({c} IS NOT DISTINCT FROM lag({c}) OVER w)" for c in attr_cols
+    )
+    kept_filter = (
+        "WHERE NOT (has_prev AND same_as_prev)" if suppress_noops else ""
     )
     return f"""
     WITH ch AS ({changes_sql}),
@@ -184,7 +189,7 @@ def scd2_oracle_sql(
         WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})
     ),
     kept AS (
-        SELECT * FROM seq WHERE NOT (has_prev AND same_as_prev)
+        SELECT * FROM seq {kept_filter}
     )
     SELECT {key_col}, {attrs}, valid_from,
            lead(valid_from) OVER
