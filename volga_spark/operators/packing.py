@@ -90,13 +90,83 @@ def mixture_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "volga-mix",
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """Keep docs per domain, in md5-rank order, while the domain's running
     token total (exclusive) is under floor(weight·budget). Domains absent
     from `weights` are dropped. Output keeps (id, domain, n_tokens, rank).
-    """
+
+    `prefilter_margin` is the budget ≪ corpus scale knob: the per-domain
+    window sorts the WHOLE domain by rank, which is wasteful when a
+    domain's corpus vastly exceeds its budget. With a margin m, a first
+    narrow aggregate measures each domain's total tokens T_d, and only
+    the rank-PREFIX expected to hold ~m× the budget (fraction
+    min(1, m·budget_d/T_d) of the rank space) enters the sort. Because
+    the md5 rank is uniform and the filter keeps a strict rank prefix,
+    the result is EXACT whenever the prefix covers the budget — and the
+    operator VERIFIES that per domain (selected total ≥ budget, or the
+    domain was taken whole) and transparently re-runs any undershot
+    domain unfiltered, so the answer is always identical to the
+    unfiltered window (property-tested, including a forced-fallback
+    margin). m=2 makes fallback vanishingly unlikely in practice."""
     d = _with_tokens(docs, text_col).withColumn("rank", _rank(id_col, seed))
-    return budget_select(d, weights, token_budget, domain_col, id_col)
+    if not prefilter_margin:
+        return budget_select(d, weights, token_budget, domain_col, id_col)
+
+    budgets = domain_budgets(weights, token_budget)
+    totals = {
+        r[0]: (int(r[1]), int(r[2]))
+        for r in d.filter(F.col(domain_col).isin(list(budgets)))
+        .groupBy(domain_col)
+        .agg(F.sum("n_tokens"), F.count("*"))
+        .collect()
+    }
+    # fraction of the 48-bit rank space each domain keeps (python floats —
+    # thresholds only steer the prefilter; exactness comes from the
+    # verify-and-fallback below, never from the threshold itself)
+    frac = {
+        dom: min(1.0, prefilter_margin * budgets.get(dom, 0) / max(T, 1))
+        for dom, (T, _) in totals.items()
+    }
+    bucket48 = F.conv(F.substring("rank", 1, 12), 16, 10).cast("decimal(20,0)")
+    thr_expr = F.create_map(
+        *[
+            x
+            for dom, f in frac.items()
+            for x in (F.lit(dom), F.lit(int(f * (2**48))))
+        ]
+    )[F.col(domain_col)]
+    pre = d.filter(bucket48 < thr_expr)
+    sel = budget_select(pre, weights, token_budget, domain_col, id_col)
+
+    # exactness check: a domain's prefix selection equals the unfiltered
+    # selection iff the budget (not data exhaustion) cut it off — selected
+    # total ≥ budget — or the whole domain passed the prefilter
+    sel = sel.localCheckpoint(eager=False)
+    got = {
+        r[0]: (int(r[1]), int(r[2]))
+        for r in sel.groupBy("domain")
+        .agg(F.sum("n_tokens"), F.count("*"))
+        .collect()
+    }
+    undershot = [
+        dom
+        for dom, (T, n_rows) in totals.items()
+        if frac.get(dom, 1.0) < 1.0
+        and got.get(dom, (0, 0))[0] < budgets.get(dom, 0)
+    ]
+    if not undershot:
+        return sel
+    # re-run just the undershot domains without the prefilter (rare by
+    # construction at any sane margin; exactness is unconditional)
+    redo = budget_select(
+        d.filter(F.col(domain_col).isin(undershot)),
+        {k: v for k, v in weights.items() if k in undershot},
+        token_budget,
+        domain_col,
+        id_col,
+    )
+    return sel.filter(~F.col("domain").isin(undershot)).unionByName(redo)
 
 
 def budget_select(
