@@ -6,8 +6,11 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from volga_spark.api.training_export import (
     build_sequences,
+    epoch_read_plan,
     export_training_shards,
     read_manifest,
 )
@@ -75,6 +78,99 @@ def test_export_manifest_and_determinism(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(f"{root2}/shards").collect())
     )
     assert a == b
+
+
+def test_export_global_shuffle(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    root = str(tmp_path / "shuf")
+    m = export_training_shards(
+        docs, model, root, seq_len=64, n_shards=4, shuffle_seed="s1"
+    )
+    assert m["shuffle_seed"] == "s1"
+    out = spark.read.parquet(f"{root}/shards")
+
+    # shuffling is a pure reorder: same sequences, same ids, same tokens
+    plain = build_sequences(docs, model, 64)
+    a = sorted((r["seq_id"], tuple(r["token_ids"])) for r in out.collect())
+    b = sorted((r["seq_id"], tuple(r["token_ids"])) for r in plain.collect())
+    assert a == b
+    n = len(a)
+
+    # the global order is EXACTLY the md5(seed:seq_id) permutation —
+    # engine-parity against an independent pure-python ranking
+    order = [
+        r["seq_id"] for r in out.orderBy("shuffle_pos", "seq_id").collect()
+    ]
+    want = sorted(
+        range(n), key=lambda i: hashlib.md5(f"s1:{i}".encode()).hexdigest()
+    )
+    assert order == want and order != sorted(order)
+
+    # shard assignment is the md5 bucket rule, and every shard draws
+    # seq_ids from across the whole id range (decorrelated from position)
+    for r in out.select("shard", "seq_id").collect():
+        bucket = (
+            int(hashlib.md5(f"s1:{r['seq_id']}".encode()).hexdigest()[:12], 16)
+            % 1_000_000
+        )
+        assert r["shard"] == bucket % 4
+    spans = {
+        r["shard"]: (r["lo"], r["hi"])
+        for r in out.groupBy("shard")
+        .agg(F.min("seq_id").alias("lo"), F.max("seq_id").alias("hi"))
+        .collect()
+    }
+    assert len(spans) == 4
+    for lo, hi in spans.values():
+        assert hi - lo > n // 2
+
+    # a different seed yields a different permutation
+    root2 = str(tmp_path / "shuf2")
+    export_training_shards(
+        docs, model, root2, seq_len=64, n_shards=4, shuffle_seed="s2"
+    )
+    order2 = [
+        r["seq_id"]
+        for r in spark.read.parquet(f"{root2}/shards")
+        .orderBy("shuffle_pos", "seq_id")
+        .collect()
+    ]
+    assert sorted(order2) == sorted(order) and order2 != order
+
+
+def test_epoch_read_plan_fresh_permutation_per_epoch(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    root = str(tmp_path / "epochs")
+    export_training_shards(
+        docs, model, root, seq_len=64, n_shards=3, shuffle_seed="s1"
+    )
+
+    def epoch_order(epoch):
+        df = epoch_read_plan(spark, root, epoch, n_slices=4)
+        # partitions in index order, rows in partition order == the stream
+        rows = df.select("seq_id", "epoch_pos").collect()
+        return [r["seq_id"] for r in rows]
+
+    e0, e1 = epoch_order(0), epoch_order(1)
+    n = len(e0)
+    # each epoch is a full permutation, epochs differ, and each matches
+    # the independently-computed md5 prediction
+    assert sorted(e0) == list(range(n)) == sorted(e1)
+    assert e0 != e1
+    for epoch, got in ((0, e0), (1, e1)):
+        want = sorted(
+            range(n),
+            key=lambda i: hashlib.md5(
+                f"volga-epoch:{epoch}:{i}".encode()
+            ).hexdigest(),
+        )
+        assert got == want
+    # reading the same epoch twice is reproducible
+    assert epoch_order(1) == e1
 
 
 def test_export_with_mixture_budget(spark, sf_dir, tmp_path):

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from volga_spark.operators.bpe import BpeModel, encode_bpe
 from volga_spark.operators.packing import budget_select, pack_sequences
 from volga_spark.operators.publish import _HadoopFs
-from volga_spark.operators.sampling import _rank
+from volga_spark.operators.sampling import _bucket, _rank
 
 
 def build_sequences(
@@ -106,14 +106,44 @@ def export_training_shards(
     root: str,
     seq_len: int,
     n_shards: int = 8,
+    shuffle_seed: str | None = None,
     **kwargs,
 ) -> dict:
     """Write `build_sequences` output as hive-sharded parquet plus a
-    manifest; returns the manifest dict."""
+    manifest; returns the manifest dict.
+
+    ``shuffle_seed`` turns on a deterministic GLOBAL shuffle of sequence
+    order — the property a pretraining dataloader needs (adjacent
+    sequences come from the same packed document run; feeding them in
+    seq_id order correlates consecutive batches). Both the shard
+    assignment and the within-shard order become pure functions of
+    (seed, seq_id) via the md5 rank discipline of ``operators/sampling``
+    (engine-portable, reproducible across runs and partitionings): shard
+    = md5-bucket(seed, seq_id) % n_shards, order = md5(seed:seq_id).
+    A reader that walks shards in index order and rows in ``shuffle_pos``
+    order sees one fixed uniform permutation of the whole corpus.
+
+    Scale: the shuffle costs exactly one hash exchange on ``shard`` plus
+    a per-shard sort — the same single move the unshuffled write already
+    pays, with sort keys that are 32-byte strings, not the token
+    payload. No global sort, no driver-side permutation table.
+    """
     spark = docs.sparkSession
-    seqs = build_sequences(docs, model, seq_len, **kwargs).withColumn(
-        "shard", F.pmod(F.col("seq_id"), F.lit(n_shards)).cast("int")
-    )
+    seqs = build_sequences(docs, model, seq_len, **kwargs)
+    if shuffle_seed is None:
+        seqs = seqs.withColumn(
+            "shard", F.pmod(F.col("seq_id"), F.lit(n_shards)).cast("int")
+        )
+    else:
+        seqs = (
+            seqs.withColumn(
+                "shard",
+                (_bucket("seq_id", shuffle_seed) % n_shards).cast("int"),
+            )
+            .withColumn("shuffle_pos", _rank("seq_id", shuffle_seed))
+            .repartition("shard")
+            .sortWithinPartitions("shard", "shuffle_pos", "seq_id")
+        )
     data_root = f"{root.rstrip('/')}/shards"
     seqs.write.mode("overwrite").partitionBy("shard").parquet(data_root)
 
@@ -131,6 +161,7 @@ def export_training_shards(
     manifest = {
         "seq_len": seq_len,
         "n_shards": n_shards,
+        "shuffle_seed": shuffle_seed,
         "shards": per_shard,
         "total_seqs": int(sum(s["n_seqs"] for s in per_shard.values())),
         "total_tokens": int(sum(s["n_tokens"] for s in per_shard.values())),
@@ -145,3 +176,40 @@ def export_training_shards(
 def read_manifest(spark: SparkSession, root: str) -> dict:
     fs = _HadoopFs(spark, root)
     return json.loads(fs.read_text(f"{root.rstrip('/')}/_manifest.json"))
+
+
+def epoch_read_plan(
+    spark: SparkSession,
+    root: str,
+    epoch: int,
+    n_slices: int | None = None,
+    seed: str = "volga-epoch",
+) -> DataFrame:
+    """A FRESH deterministic global permutation of an exported shard set
+    for each training epoch — with ZERO data rewrite.
+
+    Multi-epoch training wants a different shuffle every epoch; rewriting
+    100 TB of shards per epoch is absurd, and the usual dataloader
+    compromise (fixed shard order, small in-memory shuffle buffer) only
+    mixes locally. Because every sequence carries a stable ``seq_id``,
+    a brand-new permutation is just a DERIVED sort key:
+    ``epoch_pos = md5(seed:epoch : seq_id)`` — so each epoch costs one
+    range exchange of the sequences (the same single move any shuffle
+    pays), not a rewrite of the artifact.
+
+    Returns the sequences with an ``epoch_pos`` column,
+    range-partitioned into ``n_slices`` contiguous slices of the
+    permuted order and sorted within each slice: a reader that walks
+    partitions in index order streams the full epoch-``epoch``
+    permutation. Slice boundaries come from Spark's range-partitioner
+    sample, so slice SIZES can drift run-to-run — the ORDER (the
+    training-relevant property) is exact and reproducible.
+    """
+    seqs = spark.read.parquet(f"{root.rstrip('/')}/shards")
+    pos = _rank("seq_id", f"{seed}:{epoch}")
+    out = seqs.withColumn("epoch_pos", pos)
+    if n_slices is not None:
+        out = out.repartitionByRange(n_slices, "epoch_pos", "seq_id")
+    else:
+        out = out.repartitionByRange("epoch_pos", "seq_id")
+    return out.sortWithinPartitions("epoch_pos", "seq_id")
