@@ -6,6 +6,7 @@ from __future__ import annotations
 import random
 
 import duckdb
+from pyspark.sql import functions as F
 
 from volga_spark.operators.cdc import apply_cdc, apply_cdc_oracle_sql
 
@@ -78,6 +79,62 @@ def test_redelivery_is_idempotent(spark):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, state.collect())
     )
+
+
+def test_redelivery_past_a_delete_needs_tombstones(spark):
+    """A key whose LAST applied op is a delete: replaying an older prefix
+    must not resurrect it. The plain merge forgets deletes (documented);
+    keep_tombstones retains the delete's seq and stays idempotent."""
+    from volga_spark.operators.cdc import live_rows
+
+    changes = [(1, "a", 1, "I"), (1, "b", 2, "U"), (1, None, 3, "D")]
+    empty = spark.createDataFrame([], STATE_SCHEMA)
+    full = spark.createDataFrame(changes, CHG_SCHEMA)
+    state = apply_cdc(
+        empty, full, ["k"], keep_tombstones=True
+    ).localCheckpoint(eager=True)
+    assert live_rows(state).count() == 0  # key 1 is deleted
+    # redeliver the pre-delete prefix — tombstone seq=3 out-ranks it
+    again = apply_cdc(
+        state,
+        spark.createDataFrame(changes[:2], CHG_SCHEMA),
+        ["k"],
+        keep_tombstones=True,
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, state.collect())
+    )
+    assert live_rows(again).count() == 0
+
+
+def test_tombstoned_matches_plain_on_live_rows(spark):
+    """keep_tombstones changes retention, not live-row semantics: the live
+    view of the tombstoned state equals the plain merge, across batches."""
+    from volga_spark.operators.cdc import live_rows
+
+    changes = _gen_changes(21, 70)
+    plain = spark.createDataFrame([], STATE_SCHEMA)
+    tomb = plain.withColumn("__deleted", F.lit(False))
+    for i in range(0, 70, 35):
+        batch = spark.createDataFrame(changes[i : i + 35], CHG_SCHEMA)
+        plain = apply_cdc(plain, batch, ["k"]).localCheckpoint(eager=True)
+        tomb = apply_cdc(
+            tomb, batch, ["k"], keep_tombstones=True
+        ).localCheckpoint(eager=True)
+    assert sorted(map(tuple, live_rows(tomb).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_stream_scd2_rejects_composite_keys(spark):
+    import pytest
+
+    from volga_spark.operators.cdc import cdc_stream_scd2
+
+    with pytest.raises(ValueError, match="exactly one key column"):
+        cdc_stream_scd2(
+            spark.readStream.format("rate").load(), ["a", "b"], ["v"]
+        )
 
 
 def test_duckdb_twin_matches(spark):

@@ -16,7 +16,7 @@ def test_build_load_and_recall(spark, sf_dir, tmp_path):
     assert (built.centroids == loaded.centroids).all()
 
     queries = emb.filter("vec_id < 10").withColumnRenamed("vec_id", "query_id")
-    got = loaded.topk(queries, k=5, n_probe=6)
+    got = loaded.topk(queries, k=5, n_probe=6, exclude_self=True)
     exact = brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
     g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
@@ -26,6 +26,20 @@ def test_build_load_and_recall(spark, sf_dir, tmp_path):
     # determinism: rebuild gives identical centroids and results
     built2 = IvfIndex.build(emb, str(tmp_path / "ivf2"), n_lists=16, seed=7)
     assert (built2.centroids == built.centroids).all()
+
+    # serving mode (default): query ids and doc ids are independent id
+    # spaces — an id collision must NOT hide the document. Every query
+    # here shares its id with a corpus row; the self row is its own
+    # nearest neighbor at cosine 1.0.
+    serve = loaded.topk(queries, k=5, n_probe=6)
+    by_q = {}
+    for r in serve.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"])
+        )
+    for qid, rows in by_q.items():
+        top = min(rows)
+        assert top[1] == qid and top[2] > 0.999, (qid, top)
 
 
 def test_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):

@@ -207,8 +207,20 @@ def _stage_mixture_select(
     `pack_sequences` (or terminally)."""
     from volga_spark.operators.packing import mixture_select
 
+    # a missing/empty weights map or non-positive budget would "succeed"
+    # by selecting zero documents — fail the spec at build time instead
+    if not weights:
+        raise ValueError(
+            "mixture_select stage requires a non-empty 'weights' map "
+            "(domain -> weight)"
+        )
+    if token_budget <= 0:
+        raise ValueError(
+            "mixture_select stage requires a positive 'token_budget'; got "
+            f"{token_budget!r}"
+        )
     return mixture_select(
-        df, weights or {}, token_budget, domain_col=domain_col,
+        df, weights, token_budget, domain_col=domain_col,
         id_col=spec.id_col, text_col=spec.text_col, seed=seed,
     )
 

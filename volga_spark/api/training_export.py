@@ -60,6 +60,10 @@ def build_sequences(
         enc.withColumn("n_tokens", F.size("bpe_ids").cast("bigint"))
         .filter(F.col("n_tokens") > 0)
         .withColumn("rank", _rank(id_col, seed))
+        # pin the branch point: `base` feeds BOTH the selection/packing
+        # pipeline and the bpe_ids side of the spans join below — without
+        # the pin the expensive BPE encode pass executes once per branch.
+        .localCheckpoint(eager=False)
     )
     if weights:
         selected = budget_select(

@@ -9,13 +9,17 @@ order. Semantics (standard CDC-merge contract):
   flip-flops within a batch collapse — only the final op matters);
 - winning op I/U → the key's new current row; winning op D → the key is
   absent from the new state;
-- vs the existing state: a change always supersedes the state row (the
-  state's implicit seq is ≤ every delivered change's seq — enforce with
-  `seq_floor` if redelivery can rewind, see below);
-- out-of-order delivery WITHIN a batch is handled by the seq order, and
-  re-delivered (at-least-once) events are idempotent: replaying any prefix
-  of already-applied changes leaves the state unchanged because the state
-  row carries its last-applied seq and older changes lose the merge.
+- vs the existing state: the higher seq wins — a live state row carries
+  its last-applied seq, so redelivered older changes lose the merge;
+- out-of-order delivery WITHIN a batch is handled by the seq order;
+- at-least-once redelivery of DELETES needs `keep_tombstones=True`: a
+  dropped key leaves no row to out-rank a redelivered older I/U, so the
+  maintained state must retain a tombstone row (null attrs,
+  `__deleted=true`) carrying the delete's seq. `cdc_stream_apply` always
+  maintains tombstoned state and strips tombstones only from the final
+  result; the plain one-shot form (keep_tombstones=False) is exact for a
+  log applied once and idempotent for I/U redelivery, but NOT for replays
+  that rewind past a delete — use tombstones for at-least-once feeds.
 
 Everything is one window over (key ∪ changes) — a single narrow shuffle
 per batch, the same shape as `streaming/runner.upsert_by_key` with delete
@@ -41,23 +45,40 @@ def apply_cdc(
     key_cols: list[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Return the new current-state table. `state` columns: keys + attrs +
-    `seq_col` (the seq that produced each row). `changes`: keys + attrs +
-    `seq_col` + `op_col`. Ties on (key, seq) resolve change-over-state,
-    and among changes D wins over I/U at the same seq (a delete emitted at
-    the same sequence point is the later intent in every CDC encoding)."""
+    `seq_col` (the seq that produced each row), plus a `__deleted` bool
+    column when it was produced with `keep_tombstones=True`. `changes`:
+    keys + attrs + `seq_col` + `op_col`. Ties on (key, seq) resolve
+    delete-over-live (a delete emitted at the same sequence point is the
+    later intent in every CDC encoding).
+
+    With `keep_tombstones=True` the result retains one row per DELETED key
+    (null attrs, the delete's seq, `__deleted=true`) so that replaying any
+    already-applied prefix — including one that rewinds past the delete —
+    is a no-op; strip with :func:`live_rows` when serving. Without it the
+    result contains live rows only (the classic one-shot merge; deletes
+    are forgotten, so only I/U redelivery is idempotent)."""
     attr_cols = [
-        c for c in state.columns if c not in key_cols and c != seq_col
+        c
+        for c in state.columns
+        if c not in key_cols and c not in (seq_col, "__deleted")
     ]
-    s = state.select(
-        *key_cols, *attr_cols, seq_col, F.lit("S").alias("__op")
+    # A state tombstone IS the last delete — re-enter the merge as one.
+    state_op = (
+        F.when(F.col("__deleted"), F.lit("D")).otherwise(F.lit("S"))
+        if "__deleted" in state.columns
+        else F.lit("S")
     )
+    s = state.select(*key_cols, *attr_cols, seq_col, state_op.alias("__op"))
     c = changes.select(
         *key_cols, *attr_cols, seq_col, F.col(op_col).alias("__op")
     )
     both = s.unionByName(c)
-    # priority: higher seq first; at equal seq, D > U/I > S
+    # priority: higher seq first; at equal seq, D > U/I > S. Equal-seq
+    # D-vs-D ties (a state tombstone vs its redelivered delete) produce
+    # identical output rows, so the arbitrary row_number pick is immaterial.
     prio = (
         F.when(F.col("__op") == "D", 2)
         .when(F.col("__op") == "S", 0)
@@ -71,7 +92,29 @@ def apply_cdc(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return latest.filter(F.col("__op") != "D").drop("__op")
+    if not keep_tombstones:
+        return latest.filter(F.col("__op") != "D").drop("__op")
+    deleted = F.col("__op") == "D"
+    return latest.select(
+        *key_cols,
+        # null the attrs on tombstones — whatever payload the delete event
+        # carried is not state
+        *[
+            F.when(deleted, F.lit(None).cast(latest.schema[a].dataType))
+            .otherwise(F.col(a))
+            .alias(a)
+            for a in attr_cols
+        ],
+        seq_col,
+        deleted.alias("__deleted"),
+    )
+
+
+def live_rows(state: DataFrame) -> DataFrame:
+    """Strip tombstones from a `keep_tombstones=True` state table."""
+    if "__deleted" not in state.columns:
+        return state
+    return state.filter(~F.col("__deleted")).drop("__deleted")
 
 
 def apply_cdc_oracle_sql(
@@ -140,8 +183,17 @@ def cdc_stream_apply(
         if prev_version is not None:
             prev = batch_df.sparkSession.read.parquet(f"{root}/v{prev_version}")
         else:
-            prev = batch_df.select(*key_cols, *attr_cols, seq_col).limit(0)
-        new_state = apply_cdc(prev, batch_df, key_cols, seq_col, op_col)
+            prev = (
+                batch_df.select(*key_cols, *attr_cols, seq_col)
+                .withColumn("__deleted", F.lit(False))
+                .limit(0)
+            )
+        # tombstones retained across batches: a micro-batch retry (or an
+        # upstream at-least-once source) may redeliver changes older than
+        # an applied delete — the tombstone's seq out-ranks them.
+        new_state = apply_cdc(
+            prev, batch_df, key_cols, seq_col, op_col, keep_tombstones=True
+        )
         new_state.write.mode("overwrite").parquet(f"{root}/v{epoch_id}")
         cur["version"] = epoch_id
         if prev_version is not None and prev_version != epoch_id:
@@ -166,7 +218,7 @@ def cdc_stream_apply(
             [],
             change_stream.drop(op_col).schema,
         )
-    return spark.read.parquet(f"{root}/v{cur['version']}")
+    return live_rows(spark.read.parquet(f"{root}/v{cur['version']}"))
 
 
 def cdc_stream_scd2(
@@ -186,8 +238,19 @@ def cdc_stream_scd2(
 
     This is the warehouse bridge: the same change feed can drive BOTH the
     current-state mirror (cdc_stream_apply) and the time-travel dimension
-    (this) from one checkpointed stream."""
+    (this) from one checkpointed stream.
+
+    `key_cols` must name exactly one column — SCD2 version chains are
+    per-key and `operators/scd.scd2_apply` is single-key; pack a composite
+    business key into one struct/concat column upstream rather than having
+    this function silently drop key parts."""
     import shutil
+
+    if len(key_cols) != 1:
+        raise ValueError(
+            "cdc_stream_scd2 requires exactly one key column; got "
+            f"{key_cols!r} — pack composite keys into one column upstream"
+        )
 
     from volga_spark.operators.scd import scd2_apply
     from volga_spark.streaming.runner import (
@@ -241,7 +304,19 @@ def cdc_stream_scd2(
                 q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
     if cur["version"] is None:
-        return change_stream.sparkSession.createDataFrame(
-            [], f"{key_cols[0]} bigint, valid_from bigint, valid_to bigint"
+        # empty change feed (a normal catch-up run): the schema must match
+        # every non-empty result — keys + attrs + valid_from/valid_to in
+        # the stream's own types.
+        ts_type = change_stream.schema[ts_col].dataType
+        return (
+            change_stream.sparkSession.createDataFrame(
+                [], change_stream.schema
+            )
+            .select(
+                *key_cols,
+                *attr_cols,
+                F.col(ts_col).cast(ts_type).alias("valid_from"),
+                F.lit(None).cast(ts_type).alias("valid_to"),
+            )
         )
     return spark.read.parquet(f"{root}/v{cur['version']}")

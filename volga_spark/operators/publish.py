@@ -54,6 +54,7 @@ class _HadoopFs:
         jvm = spark._jvm
         jsc = spark._jsc
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = jsc.hadoopConfiguration()
         self._fs = jvm.org.apache.hadoop.fs.Path(any_path).getFileSystem(
             self._conf
@@ -88,6 +89,30 @@ class _HadoopFs:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def replace_text(self, path: str, text: str) -> None:
+        """Atomically replace `path` with `text` — a reader never sees a
+        truncated or empty file.
+
+        On rename-based filesystems (file://, HDFS, viewfs) this is
+        write-to-temp + FileContext.rename(OVERWRITE), the atomic swap. On
+        object stores the swap is unnecessary AND unavailable (rename is
+        copy-based): a single PUT is already all-or-nothing, so a plain
+        overwrite-create carries the commit there."""
+        scheme = (self._fs.getUri().getScheme() or "file").lower()
+        if scheme not in ("file", "hdfs", "viewfs", "webhdfs"):
+            self.write_text(path, text)
+            return
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        self.write_text(tmp, text)
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._fs.getUri(), self._conf
+        )
+        opts = self._gateway.new_array(
+            self._jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(self._p(tmp), self._p(path), opts)
 
     def read_text(self, path: str) -> str:
         inp = self._fs.open(self._p(path))
@@ -153,7 +178,7 @@ def publish_version(
         "checks": [c.name for c in (checks or [])],
     }
     fs.write_text(f"{final}/_manifest.json", json.dumps(manifest))
-    fs.write_text(f"{root.rstrip('/')}/{LATEST}", str(version))
+    fs.replace_text(f"{root.rstrip('/')}/{LATEST}", str(version))
     return version
 
 

@@ -74,14 +74,13 @@ def bm25_topk(
     frame — broadcast. Returns (query_id, rank, doc_id, score_micro) with
     score_micro = Σ_t floor(idf·tfnorm·1e6) (exact BIGINT, see module doc).
     """
-    postings, doclen, stats = bm25_index(docs, id_col, text_col)
-    # one-shot path: pin the branch point — postings feeds doclen/stats/
-    # matched and would otherwise re-run the explode+shuffle per consumer
-    # (the q_training_pipeline lesson; a standing index persists instead)
-    postings = postings.localCheckpoint(eager=False)
-    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl")).localCheckpoint(
-        eager=False
+    # one-shot path: pin the postings branch point inside the index build
+    # (the q_training_pipeline lesson; a standing index persists instead),
+    # then pin doclen too — it feeds both stats and the probe join.
+    postings, doclen, stats = bm25_index(
+        docs, id_col, text_col, pin=lambda df: df.localCheckpoint(eager=False)
     )
+    doclen = doclen.localCheckpoint(eager=False)
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -152,19 +151,29 @@ def bm25_topk_oracle_sql(
 # --- standing index + incremental maintenance --------------------------------
 
 
-def bm25_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pin=None,
+):
     """Build the standing index as three frames: postings (id, term, tf),
     doclen (id, dl), stats (n_docs, sum_dl). All three are ADDITIVE —
     :func:`merge_index` folds a new batch in with groupBy-sum, no rebuild.
-    Persist postings bucketed by term to amortize across query batches."""
+    Persist postings bucketed by term to amortize across query batches.
+
+    `pin` (optional, DataFrame → DataFrame) is applied to postings BEFORE
+    doclen/stats derive from it — postings fans out to all three frames
+    plus the caller's probe join, so without a pin the corpus
+    explode+shuffle re-runs per consumer. Standing indexes pass persist;
+    one-shot paths pass a lazy localCheckpoint."""
     toks = tokenize(docs, id_col, text_col)
     postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if pin is not None:
+        postings = pin(postings)
     # doclen/stats derive FROM postings (dl = Σ tf), not from a second
     # aggregation of the raw token stream — one explode+shuffle of the
-    # corpus feeds all three frames. Callers that fan postings out to
-    # multiple consumers pin the branch point themselves: persist() for a
-    # standing index (SearchService), lazy localCheckpoint for the
-    # one-shot bm25_topk path.
+    # corpus feeds all three frames.
     doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")

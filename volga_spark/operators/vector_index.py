@@ -150,10 +150,17 @@ class IvfIndex:
         k: int = 10,
         n_probe: int = 4,
         qid_col: str = "query_id",
+        exclude_self: bool = False,
     ) -> DataFrame:
         """Top-k per query over the probed lists only. `queries` carries
         (qid_col, vec_col) and is the bounded side (collected to assign —
-        the brute_force_topk closure discipline)."""
+        the brute_force_topk closure discipline).
+
+        `exclude_self=True` drops postings whose id equals the query id —
+        ONLY meaningful when the queries are corpus rows (the ANN/near-dup
+        shape, matching brute_force_topk). Leave it off for serving: query
+        ids and doc ids are independent id spaces there, and an id
+        collision must not hide a document."""
         n_probe = min(n_probe, len(self.centroids))
         qrows = queries.select(qid_col, self.vec_col).collect()
         if not qrows:
@@ -178,10 +185,11 @@ class IvfIndex:
         qv = queries.select(
             F.col(qid_col).alias("qid"), F.col(self.vec_col).alias("__qv")
         )
+        scored = cand.join(F.broadcast(qv), "qid")
+        if exclude_self:
+            scored = scored.filter(F.col("qid") != F.col(self.id_col))
         scored = (
-            cand.join(F.broadcast(qv), "qid")
-            .filter(F.col("qid") != F.col(self.id_col))
-            .select(
+            scored.select(
                 F.col("qid").alias(qid_col),
                 F.col(self.id_col).alias("neighbor_id"),
                 cosine(F.col(self.vec_col), F.col("__qv")).alias("score"),
