@@ -92,3 +92,40 @@ def test_publish_on_explicit_file_uri(spark, tmp_path):
     v2 = publish_version(df.limit(4), root, checks=[min_rows(1)])
     assert v2 == 2
     assert read_latest(spark, root).count() == 4
+
+
+def test_rollback_and_rollforward(spark, sf_dir, tmp_path):
+    from volga_spark.operators.publish import rollback
+
+    root = str(tmp_path / "corpus")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    publish_version(docs.filter(F.col("doc_id") < 100), root)
+    publish_version(docs, root)
+    rollback(root, 1)
+    assert latest_version(root) == 1
+    assert read_latest(spark, root).count() == 100
+    # newer version still on disk — re-rollforward works
+    rollback(root, 2)
+    assert read_latest(spark, root).count() == docs.count()
+    with pytest.raises(FileNotFoundError, match="v9"):
+        rollback(root, 9)
+
+
+def test_vacuum_keeps_window_and_pointer_target(spark, sf_dir, tmp_path):
+    from volga_spark.operators.publish import rollback, vacuum
+
+    root = str(tmp_path / "corpus")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for n in (10, 20, 30, 40):
+        publish_version(docs.filter(F.col("doc_id") < n), root)
+    # pointer at v4; keep_last=2 removes v1, v2
+    assert vacuum(root, keep_last=2) == [1, 2]
+    assert read_version(spark, root, 3).count() == 30
+    assert read_latest(spark, root).count() == 40
+    assert not os.path.exists(f"{root}/v1")
+    # a rolled-back pointer target is pinned even outside the keep window
+    publish_version(docs.filter(F.col("doc_id") < 50), root)  # v5
+    rollback(root, 3)
+    assert vacuum(root, keep_last=1) == [4]  # v3 pinned by LATEST, v5 kept
+    assert read_latest(spark, root).count() == 30
+    assert read_version(spark, root, 5).count() == 50

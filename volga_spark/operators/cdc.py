@@ -117,6 +117,22 @@ def live_rows(state: DataFrame) -> DataFrame:
     return state.filter(~F.col("__deleted")).drop("__deleted")
 
 
+def gc_tombstones(state: DataFrame, horizon_seq: int, seq_col: str = "seq") -> DataFrame:
+    """Drop tombstones the redelivery horizon has passed. Without GC the
+    tombstone set grows with every key ever deleted — unbounded at 100 TB.
+    `horizon_seq` is the source's acknowledged low-water mark: the
+    transport can no longer redeliver any change with seq < horizon_seq
+    (Kafka committed offset, Debezium confirmed LSN), so a tombstone at a
+    lower seq can never be needed to out-rank a replay and is safe to
+    forget. Live rows are untouched; run periodically (e.g. per compaction
+    cycle), not per batch."""
+    if "__deleted" not in state.columns:
+        return state
+    return state.filter(
+        (~F.col("__deleted")) | (F.col(seq_col) >= F.lit(horizon_seq))
+    )
+
+
 def apply_cdc_oracle_sql(
     state_sql: str,
     changes_sql: str,

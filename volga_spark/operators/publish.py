@@ -182,6 +182,51 @@ def publish_version(
     return version
 
 
+def rollback(root: str, version: int, spark: SparkSession | None = None) -> int:
+    """Point LATEST at an older (existing) version — the bad-deploy undo.
+    Pure pointer swap (atomic via replace_text); no data moves, the newer
+    version dirs stay on disk for inspection or re-rollforward."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("rollback needs an active SparkSession")
+    fs = _HadoopFs(spark, root)
+    if version not in _versions(fs, root):
+        raise FileNotFoundError(f"no published version v{version} under {root}")
+    fs.replace_text(f"{root.rstrip('/')}/{LATEST}", str(version))
+    return version
+
+
+def vacuum(
+    root: str,
+    keep_last: int = 2,
+    spark: SparkSession | None = None,
+) -> list[int]:
+    """Delete version dirs older than the newest `keep_last`, returning the
+    versions removed. The version LATEST points at is always kept (so a
+    rolled-back pointer never dangles), as are staged dirs (`_staging/` is
+    audit evidence — clean it explicitly). Time travel works across the
+    kept window only; at 100 TB this is the storage-cost knob: each
+    published version is a full copy under plain parquet, so retention is
+    a deliberate choice, not a default."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1; got {keep_last}")
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("vacuum needs an active SparkSession")
+    fs = _HadoopFs(spark, root)
+    vs = _versions(fs, root)
+    pinned = set(vs[-keep_last:])
+    cur = latest_version(root, spark)
+    if cur is not None:
+        pinned.add(cur)
+    removed = []
+    for v in vs:
+        if v not in pinned:
+            fs.delete(f"{root.rstrip('/')}/v{v}")
+            removed.append(v)
+    return removed
+
+
 def latest_version(root: str, spark: SparkSession | None = None) -> int | None:
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
