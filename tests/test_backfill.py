@@ -85,3 +85,30 @@ def test_max_partitions_limits_a_run(spark, tmp_path):
         "d2",
     ]
     assert pending_partitions(spark, src, tgt, "dt") == ["d3"]
+
+
+def test_crashed_debris_cleared_even_when_rerun_emits_zero_rows(spark, tmp_path):
+    """Dynamic overwrite only replaces partitions PRESENT in the output;
+    a re-run whose transform filters a crashed partition down to 0 rows
+    must still clear that partition's debris before marking it done."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    _write_source(spark, src, ["d1", "d2"])
+
+    # simulate a crashed first run: partial garbage landed under d2's
+    # output dir but no marker was written
+    spark.createDataFrame(
+        [("d2", 999, 123.0)], "dt string, k bigint, total double"
+    ).write.mode("append").partitionBy("dt").parquet(f"{tgt}/data")
+
+    # the (fixed) transform drops every d2 row
+    def agg_without_d2(df):
+        return _agg(df.filter(F.col("dt") != "d2"))
+
+    done = run_backfill(spark, src, tgt, "dt", agg_without_d2)
+    assert sorted(done) == ["d1", "d2"]
+    got = read_backfilled(spark, tgt)
+    assert got.filter("dt = 'd2'").count() == 0  # debris gone
+    assert got.filter("dt = 'd1'").count() == 20
+    # and d2 is marked: no reprocessing loop
+    assert pending_partitions(spark, src, tgt, "dt") == []

@@ -81,3 +81,25 @@ def test_deterministic_across_partitionings(spark):
     a = build_bloom(keys, "k", expected_items=1000)
     b = build_bloom(keys.repartition(17), "k", expected_items=1000)
     assert (a.words == b.words).all() and a.k == b.k and a.n_bits == b.n_bits
+
+
+def test_mixed_int_width_keys_have_no_false_negatives(spark):
+    """xxhash64 hashes int32 and int64 representations of the same value
+    differently; the filter normalizes both sides to a canonical bigint
+    (double for floats), so an int-keyed fact probing a bigint-built
+    filter (or vice versa) loses no true matches."""
+    from volga_spark.operators.bloom import build_bloom, might_contain
+
+    build = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k bigint")
+    fact = spark.range(200).select(F.col("id").cast("int").alias("k"))
+    bf = build_bloom(build, "k")
+    kept = {r["k"] for r in fact.filter(might_contain(bf, "k")).collect()}
+    assert set(range(0, 200, 2)) <= kept  # every true match survives
+
+    # and the reverse width direction
+    bf2 = build_bloom(
+        spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k int"), "k"
+    )
+    fact2 = spark.range(200).select(F.col("id").alias("k"))
+    kept2 = {r["k"] for r in fact2.filter(might_contain(bf2, "k")).collect()}
+    assert set(range(0, 200, 2)) <= kept2

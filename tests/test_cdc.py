@@ -126,6 +126,62 @@ def test_tombstoned_matches_plain_on_live_rows(spark):
     )
 
 
+def test_stream_scd2_with_ops_applies_deletes(spark, tmp_path):
+    """The bridge's op_col path: the SAME Debezium-shaped feed that drives
+    cdc_stream_apply maintains the SCD2 history — D rows end validity as
+    tombstone versions, equal to a one-shot bootstrap with deletes."""
+    from volga_spark.operators.cdc import cdc_stream_scd2
+    from volga_spark.operators.scd import scd2_init, scd2_lookup
+
+    schema = "k bigint, eff_ts bigint, tier string, op string"
+    changes = [
+        (u, ts, t, op)
+        for u in range(4)
+        for ts, t, op in [
+            (0, "b", "I"),
+            (10, "a", "U"),
+            (20, None, "D"),
+            (30, "c", "I"),
+        ]
+    ]
+    src = str(tmp_path / "scd_ops_src")
+    halves = [changes[0::2], changes[1::2]]
+    for i, part in enumerate(halves):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dim = cdc_stream_scd2(stream, ["k"], ["tier"], op_col="op")
+    boot = scd2_init(
+        spark.createDataFrame(changes, schema).withColumn(
+            "__is_del", F.col("op") == "D"
+        ),
+        "k",
+        ["tier"],
+        suppress_noops=False,
+        delete_col="__is_del",
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (
+            (r["k"], r["tier"], r["valid_from"], r["valid_to"], r["__tomb"])
+            for r in df.collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert key(dim) == key(boot) and dim.count() > 0
+    # point-in-time: t=25 is inside every key's deleted interval
+    facts = spark.createDataFrame([(0, 25), (0, 35)], "k bigint, ts bigint")
+    looked = {
+        r["ts"]: r["tier"]
+        for r in scd2_lookup(facts, dim, "k", "ts", ["tier"]).collect()
+    }
+    assert looked == {25: None, 35: "c"}
+
+
 def test_stream_scd2_rejects_composite_keys(spark):
     import pytest
 

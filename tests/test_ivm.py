@@ -66,6 +66,32 @@ def test_delete_maintenance_with_minmax_repair(spark):
     assert _view(state, spark) == _view(full, spark)
 
 
+def test_unrepaired_dirty_group_survives_insert_batches(spark):
+    """An insert-only maintain between a delete and its repair must not
+    launder the group's extrema clean: the NULL-marked group stays dirty
+    and repair still restores the TRUE min/max, not the insert batch's."""
+    base = spark.createDataFrame(
+        [("a", -40, 1), ("a", 40, 2), ("a", 1, 3)], SCHEMA
+    )
+    state = init_agg(base, ["k"], "v")
+    # delete the max (40) — group 'a' goes dirty, extrema NULLed
+    state, dirty1 = maintain_agg(
+        state, None, spark.createDataFrame([("a", 40, 2)], SCHEMA), ["k"], "v"
+    )
+    assert [r["k"] for r in dirty1.collect()] == ["a"]
+    # insert-only batch lands BEFORE the repair (repair runs on a slower
+    # cycle); its values are interior, so min(NULL, 5) would fake [5, 5]
+    state, dirty2 = maintain_agg(
+        state, spark.createDataFrame([("a", 5, 4)], SCHEMA), None, ["k"], "v"
+    )
+    assert [r["k"] for r in dirty2.collect()] == ["a"]  # still dirty
+    remaining = spark.createDataFrame(
+        [("a", -40, 1), ("a", 1, 3), ("a", 5, 4)], SCHEMA
+    )
+    state = repair_minmax(state, remaining, dirty2, ["k"], "v")
+    assert _view(state, spark) == _view(init_agg(remaining, ["k"], "v"), spark)
+
+
 def test_group_drained_to_zero_drops_out(spark):
     rows = [("a", 1, 1), ("a", 2, 2), ("b", 3, 3)]
     base = spark.createDataFrame(rows, SCHEMA)

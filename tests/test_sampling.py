@@ -121,6 +121,23 @@ def test_weighted_bottom_k_matches_python_reference(spark):
     assert got2 == want
 
 
+def test_weighted_bottom_k_drops_nan_and_nonpositive_weights(spark):
+    """NaN sorts above every number in Spark, so an unguarded NaN weight
+    both passes `w > 0` and ranks first — corrupt scorer output would
+    displace the whole sample. NaN/0/negative rows must all be excluded."""
+    from volga_spark.operators.sampling import weighted_bottom_k
+
+    rows = [(i, 1.0) for i in range(20)] + [
+        (100, float("nan")),
+        (101, float("nan")),
+        (102, 0.0),
+        (103, -1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = {r["doc_id"] for r in weighted_bottom_k(df, "doc_id", "w", 10).collect()}
+    assert len(got) == 10 and got.isdisjoint({100, 101, 102, 103})
+
+
 def test_weighted_bottom_k_inclusion_tracks_weight(spark):
     """Higher-weight rows are selected at measurably higher rates across
     independent seeds (inclusion ∝ weight is the A-ES contract)."""

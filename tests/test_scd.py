@@ -188,3 +188,105 @@ def test_unsuppressed_bootstrap_matches_duckdb(spark, sf_dir):
     )
     assert len(got) > 0
     assert not compare_frames(got, oracle)
+
+
+def test_scd2_deletes_become_tombstone_versions(spark):
+    """CDC deletes end a key's validity: the delete becomes a tombstone
+    version row (NULL attrs, __tomb=1) covering the deleted interval, and
+    a later re-insert opens a fresh version after it."""
+    from volga_spark.operators.scd import scd2_init, scd2_lookup
+
+    schema = "k bigint, eff_ts bigint, tier string, is_del boolean"
+    changes = [
+        (1, 0, "a", False),
+        (1, 10, None, True),   # delete at t=10
+        (1, 20, "b", False),   # re-insert at t=20
+        (2, 5, "x", False),    # untouched key
+    ]
+    dim = scd2_init(
+        spark.createDataFrame(changes, schema), "k", ["tier"],
+        delete_col="is_del",
+    )
+    got = sorted(
+        (
+            (r["k"], r["tier"], r["valid_from"], r["valid_to"], r["__tomb"])
+            for r in dim.collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "a", 0, 10, 0),
+        (1, None, 10, 20, 1),
+        (1, "b", 20, None, 0),
+        (2, "x", 5, None, 0),
+    ]
+    # lookups: inside the tombstone interval → NULL, around it → values
+    facts = spark.createDataFrame(
+        [(1, 7), (1, 12), (1, 25)], "k bigint, ts bigint"
+    )
+    looked = {
+        r["ts"]: r["tier"]
+        for r in scd2_lookup(facts, dim, "k", "ts", ["tier"]).collect()
+    }
+    assert looked == {7: "a", 12: None, 25: "b"}
+
+
+def test_scd2_late_arrival_does_not_resurrect_past_a_delete(spark):
+    """A change older than an APPLIED delete must close at the tombstone
+    boundary — the tombstone row is what makes late arrivals sound."""
+    from volga_spark.operators.scd import scd2_apply, scd2_init
+
+    schema = "k bigint, eff_ts bigint, tier string, is_del boolean"
+    b1 = [(1, 0, "a", False), (1, 10, None, True)]
+    dim = scd2_init(
+        spark.createDataFrame(b1, schema), "k", ["tier"],
+        suppress_noops=False, delete_col="is_del",
+    )
+    late = [(1, 5, "c", False)]  # arrives after the delete was applied
+    dim2 = scd2_apply(
+        dim, spark.createDataFrame(late, schema), "k", ["tier"],
+        suppress_noops=False, delete_col="is_del",
+    )
+    got = sorted(
+        (
+            (r["tier"], r["valid_from"], r["valid_to"], r["__tomb"])
+            for r in dim2.collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == [
+        ("a", 0, 5, 0),
+        ("c", 5, 10, 0),      # the late change closes AT the tombstone
+        (None, 10, None, 1),  # key still deleted from t=10 on
+    ]
+
+
+def test_scd2_suppression_treats_delete_boundaries_as_real(spark):
+    """With suppression ON, a re-insert equal to the pre-delete attrs is
+    NOT a no-op (the tombstone between them differs), while
+    tombstone-after-tombstone collapses."""
+    from volga_spark.operators.scd import scd2_init
+
+    schema = "k bigint, eff_ts bigint, tier string, is_del boolean"
+    changes = [
+        (1, 0, "a", False),
+        (1, 10, None, True),
+        (1, 12, None, True),  # duplicate delete — suppressed
+        (1, 20, "a", False),  # same attrs as pre-delete — must survive
+    ]
+    dim = scd2_init(
+        spark.createDataFrame(changes, schema), "k", ["tier"],
+        suppress_noops=True, delete_col="is_del",
+    )
+    got = sorted(
+        (
+            (r["tier"], r["valid_from"], r["valid_to"], r["__tomb"])
+            for r in dim.collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == [
+        ("a", 0, 10, 0),
+        (None, 10, 20, 1),
+        ("a", 20, None, 0),
+    ]

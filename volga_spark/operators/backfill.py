@@ -100,6 +100,16 @@ def run_backfill(
         raise ValueError(f"transform dropped the partition column {part_col!r}")
 
     data_root = f"{target_root.rstrip('/')}/data"
+    # clear crashed partial output first: a pending (= unmarked) partition
+    # by definition committed nothing, so anything under its dir is debris
+    # from an interrupted run. Dynamic overwrite alone cannot clean it —
+    # it only replaces partitions PRESENT in this run's output, so a
+    # transform that now emits 0 rows for the partition would leave the
+    # debris in place and the marker below would freeze it in forever.
+    fs = _HadoopFs(spark, target_root)
+    for p in pending:
+        fs.delete(f"{data_root}/{part_col}={p}")
+
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -108,8 +118,7 @@ def run_backfill(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
     # mark AFTER the data commit — crash in between re-processes (and
-    # dynamic overwrite makes the re-run idempotent)
-    fs = _HadoopFs(spark, target_root)
+    # the pre-write clear + dynamic overwrite make the re-run idempotent)
     ledger = f"{target_root.rstrip('/')}/{_LEDGER_DIR}"
     fs.mkdirs(ledger)
     for p in pending:

@@ -52,15 +52,39 @@ _SEED_BASE = 0x5EED_B100
 
 
 class BloomFilter:
-    """Immutable bitmap + parameters; picklable (ships in closures/tests)."""
+    """Immutable bitmap + parameters; picklable (ships in closures/tests).
 
-    def __init__(self, words: np.ndarray, n_bits: int, k: int):
+    `cast_to` records the canonical hash type the build side used
+    ("bigint" for integral keys, "double" for float keys, None otherwise);
+    the probe casts its column to the same type, because xxhash64 hashes
+    int32 and int64 representations of the SAME value differently — an
+    un-normalized int-vs-bigint key pair would give silent false
+    negatives, breaking the no-false-negative guarantee."""
+
+    def __init__(
+        self, words: np.ndarray, n_bits: int, k: int, cast_to: str | None = None
+    ):
         self.words = words  # uint64[ceil(n_bits/64)]
         self.n_bits = n_bits
         self.k = k
+        self.cast_to = cast_to
 
     def __reduce__(self):
-        return (BloomFilter, (self.words, self.n_bits, self.k))
+        return (BloomFilter, (self.words, self.n_bits, self.k, self.cast_to))
+
+
+def _canonical_hash_type(dt) -> str | None:
+    """Widening-only normalization per numeric family (lossless, so no
+    ANSI overflow): all integrals hash as bigint, all floats as double.
+    Non-numeric families hash as-is — build and probe key types must then
+    match exactly (documented contract)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "bigint"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "double"
+    return None
 
 
 def _n_bits_k(expected_items: int, bits_per_key: int) -> tuple[int, int]:
@@ -85,10 +109,12 @@ def build_bloom(
     n_bits, k = _n_bits_k(max(expected_items, 1), bits_per_key)
     n_words = n_bits // 64
 
+    cast_to = _canonical_hash_type(build.schema[key_col].dataType)
+    key_expr = F.col(key_col).cast(cast_to) if cast_to else F.col(key_col)
     pos_cols = F.array(
         *[
             F.pmod(
-                F.xxhash64(F.col(key_col), F.lit(_SEED_BASE + i)),
+                F.xxhash64(key_expr, F.lit(_SEED_BASE + i)),
                 F.lit(n_bits),
             ).cast("long")
             for i in range(k)
@@ -108,7 +134,7 @@ def build_bloom(
     words = np.zeros(n_words, dtype=np.uint64)
     for r in words_df.collect():
         words[int(r["word_idx"])] = np.uint64(np.int64(r["word"]))
-    return BloomFilter(words, n_bits, k)
+    return BloomFilter(words, n_bits, k, cast_to)
 
 
 def might_contain(bf: BloomFilter, col: str | Column) -> Column:
@@ -116,6 +142,8 @@ def might_contain(bf: BloomFilter, col: str | Column) -> Column:
     rides as an array<long> literal; each of the k probes is one xxhash64
     + shift/AND — all inside codegen."""
     c = F.col(col) if isinstance(col, str) else col
+    if bf.cast_to:
+        c = c.cast(bf.cast_to)  # hash the same representation the build did
     words_lit = F.lit(bf.words.astype(np.int64).tolist())
     pred = F.lit(True)
     for i in range(bf.k):

@@ -243,6 +243,7 @@ def cdc_stream_scd2(
     attr_cols: list[str],
     ts_col: str = "eff_ts",
     timeout_s: int = 300,
+    op_col: str | None = None,
 ) -> DataFrame:
     """Maintain a FULL SCD2 history (not just current state) under a CDC
     change stream: each micro-batch folds into the versioned dimension via
@@ -259,7 +260,13 @@ def cdc_stream_scd2(
     `key_cols` must name exactly one column — SCD2 version chains are
     per-key and `operators/scd.scd2_apply` is single-key; pack a composite
     business key into one struct/concat column upstream rather than having
-    this function silently drop key parts."""
+    this function silently drop key parts.
+
+    `op_col` (optional): when the feed carries CDC ops, D rows become
+    TOMBSTONE versions (scd2_apply's delete_col path — the key's validity
+    ends at the delete's eff_ts, and the dimension carries a `__tomb`
+    column that scd2_lookup filters automatically). Without it every row
+    is an attribute observation, the pre-r06 contract."""
     import shutil
 
     if len(key_cols) != 1:
@@ -297,8 +304,18 @@ def cdc_stream_scd2(
                     .alias("valid_to"),
                 ).limit(0)
             )
+        if op_col is not None:
+            batch_df = batch_df.withColumn(
+                "__is_del", F.col(op_col) == F.lit("D")
+            )
         new_dim = scd2_apply(
-            prev, batch_df, key0, attr_cols, ts_col, suppress_noops=False
+            prev,
+            batch_df,
+            key0,
+            attr_cols,
+            ts_col,
+            suppress_noops=False,
+            delete_col="__is_del" if op_col is not None else None,
         )
         new_dim.write.mode("overwrite").parquet(f"{root}/v{epoch_id}")
         cur["version"] = epoch_id
@@ -324,15 +341,17 @@ def cdc_stream_scd2(
         # every non-empty result — keys + attrs + valid_from/valid_to in
         # the stream's own types.
         ts_type = change_stream.schema[ts_col].dataType
+        empty = change_stream.sparkSession.createDataFrame(
+            [], change_stream.schema
+        ).select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).cast(ts_type).alias("valid_from"),
+            F.lit(None).cast(ts_type).alias("valid_to"),
+        )
         return (
-            change_stream.sparkSession.createDataFrame(
-                [], change_stream.schema
-            )
-            .select(
-                *key_cols,
-                *attr_cols,
-                F.col(ts_col).cast(ts_type).alias("valid_from"),
-                F.lit(None).cast(ts_type).alias("valid_to"),
-            )
+            empty.withColumn("__tomb", F.lit(0))
+            if op_col is not None
+            else empty
         )
     return spark.read.parquet(f"{root}/v{cur['version']}")

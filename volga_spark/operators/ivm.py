@@ -60,11 +60,23 @@ def maintain_agg(
     directions; MIN/MAX are exact for inserts, and any group a delete
     touched appears in `dirty_keys` with its min/max NULLED in the state —
     call :func:`repair_minmax` against the base table to restore them.
-    Groups whose count reaches 0 are dropped from the state."""
+    Groups whose count reaches 0 are dropped from the state.
+
+    A still-unrepaired dirty group (NULL min/max in the state) STAYS dirty
+    through subsequent maintains — an insert-only batch must not launder
+    its extrema clean (min(NULL, insert_min) would look repaired while
+    covering only the new rows). NULL extrema are unambiguous dirt
+    markers: a live group always has __cnt > 0 non-null values, so its
+    true min/max are never NULL."""
     spark = state.sparkSession
     parts = [
         state.select(
-            *keys, "__cnt", "__sum", "__min", "__max", F.lit(0).alias("__del")
+            *keys,
+            "__cnt",
+            "__sum",
+            "__min",
+            "__max",
+            F.when(F.col("__min").isNull(), 1).otherwise(0).alias("__del"),
         )
     ]
     if inserts is not None:

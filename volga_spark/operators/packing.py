@@ -48,32 +48,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from volga_spark.functions.tokenize import n_tokens, n_tokens_sql
 from volga_spark.operators.sampling import _rank, _rank_sql
 
-TOKEN_SPLIT = r"\s+"
 N_BUCKETS_HEX = 2  # md5-prefix chars → 16^2 = 256 prefix-ordered buckets
 
 
 def _with_tokens(docs: DataFrame, text_col: str) -> DataFrame:
-    """n_tokens = whitespace token count, empties excluded (matches
-    len(list_filter(string_split_regex(...))) in DuckDB)."""
-    return docs.withColumn(
-        "n_tokens",
-        F.size(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), TOKEN_SPLIT),
-                lambda x: x != "",
-            )
-        ).cast("bigint"),
-    ).filter(F.col("n_tokens") > 0)
+    """n_tokens = the SHARED whitespace token count
+    (`functions/tokenize`) — the same definition BM25 doc lengths use, so
+    retrieval and packing budgets can never desynchronize."""
+    return docs.withColumn("n_tokens", n_tokens(text_col)).filter(
+        F.col("n_tokens") > 0
+    )
 
 
 def token_counts_sql(text_sql: str) -> str:
     """DuckDB twin of the n_tokens expression."""
-    return (
-        f"CAST(len(list_filter(string_split_regex(trim({text_sql}), '\\s+'),"
-        f" x -> x <> '')) AS BIGINT)"
-    )
+    return n_tokens_sql(text_sql)
 
 
 def domain_budgets(weights: dict[str, float], token_budget: int) -> dict[str, int]:

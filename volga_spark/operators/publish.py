@@ -94,13 +94,16 @@ class _HadoopFs:
         """Atomically replace `path` with `text` — a reader never sees a
         truncated or empty file.
 
-        On rename-based filesystems (file://, HDFS, viewfs) this is
-        write-to-temp + FileContext.rename(OVERWRITE), the atomic swap. On
-        object stores the swap is unnecessary AND unavailable (rename is
-        copy-based): a single PUT is already all-or-nothing, so a plain
-        overwrite-create carries the commit there."""
+        On rename-based filesystems this is write-to-temp +
+        FileContext.rename(OVERWRITE), the atomic swap. Only on the flat
+        object stores (s3/gs/oss: rename is copy-based AND a single PUT is
+        already all-or-nothing) does a plain overwrite-create carry the
+        commit instead. Unknown schemes get the rename path — a
+        hierarchical store we haven't listed (abfs/ofs/...) renames
+        atomically, whereas guessing "object store" would reintroduce the
+        torn-read window this function exists to close."""
         scheme = (self._fs.getUri().getScheme() or "file").lower()
-        if scheme not in ("file", "hdfs", "viewfs", "webhdfs"):
+        if scheme in ("s3", "s3a", "s3n", "gs", "oss", "cos", "swift"):
             self.write_text(path, text)
             return
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

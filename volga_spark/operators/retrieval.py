@@ -48,17 +48,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = r"\s+"
+from volga_spark.functions.tokenize import explode_terms
 
 
 def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, term) rows: whitespace tokens, empties dropped. The same split
-    the text-analysis operators use, mirrored by string_split_regex in the
-    DuckDB oracle."""
+    """(id, term) rows: non-empty whitespace tokens — the SHARED token
+    definition (`functions/tokenize`, also used by the packing tier),
+    mirrored by string_split_regex in the DuckDB oracle."""
     return docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
-    ).filter(F.col("term") != "")
+        F.col(id_col), explode_terms(text_col).alias("term")
+    )
 
 
 def bm25_topk(
@@ -214,7 +213,7 @@ def bm25_topk_from_index(
     qterms = (
         queries.select(
             "query_id",
-            F.explode(F.split(F.trim(F.col("qtext")), TOKEN_SPLIT)).alias("term"),
+            explode_terms("qtext").alias("term"),
         )
         .filter(F.col("term") != "")
         .distinct()

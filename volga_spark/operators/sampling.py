@@ -198,8 +198,13 @@ def weighted_bottom_k(
     # for tiny weights). Larger is better: ln(u) < 0, so DIVIDING by a
     # larger w moves the key toward 0. Keep the k LARGEST.
     key = F.log(u) / F.col(weight_col)
+    # NaN weights must be dropped explicitly: Spark orders NaN above every
+    # number, so `NaN > 0` passes the filter AND ln(u)/NaN = NaN ranks
+    # FIRST under desc — k corrupt rows (a failed scorer batch) would
+    # silently displace the whole sample.
+    w = F.col(weight_col).cast("double")
     return (
-        df.filter(F.col(weight_col) > 0)
+        df.filter((~F.isnan(w)) & (w > 0))
         .withColumn("__aes", key)
         .orderBy(F.col("__aes").desc())
         .limit(k)

@@ -43,6 +43,7 @@ def scd2_init(
     attr_cols: list[str],
     ts_col: str = "eff_ts",
     suppress_noops: bool = True,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Bootstrap a dimension from an initial change set (same semantics as
     applying the changes to an empty dimension)."""
@@ -54,7 +55,7 @@ def scd2_init(
     ).limit(0)
     return scd2_apply(
         empty, changes, key_col, attr_cols, ts_col,
-        suppress_noops=suppress_noops,
+        suppress_noops=suppress_noops, delete_col=delete_col,
     )
 
 
@@ -65,6 +66,7 @@ def scd2_apply(
     attr_cols: list[str],
     ts_col: str = "eff_ts",
     suppress_noops: bool = True,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Return the new dimension content: existing versions ∪ changes, with
     valid_to recomputed per key and (optionally) no-op changes suppressed.
@@ -84,19 +86,52 @@ def scd2_apply(
     the second b; a late a@1 leaves 'a' open past t=2 where bootstrap says
     'b'). For out-of-order feeds pass ``suppress_noops=False`` — every
     change row is kept, ranges stay exact for ANY arrival order, at the
-    cost of redundant version boundaries."""
+    cost of redundant version boundaries.
+
+    `delete_col` (optional, on `changes`): rows where it is true are CDC
+    deletes. A delete becomes a TOMBSTONE VERSION — a row with NULL attrs
+    and ``__tomb = 1`` whose [valid_from, valid_to) range covers the
+    interval the key did not exist. Tombstones are kept as rows (not just
+    a truncated valid_to on the predecessor) so LATE arrivals stay exact:
+    a change older than an applied delete slots in with valid_to at the
+    tombstone boundary instead of resurrecting the key past it — the same
+    reasoning as `operators/cdc`'s retained tombstones. When deletes are
+    in play the dimension schema carries ``__tomb``; `scd2_lookup`
+    excludes tombstone ranges automatically (facts inside them get NULL
+    attrs), and inputs without the column are treated as all-live."""
+    has_tomb = delete_col is not None or "__tomb" in dim.columns
     existing = dim.select(
         F.col(key_col),
         *[F.col(c) for c in attr_cols],
         F.col("valid_from"),
         F.lit(0).alias("__chg"),
+        (
+            F.col("__tomb") if "__tomb" in dim.columns else F.lit(0)
+        ).alias("__tomb"),
     )
-    incoming = changes.select(
-        F.col(key_col),
-        *[F.col(c) for c in attr_cols],
-        F.col(ts_col).alias("valid_from"),
-        F.lit(1).alias("__chg"),
-    )
+    if delete_col is not None:
+        is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        incoming = changes.select(
+            F.col(key_col),
+            # a delete's payload (before-image or NULLs) is not state
+            *[
+                F.when(is_del, F.lit(None).cast(changes.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in attr_cols
+            ],
+            F.col(ts_col).alias("valid_from"),
+            F.lit(1).alias("__chg"),
+            is_del.cast("int").alias("__tomb"),
+        )
+    else:
+        incoming = changes.select(
+            F.col(key_col),
+            *[F.col(c) for c in attr_cols],
+            F.col(ts_col).alias("valid_from"),
+            F.lit(1).alias("__chg"),
+            F.lit(0).alias("__tomb"),
+        )
     both = existing.unionByName(incoming)
     if suppress_noops:
         w = Window.partitionBy(key_col).orderBy("valid_from", "__chg")
@@ -104,12 +139,15 @@ def scd2_apply(
         rows = both.select(
             "*",
             *prev_attrs,
+            F.lag("__tomb").over(w).alias("__p_tomb"),
             F.lag(key_col).over(w).isNotNull().alias("__has_prev"),
         )
         # no-op suppression: a CHANGE row whose attrs all equal the previous
         # row's is dropped (null-safe so NULL attrs compare equal); existing
-        # rows always survive (history is immutable).
-        same_as_prev = F.lit(True)
+        # rows always survive (history is immutable). Tombstone state joins
+        # the comparison: a re-insert equal to the pre-delete attrs is NOT
+        # a no-op, and tombstone-after-tombstone IS.
+        same_as_prev = F.col("__tomb").eqNullSafe(F.col("__p_tomb"))
         for c in attr_cols:
             same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.col(f"__p_{c}"))
         keep = (F.col("__chg") == 0) | ~(F.col("__has_prev") & same_as_prev)
@@ -128,11 +166,13 @@ def scd2_apply(
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
         "__chg",
+        "__tomb",
     )
     # zero-width ranges (replaced-at-same-timestamp) drop out
-    return out.filter(
+    out = out.filter(
         F.col("valid_to").isNull() | (F.col("valid_from") != F.col("valid_to"))
     ).drop("__chg")
+    return out if has_tomb else out.drop("__tomb")
 
 
 def scd2_lookup(
@@ -144,7 +184,11 @@ def scd2_lookup(
 ) -> DataFrame:
     """Point-in-time enrich: each fact row gets the dimension attrs valid
     at its `ts_col` (NULL attrs when no version covers it). Broadcast range
-    probe — the dimension is the small side by construction."""
+    probe — the dimension is the small side by construction. Tombstone
+    versions (deleted intervals, `__tomb = 1`) are excluded from the probe,
+    so facts inside them get NULL attrs like any uncovered timestamp."""
+    if "__tomb" in dim.columns:
+        dim = dim.filter(F.col("__tomb") == 0).drop("__tomb")
     d = dim.select(
         F.col(key_col).alias("__dk"),
         *[F.col(c) for c in attr_cols],

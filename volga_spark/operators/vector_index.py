@@ -69,8 +69,25 @@ class IvfIndex:
     ) -> "IvfIndex":
         """Train the quantizer on a bounded deterministic sample, assign
         the corpus in one Arrow pass, write centroids + hive-partitioned
-        postings. One corpus read + one write."""
+        postings. One corpus read + one write.
+
+        Ids must be integral (the assignment pass and topk declare bigint
+        ids) — fail fast here rather than letting Arrow die mid-build or
+        topk truncate; map string doc ids through a surrogate (e.g.
+        xxhash64) upstream."""
         import pandas as pd
+
+        from pyspark.sql import types as T
+
+        id_type = corpus.schema[id_col].dataType
+        if not isinstance(
+            id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"IvfIndex requires an integral {id_col!r} (got "
+                f"{id_type.simpleString()}); hash string ids to a bigint "
+                "surrogate upstream"
+            )
 
         spark = corpus.sparkSession
         sample_rows = (
