@@ -1,0 +1,128 @@
+"""Scale probe — measure headline operators at 10× sf0.1 (≈ sf1).
+
+The bench gate runs at sf0.1; the design target is 100 TB. This probe
+closes part of that gap empirically: it materializes a 10×-replicated
+dataset (keys shifted per replica so CARDINALITIES scale with volume, not
+just row counts; document text gets a per-replica suffix token so the
+corpus does not become 10 exact copies, which would quadratically inflate
+near-dup candidate pairs and measure a different workload) and times a
+representative query slice at both scales on the same session. A
+scale-linear operator should show wall-clock growth ≈ the data growth
+minus amortized fixed costs; anything super-linear is a red flag the
+sf0.1 bench cannot see.
+
+Usage:  python scale_probe.py [factor]        (default 10)
+Prints one JSON line: {query: {"base_s": .., "xN_s": .., "ratio": ..}}.
+Results are recorded in SCALING.md §"Measured scaling curve".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+PROBE_QUERIES = [
+    "q_tpch_q1",
+    "q_window_core",
+    "q_ml_top_full",
+    "q_dedup_exact",
+    "q_dedup_clusters",
+    "q_bm25_topk",
+    "q_text_analysis",
+    "q_groupby_minmax_having",
+]
+
+ID_SHIFTS = {
+    # table -> columns shifted by replica * stride (key spaces scale with
+    # volume; stride clears each table's sf0.1 id range)
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+SMALL = ("region", "nation", "part", "supplier")  # dims: copied, not scaled
+
+
+def build_scaled(spark, src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in SMALL:
+        p = f"{src}/{name}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).write.mode("overwrite").parquet(
+                f"{dst}/{name}.parquet"
+            )
+    for name, shifts in ID_SHIFTS.items():
+        base = spark.read.parquet(f"{src}/{name}.parquet")
+        reps = []
+        for r in range(factor):
+            rep = base
+            for col, stride in shifts.items():
+                rep = rep.withColumn(col, F.col(col) + F.lit(r * stride))
+            if name == "documents" and r > 0:
+                # make replicas textually DISJOINT while preserving each
+                # doc's internal structure: suffix every token with the
+                # replica tag. Token counts and intra-replica near-dup
+                # structure are unchanged; cross-replica shingle overlap is
+                # zero, so the near-dup candidate workload scales linearly
+                # with volume instead of quadratically with clone count.
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda x: F.concat(x, F.lit(f"r{r}")),
+                        ),
+                        " ",
+                    ),
+                )
+            reps.append(rep)
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from bench import materialize, _cleanup  # same timing discipline
+
+    from volga_spark.session import get_spark
+
+    spark = get_spark()
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = f"/tmp/scaleprobe/x{factor}"
+    if not os.path.exists(f"{dst}/documents.parquet"):
+        t0 = time.perf_counter()
+        build_scaled(spark, src, dst, factor)
+        print(f"# built {dst} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    reg = entry.queries()
+    out = {}
+    for name in PROBE_QUERIES:
+        fn = reg[name]
+        times = {}
+        for tag, d in (("base_s", src), (f"x{factor}_s", dst)):
+            best = None
+            for _ in range(2):  # best-of-2, bench.py discipline
+                t0 = time.perf_counter()
+                materialize(fn(spark, d))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                _cleanup(spark)
+            times[tag] = round(best, 3)
+        times["ratio"] = round(times[f"x{factor}_s"] / times["base_s"], 2)
+        out[name] = times
+        print(f"# {name}: {times}", file=sys.stderr)
+    print(json.dumps({"factor": factor, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

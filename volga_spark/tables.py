@@ -36,8 +36,20 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 @lru_cache(maxsize=None)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet timestamp[ns] (Spark can't read those natively)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # Spark-written dataset: a directory of part files (all share one
+        # schema — read the first). Keeps the ns-detection working for
+        # derived/scaled copies of the testdata, not just the single-file
+        # driver-generated parquet.
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        path = parts[0]
     schema = pq.read_schema(path)
     return tuple(
         field.name
