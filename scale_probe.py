@@ -11,7 +11,10 @@ scale-linear operator should show wall-clock growth ≈ the data growth
 minus amortized fixed costs; anything super-linear is a red flag the
 sf0.1 bench cannot see.
 
-Usage:  python scale_probe.py [factor]        (default 10)
+Usage:  python scale_probe.py [factor] [query ...]   (default 10, PROBE_QUERIES)
+Extra query names override the default slice — e.g.
+`python scale_probe.py 10 q_dedup_approx_pairs q_stream_sliding_window`
+probes the near-dup pipelines and streaming state at 10×.
 Prints one JSON line: {query: {"base_s": .., "xN_s": .., "ratio": ..}}.
 Results are recorded in SCALING.md §"Measured scaling curve".
 """
@@ -90,6 +93,7 @@ def build_scaled(spark, src: str, dst: str, factor: int) -> None:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    queries = sys.argv[2:] or PROBE_QUERIES
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
     from bench import materialize, _cleanup  # same timing discipline
@@ -106,7 +110,7 @@ def main() -> None:
 
     reg = entry.queries()
     out = {}
-    for name in PROBE_QUERIES:
+    for name in queries:
         fn = reg[name]
         times = {}
         for tag, d in (("base_s", src), (f"x{factor}_s", dst)):
