@@ -52,7 +52,9 @@ def apply_cdc(
     column when it was produced with `keep_tombstones=True`. `changes`:
     keys + attrs + `seq_col` + `op_col`. Ties on (key, seq) resolve
     delete-over-live (a delete emitted at the same sequence point is the
-    later intent in every CDC encoding).
+    later intent in every CDC encoding); among equal-seq non-delete
+    changes the attr values themselves (desc, nulls last) break the tie,
+    keeping the merge deterministic across runs and partitionings.
 
     With `keep_tombstones=True` the result retains one row per DELETED key
     (null attrs, the delete's seq, `__deleted=true`) so that replaying any
@@ -79,13 +81,19 @@ def apply_cdc(
     # priority: higher seq first; at equal seq, D > U/I > S. Equal-seq
     # D-vs-D ties (a state tombstone vs its redelivered delete) produce
     # identical output rows, so the arbitrary row_number pick is immaterial.
+    # Equal-seq I-vs-U (or U-vs-U) ties — a malformed but possible feed —
+    # break deterministically on the attr VALUES (desc, nulls last), so the
+    # winner is a pure function of the batch contents, never of the
+    # partitioning; the DuckDB twin orders identically.
     prio = (
         F.when(F.col("__op") == "D", 2)
         .when(F.col("__op") == "S", 0)
         .otherwise(1)
     )
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(seq_col).desc(), prio.desc()
+        F.col(seq_col).desc(),
+        prio.desc(),
+        *[F.col(a).desc_nulls_last() for a in attr_cols],
     )
     latest = (
         both.withColumn("__rn", F.row_number().over(w))
@@ -155,7 +163,8 @@ def apply_cdc_oracle_sql(
                 PARTITION BY {keys}
                 ORDER BY {seq_col} DESC,
                          (CASE __op WHEN 'D' THEN 2 WHEN 'S' THEN 0
-                          ELSE 1 END) DESC) AS __rn
+                          ELSE 1 END) DESC,
+                         {", ".join(f"{a} DESC NULLS LAST" for a in attr_cols)}) AS __rn
             FROM both_rows
         )
         SELECT {keys}, {attrs}, {seq_col}
@@ -230,9 +239,11 @@ def cdc_stream_apply(
                 q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
     if cur["version"] is None:
+        # empty feed: mirror the non-empty path's (keys, attrs, seq) column
+        # order so schema compares / positional consumers see one layout.
         return change_stream.sparkSession.createDataFrame(
             [],
-            change_stream.drop(op_col).schema,
+            change_stream.select(*key_cols, *attr_cols, seq_col).schema,
         )
     return live_rows(spark.read.parquet(f"{root}/v{cur['version']}"))
 

@@ -38,12 +38,19 @@ STATE_COLS = ("__cnt", "__sum", "__min", "__max")
 def init_agg(base: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Bootstrap the view state from the base table: per-key
     (count, sum, min, max) with the sum carried as DECIMAL(38,6) so later
-    adds/subtracts are exact regardless of order."""
-    return base.groupBy(*keys).agg(
-        F.count(value_col).alias("__cnt"),
-        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__sum"),
-        F.min(value_col).alias("__min"),
-        F.max(value_col).alias("__max"),
+    adds/subtracts are exact regardless of order. Groups whose values are
+    all NULL (count(value)=0) are excluded — the same `__cnt > 0` rule
+    `maintain_agg` applies, so bootstrap-then-maintain stays hash-identical
+    to a fresh re-aggregation on that edge."""
+    return (
+        base.groupBy(*keys)
+        .agg(
+            F.count(value_col).alias("__cnt"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__sum"),
+            F.min(value_col).alias("__min"),
+            F.max(value_col).alias("__max"),
+        )
+        .filter(F.col("__cnt") > 0)
     )
 
 

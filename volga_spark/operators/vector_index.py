@@ -181,8 +181,12 @@ class IvfIndex:
         n_probe = min(n_probe, len(self.centroids))
         qrows = queries.select(qid_col, self.vec_col).collect()
         if not qrows:
+            # empty-query batch: carry the queries' ACTUAL query-id type so
+            # empty and non-empty result batches union/compare cleanly.
+            qid_type = queries.schema[qid_col].dataType.simpleString()
             return self.spark.createDataFrame(
-                [], f"{qid_col} bigint, neighbor_id bigint, rank int, score double"
+                [],
+                f"{qid_col} {qid_type}, neighbor_id bigint, rank int, score double",
             )
         qx = np.array([r[1] for r in qrows], dtype=np.float64)
         qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
@@ -207,7 +211,12 @@ class IvfIndex:
             scored = scored.filter(F.col("qid") != F.col(self.id_col))
         scored = (
             scored.select(
-                F.col("qid").alias(qid_col),
+                # pin the output id type to the queries' own (the probe
+                # frame carries bigint internally) — empty and non-empty
+                # batches must agree on schema.
+                F.col("qid")
+                .cast(queries.schema[qid_col].dataType)
+                .alias(qid_col),
                 F.col(self.id_col).alias("neighbor_id"),
                 cosine(F.col(self.vec_col), F.col("__qv")).alias("score"),
             )
