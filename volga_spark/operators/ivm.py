@@ -148,13 +148,18 @@ def repair_minmax(
 
 
 def read_view(state: DataFrame, keys: list[str]) -> DataFrame:
-    """Consumer-facing view: count, sum (double), avg (exact division of
-    the decimal sum at read time — never a stored float), min, max."""
+    """Consumer-facing view: count, sum (double), avg, min, max. AVG is
+    computed at READ time from the exact decimal sum — never a stored
+    float — as double division of (exact sum cast to double) by the count:
+    correctly-rounded, order-independent, and bit-identical to DuckDB's
+    `CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(v)` (decimal
+    division would instead round at the decimal result scale, which Spark
+    and DuckDB pick differently)."""
     return state.select(
         *keys,
         F.col("__cnt").alias("n"),
         F.col("__sum").cast("double").alias("total"),
-        (F.col("__sum") / F.col("__cnt")).cast("double").alias("avg"),
+        (F.col("__sum").cast("double") / F.col("__cnt")).alias("avg"),
         F.col("__min").alias("vmin"),
         F.col("__max").alias("vmax"),
     )

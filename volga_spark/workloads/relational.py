@@ -266,16 +266,39 @@ def q_groupby_minmax_having(spark, sf_dir):
                    count(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_returnflag
         )
-        SELECT d.l_returnflag, d.n_supps, d.n_parts,
-               c.n_supp_groups, c.min_avg_qty, c.max_avg_qty
+        SELECT 'stages' AS leg, d.l_returnflag AS grp,
+               d.n_supps AS c1, d.n_parts AS c2, c.n_supp_groups AS c3,
+               c.min_avg_qty AS v1, c.max_avg_qty AS v2,
+               CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
         FROM dist d JOIN cte c ON c.l_returnflag = d.l_returnflag
+        UNION ALL
+        SELECT 'ivm' AS leg, l_returnflag AS grp,
+               count(l_quantity) AS c1,
+               CAST(NULL AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS v1,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(l_quantity) AS v2,
+               min(l_quantity) AS v3, max(l_quantity) AS v4
+        FROM lineitem
+        WHERE l_orderkey % 3 = 2 OR l_orderkey % 7 <> 0
+        GROUP BY l_returnflag
     """,
-    tags=("agg", "cte"),
+    tags=("agg", "cte", "ivm"),
 )
 def q_agg_stages(spark, sf_dir):
-    """DISTINCT aggregation + chained shuffle+agg CTE stages (reference
-    planner CTE test, src/api/planner.rs:808-832), joined per group —
-    covers both multi-stage shapes in one 3-row result."""
+    """Two legs, one 6-row result.
+
+    'stages': DISTINCT aggregation + chained shuffle+agg CTE stages
+    (reference planner CTE test, src/api/planner.rs:808-832), joined per
+    group — both multi-stage shapes.
+
+    'ivm' (r07): the incremental-view-maintenance tier driven end-to-end
+    through the driver oracle — bootstrap `init_agg` on ~2/3 of lineitem,
+    fold one insert batch + one delete batch with `maintain_agg` (deletes
+    dirty every group's min/max), `repair_minmax` against the surviving
+    rows, then `read_view`. The oracle is a FRESH re-aggregation of the
+    surviving multiset — maintenance must hash-match recomputation
+    (count, exact decimal sum, read-time avg, repaired min/max)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey", "l_returnflag").agg(
         davg("l_quantity").alias("avg_qty")
@@ -289,10 +312,49 @@ def q_agg_stages(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_partkey").alias("n_parts"),
     )
-    return dist.join(cte, "l_returnflag").select(
-        "l_returnflag", "n_supps", "n_parts",
-        "n_supp_groups", "min_avg_qty", "max_avg_qty",
+    stages = dist.join(cte, "l_returnflag").select(
+        F.lit("stages").alias("leg"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("n_supps").alias("c1"),
+        F.col("n_parts").alias("c2"),
+        F.col("n_supp_groups").alias("c3"),
+        F.col("min_avg_qty").alias("v1"),
+        F.col("max_avg_qty").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
     )
+
+    from volga_spark.operators.ivm import (
+        init_agg,
+        maintain_agg,
+        read_view,
+        repair_minmax,
+    )
+
+    rows = li.select("l_orderkey", "l_returnflag", "l_quantity")
+    base = rows.filter(F.col("l_orderkey") % 3 != 2)
+    inserts = rows.filter(F.col("l_orderkey") % 3 == 2)
+    deletes = base.filter(F.col("l_orderkey") % 7 == 0)
+    surviving = rows.filter(
+        (F.col("l_orderkey") % 3 == 2) | (F.col("l_orderkey") % 7 != 0)
+    )
+    state = init_agg(base, ["l_returnflag"], "l_quantity")
+    state, dirty = maintain_agg(
+        state, inserts, deletes, ["l_returnflag"], "l_quantity"
+    )
+    state = repair_minmax(state, surviving, dirty, ["l_returnflag"], "l_quantity")
+    ivm = read_view(state, ["l_returnflag"]).select(
+        F.lit("ivm").alias("leg"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("n").alias("c1"),
+        F.lit(None).cast("long").alias("c2"),
+        F.lit(None).cast("long").alias("c3"),
+        F.col("total").alias("v1"),
+        F.col("avg").alias("v2"),
+        F.col("vmin").cast("double").alias("v3"),
+        F.col("vmax").cast("double").alias("v4"),
+    )
+    return stages.unionByName(ivm)
 
 
 @workload(

@@ -436,26 +436,87 @@ def q_stream_sessionize(spark, sf_dir):
 @workload(
     "q_stream_upsert_sink",
     oracle="""
-        SELECT user_id, event_id, event_type, value
+        SELECT 'upsert' AS leg, user_id, event_id, event_type, value
         FROM (
             SELECT user_id, event_id, event_type, value,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
             FROM events
         ) WHERE rk = 1
+        UNION ALL
+        SELECT 'cdc' AS leg, user_id, seq AS event_id, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY seq DESC,
+                         (CASE op WHEN 'D' THEN 2 ELSE 1 END) DESC,
+                         event_type DESC NULLS LAST, value DESC NULLS LAST
+            ) AS rk
+            FROM (
+                SELECT user_id, event_id AS seq, event_type, value,
+                       CASE WHEN event_id % 10 = 0 THEN 'D'
+                            WHEN event_id % 2 = 0 THEN 'U'
+                            ELSE 'I' END AS op
+                FROM events
+            )
+        ) WHERE rk = 1 AND op <> 'D'
     """,
-    tags=("streaming", "sink"),
+    tags=("streaming", "sink", "cdc"),
 )
 def q_stream_upsert_sink(spark, sf_dir):
-    """Keyed upsert sink via foreachBatch (reference in-memory upsert sink):
-    final state = latest row per key, maintained as an executor-side
-    versioned parquet state table (no driver-side state)."""
+    """Two legs over the same keyed-state idea, one leg-tagged union.
+
+    'upsert': keyed upsert sink via foreachBatch (reference in-memory
+    upsert sink): final state = latest row per key, maintained as an
+    executor-side versioned parquet state table (no driver-side state).
+
+    'cdc' (r07): the CDC-apply tier driven end-to-end through the driver
+    oracle. Events become a change feed (op from event_id: %10==0 → D,
+    even → U, else I; seq = event_id), split into two batches with some
+    batch-1 changes REDELIVERED in batch 2 (at-least-once). `apply_cdc`
+    folds batch 1 into empty state with tombstones retained, then batch 2
+    on top; the oracle replays the whole log once — the two-batch
+    tombstoned fold must hash-match the one-shot replay, including keys
+    whose final op is D staying deleted despite redelivered older I/U."""
     stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5, files_per_trigger=2)
     final = upsert_by_key(
         stream.select("user_id", "event_id", "event_type", "value", "ts"),
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
     )
-    return final.drop("ts").select("user_id", "event_id", "event_type", "value")
+    upsert = final.drop("ts").select(
+        F.lit("upsert").alias("leg"), "user_id", "event_id", "event_type", "value"
+    )
+
+    from volga_spark.operators.cdc import apply_cdc, live_rows
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 2 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    c1 = changes.filter(F.col("seq") % 5 != 0)
+    redelivered = c1.filter(F.col("seq") % 7 == 0)
+    c2 = changes.filter(F.col("seq") % 5 == 0).unionByName(redelivered)
+    empty_state = (
+        changes.drop("op").limit(0).withColumn("__deleted", F.lit(False))
+    )
+    s1 = apply_cdc(empty_state, c1, ["user_id"], keep_tombstones=True)
+    s2 = apply_cdc(s1, c2, ["user_id"], keep_tombstones=True)
+    cdc = live_rows(s2).select(
+        F.lit("cdc").alias("leg"),
+        "user_id",
+        F.col("seq").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    return upsert.unionByName(cdc)
 
 
 # NOT a registry entry: the driver's correctness gate caps at 50 rows
