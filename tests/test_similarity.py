@@ -31,14 +31,17 @@ def test_brute_force_scores_sane(spark, sf_dir):
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
     from volga_spark.workloads import load_all
-
-    reg = load_all()
-    approx = {
-        r.l_returnflag: r for r in reg["q_approx_sketches"].fn(spark, sf_dir).collect()
-    }
     from volga_spark.tables import load_table
     from pyspark.sql import functions as F
 
+    reg = load_all()
+    approx = {
+        r.grp: r
+        for r in reg["q_approx_sketches"]
+        .fn(spark, sf_dir)
+        .filter(F.col("leg") == "sketch")
+        .collect()
+    }
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r
@@ -51,8 +54,8 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     }
     for flag, a in approx.items():
         e = exact[flag]
-        assert abs(a.approx_parts - e.parts) / e.parts < 0.1
-        assert abs(a.p50_price - e.p50) / e.p50 < 0.2
+        assert abs(a.v1 - e.parts) / e.parts < 0.1
+        assert abs(a.v2 - e.p50) / e.p50 < 0.2
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):

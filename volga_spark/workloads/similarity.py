@@ -72,35 +72,61 @@ def q_embed_neardup(spark, sf_dir):
     return blocked_neardup_pairs(emb, "label", 0.3)
 
 
-@workload("q_ann_lsh_topk", tags=("similarity", "approx"))
-def q_ann_lsh_topk(spark, sf_dir):
-    """BOTH approximate-ANN scale paths in one tagged union (approximate →
-    rows-only check; tests/test_similarity.py measures each method's recall
-    vs the brute-force baseline):
+_DUCK_BRUTE_TOPK = f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_DUCK_COS} AS score
+            FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < 10
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored
+        ),
+        top5 AS (
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+        )
+        SELECT 'lsh' AS method, * FROM top5
+        UNION ALL
+        SELECT 'ivf' AS method, * FROM top5
+"""
 
-    - ``lsh``: random-hyperplane bucketing — scores only same-band
-      candidates; no training step, recall tuned by (planes, bands).
-    - ``ivf``: inverted-file — deterministic spherical-k-means coarse
-      quantizer trained on a bounded sample, corpus assigned to nearest
-      list in one Arrow/numpy pass, queries probe the n_probe nearest
-      lists. Scoring volume ≈ corpus × n_probe / n_lists.
-    - ``ivfpq``: IVF + product quantization — the MEMORY scale path: corpus
-      vectors stored as m-byte PQ codes (32× compression), candidates
-      scored by ADC table lookups, then an exact-cosine refine over the
-      ADC shortlist. Raw vectors appear only in the bounded training
-      sample, the broadcast queries, and the O(queries·k·refine) fetch.
-    """
-    from volga_spark.operators.similarity import ivf_topk, ivfpq_topk
+
+@workload(
+    "q_ann_lsh_topk",
+    oracle=_DUCK_BRUTE_TOPK,
+    tags=("similarity", "approx"),
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Both index-accelerated ANN paths, DRIVER-ORACLED against the exact
+    brute-force top-5 (r06 verdict item #2) — each leg is configured at a
+    recall-1 operating point so the full index machinery (signatures,
+    banding join, quantizer training, list assignment, pruned probing,
+    ranking) must reproduce the exact answer:
+
+    - ``lsh``: random-hyperplane bucketing at 16 bands × 1 plane —
+      OR-amplified until the candidate-miss probability is ≤ (θ/π)^16
+      (≈ 1.5e-5 even for orthogonal pairs, ~1e-6 at this corpus's top-5
+      cosines), i.e. recall 1 on any realizable draw of this corpus.
+    - ``ivf``: inverted-file with n_probe = n_lists — exhaustive probing is
+      exact BY CONSTRUCTION (every vector lives in exactly one list), so
+      this pins the train→assign→probe→score pipeline losing nothing.
+
+    The recall/pruning trade-off at REAL operating points (n_probe < lists,
+    wider bands, PQ compression) is measured in tests/test_similarity.py;
+    the genuinely approximate IVF-PQ path is the 'ivfpq' rows-only leg of
+    q_approx_sketches."""
+    from volga_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    lsh = lsh_topk(emb, queries, k=5, n_planes=16, bands=8, dim=64).select(
+    lsh = lsh_topk(emb, queries, k=5, n_planes=16, bands=16, dim=64).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
     )
-    ivf = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=8).select(
+    ivf = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=16).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank"
     )
-    ivfpq = ivfpq_topk(
-        emb, queries, k=5, n_lists=16, n_probe=8, m=8, ksub=256, refine_factor=8
-    ).select(F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "rank")
-    return lsh.unionAll(ivf).unionAll(ivfpq)
+    return lsh.unionAll(ivf)
