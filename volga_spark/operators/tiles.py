@@ -55,6 +55,47 @@ def build_tiles(
     )
 
 
+def build_serving_state(
+    events: DataFrame,
+    tiles: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    granularity: str = "1 minute",
+) -> DataFrame:
+    """ONE serving-state table answering both halves of a tiled lookup:
+    tile partials (kind 't') for window interiors and per-row partials
+    (kind 'r', carrying the raw timestamp) for the boundary buckets. A
+    request batch probes it with a single broadcast join on
+    (key, bucket, kind) — the state is scanned once per batch and never
+    shuffled. Persist the result in a service; rebuild per micro-batch
+    when the stream maintains the tiles."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    g = interval_to_micros(granularity)
+    t = tiles.select(
+        *keys,
+        "__b",
+        F.lit("t").alias("__kind"),
+        F.col("t_cnt").alias("__cnt"),
+        F.col("t_cents").alias("__cents"),
+        F.col("t_min").alias("__min"),
+        F.col("t_max").alias("__max"),
+        F.lit(None).cast("long").alias("__ets"),
+    )
+    v = F.col(value_col)
+    r = events.select(
+        *keys,
+        (F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long").alias("__b"),
+        F.lit("r").alias("__kind"),
+        F.when(v.isNotNull(), 1).otherwise(0).cast("long").alias("__cnt"),
+        F.round(v * 100).cast("long").alias("__cents"),
+        v.alias("__min"),
+        v.alias("__max"),
+        F.unix_micros(F.col(ts_col)).alias("__ets"),
+    )
+    return t.unionByName(r)
+
+
 class TiledFeatureService:
     """Request-serving over TILED state — the reference's "queryable state"
     loop (README feature list + window_request_operator.rs): the streaming
@@ -84,21 +125,31 @@ class TiledFeatureService:
         self.granularity = granularity
         self.cache = cache
         self._cached = False
+        self._state: DataFrame | None = None
 
     def _ensure_cached(self) -> None:
-        # pin the tile table AND the raw edge rows once — every request
-        # batch after the first reads cached blocks instead of re-scanning
-        # (and re-aggregating, when tiles were derived) the event log
-        if self.cache and not self._cached:
-            self.tiles = self.tiles.persist()
-            self.events = self.events.persist()
-            self._cached = True
+        # pin the UNIONED serving state (tile partials + bucketed raw rows)
+        # once — every request batch after the first probes cached blocks
+        # with a single broadcast join instead of re-scanning (and
+        # re-aggregating, when tiles were derived) the event log twice
+        if self._state is None:
+            self._state = build_serving_state(
+                self.events,
+                self.tiles,
+                self.key_cols,
+                self.ts_col,
+                self.value_col,
+                self.granularity,
+            )
+            if self.cache:
+                self._state = self._state.persist()
+                self._cached = True
 
     def close(self) -> None:
         if self._cached:
-            self.tiles.unpersist()
-            self.events.unpersist()
+            self._state.unpersist()
             self._cached = False
+        self._state = None
 
     def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
         self._ensure_cached()
@@ -112,6 +163,7 @@ class TiledFeatureService:
             granularity=self.granularity,
             request_id_col=request_id_col,
             tiles=self.tiles,
+            state=self._state,
         )
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
@@ -131,14 +183,31 @@ def tiled_lookup(
     granularity: str = "1 minute",
     request_id_col: str = "request_id",
     tiles: DataFrame | None = None,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """COUNT/SUM(cents)/MIN/MAX over [rts - W, rts] per request, via tiles +
-    edge rows. Returns request_id, keys, cnt/sum/min/max columns."""
+    edge rows. Returns request_id, keys, cnt/sum/min/max columns.
+
+    Serving-path plan shape (r07 rework of the r05 5-stage version): the
+    request batch is the BOUNDED side — it explodes into interior-bucket
+    probes (kind 't', W/G per request) plus boundary-bucket probes
+    (kind 'r', ≤2 per request, carrying the window bounds), and the union
+    probes the SINGLE serving-state table (:func:`build_serving_state`)
+    with ONE broadcast join on (key, bucket, kind). The state is scanned
+    once per batch, in place, and never shuffled; matched partials then
+    feed one small per-request aggregation (rows ≈ requests × (W/G + edge
+    rows)). Per batch: one broadcast join + one tiny shuffle, vs the old
+    two sort-merge joins (re-shuffling tile AND event state every batch) +
+    two aggs + a 3-way combine."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     g = interval_to_micros(granularity)
     w = frame.micros
-    if tiles is None:
-        tiles = build_tiles(events, keys, ts_col, value_col, granularity)
+    if state is None:
+        if tiles is None:
+            tiles = build_tiles(events, keys, ts_col, value_col, granularity)
+        state = build_serving_state(
+            events, tiles, keys, ts_col, value_col, granularity
+        )
 
     req = requests.select(
         request_id_col,
@@ -153,28 +222,16 @@ def tiled_lookup(
         }
     )
 
-    interior = (
+    interior_req = (
         req.filter(F.col("__b_first") <= F.col("__b_last"))
         .select(
             request_id_col,
             *keys,
             F.explode(F.sequence("__b_first", "__b_last")).alias("__b"),
+            F.lit("t").alias("__kind"),
+            F.lit(None).cast("long").alias("__lo"),
+            F.lit(None).cast("long").alias("__rts"),
         )
-        .join(tiles, keys + ["__b"])
-        .groupBy(request_id_col)
-        .agg(
-            F.sum("t_cnt").alias("i_cnt"),
-            F.sum("t_cents").alias("i_cents"),
-            F.min("t_min").alias("i_min"),
-            F.max("t_max").alias("i_max"),
-        )
-    )
-
-    ev = events.select(
-        *keys,
-        F.unix_micros(F.col(ts_col)).alias("__ets"),
-        F.col(value_col).alias("__v"),
-        (F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long").alias("__b"),
     )
     # edge buckets: the (≤2) partially-covered buckets at the window bounds
     edge_req = req.select(
@@ -194,40 +251,38 @@ def tiled_lookup(
         ).alias("__b"),
     ).filter(  # skip buckets already counted as interior
         (F.col("__b") < F.col("__b_first")) | (F.col("__b") > F.col("__b_last"))
+    ).select(
+        request_id_col, *keys, "__b", F.lit("r").alias("__kind"), "__lo", "__rts"
     )
-    edges = (
-        edge_req.join(ev, keys + ["__b"])
-        .filter((F.col("__ets") >= F.col("__lo")) & (F.col("__ets") <= F.col("__rts")))
-        .groupBy(request_id_col)
-        .agg(
-            F.count("__v").alias("e_cnt"),
-            F.sum(F.round(F.col("__v") * 100).cast("long")).alias("e_cents"),
-            F.min("__v").alias("e_min"),
-            F.max("__v").alias("e_max"),
-        )
-    )
+    probe = interior_req.unionByName(edge_req)
 
-    combined = (
-        req.select(request_id_col, *keys)
-        .join(interior, request_id_col, "left")
-        .join(edges, request_id_col, "left")
+    contrib = state.join(F.broadcast(probe), keys + ["__b", "__kind"]).filter(
+        (F.col("__kind") == "t")
+        | ((F.col("__ets") >= F.col("__lo")) & (F.col("__ets") <= F.col("__rts")))
     )
-    cnt = F.coalesce("i_cnt", F.lit(0)) + F.coalesce("e_cnt", F.lit(0))
-    cents = F.when(
-        cnt > 0,
-        F.coalesce("i_cents", F.lit(0)) + F.coalesce("e_cents", F.lit(0)),
+    agg = contrib.groupBy(request_id_col).agg(
+        F.sum("__cnt").alias("cnt"),
+        F.sum("__cents").alias("cents"),
+        F.min("__min").alias("vmin"),
+        F.max("__max").alias("vmax"),
     )
+    # a broadcast left join re-attaches zero-match requests; measured
+    # FASTER than the union-a-zero-row-per-request alternative (the union
+    # widens the agg input to the full shuffle width and defeats the
+    # small-exchange coalesce)
+    combined = req.select(request_id_col, *keys).join(
+        F.broadcast(agg), request_id_col, "left"
+    )
+    cnt = F.coalesce("cnt", F.lit(0))
     return combined.select(
         request_id_col,
         *keys,
         cnt.alias("cnt"),
-        (cents / F.lit(100.0)).alias("sum_value"),
-        F.least(
-            F.coalesce("i_min", F.col("e_min")), F.coalesce("e_min", F.col("i_min"))
-        ).alias("min_value"),
-        F.greatest(
-            F.coalesce("i_max", F.col("e_max")), F.coalesce("e_max", F.col("i_max"))
-        ).alias("max_value"),
+        (F.when(cnt > 0, F.coalesce("cents", F.lit(0))) / F.lit(100.0)).alias(
+            "sum_value"
+        ),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
     )
 
 
