@@ -39,6 +39,39 @@ PROBE_QUERIES = [
     "q_groupby_minmax_having",
 ]
 
+
+# Operators whose scale story is not (or not solely) carried by a registry
+# query — probed directly so the curve covers them too (r06 verdict #6).
+def _probe_pivot(spark, sf_dir):
+    from volga_spark.operators.reshape import pivot_agg
+    from volga_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pivot_agg(
+        li, ["l_suppkey"], "l_returnflag", ["A", "N", "R"], "l_quantity"
+    )
+
+
+def _probe_paragraph_dedup(spark, sf_dir):
+    from volga_spark.operators.dedup import paragraph_dedup
+    from volga_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    # the synthetic corpus is single-paragraph; split after tokens whose
+    # stem ends 'a' (the optional r<N> tail is the probe's replica suffix,
+    # so splitting behaves identically in every replica) to synthesize
+    # multi-paragraph docs with cross-doc duplicate paragraphs
+    d = d.withColumn(
+        "text", F.regexp_replace("text", "(\\w*a(?:r\\d+)?) ", "$1\n\n")
+    )
+    return paragraph_dedup(d, "doc_id", "text")
+
+
+EXTRA_PROBES = {
+    "pivot_agg": _probe_pivot,
+    "paragraph_dedup": _probe_paragraph_dedup,
+}
+
 ID_SHIFTS = {
     # table -> columns shifted by replica * stride (key spaces scale with
     # volume; stride clears each table's sf0.1 id range)
@@ -111,7 +144,7 @@ def main() -> None:
     reg = entry.queries()
     out = {}
     for name in queries:
-        fn = reg[name]
+        fn = reg[name] if name in reg else EXTRA_PROBES[name]
         times = {}
         for tag, d in (("base_s", src), (f"x{factor}_s", dst)):
             best = None
