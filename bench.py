@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q_ml_top_full",
     "q_dedup_exact",
     "q_dedup_approx_pairs",
+    "q_approx_sketches",
     "q_dedup_clusters",
     "q_dedup_substring_spans",
     "q_ann_brute_topk",
@@ -51,6 +52,8 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_sessionize",
     "q_pipeline_sql",
+    "q_agg_stages",
+    "q_stream_upsert_sink",
     "q_stream_groupby_count",
     "q_stream_sliding_window",
     "q_stream_tiled_window",
@@ -65,33 +68,42 @@ BENCH_QUERIES = [
 # shows 2-4x ambient swings lasting minutes; see BASELINE.md). The retry
 # minimum is still a real end-to-end measurement of the same plan; a true
 # regression stays over the band no matter how often it re-runs.
+# r07 re-anchor (r06 verdict #3): 15/26 r06 queries ran under HALF their
+# band, so a real 2x regression could pass silently. New band = 1.4 x
+# max(r06 official, r07 session official) per query — the retry pass
+# (below) absorbs the documented multi-minute 2-4x ambient host bursts,
+# so bands no longer need to. Full table + per-query provenance in
+# BASELINE.md "r07 re-anchor".
 BANDS = {
-    "q_tpch_q1": 1.5,
-    "q_filter_scan": 0.8,
-    "q_join_multi_broadcast": 1.9,
-    "q_topk_per_group": 1.1,
-    "q_window_core": 1.8,
-    "q_window_advanced": 2.2,
-    "q_ml_where_family": 0.9,
-    "q_ml_cate_full": 2.9,
-    "q_ml_top_full": 2.9,
-    "q_dedup_exact": 1.1,
-    "q_dedup_approx_pairs": 12.0,
-    "q_dedup_clusters": 8.0,
-    "q_dedup_substring_spans": 8.5,
-    "q_ann_brute_topk": 1.5,
-    "q_text_analysis": 1.5,
-    "q_bm25_topk": 3.5,
-    "q_mix_pack": 2.0,
-    "q_hybrid_rrf": 5.5,
-    "q_training_pipeline": 2.5,
-    "q_asof_join": 1.4,
-    "q_sessionize": 1.3,
-    "q_pipeline_sql": 3.2,
-    "q_stream_groupby_count": 2.0,
-    "q_stream_sliding_window": 5.0,
-    "q_stream_tiled_window": 9.5,
-    "q_stream_tiled_window_month": 11.0,
+    "q_tpch_q1": 1.4,
+    "q_filter_scan": 0.9,
+    "q_join_multi_broadcast": 1.85,
+    "q_topk_per_group": 0.9,
+    "q_window_core": 1.3,
+    "q_window_advanced": 1.7,
+    "q_ml_where_family": 0.85,
+    "q_ml_cate_full": 1.35,
+    "q_ml_top_full": 1.7,
+    "q_dedup_exact": 0.55,
+    "q_dedup_approx_pairs": 2.4,
+    "q_approx_sketches": 8.7,
+    "q_dedup_clusters": 6.0,
+    "q_dedup_substring_spans": 2.75,
+    "q_ann_brute_topk": 1.0,
+    "q_text_analysis": 1.35,
+    "q_bm25_topk": 3.15,
+    "q_mix_pack": 1.0,
+    "q_hybrid_rrf": 3.4,
+    "q_training_pipeline": 2.3,
+    "q_asof_join": 1.2,
+    "q_sessionize": 0.95,
+    "q_pipeline_sql": 2.25,
+    "q_agg_stages": 1.7,
+    "q_stream_upsert_sink": 3.3,
+    "q_stream_groupby_count": 2.15,
+    "q_stream_sliding_window": 5.1,
+    "q_stream_tiled_window": 8.0,
+    "q_stream_tiled_window_month": 9.15,
 }
 
 
