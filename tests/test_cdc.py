@@ -278,3 +278,39 @@ def test_stream_scd2_history_equals_bootstrap(spark, tmp_path):
         for r in boot.collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_equal_seq_nondelete_tie_is_deterministic(spark):
+    """r07: two non-delete changes at the same (key, seq) — a malformed
+    but possible feed — must resolve identically on every run and
+    partitioning (attr values desc, nulls last), and identically to the
+    DuckDB twin."""
+    changes = [
+        (1, "zeta", 5, "I"),
+        (1, "alpha", 5, "U"),  # same key, same seq — tie on attrs
+        (2, None, 3, "U"),
+        (2, "beta", 3, "I"),  # null loses to non-null (nulls last)
+    ]
+    empty = spark.createDataFrame([], STATE_SCHEMA)
+    outs = set()
+    for n_parts in (1, 4, 13):
+        chg = spark.createDataFrame(changes, CHG_SCHEMA).repartition(n_parts)
+        outs.add(
+            tuple(sorted(map(tuple, apply_cdc(empty, chg, ["k"]).collect())))
+        )
+    assert len(outs) == 1, outs
+    got = list(outs)[0]
+    # desc order: 'zeta' > 'alpha'; 'beta' > NULL
+    assert got == ((1, "zeta", 5), (2, "beta", 3))
+    chg_vals = ", ".join(
+        f"({k}, {'NULL' if v is None else repr(v)}, {s}, '{o}')"
+        for k, v, s, o in changes
+    )
+    sql = apply_cdc_oracle_sql(
+        "SELECT * FROM (VALUES (99, 'x', 0)) t(k, val, seq) WHERE k < 0",
+        f"SELECT * FROM (VALUES {chg_vals}) t(k, val, seq, op)",
+        ["k"],
+        ["val"],
+    )
+    want = tuple(sorted(map(tuple, duckdb.sql(sql).fetchall())))
+    assert got == want

@@ -181,3 +181,25 @@ def test_distinct_sketch_merge_equals_rebuild_exactly(spark):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_all_null_group_bootstrap_matches_maintenance(spark):
+    """r07: a group whose values are ALL NULL must be absent from the
+    bootstrap state (count(value)=0), exactly as maintain_agg's
+    __cnt > 0 filter drops it — so bootstrap-then-maintain stays
+    hash-identical to a fresh re-aggregation on that edge."""
+    rows = [("dead", None, 1), ("dead", None, 2), ("live", 7, 3)]
+    base = spark.createDataFrame(rows, "k string, v int, row_id bigint")
+    state = init_agg(base, ["k"], "v")
+    assert [r["k"] for r in state.collect()] == ["live"]
+    # an all-NULL insert batch for a new group also contributes nothing
+    ins = spark.createDataFrame(
+        [("ghost", None, 4)], "k string, v int, row_id bigint"
+    )
+    state, dirty = maintain_agg(state, ins, None, ["k"], "v")
+    assert dirty.count() == 0
+    got = sorted(map(tuple, read_view(state, ["k"]).collect()))
+    want = sorted(
+        map(tuple, read_view(init_agg(base.unionByName(ins), ["k"], "v"), ["k"]).collect())
+    )
+    assert got == want

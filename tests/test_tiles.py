@@ -141,3 +141,40 @@ def test_auto_service_picks_by_density_and_answers_match(spark, sf_dir):
         assert abs((a[rid]["sum_value"] or 0) - (b[rid]["sum_value"] or 0)) < 1e-9
         assert a[rid]["min_value"] == b[rid]["min_value"]
         assert a[rid]["max_value"] == b[rid]["max_value"]
+
+
+def test_lookup_never_shuffles_state(spark, sf_dir):
+    """r07 serving-path pin: a warm lookup probes the persisted serving
+    state with BROADCAST joins only — no SortMergeJoin / ShuffledHashJoin
+    (the r05 plan re-shuffled the tile table AND the event log on every
+    request batch; at 100 TB that is O(corpus) shuffled per batch)."""
+    import contextlib
+    import io
+
+    from volga_spark.operators.tiles import TiledFeatureService, build_tiles
+    from volga_spark.operators.window import range_frame
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    svc = TiledFeatureService(
+        ev,
+        build_tiles(ev, ["user_id"], "ts", "value", "1 minute"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("1 hour"),
+        granularity="1 minute",
+        cache=True,
+    )
+    pts = [
+        (i, int(r["user_id"]), r["ts"])
+        for i, r in enumerate(ev.orderBy("event_id").limit(50).collect())
+    ]
+    req = spark.createDataFrame(
+        pts, "request_id bigint, user_id bigint, ts timestamp"
+    )
+    out = svc.lookup(req)
+    out.count()  # finalize the AQE plan of the SAME frame we inspect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    svc.close()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]

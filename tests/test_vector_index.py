@@ -60,3 +60,27 @@ def test_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     # and the pruned scan returns only those lists
     lists = {r["list_id"] for r in pruned.select("list_id").distinct().collect()}
     assert lists <= {1, 3}
+
+
+def test_empty_query_batch_schema_matches_nonempty(spark, sf_dir, tmp_path):
+    """r07: an empty request batch must return the SAME schema (incl. the
+    queries' own query-id type) as a non-empty one, so result batches
+    union/compare cleanly in a serving loop."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf_empty"), n_lists=4, seed=7)
+    # int (not bigint) query ids
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    full = idx.topk(queries, k=3, n_probe=2)
+    empty = idx.topk(queries.limit(0), k=3, n_probe=2)
+    # names + types must agree (nullability flags may differ: the DDL
+    # empty schema is all-nullable while row_number output is not)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in full.schema.fields
+    ]
+    assert empty.count() == 0 and full.count() > 0
+    # union of serving batches — the failure mode the schema pin prevents
+    assert full.unionByName(empty).count() == full.count()
