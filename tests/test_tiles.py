@@ -178,3 +178,107 @@ def test_lookup_never_shuffles_state(spark, sf_dir):
     svc.close()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def _naive_window(spark, sf_dir, requests, window_sql):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e_uid"), "ts", "value"
+    )
+    r = requests.select("request_id", "user_id", F.col("ts").alias("rts"))
+    j = r.join(
+        ev,
+        (F.col("user_id") == F.col("e_uid"))
+        & (F.col("ts") >= F.col("rts") - F.expr(f"INTERVAL {window_sql}"))
+        & (F.col("ts") <= F.col("rts")),
+        "left",
+    )
+    return j.groupBy("request_id").agg(
+        F.count("value").alias("cnt"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+            "sum_value"
+        ),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def test_cover_buckets_properties():
+    """Canonical ladder cover: disjoint, exact, and tiny vs single-level."""
+    import random
+
+    from volga_spark.operators.tiles import cover_buckets
+
+    rng = random.Random(11)
+    gs = [1, 6, 60, 720]
+    for _ in range(500):
+        lo = rng.randrange(0, 3000)
+        hi = lo + rng.randrange(0, 5000)
+        runs = cover_buckets(lo, hi, gs)
+        ivs = sorted((b * g, (b + 1) * g) for g, b in runs)
+        cur = lo
+        for a, b in ivs:
+            assert a == cur
+            cur = b
+        assert cur == (hi if ivs else lo)
+    # a 7-day window at 1-minute fine level: ladder probes ~2 orders of
+    # magnitude fewer buckets than the flat explode
+    m = 60_000_000
+    flat = (7 * 24 * 60 * m) // m
+    runs = cover_buckets(13 * m, 13 * m + 7 * 24 * 60 * m, [m, 60 * m, 1440 * m])
+    assert len(runs) < flat / 50, (len(runs), flat)
+
+
+@pytest.mark.parametrize("window", ["25 HOURS", "7 DAYS"])
+def test_ladder_lookup_equals_naive_and_flat(spark, sf_dir, window):
+    """A ladder-served lookup must equal BOTH the naive scan and the
+    single-granularity tiled path, bit for bit, on long windows where the
+    ladder actually engages all levels."""
+    from volga_spark.operators.tiles import TiledFeatureService, build_tile_ladder
+
+    ev = load_table(spark, sf_dir, "events")
+    requests = ev.filter(F.col("event_id") % 11 == 0).limit(60).select(
+        F.col("event_id").alias("request_id"),
+        "user_id",
+        F.when(
+            F.col("event_id") % 22 == 0, F.date_trunc("minute", F.col("ts"))
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    evs = ev.select("user_id", "ts", "value")
+    n = {"25 HOURS": "25 hours", "7 DAYS": "7 days"}[window]
+    ladder = ["1 minute", "1 hour", "12 hours"]
+    svc = TiledFeatureService(
+        evs,
+        build_tile_ladder(evs, ["user_id"], "ts", "value", ladder),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame(n),
+        granularities=ladder,
+        cache=False,
+    )
+    got = svc.lookup(requests).toPandas().set_index("request_id").sort_index()
+    flat = (
+        tiled_lookup(
+            evs,
+            requests,
+            key_cols="user_id",
+            ts_col="ts",
+            value_col="value",
+            frame=range_frame(n),
+            granularity="1 minute",
+        )
+        .toPandas()
+        .set_index("request_id")
+        .sort_index()
+    )
+    naive = (
+        _naive_window(spark, sf_dir, requests, window)
+        .toPandas()
+        .set_index("request_id")
+        .sort_index()
+    )
+    for col in ("cnt", "sum_value", "min_value", "max_value"):
+        pd.testing.assert_series_equal(got[col], naive[col], check_names=False)
+        pd.testing.assert_series_equal(got[col], flat[col], check_names=False)

@@ -55,6 +55,104 @@ def build_tiles(
     )
 
 
+def build_tile_ladder(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    granularities: list[str],
+) -> DataFrame:
+    """Multi-granularity tile ladder (reference tiles.rs granularity tree):
+    per (key, level, bucket) → n, cents sum, min, max, with a ``__g``
+    column carrying the level's micros. The finest level aggregates the
+    events ONCE; every coarser level rolls up from the level below (exact:
+    count/sum add, min/max nest) — k levels cost one event scan plus k-1
+    tile-sized aggregations, and the ladder is ≤ Σ 1/ratio ≈ 1.1× the
+    finest level's row count."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ordered = sorted(granularities, key=interval_to_micros)
+    gs = [interval_to_micros(g) for g in ordered]
+    for a, b in zip(gs, gs[1:]):
+        if b % a:
+            raise ValueError(
+                f"each granularity must divide the next: {a} !| {b}"
+            )
+    fine = build_tiles(events, keys, ts_col, value_col, ordered[0])
+    levels = [fine.withColumn("__g", F.lit(gs[0]))]
+    prev, prev_g = fine, gs[0]
+    for g in gs[1:]:
+        ratio = g // prev_g
+        coarse = (
+            prev.groupBy(
+                *keys, F.floor(F.col("__b") / F.lit(ratio)).cast("long").alias("__cb")
+            )
+            .agg(
+                F.sum("t_cnt").alias("t_cnt"),
+                F.sum("t_cents").alias("t_cents"),
+                F.min("t_min").alias("t_min"),
+                F.max("t_max").alias("t_max"),
+            )
+            .withColumnRenamed("__cb", "__b")
+        )
+        levels.append(coarse.withColumn("__g", F.lit(g)))
+        prev, prev_g = coarse, g
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def cover_buckets(lo: int, hi: int, gs: list[int]) -> list[tuple[int, int]]:
+    """Canonical multi-granularity cover of the aligned interior [lo, hi):
+    returns (granularity, bucket) pairs — disjoint, exactly covering, using
+    the coarsest tiles that fit (the reference's granularity-tree walk,
+    tiles.rs:15-118, as pure integer arithmetic).
+
+    `gs` is fine→coarse, each granularity dividing the next; `lo`/`hi`
+    must be multiples of gs[0]. Ascend fine→coarse from the left edge,
+    stride the middle at the coarsest level, descend coarse→fine to the
+    right edge: per request the probe is O(Σ level branching + W/g_max)
+    buckets instead of the single-level W/g_fine — a 30-day window on a
+    [1m, 1h, 1d] ladder probes ≤ 59+23+30+23+59 ≈ 194 buckets, not 43k.
+    """
+    if lo % gs[0] or hi % gs[0]:
+        raise ValueError("lo/hi must be aligned to the finest granularity")
+    for a, b in zip(gs, gs[1:]):
+        if b % a:
+            raise ValueError(f"granularity {b} is not a multiple of {a}")
+    out: list[tuple[int, int]] = []
+
+    def emit(g: int, a: int, b: int) -> None:  # [a, b) in micros, g-aligned
+        out.extend((g, x) for x in range(a // g, b // g))
+
+    cur = lo
+    # ascend: finish each finer level up to the next coarser alignment
+    for g, nxt in zip(gs, gs[1:]):
+        aligned = -(-cur // nxt) * nxt
+        stop = min(aligned, (hi // g) * g)
+        if stop > cur:
+            emit(g, cur, stop)
+            cur = stop
+        if cur % nxt:
+            break  # window ends before the next coarser level aligns
+    gk = gs[-1]
+    if cur % gk == 0:
+        stop = (hi // gk) * gk
+        if stop > cur:
+            emit(gk, cur, stop)
+            cur = stop
+    # descend: close the right edge with ever finer tiles
+    for g in reversed(gs[:-1]):
+        if cur % g == 0:
+            stop = (hi // g) * g
+            if stop > cur:
+                emit(g, cur, stop)
+                cur = stop
+    if cur != hi:
+        raise AssertionError(f"cover did not close: {lo}..{hi} stopped {cur}")
+    return out
+
+
 def build_serving_state(
     events: DataFrame,
     tiles: DataFrame,
@@ -67,13 +165,19 @@ def build_serving_state(
     tile partials (kind 't') for window interiors and per-row partials
     (kind 'r', carrying the raw timestamp) for the boundary buckets. A
     request batch probes it with a single broadcast join on
-    (key, bucket, kind) — the state is scanned once per batch and never
-    shuffled. Persist the result in a service; rebuild per micro-batch
-    when the stream maintains the tiles."""
+    (key, level, bucket, kind) — the state is scanned once per batch and
+    never shuffled. `tiles` may be a single level (``build_tiles``) or a
+    multi-granularity ladder carrying ``__g`` (``build_tile_ladder``);
+    `granularity` is the FINEST level, which raw edge rows bucket by.
+    Persist the result in a service; rebuild per micro-batch when the
+    stream maintains the tiles."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     g = interval_to_micros(granularity)
+    if "__g" not in tiles.columns:
+        tiles = tiles.withColumn("__g", F.lit(g))
     t = tiles.select(
         *keys,
+        "__g",
         "__b",
         F.lit("t").alias("__kind"),
         F.col("t_cnt").alias("__cnt"),
@@ -85,6 +189,7 @@ def build_serving_state(
     v = F.col(value_col)
     r = events.select(
         *keys,
+        F.lit(g).alias("__g"),
         (F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long").alias("__b"),
         F.lit("r").alias("__kind"),
         F.when(v.isNotNull(), 1).otherwise(0).cast("long").alias("__cnt"),
@@ -115,6 +220,7 @@ class TiledFeatureService:
         frame: RangeFrame,
         granularity: str = "1 minute",
         cache: bool = True,
+        granularities: list[str] | None = None,
     ):
         self.events = events
         self.tiles = tiles
@@ -122,7 +228,16 @@ class TiledFeatureService:
         self.ts_col = ts_col
         self.value_col = value_col
         self.frame = frame
-        self.granularity = granularity
+        # a ladder service: `tiles` from build_tile_ladder, `granularity`
+        # the finest level (edge rows bucket by it)
+        self.granularities = (
+            sorted(granularities, key=interval_to_micros)
+            if granularities is not None
+            else None
+        )
+        self.granularity = (
+            self.granularities[0] if self.granularities else granularity
+        )
         self.cache = cache
         self._cached = False
         self._state: DataFrame | None = None
@@ -164,6 +279,7 @@ class TiledFeatureService:
             request_id_col=request_id_col,
             tiles=self.tiles,
             state=self._state,
+            granularities=self.granularities,
         )
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
@@ -184,27 +300,41 @@ def tiled_lookup(
     request_id_col: str = "request_id",
     tiles: DataFrame | None = None,
     state: DataFrame | None = None,
+    granularities: list[str] | None = None,
 ) -> DataFrame:
     """COUNT/SUM(cents)/MIN/MAX over [rts - W, rts] per request, via tiles +
     edge rows. Returns request_id, keys, cnt/sum/min/max columns.
 
     Serving-path plan shape (r07 rework of the r05 5-stage version): the
     request batch is the BOUNDED side — it explodes into interior-bucket
-    probes (kind 't', W/G per request) plus boundary-bucket probes
-    (kind 'r', ≤2 per request, carrying the window bounds), and the union
-    probes the SINGLE serving-state table (:func:`build_serving_state`)
-    with ONE broadcast join on (key, bucket, kind). The state is scanned
-    once per batch, in place, and never shuffled; matched partials then
-    feed one small per-request aggregation (rows ≈ requests × (W/G + edge
-    rows)). Per batch: one broadcast join + one tiny shuffle, vs the old
-    two sort-merge joins (re-shuffling tile AND event state every batch) +
-    two aggs + a 3-way combine."""
+    probes (kind 't') plus boundary-bucket probes (kind 'r', ≤2 per
+    request, carrying the window bounds), and the union probes the SINGLE
+    serving-state table (:func:`build_serving_state`) with ONE broadcast
+    join on (key, level, bucket, kind). The state is scanned once per
+    batch, in place, and never shuffled; matched partials then feed one
+    small per-request aggregation. Per batch: one broadcast join + one
+    tiny shuffle, vs the old two sort-merge joins (re-shuffling tile AND
+    event state every batch) + two aggs + a 3-way combine.
+
+    With ``granularities`` (a divisibility ladder, e.g. ``["1 minute",
+    "1 hour", "1 day"]``; `tiles`/`state` from :func:`build_tile_ladder`),
+    the interior probe is the canonical multi-granularity cover
+    (:func:`cover_buckets`): O(Σ level branching + W/g_max) probe rows per
+    request instead of W/g_fine — a 30-day window probes ~200 buckets on a
+    [1m, 1h, 1d] ladder, not 43k. The cover runs as a Python UDF on the
+    REQUEST side only (bounded, ~10³ rows/batch — never corpus data)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     g = interval_to_micros(granularity)
     w = frame.micros
     if state is None:
         if tiles is None:
-            tiles = build_tiles(events, keys, ts_col, value_col, granularity)
+            tiles = (
+                build_tiles(events, keys, ts_col, value_col, granularity)
+                if granularities is None
+                else build_tile_ladder(
+                    events, keys, ts_col, value_col, granularities
+                )
+            )
         state = build_serving_state(
             events, tiles, keys, ts_col, value_col, granularity
         )
@@ -222,18 +352,50 @@ def tiled_lookup(
         }
     )
 
-    interior_req = (
-        req.filter(F.col("__b_first") <= F.col("__b_last"))
-        .select(
+    has_interior = req.filter(F.col("__b_first") <= F.col("__b_last"))
+    if granularities is None:
+        interior_gb = has_interior.select(
             request_id_col,
             *keys,
+            F.lit(g).alias("__g"),
             F.explode(F.sequence("__b_first", "__b_last")).alias("__b"),
-            F.lit("t").alias("__kind"),
-            F.lit(None).cast("long").alias("__lo"),
-            F.lit(None).cast("long").alias("__rts"),
         )
+    else:
+        gs = sorted(interval_to_micros(x) for x in granularities)
+        if gs[0] != g:
+            raise ValueError(
+                "granularity must be the ladder's finest level "
+                f"({gs[0]} µs); got {g} µs"
+            )
+        cover = F.udf(
+            lambda lo_a, hi_a: cover_buckets(int(lo_a), int(hi_a), gs),
+            "array<struct<g:long,b:long>>",
+        )
+        interior_gb = has_interior.select(
+            request_id_col,
+            *keys,
+            F.explode(
+                cover(
+                    F.col("__b_first") * F.lit(g),
+                    (F.col("__b_last") + 1) * F.lit(g),
+                )
+            ).alias("__gb"),
+        ).select(
+            request_id_col,
+            *keys,
+            F.col("__gb.g").alias("__g"),
+            F.col("__gb.b").alias("__b"),
+        )
+    interior_req = interior_gb.select(
+        request_id_col,
+        *keys,
+        "__g",
+        "__b",
+        F.lit("t").alias("__kind"),
+        F.lit(None).cast("long").alias("__lo"),
+        F.lit(None).cast("long").alias("__rts"),
     )
-    # edge buckets: the (≤2) partially-covered buckets at the window bounds
+    # edge buckets: the (≤2) partially-covered FINE buckets at the bounds
     edge_req = req.select(
         request_id_col,
         *keys,
@@ -252,11 +414,17 @@ def tiled_lookup(
     ).filter(  # skip buckets already counted as interior
         (F.col("__b") < F.col("__b_first")) | (F.col("__b") > F.col("__b_last"))
     ).select(
-        request_id_col, *keys, "__b", F.lit("r").alias("__kind"), "__lo", "__rts"
+        request_id_col,
+        *keys,
+        F.lit(g).alias("__g"),
+        "__b",
+        F.lit("r").alias("__kind"),
+        "__lo",
+        "__rts",
     )
     probe = interior_req.unionByName(edge_req)
 
-    contrib = state.join(F.broadcast(probe), keys + ["__b", "__kind"]).filter(
+    contrib = state.join(F.broadcast(probe), keys + ["__g", "__b", "__kind"]).filter(
         (F.col("__kind") == "t")
         | ((F.col("__ets") >= F.col("__lo")) & (F.col("__ets") <= F.col("__rts")))
     )
