@@ -203,3 +203,60 @@ def test_all_null_group_bootstrap_matches_maintenance(spark):
         map(tuple, read_view(init_agg(base.unionByName(ins), ["k"], "v"), ["k"]).collect())
     )
     assert got == want
+
+
+def _chunked_stream(spark, tmp_path, name, chunks, schema):
+    src = str(tmp_path / name)
+    for i, part in enumerate(chunks):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_stream_maintain_append_only_equals_reagg(spark, tmp_path):
+    from volga_spark.operators.ivm import ivm_stream_maintain
+
+    rows = _rows(21, 90)
+    stream = _chunked_stream(
+        spark, tmp_path, "ivm_src", [rows[:30], rows[30:60], rows[60:]], SCHEMA
+    )
+    state = ivm_stream_maintain(stream, ["k"], "v")
+    full = init_agg(spark.createDataFrame(rows, SCHEMA), ["k"], "v")
+    assert _view(state, spark) == _view(full, spark)
+
+
+def test_stream_maintain_with_retractions_equals_reagg(spark, tmp_path):
+    """'D' rows retract; a batch that deletes a group's MAX must still
+    leave the view hash-identical to re-aggregating the survivors (the
+    same-batch repair against the versioned row base)."""
+    from volga_spark.operators.ivm import ivm_stream_maintain
+
+    schema = "k string, v bigint, row_id bigint, op string"
+    base = [(k, v, i, "I") for i, (k, v) in enumerate(
+        [("a", -40), ("a", 40), ("a", 1), ("b", 5), ("b", -5), ("c", 9)]
+    )]
+    # batch 2 inserts + deletes a's max and one b row; batch 3 drains c
+    b2 = [("a", 7, 10, "I"), ("a", 40, 1, "D"), ("b", 5, 3, "D")]
+    b3 = [("c", 9, 5, "D"), ("d", 2, 11, "I")]
+    stream = _chunked_stream(spark, tmp_path, "ivm_del_src", [base, b2, b3], schema)
+    state = ivm_stream_maintain(stream, ["k"], "v", op_col="op")
+    survivors = [
+        ("a", -40, 0), ("a", 1, 2), ("a", 7, 10), ("b", -5, 4), ("d", 2, 11)
+    ]
+    full = init_agg(
+        spark.createDataFrame(survivors, "k string, v bigint, row_id bigint"),
+        ["k"],
+        "v",
+    )
+    got = sorted(
+        map(tuple, read_view(state.drop("row_id"), ["k"]).collect())
+    )
+    want = sorted(map(tuple, read_view(full, ["k"]).collect()))
+    assert got == want
+    # 'c' drained to zero and dropped out
+    assert not [r for r in state.collect() if r["k"] == "c"]

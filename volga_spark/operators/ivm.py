@@ -207,3 +207,100 @@ def read_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
     return state.select(
         *keys, F.hll_sketch_estimate("__hll").alias("approx_distinct")
     )
+
+
+# --- streaming maintenance ----------------------------------------------------
+
+
+def ivm_stream_maintain(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    op_col: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Maintain the aggregate view under a micro-batched feed (availableNow)
+    and return the final (keys, __cnt, __sum, __min, __max) state — the
+    streaming face of the batch IVM algebra above, with the same
+    versioned-parquet/epoch-retry exactly-once discipline as
+    `streaming/runner.upsert_by_key` and `operators/cdc.cdc_stream_apply`.
+
+    ``op_col=None``: an append-only feed — every batch folds through
+    :func:`maintain_agg` as inserts; min/max never dirty, no base table
+    is kept, and per-batch cost is one narrow map-side-combinable shuffle
+    of (key, 4 measures) deltas.
+
+    With ``op_col``: rows are 'I' inserts / 'D' retractions. COUNT/SUM
+    retract exactly; a delete batch NULLs the touched groups' min/max,
+    and the maintainer repairs them the SAME batch against the surviving
+    row base it versions alongside the agg state (multiset-exact via
+    ``exceptAll``). The versioned-rewrite base is O(live rows) per batch
+    here; on a lakehouse table format the identical logic is MERGE INTO
+    at O(delta) — the agg-state algebra is unchanged either way.
+
+    Result is hash-identical to a fresh :func:`init_agg` over the
+    surviving multiset (asserted in tests/test_ivm.py, both feed shapes,
+    including a batch that deletes a group's extremum)."""
+    import shutil
+
+    from volga_spark.streaming.runner import (
+        _checkpoint_dir,
+        _state_root,
+        _stream_shuffle,
+    )
+
+    spark = stream.sparkSession
+    root = _state_root()
+    cur = {"version": None}
+    data_cols = [c for c in stream.columns if c != op_col]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        prev_version = cur["version"]
+        if prev_version == epoch_id:
+            return  # epoch retry: the committed version already has it
+        ss = batch_df.sparkSession
+        if prev_version is not None:
+            prev = ss.read.parquet(f"{root}/v{prev_version}/agg")
+        else:
+            prev = init_agg(batch_df.select(*data_cols).limit(0), keys, value_col)
+        if op_col is None:
+            ins, dels = batch_df, None
+        else:
+            ins = batch_df.filter(F.col(op_col) != "D").select(*data_cols)
+            dels = batch_df.filter(F.col(op_col) == "D").select(*data_cols)
+        new_state, dirty = maintain_agg(prev, ins, dels, keys, value_col)
+        if op_col is not None:
+            if prev_version is not None:
+                prev_base = ss.read.parquet(f"{root}/v{prev_version}/base")
+            else:
+                prev_base = batch_df.select(*data_cols).limit(0)
+            new_base = prev_base.unionByName(ins).exceptAll(dels)
+            new_base.write.mode("overwrite").parquet(f"{root}/v{epoch_id}/base")
+            new_base = ss.read.parquet(f"{root}/v{epoch_id}/base")
+            new_state = repair_minmax(new_state, new_base, dirty, keys, value_col)
+        new_state.write.mode("overwrite").parquet(f"{root}/v{epoch_id}/agg")
+        cur["version"] = epoch_id
+        if prev_version is not None and prev_version != epoch_id:
+            shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
+
+    ckpt = _checkpoint_dir()
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if cur["version"] is None:
+        return init_agg(
+            spark.createDataFrame([], stream.select(*data_cols).schema),
+            keys,
+            value_col,
+        )
+    return spark.read.parquet(f"{root}/v{cur['version']}/agg")
