@@ -367,6 +367,10 @@ def tiled_lookup(
                 "granularity must be the ladder's finest level "
                 f"({gs[0]} µs); got {g} µs"
             )
+        import volga_spark.operators.tiles as _self
+        from volga_spark._pickle import register_by_value
+
+        register_by_value(_self)
         cover = F.udf(
             lambda lo_a, hi_a: cover_buckets(int(lo_a), int(hi_a), gs),
             "array<struct<g:long,b:long>>",

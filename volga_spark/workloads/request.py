@@ -175,8 +175,13 @@ def q_request_ml_lookup(spark, sf_dir):
 )
 def q_request_tiled_lookup(spark, sf_dir):
     """Same point-in-time semantics as q_request_point_lookup but answered
-    from 1-minute pre-aggregated tiles + edge rows (reference tiling,
-    state/tiles.rs) — per-request work O(window/granularity), not O(rows)."""
+    from a [1m, 10m] pre-aggregated tile LADDER + raw edge rows (reference
+    multi-granularity tiling, state/tiles.rs): each request's interior is
+    the canonical coarsest-tiles-that-fit cover (`cover_buckets`), so
+    per-request probe volume is O(Σ level branching + W/g_max) and stays
+    bounded as windows grow. r07: the ladder path itself is what the
+    driver oracle hash-checks here (the answer must equal the raw SQL
+    window regardless of how the cover decomposes it)."""
     from volga_spark.operators.tiles import tiled_lookup
 
     ev = load_table(spark, sf_dir, "events")
@@ -193,6 +198,7 @@ def q_request_tiled_lookup(spark, sf_dir):
         value_col="value",
         frame=range_frame("1 hour"),
         granularity="1 minute",
+        granularities=["1 minute", "10 minutes"],
     )
 
 
