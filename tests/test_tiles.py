@@ -282,3 +282,38 @@ def test_ladder_lookup_equals_naive_and_flat(spark, sf_dir, window):
     for col in ("cnt", "sum_value", "min_value", "max_value"):
         pd.testing.assert_series_equal(got[col], naive[col], check_names=False)
         pd.testing.assert_series_equal(got[col], flat[col], check_names=False)
+
+
+def test_auto_service_builds_ladder_for_long_windows(spark, sf_dir):
+    """A long window over a dense-enough corpus should get a LADDER, and
+    the ladder-served answers must equal the naive scan."""
+    from volga_spark.operators.tiles import auto_feature_service
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    svc = auto_feature_service(
+        ev, "user_id", "ts", "value", range_frame("7 days"),
+        granularity="1 minute", threshold=0.0, cache=False,
+    )
+    assert svc.chosen == "tiled"
+    assert svc.granularities is not None and len(svc.granularities) >= 2
+    requests = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 13 == 0)
+        .limit(40)
+        .select(F.col("event_id").alias("request_id"), "user_id", "ts")
+    )
+    got = svc.lookup(requests).toPandas().set_index("request_id").sort_index()
+    naive = (
+        _naive_window(spark, sf_dir, requests, "7 DAYS")
+        .toPandas()
+        .set_index("request_id")
+        .sort_index()
+    )
+    for col in ("cnt", "sum_value", "min_value", "max_value"):
+        pd.testing.assert_series_equal(got[col], naive[col], check_names=False)
+    # a short window keeps the flat level
+    short = auto_feature_service(
+        ev, "user_id", "ts", "value", range_frame("1 hour"),
+        granularity="1 minute", threshold=0.0, cache=False,
+    )
+    assert short.chosen == "tiled" and short.granularities is None

@@ -498,21 +498,44 @@ def auto_feature_service(
     over [ts - W, ts]; both plans are exact and bit-identical
     (tests/test_tiles.py), so the choice is purely a cost call — inspect it
     via ``.chosen`` / ``.est_rows_per_key_window``.
+
+    When the tiled plan wins AND the window spans many fine buckets
+    (window/granularity > ``ladder_threshold``), the service builds a tile
+    LADDER instead of a flat level — successive ×60-ish steps up to the
+    window scale — so the per-request probe stays O(Σ level branching +
+    W/g_max) no matter how long the window (`cover_buckets`); inspect the
+    chosen levels via ``.granularities``.
     """
     from volga_spark.operators.request import FeatureService, masked
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     density = estimate_rows_per_key_window(events, keys, ts_col, frame)
+    ladder_threshold = 256
     if density >= threshold:
+        g = interval_to_micros(granularity)
+        levels = [granularity]
+        gm = g
+        # climb in ×60 steps (minute→hour→2.5d…) while a level still spans
+        # ≥4 buckets of the window — the classic time-hierarchy ladder
+        while frame.micros // gm > ladder_threshold:
+            gm *= 60
+            if frame.micros // gm >= 4:
+                levels.append(f"{gm // 60_000_000} minutes")
+        ladder = levels if len(levels) > 1 else None
         svc = TiledFeatureService(
             events.select(*keys, ts_col, value_col),
-            build_tiles(events, keys, ts_col, value_col, granularity),
+            (
+                build_tiles(events, keys, ts_col, value_col, granularity)
+                if ladder is None
+                else build_tile_ladder(events, keys, ts_col, value_col, ladder)
+            ),
             key_cols=keys,
             ts_col=ts_col,
             value_col=value_col,
             frame=frame,
             granularity=granularity,
             cache=cache,
+            granularities=ladder,
         )
         svc.chosen = "tiled"
     else:
