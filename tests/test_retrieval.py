@@ -177,3 +177,44 @@ def test_hybrid_bm25_plus_ann_rankings_fuse(spark, sf_dir):
     # determinism under repartition
     fused2 = rrf_fuse([sparse.repartition(5), dense.repartition(3)], k=8).collect()
     assert sorted(map(tuple, fused)) == sorted(map(tuple, fused2))
+
+
+def test_remove_from_index_equals_rebuild_and_stays_broadcast(spark):
+    """remove_from_index(index(all), tombstones) scores identically to
+    index(all − tombstones) — delete propagation into the standing index
+    (the forget-tier cascade) — and the scrub plan never shuffles the
+    postings (broadcast anti-join only)."""
+    from volga_spark.operators.retrieval import (
+        bm25_index,
+        bm25_topk_from_index,
+        remove_from_index,
+    )
+
+    all_docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    tomb = spark.createDataFrame([(2,), (5,)], "doc_id bigint")
+    qs = spark.createDataFrame(QUERIES, "query_id int, qtext string")
+
+    scrubbed = remove_from_index(bm25_index(all_docs), tomb)
+    got = sorted(map(tuple, bm25_topk_from_index(scrubbed, qs, k=10).collect()))
+    survivors = all_docs.filter(~F.col("doc_id").isin(2, 5))
+    want = sorted(
+        map(tuple, bm25_topk_from_index(bm25_index(survivors), qs, k=10).collect())
+    )
+    assert got == want and len(got) > 0
+    # removed docs are really gone from every result
+    assert not [r for r in got if r[2] in (2, 5)]
+    # stats subtracted exactly
+    p, d, s = scrubbed
+    srow = s.collect()[0]
+    wrow = bm25_index(survivors)[2].collect()[0]
+    assert (srow["n_docs"], srow["sum_dl"]) == (wrow["n_docs"], wrow["sum_dl"])
+    # plan: the postings scrub is a broadcast anti-join, no shuffle of the
+    # big side
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        p.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan[:2000]

@@ -198,6 +198,43 @@ def merge_index(old, delta):
     return postings, doclen, stats
 
 
+def remove_from_index(index, doc_ids: DataFrame):
+    """Scrub documents out of a standing index — the retrieval half of the
+    `operators/forget` delete-propagation tier (takedowns must cascade to
+    DERIVED artifacts, and an inverted index is one).
+
+    `doc_ids` is the small tombstone frame (one id column, matching the
+    index's id column). The three frames are all additive, so removal is
+    exact without a rebuild: postings/doclen drop the rows with a
+    BROADCAST left-anti join (the big frames never shuffle — each task
+    drops its rows map-side, the `forget.scrub_corpus` discipline), and
+    stats subtract the removed docs' (count, Σdl), which one tiny
+    aggregation of the removed doclen rows supplies. df/idf need no
+    stored correction: they are derived per query AFTER the prune, so
+    the next lookup's scores are exactly those of an index rebuilt from
+    the surviving corpus (asserted in tests/test_retrieval.py)."""
+    postings, doclen, stats = index
+    id_col = [c for c in doclen.columns if c != "dl"][0]
+    ids = doc_ids.selectExpr(f"{doc_ids.columns[0]} AS {id_col}").distinct()
+    removed = doclen.join(F.broadcast(ids), id_col, "leftsemi").agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    new_postings = postings.join(F.broadcast(ids), id_col, "left_anti")
+    new_doclen = doclen.join(F.broadcast(ids), id_col, "left_anti")
+    new_stats = stats.crossJoin(
+        F.broadcast(
+            removed.select(
+                F.col("n_docs").alias("__rn"),
+                F.coalesce(F.col("sum_dl"), F.lit(0)).alias("__rdl"),
+            )
+        )
+    ).select(
+        (F.col("n_docs") - F.col("__rn")).alias("n_docs"),
+        (F.col("sum_dl") - F.col("__rdl")).alias("sum_dl"),
+    )
+    return new_postings, new_doclen, new_stats
+
+
 def bm25_topk_from_index(
     index,
     queries: DataFrame,
