@@ -1146,3 +1146,237 @@ SELECT {id_col},
        string_agg(para, e'{esc}' ORDER BY pos) AS {text_col}
 FROM survivors GROUP BY {id_col}
 """
+
+
+# --- streaming ingest near-dup filter ----------------------------------------
+
+
+def add_minhash_and_grams(
+    df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int = 3
+) -> DataFrame:
+    """(id, signature array<bigint>, grams array<bigint>) in ONE Arrow pass:
+    the MinHash-k signature for LSH banding plus the DISTINCT shingle-hash
+    set for an exact (modulo int-hash collisions) native Jaccard verify —
+    the state row a streaming dedup filter retains per kept document."""
+    import volga_spark.operators.dedup as _self
+
+    register_by_value(_self)
+    a, b = _perm_params(k)
+    schema = f"{id_col} bigint, signature array<bigint>, grams array<bigint>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_h: dict[str, int] = {}
+        for pdf in batches:
+            sigs, grams = [], []
+            for t in pdf[text_col]:
+                toks = t.split()
+                for tok in toks:
+                    if tok not in tok_h:
+                        tok_h[tok] = _stable_h61(tok)
+                hv = _shingle_hashes(toks, n, tok_h)
+                if hv.size == 0:
+                    sigs.append([MERSENNE] * k)
+                    grams.append([])
+                else:
+                    m = (hv[None, :] * a[:, None] + b[:, None]) % MERSENNE
+                    sigs.append(np.min(m, axis=1).tolist())
+                    grams.append(np.unique(hv).tolist())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "signature": sigs, "grams": grams}
+            )
+
+    return widen_for_python(df.select(id_col, text_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def _band_buckets(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) — the lsh_candidate_pairs banding, factored so a
+    streaming filter can band state and batch separately."""
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(F.col("signature"), i * rows + 1, rows),
+            )
+        ).alias("band", "chunk"),
+    ).select(id_col, "band", F.hash("band", "chunk").alias("bucket"))
+
+
+def _jaccard_ge(threshold: float):
+    """Native exact Jaccard over two distinct-gram arrays (no Python)."""
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size(F.array_union("__ga", "__gb"))
+    return (union > 0) & (inter / union >= F.lit(threshold))
+
+
+def neardup_stream_filter(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 64,
+    n: int = 3,
+    bands: int = 16,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """ONLINE near-duplicate filtering of a document stream — the ingest
+    shape of the batch MinHash+LSH pipeline (a 100 TB crawl dedups on
+    arrival, not in nightly rebuilds). Runs the stream to completion
+    (availableNow) and returns one decision row per document:
+    (id, kept boolean, dup_of nullable id).
+
+    Semantics (deterministic, first-seen-wins): a document is DROPPED when
+    it near-dup-matches (exact gram-set Jaccard ≥ threshold over LSH band
+    candidates) any previously RETAINED document, or any lower-id document
+    of its own micro-batch (the batch pipeline's keep-the-min-id cluster
+    representative, applied online); `dup_of` reports the smallest
+    matching id. Retained documents add their (signature, distinct-gram)
+    state row; dropped documents add nothing, so state grows with the
+    UNIQUE corpus only.
+
+    Scale shape per batch: the retained-state side is banded and joined
+    against the BROADCAST new-batch bands (state never shuffles), the
+    verify is native array_intersect/array_union over the candidate pairs
+    only, and state/decisions are versioned parquet with the epoch-retry
+    exactly-once guard shared by every streaming maintainer here. Subject
+    to LSH recall (1-(1-s^rows)^bands): a missed candidate pair keeps a
+    duplicate, never drops a unique document."""
+    import os
+    import shutil
+
+    from volga_spark.streaming.runner import (
+        _checkpoint_dir,
+        _state_root,
+        _stream_shuffle,
+    )
+
+    spark = doc_stream.sparkSession
+    root = _state_root()
+    cur = {"version": None}
+    rows = k // bands
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        prev_version = cur["version"]
+        if prev_version == epoch_id:
+            return
+        ss = batch_df.sparkSession
+        new = add_minhash_and_grams(batch_df, text_col, id_col, k, n)
+        # pin the Arrow pass: it feeds banding, verify, and the state write
+        new.write.mode("overwrite").parquet(f"{root}/v{epoch_id}/new")
+        new = ss.read.parquet(f"{root}/v{epoch_id}/new")
+        new_bands = _band_buckets(new, id_col, bands, rows)
+
+        if prev_version is not None:
+            state = ss.read.parquet(f"{root}/v{prev_version}/state")
+        else:
+            state = new.limit(0)
+        state_bands = _band_buckets(state, id_col, bands, rows)
+
+        # candidates vs retained history: state side stays in place
+        cand_hist = (
+            state_bands.withColumnRenamed(id_col, "__sid")
+            .join(
+                F.broadcast(new_bands.withColumnRenamed(id_col, "__nid")),
+                ["band", "bucket"],
+            )
+            .select("__sid", "__nid")
+            .distinct()
+        )
+        hist_pairs = (
+            cand_hist.join(
+                F.broadcast(
+                    new.select(
+                        F.col(id_col).alias("__nid"), F.col("grams").alias("__gb")
+                    )
+                ),
+                "__nid",
+            )
+            .join(
+                state.select(
+                    F.col(id_col).alias("__sid"), F.col("grams").alias("__ga")
+                ),
+                "__sid",
+            )
+            .filter(_jaccard_ge(threshold))
+            .select("__nid", F.col("__sid").alias("__rep"))
+        )
+        # candidates within the batch: lower id is the representative
+        nb = new_bands.localCheckpoint(eager=False)
+        cand_batch = (
+            nb.withColumnRenamed(id_col, "__a")
+            .join(nb.withColumnRenamed(id_col, "__b"), ["band", "bucket"])
+            .filter(F.col("__a") < F.col("__b"))
+            .select("__a", "__b")
+            .distinct()
+        )
+        g = new.select(F.col(id_col).alias("__gid"), "grams")
+        batch_pairs = (
+            cand_batch.join(
+                F.broadcast(
+                    g.select(F.col("__gid").alias("__a"), F.col("grams").alias("__ga"))
+                ),
+                "__a",
+            )
+            .join(
+                F.broadcast(
+                    g.select(F.col("__gid").alias("__b"), F.col("grams").alias("__gb"))
+                ),
+                "__b",
+            )
+            .filter(_jaccard_ge(threshold))
+            .select(F.col("__b").alias("__nid"), F.col("__a").alias("__rep"))
+        )
+        dup_of = (
+            hist_pairs.unionByName(batch_pairs)
+            .groupBy("__nid")
+            .agg(F.min("__rep").alias("dup_of"))
+        )
+        decisions = (
+            new.select(id_col)
+            .join(F.broadcast(dup_of.withColumnRenamed("__nid", id_col)), id_col, "left")
+            .select(
+                id_col,
+                F.col("dup_of").isNull().alias("kept"),
+                "dup_of",
+            )
+        )
+        decisions.write.mode("overwrite").parquet(f"{root}/v{epoch_id}/decisions")
+        decisions = ss.read.parquet(f"{root}/v{epoch_id}/decisions")
+        kept_state = new.join(
+            F.broadcast(decisions.filter("kept").select(id_col)), id_col, "leftsemi"
+        )
+        state.unionByName(kept_state).write.mode("overwrite").parquet(
+            f"{root}/v{epoch_id}/state"
+        )
+        # decisions accumulate across epochs (retried epochs overwrite
+        # their own directory — idempotent)
+        shutil.copytree(
+            f"{root}/v{epoch_id}/decisions",
+            f"{root}/decisions/e{epoch_id}",
+            dirs_exist_ok=True,
+        )
+        cur["version"] = epoch_id
+        if prev_version is not None and prev_version != epoch_id:
+            shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
+
+    ckpt = _checkpoint_dir()
+    with _stream_shuffle(spark):
+        q = (
+            doc_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if cur["version"] is None or not os.path.isdir(f"{root}/decisions"):
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, kept boolean, dup_of bigint"
+        )
+    return spark.read.parquet(f"{root}/decisions/e*")
