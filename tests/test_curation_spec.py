@@ -162,3 +162,39 @@ def test_mixture_and_packing_stages(spark):
     # JSON round trip keeps the stage params
     spec2 = CurationSpec.from_json(spec.to_json())
     assert sorted(map(tuple, spec2.build(spark, df).collect())) == via_spec
+
+
+def test_near_dedup_stage_keeps_cluster_representatives(spark, sf_dir):
+    """The near_dedup stage must keep exactly one (min-id) representative
+    per near-dup cluster and agree with the exact all-pairs pipeline the
+    driver oracles (q_dedup_approx_pairs + CC min-id winners)."""
+    from volga_spark.operators.components import connected_components
+    from volga_spark.operators.dedup import exact_jaccard_pairs, lsh_candidate_pairs, add_minhash
+
+    d = load_table(spark, sf_dir, "documents")
+    out = CurationSpec(stages=[{"op": "near_dedup", "threshold": 0.7}]).build(
+        spark, d
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    sigs = add_minhash(d, "text", "doc_id")
+    pairs = (
+        exact_jaccard_pairs(
+            d,
+            lsh_candidate_pairs(sigs.select("doc_id", "signature"), "doc_id"),
+            "text",
+            "doc_id",
+            n=3,
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = {
+        r["node"] for r in comp.filter("node != component").collect()
+    }
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert kept == all_ids - losers
+    assert losers and kept  # the corpus really has clusters
+    # schema passes through untouched
+    assert out.columns == d.columns

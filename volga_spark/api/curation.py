@@ -134,6 +134,53 @@ def _stage_paragraph_dedup(df, spec, sep="\n\n", min_chars=1, normalize=True, **
     return df.select(others).join(deduped, spec.id_col, "inner")
 
 
+def _stage_near_dedup(df, spec, threshold=0.7, k=64, n=3, bands=16, **_):
+    """Near-duplicate removal (r07): MinHash+LSH banded candidates →
+    native gram-set Jaccard verify → connected components → keep the
+    min-id representative per near-dup cluster. Shuffles carry signatures
+    and int64 gram hashes only — the text never moves; the verify is
+    array_intersect/array_union (no Python past the one signature pass).
+    The streaming spec's ingest twin is `dedup.neardup_stream_filter`."""
+    from volga_spark.operators.components import connected_components
+    from volga_spark.operators.dedup import (
+        _band_buckets,
+        _jaccard_ge,
+        add_minhash_and_grams,
+    )
+
+    sigs = add_minhash_and_grams(
+        df, spec.text_col, spec.id_col, k=k, n=n
+    ).localCheckpoint(eager=False)
+    banded = _band_buckets(sigs, spec.id_col, bands, k // bands).localCheckpoint(
+        eager=False
+    )
+    cand = (
+        banded.withColumnRenamed(spec.id_col, "__a")
+        .join(banded.withColumnRenamed(spec.id_col, "__b"), ["band", "bucket"])
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b")
+        .distinct()
+    )
+    g = sigs.select(F.col(spec.id_col).alias("__gid"), "grams")
+    pairs = (
+        cand.join(
+            g.select(F.col("__gid").alias("__a"), F.col("grams").alias("__ga")),
+            "__a",
+        )
+        .join(
+            g.select(F.col("__gid").alias("__b"), F.col("grams").alias("__gb")),
+            "__b",
+        )
+        .filter(_jaccard_ge(threshold))
+        .select("__a", "__b")
+    )
+    comp = connected_components(pairs, "__a", "__b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(spec.id_col)
+    )
+    return df.join(losers, spec.id_col, "left_anti")
+
+
 def _stage_decontaminate(df, spec, benchmark_path=None, n=13, **_):
     from volga_spark.operators.dedup import decontaminate
 
@@ -244,6 +291,7 @@ _STAGES = {
     "lang_filter": _stage_lang_filter,
     "min_chars": _stage_min_chars,
     "exact_dedup": _stage_exact_dedup,
+    "near_dedup": _stage_near_dedup,
     "paragraph_dedup": _stage_paragraph_dedup,
     "decontaminate": _stage_decontaminate,
     "bernoulli_sample": _stage_bernoulli_sample,
