@@ -260,3 +260,52 @@ def test_stream_maintain_with_retractions_equals_reagg(spark, tmp_path):
     assert got == want
     # 'c' drained to zero and dropped out
     assert not [r for r in state.collect() if r["k"] == "c"]
+
+
+def test_histogram_percentile_maintenance_exact_under_retraction(spark):
+    """Bucketed-histogram percentile state: insert+delete maintenance is
+    hash-identical to a fresh histogram of the survivors (counts are an
+    abelian group — the property that lets percentiles retract at all),
+    and the percentile bucket always contains the exact percentile_disc
+    value of the surviving multiset."""
+    from volga_spark.operators.ivm import (
+        init_hist,
+        maintain_hist,
+        read_percentile_bucket,
+    )
+
+    rng = random.Random(31)
+    edges = [float(x) for x in range(-40, 50, 10)]
+    live = _rows(41, 80)
+    state = init_hist(spark.createDataFrame(live, SCHEMA), ["k"], "v", edges)
+    for step in range(3):
+        ins = _rows(60 + step, rng.randint(5, 15))
+        dele = rng.sample(live, rng.randint(3, 10))
+        live = [r for r in live if r not in dele] + ins
+        state = maintain_hist(
+            state,
+            spark.createDataFrame(ins, SCHEMA),
+            spark.createDataFrame(dele, SCHEMA),
+            ["k"],
+            "v",
+            edges,
+        ).localCheckpoint(eager=True)
+    fresh = init_hist(spark.createDataFrame(live, SCHEMA), ["k"], "v", edges)
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, fresh.collect()))
+    assert got == want
+    # the p50 bucket brackets the true percentile_disc value per key
+    p50 = {
+        r["k"]: r["bucket"]
+        for r in read_percentile_bucket(state, ["k"], 0.5).collect()
+    }
+    import bisect
+
+    by_k = {}
+    for k, v, _ in live:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        vals.sort()
+        true_p50 = vals[max(0, -(-len(vals) * 1 // 2) - 1)]  # ceil(0.5 n)-th
+        true_bucket = bisect.bisect_right(edges, true_p50)
+        assert p50[k] == true_bucket, (k, true_p50, p50[k], true_bucket)

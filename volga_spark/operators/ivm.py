@@ -304,3 +304,96 @@ def ivm_stream_maintain(
             value_col,
         )
     return spark.read.parquet(f"{root}/v{cur['version']}/agg")
+
+
+# --- percentile maintenance (bucketed-histogram state) ------------------------
+#
+# Percentiles are neither distributive nor algebraic over raw values, and
+# the mergeable sketches (KLL, t-digest) cannot RETRACT — a delete would
+# force a full re-aggregation, the one cost IVM exists to avoid. The
+# warehouse-maintainable form is a per-group bucketed HISTOGRAM: state is
+# (group, bucket) integer counts, so inserts ADD and deletes SUBTRACT
+# exactly (abelian, like COUNT/SUM), merge is a map-side-combinable sum,
+# and any percentile reads off the bucket CDF with error bounded by the
+# bucket width — a knob the caller sets from the value domain, not a
+# sketch's opaque guarantee. Empty-bucket rows never exist (sparse).
+
+
+def _bucket_expr(value_col: str, edges: list[float]):
+    """Bucket index by binary-search CASE chain: i = #edges below value
+    (bucket 0 = (-inf, e0), bucket len(edges) = [e_last, inf))."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(F.col(value_col) >= F.lit(float(e)), 1).otherwise(0)
+    return b
+
+
+def init_hist(
+    base: DataFrame, keys: list[str], value_col: str, edges: list[float]
+) -> DataFrame:
+    """Bootstrap per-(group, bucket) counts; NULL values are excluded
+    (percentiles are over non-null values, matching percentile_disc)."""
+    return (
+        base.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, _bucket_expr(value_col, edges).alias("__bkt"))
+        .agg(F.count("*").alias("__n"))
+    )
+
+
+def maintain_hist(
+    state: DataFrame,
+    inserts: DataFrame | None,
+    deletes: DataFrame | None,
+    keys: list[str],
+    value_col: str,
+    edges: list[float],
+) -> DataFrame:
+    """Fold insert/delete batches: one narrow (keys, bucket, ±count)
+    shuffle; exact for BOTH directions (bucket counts are an abelian
+    group — the property KLL/t-digest lack). Zero-count buckets drop."""
+    parts = [state]
+    if inserts is not None:
+        parts.append(init_hist(inserts, keys, value_col, edges))
+    if deletes is not None:
+        parts.append(
+            init_hist(deletes, keys, value_col, edges).withColumn(
+                "__n", -F.col("__n")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(*keys, "__bkt")
+        .agg(F.sum("__n").alias("__n"))
+        .filter(F.col("__n") != 0)
+    )
+
+
+def read_percentile_bucket(
+    state: DataFrame, keys: list[str], q: float
+) -> DataFrame:
+    """(keys, bucket holding the q-th percentile, cumulative rank): the
+    smallest bucket whose cumulative count reaches ceil(q * total) — the
+    percentile_disc rank over the bucketed distribution. The TRUE
+    percentile value lies inside the returned bucket's edge interval, so
+    the answer's error is the bucket width by construction. One window
+    over the (sparse) state only — the base table is never touched."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("__bkt")
+    tot = Window.partitionBy(*keys)
+    ranked = state.select(
+        *keys,
+        "__bkt",
+        F.sum("__n").over(w).alias("__cum"),
+        F.sum("__n").over(tot).alias("__tot"),
+    )
+    target = F.ceil(F.lit(q) * F.col("__tot"))
+    hit = ranked.filter(F.col("__cum") >= target)
+    w2 = Window.partitionBy(*keys).orderBy("__bkt")
+    return (
+        hit.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col("__bkt").alias("bucket"), F.col("__cum").alias("cum_rank"))
+    )
