@@ -314,3 +314,17 @@ def test_equal_seq_nondelete_tie_is_deterministic(spark):
     )
     want = tuple(sorted(map(tuple, duckdb.sql(sql).fetchall())))
     assert got == want
+
+
+def test_map_typed_attrs_still_apply(spark):
+    """Map-typed attr columns are unorderable in Spark — the deterministic
+    tie-break must skip them instead of failing every apply."""
+    state = spark.createDataFrame(
+        [], "k bigint, props map<string,string>, seq bigint"
+    )
+    chg = spark.createDataFrame(
+        [(1, {"a": "x"}, 5, "I"), (1, {"a": "y"}, 7, "U"), (2, {"b": "z"}, 3, "D")],
+        "k bigint, props map<string,string>, seq bigint, op string",
+    )
+    got = {r["k"]: (dict(r["props"]), r["seq"]) for r in apply_cdc(state, chg, ["k"]).collect()}
+    assert got == {1: ({"a": "y"}, 7)}

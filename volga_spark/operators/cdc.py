@@ -90,10 +90,19 @@ def apply_cdc(
         .when(F.col("__op") == "S", 0)
         .otherwise(1)
     )
+    # map-typed attrs are not orderable in Spark — exclude them from the
+    # tie-break (ties then resolve on the remaining attrs; a feed whose
+    # attrs are ALL maps keeps the pre-r07 arbitrary-pick behavior for
+    # the malformed equal-seq case rather than failing every apply)
+    from pyspark.sql.types import MapType
+
+    orderable = [
+        a for a in attr_cols if not isinstance(both.schema[a].dataType, MapType)
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(seq_col).desc(),
         prio.desc(),
-        *[F.col(a).desc_nulls_last() for a in attr_cols],
+        *[F.col(a).desc_nulls_last() for a in orderable],
     )
     latest = (
         both.withColumn("__rn", F.row_number().over(w))
