@@ -317,3 +317,49 @@ def test_auto_service_builds_ladder_for_long_windows(spark, sf_dir):
         granularity="1 minute", threshold=0.0, cache=False,
     )
     assert short.chosen == "tiled" and short.granularities is None
+
+
+def test_stream_maintained_tiles_serve_through_ladder(spark, sf_dir):
+    """The streaming-write path closes the loop: fine tiles folded per
+    micro-batch (stream_build_tiles) roll up into a serving ladder WITHOUT
+    touching events (ladder_from_tiles), and the ladder-served lookups
+    equal the naive scan bit for bit."""
+    from volga_spark.operators.tiles import TiledFeatureService, ladder_from_tiles
+    from volga_spark.streaming.sources import chunked_file_stream
+    from volga_spark.streaming.tile_sink import stream_build_tiles
+
+    stream, _ = chunked_file_stream(spark, sf_dir, "events", "ts", n_chunks=5)
+    fine = stream_build_tiles(
+        stream.select("user_id", "ts", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        granularity="1 minute",
+    )
+    ladder = ["1 minute", "1 hour", "12 hours"]
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    svc = TiledFeatureService(
+        ev,
+        ladder_from_tiles(fine, ["user_id"], ladder),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("7 days"),
+        granularities=ladder,
+        cache=False,
+    )
+    requests = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .limit(40)
+        .select(F.col("event_id").alias("request_id"), "user_id", "ts")
+    )
+    got = svc.lookup(requests).toPandas().set_index("request_id").sort_index()
+    naive = (
+        _naive_window(spark, sf_dir, requests, "7 DAYS")
+        .toPandas()
+        .set_index("request_id")
+        .sort_index()
+    )
+    for col in ("cnt", "sum_value", "min_value", "max_value"):
+        pd.testing.assert_series_equal(got[col], naive[col], check_names=False)

@@ -71,15 +71,30 @@ def build_tile_ladder(
     finest level's row count."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ordered = sorted(granularities, key=interval_to_micros)
+    fine = build_tiles(events, keys, ts_col, value_col, ordered[0])
+    return ladder_from_tiles(fine, keys, ordered)
+
+
+def ladder_from_tiles(
+    fine_tiles: DataFrame,
+    key_cols: str | list[str],
+    granularities: list[str],
+) -> DataFrame:
+    """Roll an existing FINEST-level tile table (``build_tiles`` schema,
+    buckets at granularities[0]) up into the full ladder — events are
+    never touched, so a STREAM-maintained fine tile table
+    (`streaming/tile_sink.stream_build_tiles`) becomes a serving ladder
+    with k-1 tile-sized aggregations at service-build time."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ordered = sorted(granularities, key=interval_to_micros)
     gs = [interval_to_micros(g) for g in ordered]
     for a, b in zip(gs, gs[1:]):
         if b % a:
             raise ValueError(
                 f"each granularity must divide the next: {a} !| {b}"
             )
-    fine = build_tiles(events, keys, ts_col, value_col, ordered[0])
-    levels = [fine.withColumn("__g", F.lit(gs[0]))]
-    prev, prev_g = fine, gs[0]
+    levels = [fine_tiles.withColumn("__g", F.lit(gs[0]))]
+    prev, prev_g = fine_tiles, gs[0]
     for g in gs[1:]:
         ratio = g // prev_g
         coarse = (
