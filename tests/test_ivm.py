@@ -309,3 +309,32 @@ def test_histogram_percentile_maintenance_exact_under_retraction(spark):
         true_p50 = vals[max(0, -(-len(vals) * 1 // 2) - 1)]  # ceil(0.5 n)-th
         true_bucket = bisect.bisect_right(edges, true_p50)
         assert p50[k] == true_bucket, (k, true_p50, p50[k], true_bucket)
+
+
+def test_stream_histogram_with_retractions_equals_fresh(spark, tmp_path):
+    """Streamed I/D histogram maintenance == fresh histogram of the
+    survivors — no base table, no repair (the abelian property)."""
+    from volga_spark.operators.ivm import hist_stream_maintain, init_hist
+
+    edges = [float(x) for x in range(-40, 50, 10)]
+    schema = "k string, v bigint, row_id bigint, op string"
+    rng = random.Random(53)
+    all_rows = [
+        (rng.choice("abc"), rng.randint(-50, 50), i, "I") for i in range(60)
+    ]
+    dels = [(k, v, rid, "D") for (k, v, rid, _) in rng.sample(all_rows, 15)]
+    chunks = [all_rows[:30], all_rows[30:] + dels[:7], dels[7:]]
+    stream = _chunked_stream(spark, tmp_path, "hist_src", chunks, schema)
+    state = hist_stream_maintain(stream, ["k"], "v", edges, op_col="op")
+
+    doomed = {rid for (_, _, rid, _) in dels}
+    survivors = [(k, v, rid) for (k, v, rid, _) in all_rows if rid not in doomed]
+    fresh = init_hist(
+        spark.createDataFrame(survivors, "k string, v bigint, row_id bigint"),
+        ["k"],
+        "v",
+        edges,
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )

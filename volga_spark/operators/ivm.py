@@ -397,3 +397,77 @@ def read_percentile_bucket(
         .filter(F.col("__rn") == 1)
         .select(*keys, F.col("__bkt").alias("bucket"), F.col("__cum").alias("cum_rank"))
     )
+
+
+def hist_stream_maintain(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    edges: list[float],
+    op_col: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Maintain the bucketed-histogram percentile state under a
+    micro-batched feed (availableNow); returns the final sparse
+    (keys, __bkt, __n) state. Unlike min/max, retraction needs NO base
+    table and NO repair — bucket counts subtract exactly — so the delete
+    path is as cheap as the insert path: one narrow shuffle per batch.
+    Same versioned-parquet/epoch-retry exactly-once discipline as
+    :func:`ivm_stream_maintain`."""
+    import shutil
+
+    from volga_spark.streaming.runner import (
+        _checkpoint_dir,
+        _state_root,
+        _stream_shuffle,
+    )
+
+    spark = stream.sparkSession
+    root = _state_root()
+    cur = {"version": None}
+    data_cols = [c for c in stream.columns if c != op_col]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        prev_version = cur["version"]
+        if prev_version == epoch_id:
+            return
+        ss = batch_df.sparkSession
+        if prev_version is not None:
+            prev = ss.read.parquet(f"{root}/v{prev_version}")
+        else:
+            prev = init_hist(
+                batch_df.select(*data_cols).limit(0), keys, value_col, edges
+            )
+        if op_col is None:
+            ins, dels = batch_df, None
+        else:
+            ins = batch_df.filter(F.col(op_col) != "D").select(*data_cols)
+            dels = batch_df.filter(F.col(op_col) == "D").select(*data_cols)
+        new_state = maintain_hist(prev, ins, dels, keys, value_col, edges)
+        new_state.write.mode("overwrite").parquet(f"{root}/v{epoch_id}")
+        cur["version"] = epoch_id
+        if prev_version is not None and prev_version != epoch_id:
+            shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
+
+    ckpt = _checkpoint_dir()
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if cur["version"] is None:
+        return init_hist(
+            spark.createDataFrame([], stream.select(*data_cols).schema),
+            keys,
+            value_col,
+            edges,
+        )
+    return spark.read.parquet(f"{root}/v{cur['version']}")
