@@ -84,7 +84,7 @@ BANDS = {
     "q_ml_where_family": 0.85,
     "q_ml_cate_full": 1.35,
     "q_ml_top_full": 1.7,
-    "q_dedup_exact": 0.55,
+    "q_dedup_exact": 1.9,  # r07: +kmv overlap-sketch legs (BASELINE.md)
     "q_dedup_approx_pairs": 2.4,
     "q_approx_sketches": 8.7,
     "q_dedup_clusters": 6.0,

@@ -23,23 +23,168 @@ from volga_spark.tables import load_table
 from volga_spark.workloads import workload
 
 
+_KMV_K = 128
+# the integer estimator constants (overlap.py): ((k-1) << 33) div (vk >> 27)
+_KMV_NUM = 2**33
+_KMV_DEN = 2**27
+
+
 @workload(
     "q_dedup_exact",
-    oracle="""
-        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents GROUP BY md5(text)
+    oracle=f"""
+        WITH exact AS (
+            SELECT 'exact' AS leg, md5(text) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        ),
+        ka AS (SELECT h FROM (SELECT DISTINCT md5(text) AS h FROM documents
+                              WHERE doc_id % 2 = 0) ORDER BY h LIMIT {_KMV_K}),
+        kb AS (SELECT h FROM (SELECT DISTINCT md5(text) AS h FROM documents
+                              WHERE doc_id % 2 = 1) ORDER BY h LIMIT {_KMV_K}),
+        ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+               ORDER BY h LIMIT {_KMV_K}),
+        kmv AS (
+            SELECT 'kmv_union' AS leg, h AS fp,
+                   CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS keep_id,
+                   CAST((CASE WHEN h IN (SELECT h FROM ka) THEN 1 ELSE 0 END)
+                        + 2 * (CASE WHEN h IN (SELECT h FROM kb) THEN 1 ELSE 0
+                               END) AS BIGINT) AS n_copies
+            FROM ku
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN n_copies = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(count(*) AS INT) AS n_union,
+                   max(CAST(('0x' || substr(fp, 1, 15)) AS BIGINT)) AS vk
+            FROM kmv
+        ),
+        est AS (
+            SELECT x, n_union, vk,
+                   CASE WHEN n_union < {_KMV_K} THEN CAST(n_union AS BIGINT)
+                        ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_NUM} AS BIGINT)
+                                  // (vk // {_KMV_DEN}) AS BIGINT)
+                   END AS est_union
+            FROM agg
+        ),
+        stats AS (
+            SELECT 'kmv_stat' AS leg, s.name AS fp, s.val AS keep_id,
+                   CAST(NULL AS BIGINT) AS n_copies
+            FROM (
+                SELECT 'x' AS name, x AS val FROM est
+                UNION ALL SELECT 'n_union', CAST(n_union AS BIGINT) FROM est
+                UNION ALL SELECT 'vk', vk FROM est
+                UNION ALL SELECT 'est_union', est_union FROM est
+                UNION ALL SELECT 'est_intersection',
+                    CAST(x * est_union
+                         // (CASE WHEN n_union = 0 THEN 1
+                             WHEN n_union < {_KMV_K} THEN n_union
+                             ELSE {_KMV_K} END) AS BIGINT)
+                FROM est
+            ) s
+        )
+        SELECT * FROM exact
+        UNION ALL SELECT * FROM kmv
+        UNION ALL SELECT * FROM stats
     """,
-    tags=("dedup",),
+    tags=("dedup", "sketch"),
 )
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: group on the 16-byte fingerprint (never the raw text —
-    the shuffle carries digests only), keep the smallest id."""
+    """Exact dedup (leg 'exact': group on the 16-byte fingerprint — the
+    shuffle carries digests only, keep the smallest id) PLUS the r07 KMV
+    cross-corpus overlap tier (`operators/overlap.py`): the corpus split
+    into halves by doc_id parity, each half reduced to a bottom-k sketch
+    in one map-side pass (<= k rows leave any partition), then union
+    sketch membership ('kmv_union' rows: rank + which-half bitmask) and
+    the pure-integer estimators ('kmv_stat' rows: x, n_union, vk,
+    est_union, est_intersection). The sketch is an exact function of the
+    corpus and the estimators are integer `div` arithmetic, so this
+    "approximate" tier hash-matches the DuckDB replay exactly."""
+    from volga_spark.operators.overlap import kmv_merge, kmv_sketch_by
+
     d = load_table(spark, sf_dir, "documents")
-    return (
+    exact = (
         d.select(fingerprint("text").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(F.lit("exact").alias("leg"), "fp", "keep_id", "n_copies")
     )
+    k = _KMV_K
+    # both half-sketches in ONE corpus scan (kmv_sketch_by), checkpointed:
+    # the tiny combined frame feeds four consumers (merge + two membership
+    # flags + stats) and must not re-run the scan per branch
+    sk = kmv_sketch_by(d, "text", F.col("doc_id") % 2, k=k).localCheckpoint(
+        eager=False
+    )
+    ska = sk.filter(F.col("side") == "0").select("h", "rank")
+    skb = sk.filter(F.col("side") == "1").select("h", "rank")
+    u = kmv_merge(ska, skb, k=k)
+    flagged = (
+        u.join(
+            F.broadcast(ska.select(F.col("h").alias("ha"))),
+            u.h == F.col("ha"),
+            "left",
+        )
+        .join(
+            F.broadcast(skb.select(F.col("h").alias("hb"))),
+            u.h == F.col("hb"),
+            "left",
+        )
+        .select(
+            F.col("h"),
+            F.col("rank"),
+            (
+                F.col("ha").isNotNull().cast("long")
+                + 2 * F.col("hb").isNotNull().cast("long")
+            ).alias("mask"),
+        )
+        .localCheckpoint(eager=False)  # feeds both the rows and stats legs
+    )
+    kmv_rows = flagged.select(
+        F.lit("kmv_union").alias("leg"),
+        F.col("h").alias("fp"),
+        F.col("rank").cast("long").alias("keep_id"),
+        F.col("mask").alias("n_copies"),
+    )
+    # estimator stats straight off the flagged union sketch — the same
+    # integer formulas as operators/overlap.kmv_overlap, without a second
+    # merge pipeline (this query already materialized the membership rows)
+    stats = (
+        flagged.agg(
+            F.sum((F.col("mask") == 3).cast("long")).alias("x"),
+            F.count("*").cast("int").alias("n_union"),
+            F.max(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+            ).alias("vk"),
+        )
+        .withColumn(
+            "est_union",
+            F.when(F.col("n_union") < k, F.col("n_union").cast("long")).otherwise(
+                F.expr(
+                    f"CAST(({k} - 1) * CAST({_KMV_NUM} AS BIGINT) "
+                    f"div (vk div {_KMV_DEN}) AS BIGINT)"
+                )
+            ),
+        )
+        .withColumn(
+            "est_intersection",
+            F.expr(
+                f"CAST(x * est_union div (CASE WHEN n_union = 0 THEN 1 "
+                f"WHEN n_union < {k} THEN n_union ELSE {k} END) AS BIGINT)"
+            ),
+        )
+        .selectExpr(
+            "stack(5, 'x', x, 'n_union', CAST(n_union AS BIGINT), 'vk', vk, "
+            "'est_union', est_union, 'est_intersection', est_intersection) "
+            "AS (fp, keep_id)"
+        )
+        .select(
+            F.lit("kmv_stat").alias("leg"),
+            "fp",
+            "keep_id",
+            F.lit(None).cast("long").alias("n_copies"),
+        )
+    )
+    return exact.unionByName(kmv_rows).unionByName(stats)
 
 
 @workload(
