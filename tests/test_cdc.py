@@ -316,6 +316,20 @@ def test_equal_seq_nondelete_tie_is_deterministic(spark):
     assert got == want
 
 
+def test_equal_seq_tie_fold_matches_replay(spark):
+    """An equal-seq non-delete conflict SPLIT ACROSS batches must resolve
+    exactly as a one-shot replay of the whole log: the state row ranks as
+    the change it once was (attr tie-break), not below every change."""
+    empty = spark.createDataFrame([], STATE_SCHEMA)
+    b1 = spark.createDataFrame([(1, "zeta", 5, "I")], CHG_SCHEMA)
+    b2 = spark.createDataFrame([(1, "alpha", 5, "U")], CHG_SCHEMA)
+    folded = apply_cdc(apply_cdc(empty, b1, ["k"]), b2, ["k"])
+    replay = apply_cdc(empty, b1.unionByName(b2), ["k"])
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, replay.collect())
+    ) == [(1, "zeta", 5)]
+
+
 def test_map_typed_attrs_still_apply(spark):
     """Map-typed attr columns are unorderable in Spark — the deterministic
     tie-break must skip them instead of failing every apply."""

@@ -317,6 +317,27 @@ def test_auto_service_builds_ladder_for_long_windows(spark, sf_dir):
         granularity="1 minute", threshold=0.0, cache=False,
     )
     assert short.chosen == "tiled" and short.granularities is None
+    # sub-minute base granularity: ladder levels render in µs, so a x60
+    # step below one minute stays a valid non-zero granularity (was a
+    # '0 minutes' level -> ZeroDivisionError in the divisibility check)
+    sub = auto_feature_service(
+        ev, "user_id", "ts", "value", range_frame("1 hour"),
+        granularity="500 milliseconds", threshold=0.0, cache=False,
+    )
+    assert sub.chosen == "tiled"
+    assert sub.granularities == ["500 milliseconds", "30000000 microseconds"]
+    sub_got = (
+        sub.lookup(requests.limit(5)).toPandas().set_index("request_id").sort_index()
+    )
+    for col in ("cnt", "min_value", "max_value"):
+        pd.testing.assert_series_equal(
+            sub_got[col],
+            _naive_window(spark, sf_dir, requests.limit(5), "1 HOURS")
+            .toPandas()
+            .set_index("request_id")
+            .sort_index()[col],
+            check_names=False,
+        )
 
 
 def test_stream_maintained_tiles_serve_through_ladder(spark, sf_dir):

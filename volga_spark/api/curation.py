@@ -144,36 +144,17 @@ def _stage_near_dedup(df, spec, threshold=0.7, k=64, n=3, bands=16, **_):
     from volga_spark.operators.components import connected_components
     from volga_spark.operators.dedup import (
         _band_buckets,
-        _jaccard_ge,
         add_minhash_and_grams,
+        within_set_verified_pairs,
     )
 
     sigs = add_minhash_and_grams(
         df, spec.text_col, spec.id_col, k=k, n=n
     ).localCheckpoint(eager=False)
-    banded = _band_buckets(sigs, spec.id_col, bands, k // bands).localCheckpoint(
-        eager=False
-    )
-    cand = (
-        banded.withColumnRenamed(spec.id_col, "__a")
-        .join(banded.withColumnRenamed(spec.id_col, "__b"), ["band", "bucket"])
-        .filter(F.col("__a") < F.col("__b"))
-        .select("__a", "__b")
-        .distinct()
-    )
-    g = sigs.select(F.col(spec.id_col).alias("__gid"), "grams")
-    pairs = (
-        cand.join(
-            g.select(F.col("__gid").alias("__a"), F.col("grams").alias("__ga")),
-            "__a",
-        )
-        .join(
-            g.select(F.col("__gid").alias("__b"), F.col("grams").alias("__gb")),
-            "__b",
-        )
-        .filter(_jaccard_ge(threshold))
-        .select("__a", "__b")
-    )
+    banded = _band_buckets(sigs, spec.id_col, bands, k // bands)
+    # the ONE within-set candidate+verify semantics, shared with the
+    # streaming ingest twin (dedup.neardup_stream_filter)
+    pairs = within_set_verified_pairs(banded, sigs, spec.id_col, threshold)
     comp = connected_components(pairs, "__a", "__b")
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(spec.id_col)

@@ -52,9 +52,11 @@ def apply_cdc(
     column when it was produced with `keep_tombstones=True`. `changes`:
     keys + attrs + `seq_col` + `op_col`. Ties on (key, seq) resolve
     delete-over-live (a delete emitted at the same sequence point is the
-    later intent in every CDC encoding); among equal-seq non-delete
-    changes the attr values themselves (desc, nulls last) break the tie,
-    keeping the merge deterministic across runs and partitionings.
+    later intent in every CDC encoding); among equal-seq non-delete rows
+    — changes AND the live state row, which is an earlier batch's winning
+    change — the attr values themselves (desc, nulls last) break the tie,
+    keeping the merge deterministic across runs and partitionings AND
+    independent of micro-batch boundaries (fold == one-shot log replay).
 
     With `keep_tombstones=True` the result retains one row per DELETED key
     (null attrs, the delete's seq, `__deleted=true`) so that replaying any
@@ -78,18 +80,19 @@ def apply_cdc(
         *key_cols, *attr_cols, seq_col, F.col(op_col).alias("__op")
     )
     both = s.unionByName(c)
-    # priority: higher seq first; at equal seq, D > U/I > S. Equal-seq
+    # priority: higher seq first; at equal seq, D > everything. Equal-seq
     # D-vs-D ties (a state tombstone vs its redelivered delete) produce
     # identical output rows, so the arbitrary row_number pick is immaterial.
     # Equal-seq I-vs-U (or U-vs-U) ties — a malformed but possible feed —
     # break deterministically on the attr VALUES (desc, nulls last), so the
     # winner is a pure function of the batch contents, never of the
-    # partitioning; the DuckDB twin orders identically.
-    prio = (
-        F.when(F.col("__op") == "D", 2)
-        .when(F.col("__op") == "S", 0)
-        .otherwise(1)
-    )
+    # partitioning; the DuckDB twin orders identically. A live state row
+    # ranks EQUAL to a change (it IS an earlier batch's winning change):
+    # ranking state below changes would let an equal-seq redelivered
+    # conflict out-rank the state row that a one-shot replay's attr
+    # tie-break picks — batch folding must equal replaying the whole log
+    # regardless of micro-batch boundaries.
+    prio = F.when(F.col("__op") == "D", 2).otherwise(1)
     # map-typed attrs are not orderable in Spark — exclude them from the
     # tie-break (ties then resolve on the remaining attrs; a feed whose
     # attrs are ALL maps keeps the pre-r07 arbitrary-pick behavior for
@@ -157,26 +160,35 @@ def apply_cdc_oracle_sql(
     attr_cols: list[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    orderable_attr_cols: list[str] | None = None,
 ) -> str:
-    """DuckDB twin of :func:`apply_cdc`."""
+    """DuckDB twin of :func:`apply_cdc`. `orderable_attr_cols` mirrors the
+    Spark side's exclusion of unorderable (map-typed) attrs from the
+    equal-seq tie-break — pass the same subset apply_cdc will order by;
+    defaults to all attrs. An empty tie-break list (attr-less feed, or all
+    attrs unorderable) degrades to the (seq, op-priority) ordering alone,
+    exactly like the Spark window."""
     keys = ", ".join(key_cols)
-    attrs = ", ".join(attr_cols)
+    cols = ", ".join([*key_cols, *attr_cols])  # attr-less feeds stay valid
+    tie = attr_cols if orderable_attr_cols is None else orderable_attr_cols
+    order_terms = [
+        f"{seq_col} DESC",
+        "(CASE __op WHEN 'D' THEN 2 ELSE 1 END) DESC",
+        *[f"{a} DESC NULLS LAST" for a in tie],
+    ]
     return f"""
-        WITH s AS (SELECT {keys}, {attrs}, {seq_col}, 'S' AS __op
+        WITH s AS (SELECT {cols}, {seq_col}, 'S' AS __op
                    FROM ({state_sql})),
-        c AS (SELECT {keys}, {attrs}, {seq_col}, {op_col} AS __op
+        c AS (SELECT {cols}, {seq_col}, {op_col} AS __op
               FROM ({changes_sql})),
         both_rows AS (SELECT * FROM s UNION ALL SELECT * FROM c),
         ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY {keys}
-                ORDER BY {seq_col} DESC,
-                         (CASE __op WHEN 'D' THEN 2 WHEN 'S' THEN 0
-                          ELSE 1 END) DESC,
-                         {", ".join(f"{a} DESC NULLS LAST" for a in attr_cols)}) AS __rn
+                ORDER BY {", ".join(order_terms)}) AS __rn
             FROM both_rows
         )
-        SELECT {keys}, {attrs}, {seq_col}
+        SELECT {cols}, {seq_col}
         FROM ranked WHERE __rn = 1 AND __op <> 'D'
     """
 
@@ -195,11 +207,7 @@ def cdc_stream_apply(
     reuses its committed version."""
     import shutil
 
-    from volga_spark.streaming.runner import (
-        _checkpoint_dir,
-        _state_root,
-        _stream_shuffle,
-    )
+    from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
     spark = change_stream.sparkSession
     root = _state_root()
@@ -233,20 +241,7 @@ def cdc_stream_apply(
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            change_stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(change_stream, sink, timeout_s)
     if cur["version"] is None:
         # empty feed: mirror the non-empty path's (keys, attrs, seq) column
         # order so schema compares / positional consumers see one layout.
@@ -296,11 +291,7 @@ def cdc_stream_scd2(
         )
 
     from volga_spark.operators.scd import scd2_apply
-    from volga_spark.streaming.runner import (
-        _checkpoint_dir,
-        _state_root,
-        _stream_shuffle,
-    )
+    from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
     spark = change_stream.sparkSession
     root = _state_root()
@@ -342,20 +333,7 @@ def cdc_stream_scd2(
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            change_stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(change_stream, sink, timeout_s)
     if cur["version"] is None:
         # empty change feed (a normal catch-up run): the schema must match
         # every non-empty result — keys + attrs + valid_from/valid_to in

@@ -1211,6 +1211,41 @@ def _jaccard_ge(threshold: float):
     return (union > 0) & (inter / union >= F.lit(threshold))
 
 
+def within_set_verified_pairs(
+    banded: DataFrame,
+    grams: DataFrame,
+    id_col: str,
+    threshold: float,
+    broadcast_grams: bool = False,
+) -> DataFrame:
+    """(__a, __b) near-dup pairs WITHIN one document set: banded candidate
+    self-join (same (band, bucket), __a < __b, distinct) verified by the
+    native gram-set Jaccard >= threshold. THE one within-set candidate
+    semantics — the batch curation stage and the streaming ingest filter
+    both call this, so candidate/verify behavior cannot drift between the
+    declared twins. `grams` must carry (id_col, grams);
+    ``broadcast_grams=True`` for micro-batch-sized sets."""
+    nb = banded.localCheckpoint(eager=False)
+    cand = (
+        nb.withColumnRenamed(id_col, "__a")
+        .join(nb.withColumnRenamed(id_col, "__b"), ["band", "bucket"])
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b")
+        .distinct()
+    )
+    g = grams.select(F.col(id_col).alias("__gid"), "grams")
+    ga = g.select(F.col("__gid").alias("__a"), F.col("grams").alias("__ga"))
+    gb = g.select(F.col("__gid").alias("__b"), F.col("grams").alias("__gb"))
+    if broadcast_grams:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
+    return (
+        cand.join(ga, "__a")
+        .join(gb, "__b")
+        .filter(_jaccard_ge(threshold))
+        .select("__a", "__b")
+    )
+
+
 def neardup_stream_filter(
     doc_stream: DataFrame,
     id_col: str = "doc_id",
@@ -1246,11 +1281,7 @@ def neardup_stream_filter(
     import os
     import shutil
 
-    from volga_spark.streaming.runner import (
-        _checkpoint_dir,
-        _state_root,
-        _stream_shuffle,
-    )
+    from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
     spark = doc_stream.sparkSession
     root = _state_root()
@@ -1303,31 +1334,9 @@ def neardup_stream_filter(
             .select("__nid", F.col("__sid").alias("__rep"))
         )
         # candidates within the batch: lower id is the representative
-        nb = new_bands.localCheckpoint(eager=False)
-        cand_batch = (
-            nb.withColumnRenamed(id_col, "__a")
-            .join(nb.withColumnRenamed(id_col, "__b"), ["band", "bucket"])
-            .filter(F.col("__a") < F.col("__b"))
-            .select("__a", "__b")
-            .distinct()
-        )
-        g = new.select(F.col(id_col).alias("__gid"), "grams")
-        batch_pairs = (
-            cand_batch.join(
-                F.broadcast(
-                    g.select(F.col("__gid").alias("__a"), F.col("grams").alias("__ga"))
-                ),
-                "__a",
-            )
-            .join(
-                F.broadcast(
-                    g.select(F.col("__gid").alias("__b"), F.col("grams").alias("__gb"))
-                ),
-                "__b",
-            )
-            .filter(_jaccard_ge(threshold))
-            .select(F.col("__b").alias("__nid"), F.col("__a").alias("__rep"))
-        )
+        batch_pairs = within_set_verified_pairs(
+            new_bands, new, id_col, threshold, broadcast_grams=True
+        ).select(F.col("__b").alias("__nid"), F.col("__a").alias("__rep"))
         dup_of = (
             hist_pairs.unionByName(batch_pairs)
             .groupBy("__nid")
@@ -1350,31 +1359,17 @@ def neardup_stream_filter(
         state.unionByName(kept_state).write.mode("overwrite").parquet(
             f"{root}/v{epoch_id}/state"
         )
-        # decisions accumulate across epochs (retried epochs overwrite
-        # their own directory — idempotent)
-        shutil.copytree(
-            f"{root}/v{epoch_id}/decisions",
-            f"{root}/decisions/e{epoch_id}",
-            dirs_exist_ok=True,
-        )
+        # decisions accumulate across epochs; a retried epoch REPLACES its
+        # own directory (dirs_exist_ok would merge the retry's uniquely-
+        # named part files next to the stale ones and double every row)
+        dst = f"{root}/decisions/e{epoch_id}"
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(f"{root}/v{epoch_id}/decisions", dst)
         cur["version"] = epoch_id
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            doc_stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(doc_stream, sink, timeout_s)
     if cur["version"] is None or not os.path.isdir(f"{root}/decisions"):
         return spark.createDataFrame(
             [], f"{id_col} bigint, kept boolean, dup_of bigint"

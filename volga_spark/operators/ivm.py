@@ -243,11 +243,7 @@ def ivm_stream_maintain(
     including a batch that deletes a group's extremum)."""
     import shutil
 
-    from volga_spark.streaming.runner import (
-        _checkpoint_dir,
-        _state_root,
-        _stream_shuffle,
-    )
+    from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
     spark = stream.sparkSession
     root = _state_root()
@@ -283,20 +279,7 @@ def ivm_stream_maintain(
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(stream, sink, timeout_s)
     if cur["version"] is None:
         return init_agg(
             spark.createDataFrame([], stream.select(*data_cols).schema),
@@ -416,11 +399,7 @@ def hist_stream_maintain(
     :func:`ivm_stream_maintain`."""
     import shutil
 
-    from volga_spark.streaming.runner import (
-        _checkpoint_dir,
-        _state_root,
-        _stream_shuffle,
-    )
+    from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
     spark = stream.sparkSession
     root = _state_root()
@@ -449,20 +428,7 @@ def hist_stream_maintain(
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(stream, sink, timeout_s)
     if cur["version"] is None:
         return init_hist(
             spark.createDataFrame([], stream.select(*data_cols).schema),

@@ -66,6 +66,17 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 128) -> DataFrame:
     hashed = df.select(F.md5(F.col(col).cast("string")).alias("h")).filter(
         F.col("h").isNotNull()
     )
+    partials = hashed.mapInPandas(_partial_gen(k), schema="h string")
+    # <= k x P summary rows: ONE exchange — partial collect_set map-side,
+    # sort + truncate + explode native (no distinct pass, no window)
+    return _bottom_k_of(partials, k)
+
+
+def _partial_gen(k: int):
+    """Per-partition bottom-k distinct generator — the ONE sketch
+    construction, shared by the batch scan and the streaming fold so the
+    two can never diverge (the stream==batch closure claim depends on
+    identical partials)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best = np.asarray([], dtype=object)
@@ -74,10 +85,7 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 128) -> DataFrame:
             best = np.unique(np.concatenate([best, u]))[:k]  # sorted, deduped
         yield pd.DataFrame({"h": pd.Series(best, dtype=object)})
 
-    partials = hashed.mapInPandas(gen, schema="h string")
-    # <= k x P summary rows: ONE exchange — partial collect_set map-side,
-    # sort + truncate + explode native (no distinct pass, no window)
-    return _bottom_k_of(partials, k)
+    return gen
 
 
 def _bottom_k_of(partials: DataFrame, k: int) -> DataFrame:
@@ -185,15 +193,7 @@ def kmv_stream_maintain(
     hashed = stream_df.select(
         F.md5(F.col(col).cast("string")).alias("h")
     ).filter(F.col("h").isNotNull())
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best = np.asarray([], dtype=object)
-        for pdf in batches:
-            u = pdf["h"].dropna().unique()
-            best = np.unique(np.concatenate([best, u]))[:k]
-        yield pd.DataFrame({"h": pd.Series(best, dtype=object)})
-
-    partials = hashed.mapInPandas(gen, schema="h string").withColumn(
+    partials = hashed.mapInPandas(_partial_gen(k), schema="h string").withColumn(
         "__k", F.lit(0)
     )
 
@@ -253,20 +253,21 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 128) -> DataFrame:
         F.count("*").cast("int").alias("n_union"),
         F.max(_hash_int(F.col("h"))).alias("__vk"),
     )
-    est_union = _est_expr(F.col("n_union"), k)
     return (
         agg.select(
             "x",
             "n_union",
             F.col("__vk").alias("vk"),
-            est_union.alias("est_union"),
-        ).withColumn(
-            "est_intersection",
-            # x/k of the union estimate; an under-full union sketch saw
-            # the whole union, so divide by its true size instead of k
-            F.expr(
-                f"CAST(x * est_union div (CASE WHEN n_union = 0 THEN 1 "
-                f"WHEN n_union < {k} THEN n_union ELSE {k} END) AS BIGINT)"
-            ),
-        )
+            _est_expr(F.col("n_union"), k).alias("est_union"),
+        ).withColumn("est_intersection", _est_intersection_expr(k))
+    )
+
+
+def _est_intersection_expr(k: int) -> Column:
+    """x/k of the union estimate; an under-full union sketch saw the whole
+    union, so divide by its true size instead of k. Requires ``x``,
+    ``est_union``, ``n_union`` columns in scope."""
+    return F.expr(
+        f"CAST(x * est_union div (CASE WHEN n_union = 0 THEN 1 "
+        f"WHEN n_union < {k} THEN n_union ELSE {k} END) AS BIGINT)"
     )

@@ -44,7 +44,11 @@ def build_tiles(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     g = interval_to_micros(granularity)
     return (
-        events.withColumn("__b", (F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long"))
+        # floor, not cast-truncation: pre-1970 timestamps (negative µs)
+        # must land in the same buckets cover_buckets/the ladder compute
+        events.withColumn(
+            "__b", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long")
+        )
         .groupBy(*keys, "__b")
         .agg(
             F.count(value_col).alias("t_cnt"),
@@ -205,7 +209,9 @@ def build_serving_state(
     r = events.select(
         *keys,
         F.lit(g).alias("__g"),
-        (F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long").alias("__b"),
+        # floor (not cast) — see build_tiles; keeps raw-edge rows bucketed
+        # identically to the tile/cover arithmetic for negative µs
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long").alias("__b"),
         F.lit("r").alias("__kind"),
         F.when(v.isNotNull(), 1).otherwise(0).cast("long").alias("__cnt"),
         F.round(v * 100).cast("long").alias("__cents"),
@@ -535,7 +541,11 @@ def auto_feature_service(
         while frame.micros // gm > ladder_threshold:
             gm *= 60
             if frame.micros // gm >= 4:
-                levels.append(f"{gm // 60_000_000} minutes")
+                # render in µs: exact for ANY base granularity (a
+                # sub-minute base × 60 is not a whole minute — rounding
+                # to minutes built a '0 minutes' level and div-by-zero'd
+                # the ladder's divisibility check)
+                levels.append(f"{gm} microseconds")
         ladder = levels if len(levels) > 1 else None
         svc = TiledFeatureService(
             events.select(*keys, ts_col, value_col),

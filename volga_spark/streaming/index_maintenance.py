@@ -30,11 +30,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from volga_spark.operators.retrieval import bm25_index, merge_index
-from volga_spark.streaming.runner import (
-    _checkpoint_dir,
-    _state_root,
-    _stream_shuffle,
-)
+from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
 _FRAMES = ("postings", "doclen", "stats")
 
@@ -79,20 +75,7 @@ def maintain_bm25_index(
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            doc_stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(doc_stream, sink, timeout_s)
     if cur["version"] is None:
         empty = spark.createDataFrame([], f"{id_col} bigint, term string, tf bigint")
         return (

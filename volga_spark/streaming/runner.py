@@ -92,6 +92,32 @@ def _state_root() -> str:
     return os.path.join(_CKPT_ROOT, "state", uuid.uuid4().hex[:12])
 
 
+def run_foreach_batch(
+    stream: DataFrame, sink, timeout_s: int = 300
+) -> None:
+    """Run a streaming frame to completion (availableNow) through a
+    ``foreachBatch`` sink: scratch checkpoint, narrow stream-shuffle
+    width, stop-on-timeout, checkpoint cleanup. THE one run-to-completion
+    harness — every stateful maintainer (upsert, CDC, IVM, histogram,
+    near-dup filter, index/tile sinks) drives its epoch-retry sink
+    through this, so the retry/cleanup discipline lives in one place."""
+    spark = stream.sparkSession
+    ckpt = _checkpoint_dir()
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def upsert_by_key(
     df: DataFrame,
     key_cols: list[str],
@@ -150,20 +176,7 @@ def upsert_by_key(
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            df.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(df, sink, timeout_s)
     if cur["version"] is None:
         return spark.createDataFrame(
             [], schema=", ".join(f"{c} {t}" for c, t in df.dtypes)

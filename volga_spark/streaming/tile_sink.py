@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from volga_spark.operators.window import interval_to_micros
-from volga_spark.streaming.runner import _checkpoint_dir, _state_root, _stream_shuffle
+from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
 _TILE_SCHEMA = "t_cnt bigint, t_cents bigint, t_min double, t_max double"
 
@@ -56,7 +56,10 @@ def stream_build_tiles(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         merged = (
             batch_df.withColumn(
-                "__b", (F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long")
+                # floor (not cast-truncation): must bucket identically to
+                # operators/tiles.build_tiles for negative (pre-1970) µs
+                "__b",
+                F.floor(F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long"),
             )
             .groupBy(*keys, "__b")
             .agg(
@@ -88,20 +91,7 @@ def stream_build_tiles(
         if prev_version is not None and prev_version != epoch_id:
             shutil.rmtree(f"{root}/v{prev_version}", ignore_errors=True)
 
-    ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_s)
-        finally:
-            if q.isActive:
-                q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(stream, fold, timeout_s)
 
     if cur["version"] is None:
         key_schema = ", ".join(f"{k} {t}" for k, t in stream.select(*keys).dtypes)

@@ -24,9 +24,13 @@ from volga_spark.workloads import workload
 
 
 _KMV_K = 128
-# the integer estimator constants (overlap.py): ((k-1) << 33) div (vk >> 27)
-_KMV_NUM = 2**33
-_KMV_DEN = 2**27
+# the integer estimator scales — derived from the operator's shift
+# constants so the inlined DuckDB oracle text can never drift from the
+# Spark-side _est_expr: ((k-1) << NUM) div (vk >> DEN)
+from volga_spark.operators.overlap import _DEN_SHIFT, _NUM_SHIFT
+
+_KMV_NUM = 2**_NUM_SHIFT
+_KMV_DEN = 2**_DEN_SHIFT
 
 
 @workload(
@@ -145,33 +149,25 @@ def q_dedup_exact(spark, sf_dir):
         F.col("rank").cast("long").alias("keep_id"),
         F.col("mask").alias("n_copies"),
     )
-    # estimator stats straight off the flagged union sketch — the same
-    # integer formulas as operators/overlap.kmv_overlap, without a second
-    # merge pipeline (this query already materialized the membership rows)
+    # estimator stats straight off the flagged union sketch — the SHARED
+    # expressions from operators/overlap (one definition, so the workload
+    # can never drift from kmv_overlap or its DuckDB twin), without a
+    # second merge pipeline (this query already has the membership rows)
+    from volga_spark.operators.overlap import (
+        _est_expr,
+        _est_intersection_expr,
+        _hash_int,
+    )
+
     stats = (
         flagged.agg(
             F.sum((F.col("mask") == 3).cast("long")).alias("x"),
             F.count("*").cast("int").alias("n_union"),
-            F.max(
-                F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
-            ).alias("vk"),
+            F.max(_hash_int(F.col("h"))).alias("__vk"),
         )
-        .withColumn(
-            "est_union",
-            F.when(F.col("n_union") < k, F.col("n_union").cast("long")).otherwise(
-                F.expr(
-                    f"CAST(({k} - 1) * CAST({_KMV_NUM} AS BIGINT) "
-                    f"div (vk div {_KMV_DEN}) AS BIGINT)"
-                )
-            ),
-        )
-        .withColumn(
-            "est_intersection",
-            F.expr(
-                f"CAST(x * est_union div (CASE WHEN n_union = 0 THEN 1 "
-                f"WHEN n_union < {k} THEN n_union ELSE {k} END) AS BIGINT)"
-            ),
-        )
+        .withColumn("est_union", _est_expr(F.col("n_union"), k))
+        .withColumn("est_intersection", _est_intersection_expr(k))
+        .withColumn("vk", F.col("__vk"))
         .selectExpr(
             "stack(5, 'x', x, 'n_union', CAST(n_union AS BIGINT), 'vk', vk, "
             "'est_union', est_union, 'est_intersection', est_intersection) "
