@@ -38,14 +38,18 @@ _logs = st.lists(
 
 def _merge(state: dict, batch) -> dict:
     """Python twin of apply_cdc(keep_tombstones=True): per key keep the
-    argmax by (seq, prio) where a delete re-enters at prio 2, a live state
-    row at 0, an incoming I/U at 1."""
+    argmax by (seq, prio) where a delete re-enters at prio 2 and a live
+    state row at 1 — EQUAL to an incoming I/U, the r07 fold==replay rule
+    (the strict > keeps the state row on a redelivered identical change).
+    The attr-value tie-break for equal-(key, seq) conflicts is not modeled
+    here: this strategy generates globally-unique seqs, the real log
+    shape; the equal-seq edge is pinned by test_cdc.py directly."""
     new = dict(state)
     for k, val, seq, op in batch:
         prio = 2 if op == "D" else 1
         cur = new.get(k)  # (seq, reentry_prio, val_or_None)
         if cur is None or (seq, prio) > (cur[0], cur[1]):
-            new[k] = (seq, 2 if op == "D" else 0, None if op == "D" else val)
+            new[k] = (seq, 2 if op == "D" else 1, None if op == "D" else val)
     return new
 
 
