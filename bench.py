@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "q_mix_pack",
     "q_hybrid_rrf",
     "q_training_pipeline",
-    "q_asof_join",
+    "q_temporal_join",
+    "q_sft_prep",
     "q_sessionize",
     "q_pipeline_sql",
     "q_agg_stages",
@@ -95,7 +96,8 @@ BANDS = {
     "q_mix_pack": 1.0,
     "q_hybrid_rrf": 3.4,
     "q_training_pipeline": 2.3,
-    "q_asof_join": 1.2,
+    "q_temporal_join": 2.2,  # r07: asof+range legs merged; 1.53s measured (BASELINE.md)
+    "q_sft_prep": 1.9,  # r07: SFT render/span/pair union; 1.35s measured (BASELINE.md)
     "q_sessionize": 0.95,
     "q_pipeline_sql": 2.25,
     "q_agg_stages": 1.7,

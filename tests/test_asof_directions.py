@@ -98,7 +98,7 @@ def test_backward_tolerance_matches_duckdb(spark, sf_dir):
 
 def test_backward_unchanged_vs_original_semantics(spark, sf_dir):
     """direction='backward', no tolerance == the pre-existing oracled
-    behavior (q_asof_join's oracle pins it too; this is the direct check)."""
+    behavior (q_temporal_join's asof-leg oracle pins it too; this is the direct check)."""
     got = _run(spark, sf_dir, "backward").toPandas()
     oracle = _oracle(
         sf_dir,

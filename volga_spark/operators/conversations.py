@@ -1,0 +1,276 @@
+"""Post-training (SFT / preference) conversation data preparation.
+
+The pre-training tier (dedup, quality, packing, export) covers raw
+documents; this module covers the other half of a training-data pipeline:
+multi-turn conversation assembly, deterministic chat-template rendering,
+loss-mask span computation, and preference-pair (chosen/rejected)
+construction for DPO/RLHF-style datasets.
+
+Scale design (the whole point of doing this on Spark):
+
+- Turn assembly, template rendering, and loss-span computation are pure
+  per-document array expressions (``transform`` / ``aggregate`` higher-order
+  functions) — ZERO shuffles, whole-stage-codegen'd, embarrassingly
+  parallel. A 100 TB conversation corpus renders at scan speed; there is no
+  Python in the path.
+- Loss spans use a running-offset fold over the turns array (``aggregate``
+  with a (position, spans) struct accumulator) instead of the classic
+  explode → window-prefix-sum formulation, which would shuffle every turn
+  row on conversation id. The fold keeps each conversation's arithmetic
+  inside its row.
+- Preference pairs are a single map-side-combinable aggregation per prompt
+  (one exchange on the prompt key); chosen/rejected selection is a
+  deterministic (score, id) total order so results are stable under any
+  partitioning or retry.
+
+Reference scope note: the reference engine (volga-project/volga) stops at
+feature pipelines; this tier is part of the "operations a large-scale
+training-data pipeline would need" surface this repo adds beyond it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ChatTemplate:
+    """Deterministic chat-template markers.
+
+    ``render_conversations`` emits, per turn,
+    ``role_open + role + role_close + content + turn_end`` and wraps the
+    whole conversation in ``bos``/``eos``. All markers are plain strings so
+    both the Spark render and any SQL oracle can reproduce the exact bytes
+    (and therefore the exact hash) of the rendered text.
+    """
+
+    role_open: str = "<|"
+    role_close: str = "|>"
+    turn_end: str = "<|end|>"
+    bos: str = ""
+    eos: str = ""
+
+
+DEFAULT_TEMPLATE = ChatTemplate()
+
+
+def turns_from_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_turn: int = 12,
+    max_turns: int = 8,
+    system_prompt: str | None = None,
+    out_col: str = "turns",
+) -> DataFrame:
+    """Deterministically derive a multi-turn conversation from each document.
+
+    The document's whitespace-token stream is chunked into turns of
+    ``words_per_turn`` words (capped at ``max_turns``); even chunks speak as
+    ``user``, odd as ``assistant``; an optional ``system`` turn is prepended
+    at idx 0. Output: ``(id_col, out_col: array<struct<idx,role,content>>)``.
+
+    This is the corpus→conversation bootstrap used by tests and the driver
+    workload; real SFT corpora that already carry an
+    ``array<struct<role,content>>`` column skip it and feed
+    :func:`render_conversations` directly.
+
+    Entirely native array expressions — no shuffle, no Python.
+    """
+    w = int(words_per_turn)
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    # ceil(n/w) via integer arithmetic (matches SQL (n + w - 1) // w); the
+    # empty string still splits to [''] so n_chunks >= 1 for non-null rows
+    # and the sequence() below never sees a start > stop (which would count
+    # DOWN, not produce an empty array).
+    n_chunks = F.least(
+        F.floor((F.size(words) + F.lit(w - 1)) / F.lit(w)).cast("int"),
+        F.lit(int(max_turns)),
+    )
+    off = 1 if system_prompt is not None else 0
+    base = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            (i + F.lit(off)).cast("int").alias("idx"),
+            F.when(i % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.array_join(F.slice(words, i * w + F.lit(1), F.lit(w)), " ").alias(
+                "content"
+            ),
+        ),
+    )
+    if system_prompt is not None:
+        sys_turn = F.array(
+            F.struct(
+                F.lit(0).cast("int").alias("idx"),
+                F.lit("system").alias("role"),
+                F.lit(system_prompt).alias("content"),
+            )
+        )
+        base = F.concat(sys_turn, base)
+    return docs.select(F.col(id_col), base.alias(out_col))
+
+
+def _turn_render_len(t: Column, tmpl: ChatTemplate) -> Column:
+    fixed = len(tmpl.role_open) + len(tmpl.role_close) + len(tmpl.turn_end)
+    return F.length(t["role"]) + F.length(t["content"]) + F.lit(fixed)
+
+
+def render_conversations(
+    conv: DataFrame,
+    *,
+    turns_col: str = "turns",
+    out_col: str = "rendered",
+    template: ChatTemplate = DEFAULT_TEMPLATE,
+) -> DataFrame:
+    """Render each conversation to its training string (one shuffle-free
+    per-row ``transform`` + ``concat_ws``). Appends ``out_col``."""
+    body = F.concat_ws(
+        "",
+        F.transform(
+            F.col(turns_col),
+            lambda t: F.concat(
+                F.lit(template.role_open),
+                t["role"],
+                F.lit(template.role_close),
+                t["content"],
+                F.lit(template.turn_end),
+            ),
+        ),
+    )
+    return conv.withColumn(
+        out_col, F.concat(F.lit(template.bos), body, F.lit(template.eos))
+    )
+
+
+def loss_spans(
+    conv: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    turns_col: str = "turns",
+    roles: tuple[str, ...] = ("assistant",),
+    template: ChatTemplate = DEFAULT_TEMPLATE,
+) -> DataFrame:
+    """Char-offset loss-mask spans into the rendered conversation string.
+
+    For every turn whose role is in ``roles``, emits one row
+    ``(id_col, turn_idx, role, span_start, span_end)`` where
+    ``rendered[span_start:span_end]`` (0-based, half-open) is exactly that
+    turn's CONTENT — the region a trainer unmasks; role markers and turn
+    terminators stay masked.
+
+    Offsets are computed by folding the turns array with an
+    ``aggregate`` accumulator carrying (running position, spans so far) —
+    the prefix sum never leaves the row, so the operator is shuffle-free
+    (the alternative explode + window-prefix-sum shuffles every turn row on
+    the conversation key; at 100 TB that exchange would dominate).
+    """
+    open_len = len(template.role_open)
+    close_len = len(template.role_close)
+    span_t = "array<struct<idx:int,role:string,span_start:bigint,span_end:bigint>>"
+    init = F.struct(
+        F.lit(len(template.bos)).cast("bigint").alias("pos"),
+        F.expr(f"CAST(array() AS {span_t})").alias("spans"),
+    )
+
+    def merge(acc: Column, t: Column) -> Column:
+        content_start = acc["pos"] + F.lit(open_len) + F.length(t["role"]) + F.lit(
+            close_len
+        )
+        span = F.struct(
+            t["idx"].alias("idx"),
+            t["role"].alias("role"),
+            content_start.alias("span_start"),
+            (content_start + F.length(t["content"])).alias("span_end"),
+        )
+        return F.struct(
+            (acc["pos"] + _turn_render_len(t, template)).alias("pos"),
+            F.concat(acc["spans"], F.array(span)).alias("spans"),
+        )
+
+    spans = F.aggregate(F.col(turns_col), init, merge, lambda acc: acc["spans"])
+    out = conv.select(F.col(id_col), F.explode(spans).alias("s")).select(
+        id_col,
+        F.col("s.idx").alias("turn_idx"),
+        F.col("s.role").alias("role"),
+        F.col("s.span_start").alias("span_start"),
+        F.col("s.span_end").alias("span_end"),
+    )
+    if roles:
+        out = out.filter(F.col("role").isin(*roles))
+    return out
+
+
+def preference_pairs(
+    cands: DataFrame,
+    *,
+    prompt_col: str,
+    cand_col: str,
+    score_col: str,
+    min_candidates: int = 2,
+) -> DataFrame:
+    """Chosen/rejected preference pairs per prompt.
+
+    ``chosen`` is the candidate maximizing ``(score, cand_id)``; ``rejected``
+    minimizes it — a TOTAL order, so the pair is deterministic under any
+    partitioning, retry, or input order (ties on score break on the id).
+    Prompts with fewer than ``min_candidates`` candidates, or where every
+    candidate scores identically AND chosen == rejected would collide, are
+    kept only when the ids differ (a one-candidate prompt has no pair).
+
+    One map-side-combinable exchange on ``prompt_col`` (max_by/min_by
+    partials); no window, no second shuffle.
+    Output: ``(prompt_col, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_candidates)``.
+    """
+    key = F.struct(F.col(score_col), F.col(cand_col))
+    agg = cands.groupBy(prompt_col).agg(
+        F.max_by(F.col(cand_col), key).alias("chosen_id"),
+        F.min_by(F.col(cand_col), key).alias("rejected_id"),
+        F.max(key).alias("_maxk"),
+        F.min(key).alias("_mink"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        agg.filter(
+            (F.col("n_candidates") >= F.lit(int(min_candidates)))
+            & (F.col("chosen_id") != F.col("rejected_id"))
+        )
+        .select(
+            prompt_col,
+            "chosen_id",
+            "rejected_id",
+            F.col(f"_maxk.{score_col}").alias("chosen_score"),
+            F.col(f"_mink.{score_col}").alias("rejected_score"),
+            (F.col(f"_maxk.{score_col}") - F.col(f"_mink.{score_col}")).alias(
+                "margin"
+            ),
+            "n_candidates",
+        )
+    )
+
+
+def conversation_fingerprint(
+    conv: DataFrame,
+    *,
+    turns_col: str = "turns",
+    out_col: str = "conv_digest",
+) -> DataFrame:
+    """Content-identity digest for conversation-level exact dedup: md5 over
+    the role/content stream with field separators (template-independent —
+    two conversations that differ only in rendering markers collide, which
+    is the dedup semantics we want). Feeds the existing exact-dedup tier
+    (digest groupBy; only the 16-byte digest ever shuffles)."""
+    joined = F.concat_ws(
+        "\x1e",
+        F.transform(
+            F.col(turns_col),
+            lambda t: F.concat_ws("\x1f", t["role"], t["content"]),
+        ),
+    )
+    return conv.withColumn(out_col, F.md5(joined))

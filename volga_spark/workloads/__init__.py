@@ -58,6 +58,7 @@ _MODULES = [
     "volga_spark.workloads.retrieval",
     "volga_spark.workloads.packing",
     "volga_spark.workloads.curation",
+    "volga_spark.workloads.conversations",
     "volga_spark.workloads.dedup",
     "volga_spark.workloads.similarity",
     "volga_spark.workloads.relational",

@@ -1,5 +1,9 @@
-"""As-of join workload: enrich each event with the latest order of the same
-customer at or before the event time (oracle: DuckDB native ASOF JOIN)."""
+"""Temporal join workloads: as-of join (latest order at-or-before each
+event) and symmetric range join (±10min neighborhood aggregate), merged in
+r07 into ONE leg-tagged union (q_temporal_join) to free a registry slot for
+the SFT/conversation tier — the driver gate records at most 50 rows.
+Oracle: DuckDB native ASOF JOIN for the 'asof' leg, an explicit interval
+self-join for the 'range' leg."""
 
 from __future__ import annotations
 
@@ -12,7 +16,7 @@ from volga_spark.workloads import workload
 
 
 @workload(
-    "q_asof_join",
+    "q_temporal_join",
     oracle="""
         WITH od AS (
             SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
@@ -21,20 +25,44 @@ from volga_spark.workloads import workload
                                              ORDER BY o_orderkey DESC) AS rn
                 FROM orders
             ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.event_id, b.event_id AS other_id,
+                   CAST(round(b.value * 100) AS BIGINT) AS vc
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
+             AND b.event_id != a.event_id
         )
-        SELECT e.event_id, e.user_id, e.ts,
-               o.o_orderkey AS last_orderkey,
-               o.o_totalprice AS last_totalprice
+        SELECT 'asof' AS leg, e.event_id, e.user_id,
+               o.o_orderkey AS k1,
+               o.o_totalprice AS v1
         FROM events e ASOF LEFT JOIN od o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        UNION ALL
+        SELECT 'range', e.event_id, e.user_id,
+               coalesce(p.n, 0) AS k1,
+               p.s / 100.0 AS v1
+        FROM events e LEFT JOIN (
+            SELECT event_id, count(*) AS n, sum(vc) AS s FROM pairs GROUP BY event_id
+        ) p ON p.event_id = e.event_id
     """,
-    tags=("join", "asof"),
+    tags=("join", "asof", "range"),
 )
-def q_asof_join(spark, sf_dir):
-    """Union-and-carry-forward as-of join (one shuffle on the key; right side
-    deduped to unique (key, ts) for determinism)."""
+def q_temporal_join(spark, sf_dir):
+    """Temporal-join capability in one leg-tagged union:
+
+    - 'asof' leg: union-and-carry-forward as-of join (one shuffle on the
+      key; right side deduped to unique (key, ts) for determinism) — each
+      event enriched with the latest order of the same customer at or
+      before the event time.
+    - 'range' leg: symmetric ±10min range join (same user, excluding self)
+      via bucketized equi-join — count and exact integer-accumulated sum of
+      nearby event values.
+    """
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
+
     w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
         F.col("o_orderkey").desc()
     )
@@ -44,52 +72,32 @@ def q_asof_join(spark, sf_dir):
         .select(
             "o_custkey",
             "o_orderdate",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_totalprice").alias("last_totalprice"),
+            F.col("o_orderkey").alias("k1"),
+            F.col("o_totalprice").alias("v1"),
         )
     )
-    return asof_join(
-        ev.select("event_id", "user_id", "ts").withColumnRenamed("user_id", "custkey"),
-        od.withColumnRenamed("o_custkey", "custkey"),
-        on="custkey",
-        left_ts="ts",
-        right_ts="o_orderdate",
-        value_cols=["last_orderkey", "last_totalprice"],
-    ).select(
-        "event_id",
-        F.col("custkey").alias("user_id"),
-        "ts",
-        "last_orderkey",
-        "last_totalprice",
+    asof_leg = (
+        asof_join(
+            ev.select("event_id", "user_id", "ts").withColumnRenamed(
+                "user_id", "custkey"
+            ),
+            od.withColumnRenamed("o_custkey", "custkey"),
+            on="custkey",
+            left_ts="ts",
+            right_ts="o_orderdate",
+            value_cols=["k1", "v1"],
+        )
+        .select(
+            F.lit("asof").alias("leg"),
+            "event_id",
+            F.col("custkey").alias("user_id"),
+            "k1",
+            "v1",
+        )
     )
 
-
-@workload(
-    "q_range_join",
-    oracle="""
-        WITH pairs AS (
-            SELECT a.event_id, b.event_id AS other_id,
-                   CAST(round(b.value * 100) AS BIGINT) AS vc
-            FROM events a JOIN events b
-              ON b.user_id = a.user_id
-             AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
-             AND b.event_id != a.event_id
-        )
-        SELECT e.event_id, e.user_id,
-               coalesce(p.n, 0) AS n_nearby,
-               p.s / 100.0 AS nearby_value
-        FROM events e LEFT JOIN (
-            SELECT event_id, count(*) AS n, sum(vc) AS s FROM pairs GROUP BY event_id
-        ) p ON p.event_id = e.event_id
-    """,
-    tags=("join", "range"),
-)
-def q_range_join(spark, sf_dir):
-    """Symmetric ±10min range join (same user, excluding self) via bucketized
-    equi-join — count and exact sum of nearby event values."""
     from volga_spark.operators.range_join import range_join
 
-    ev = load_table(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", "ts")
     right = ev.select(
         F.col("event_id").alias("other_id"),
@@ -105,13 +113,16 @@ def q_range_join(spark, sf_dir):
     agg = pairs.groupBy("event_id").agg(
         F.count("*").alias("n"), F.sum("vc").alias("s")
     )
-    return (
+    range_leg = (
         ev.select("event_id", "user_id")
         .join(agg, "event_id", "left")
         .select(
+            F.lit("range").alias("leg"),
             "event_id",
             "user_id",
-            F.coalesce("n", F.lit(0)).alias("n_nearby"),
-            (F.col("s") / F.lit(100.0)).alias("nearby_value"),
+            F.coalesce("n", F.lit(0)).alias("k1"),
+            (F.col("s") / F.lit(100.0)).alias("v1"),
         )
     )
+
+    return asof_leg.unionByName(range_leg)
