@@ -189,3 +189,179 @@ def test_plan_preference_pairs_single_exchange(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+# ---- packed SFT spans (conversation tier ∘ two-phase packing) ----
+
+_SEQ_LEN = 256
+
+
+def _packed(spark, sf_dir):
+    conv = _conv(spark, sf_dir)
+    from volga_spark.operators.conversations import pack_sft_spans
+
+    return pack_sft_spans(conv, seq_len=_SEQ_LEN), conv
+
+
+def test_packed_spans_conserve_unmasked_length(spark, sf_dir):
+    (packed, _), conv = _packed(spark, sf_dir)
+    orig = loss_spans(conv)
+    total_orig = orig.select(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("t")
+    ).first()["t"]
+    total_packed = packed.select(
+        F.sum(F.col("seq_end") - F.col("seq_start")).alias("t")
+    ).first()["t"]
+    assert total_orig == total_packed and total_orig > 0
+
+
+def test_packed_spans_in_bounds(spark, sf_dir):
+    (packed, _), _ = _packed(spark, sf_dir)
+    assert (
+        packed.filter(
+            (F.col("seq_start") < 0)
+            | (F.col("seq_end") <= F.col("seq_start"))
+            | (F.col("seq_end") > _SEQ_LEN)
+        ).count()
+        == 0
+    )
+
+
+def test_packed_spans_reconstruct_turn_content(spark, sf_dir):
+    """Cut every packed span out of the ASSEMBLED sequence text; per
+    (doc, turn), the pieces concatenated in stream order must equal the
+    turn's content exactly — the whole pipeline (render → pack → re-base)
+    proved end-to-end on real strings."""
+    (packed, segments), conv = _packed(spark, sf_dir)
+    r = render_conversations(conv).select("doc_id", "rendered", "turns")
+    seq_text = (
+        segments.join(r.select("doc_id", "rendered"), "doc_id")
+        .select(
+            "seq_id",
+            "seq_offset",
+            F.expr("substring(rendered, doc_offset + 1, span_len)").alias("piece"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq_offset", "piece"))),
+                    lambda s: s["piece"],
+                ),
+            ).alias("seq_text")
+        )
+    )
+    pieces = (
+        packed.join(seq_text, "seq_id")
+        .select(
+            "doc_id",
+            "turn_idx",
+            "seq_id",
+            "seq_start",
+            F.expr(
+                "substring(seq_text, seq_start + 1, seq_end - seq_start)"
+            ).alias("piece"),
+        )
+        .groupBy("doc_id", "turn_idx")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_id", "seq_start", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    want = conv.select(
+        "doc_id", F.explode("turns").alias("t")
+    ).select("doc_id", F.col("t.idx").alias("turn_idx"), F.col("t.content").alias("content"))
+    bad = pieces.join(want, ["doc_id", "turn_idx"]).filter(
+        F.col("rebuilt") != F.col("content")
+    )
+    assert bad.count() == 0
+
+
+def test_packed_spans_match_duckdb_twin(spark, sf_dir):
+    """Full independence: DuckDB recomputes render, spans, the GLOBAL-window
+    packing (vs Spark's two-phase bucket prefix sum), and the interval
+    intersection — every packed span must match exactly."""
+    from volga_spark.operators.packing import pack_sequences_oracle_sql
+    from volga_spark.oracle import compare_frames, run_oracle
+
+    (packed, _), _ = _packed(spark, sf_dir)
+    got = packed.toPandas()
+
+    base = """
+        WITH w AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+            FROM w
+        ),
+        chunk AS (
+            SELECT doc_id, CAST((i - 1) // 12 AS INT) AS ci,
+                   string_agg(word, ' ' ORDER BY i) AS content
+            FROM tok WHERE (i - 1) // 12 < 8
+            GROUP BY doc_id, CAST((i - 1) // 12 AS INT)
+        ),
+        turns AS (
+            SELECT doc_id, 0 AS idx, 'system' AS role,
+                   'You are a helpful assistant.' AS content FROM w
+            UNION ALL
+            SELECT doc_id, ci + 1,
+                   CASE WHEN ci % 2 = 0 THEN 'user' ELSE 'assistant' END, content
+            FROM chunk
+        ),
+        off AS (
+            SELECT doc_id, idx, role, content,
+                   coalesce(sum(2 + length(role) + 2 + length(content) + 7)
+                       OVER (PARTITION BY doc_id ORDER BY idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS pos
+            FROM turns
+        ),
+        rendered AS (
+            SELECT doc_id,
+                   string_agg('<|' || role || '|>' || content || '<|end|>',
+                              '' ORDER BY idx) AS r
+            FROM turns GROUP BY doc_id
+        )
+    """
+    selected_sql = (
+        base
+        + """
+        SELECT doc_id, 'sft' AS domain, CAST(length(r) AS BIGINT) AS n_tokens,
+               md5('volga-sft-pack:' || CAST(doc_id AS VARCHAR)) AS rank
+        FROM rendered
+    """
+    )
+    segs_sql = pack_sequences_oracle_sql(selected_sql, _SEQ_LEN)
+    twin = (
+        base
+        + f""",
+        spans AS (
+            SELECT doc_id, idx AS turn_idx, role,
+                   pos + 2 + length(role) + 2 AS span_start,
+                   pos + 2 + length(role) + 2 + length(content) AS span_end
+            FROM off WHERE role = 'assistant'
+        ),
+        segs AS ({segs_sql})
+        SELECT g.seq_id, g.doc_id, s.turn_idx, s.role,
+               CAST(g.seq_offset + GREATEST(g.doc_offset, s.span_start)
+                    - g.doc_offset AS BIGINT) AS seq_start,
+               CAST(g.seq_offset
+                    + LEAST(g.doc_offset + g.span_len, s.span_end)
+                    - g.doc_offset AS BIGINT) AS seq_end
+        FROM segs g JOIN spans s ON s.doc_id = g.doc_id
+        WHERE LEAST(g.doc_offset + g.span_len, s.span_end)
+                > GREATEST(g.doc_offset, s.span_start)
+    """
+    )
+    problems = compare_frames(got, run_oracle(twin, sf_dir))
+    assert not problems, problems

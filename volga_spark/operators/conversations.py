@@ -255,6 +255,77 @@ def preference_pairs(
     )
 
 
+def pack_sft_spans(
+    conv: DataFrame,
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    turns_col: str = "turns",
+    roles: tuple[str, ...] = ("assistant",),
+    template: ChatTemplate = DEFAULT_TEMPLATE,
+    seed: str = "volga-sft-pack",
+) -> tuple[DataFrame, DataFrame]:
+    """Pack rendered conversations into fixed-length unit sequences and
+    RE-BASE the loss-mask spans into sequence coordinates.
+
+    The step trainers actually consume: packed-SFT batches concatenate many
+    conversations into one ``seq_len`` training sequence, and every loss
+    span must move with its conversation — including spans split across a
+    sequence boundary. Returns ``(packed_spans, segments)``:
+
+    - ``segments``: ``(id_col, domain, seq_id, seq_offset, doc_offset,
+      span_len)`` — where each conversation's rendered stream landed
+      (straight from :func:`packing.pack_sequences`, the two-phase
+      256-bucket prefix sum; order is the engine-portable md5(seed:id)
+      rank, so packing is a pure function of (seed, corpus)).
+    - ``packed_spans``: ``(seq_id, id_col, turn_idx, role, seq_start,
+      seq_end)`` — each loss span intersected with each sequence segment
+      it overlaps, offsets relative to the sequence. A span straddling a
+      boundary emits one clipped row per sequence; total unmasked length
+      is conserved exactly.
+
+    Units are whatever the span offsets count — chars here (the rendered
+    string IS the unit stream); the arithmetic is unit-blind, so swapping
+    in a tokenizer's token counts + token spans changes nothing.
+
+    Scale: the packing shuffle is the two-phase prefix sum (no global
+    window); the re-base is one co-partitioned equi-join on ``id_col``
+    between two frames that are each a small multiple of the doc count.
+    """
+    from volga_spark.operators.packing import pack_sequences
+    from volga_spark.operators.sampling import _rank
+
+    rendered = render_conversations(conv, turns_col=turns_col, template=template)
+    selected = rendered.select(
+        F.col(id_col),
+        F.lit("sft").alias("domain"),
+        F.length("rendered").cast("bigint").alias("n_tokens"),
+        _rank(id_col, seed).alias("rank"),
+    )
+    segments = pack_sequences(selected, seq_len, id_col=id_col)
+
+    spans = loss_spans(
+        conv, id_col=id_col, turns_col=turns_col, roles=roles, template=template
+    )
+    j = segments.join(spans, id_col)
+    ov_start = F.greatest(F.col("doc_offset"), F.col("span_start"))
+    ov_end = F.least(F.col("doc_offset") + F.col("span_len"), F.col("span_end"))
+    packed = (
+        j.filter(ov_end > ov_start)
+        .select(
+            "seq_id",
+            id_col,
+            "turn_idx",
+            "role",
+            (F.col("seq_offset") + ov_start - F.col("doc_offset")).alias(
+                "seq_start"
+            ),
+            (F.col("seq_offset") + ov_end - F.col("doc_offset")).alias("seq_end"),
+        )
+    )
+    return packed, segments
+
+
 def conversation_fingerprint(
     conv: DataFrame,
     *,
