@@ -67,9 +67,23 @@ def _probe_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(d, "doc_id", "text")
 
 
+def _probe_pack_sft(spark, sf_dir):
+    from volga_spark.operators.conversations import (
+        pack_sft_spans,
+        turns_from_documents,
+    )
+    from volga_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    conv = turns_from_documents(d, system_prompt="You are a helpful assistant.")
+    packed, _ = pack_sft_spans(conv, seq_len=2048)
+    return packed
+
+
 EXTRA_PROBES = {
     "pivot_agg": _probe_pivot,
     "paragraph_dedup": _probe_paragraph_dedup,
+    "pack_sft_spans": _probe_pack_sft,
 }
 
 ID_SHIFTS = {

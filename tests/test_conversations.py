@@ -365,3 +365,59 @@ def test_packed_spans_match_duckdb_twin(spark, sf_dir):
     )
     problems = compare_frames(got, run_oracle(twin, sf_dir))
     assert not problems, problems
+
+
+def test_conversation_prep_stream_equals_batch(spark, sf_dir):
+    """The whole map-side conversation path (turns → render → spans →
+    fingerprint) runs UNCHANGED on a Structured Streaming frame and emits
+    the identical row set — the one-config-N-modes property: an SFT-prep
+    pipeline defined once serves both the backfill scan and the live
+    ingest feed."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from volga_spark.streaming.runner import run_available_now_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def prep(df):
+        conv = turns_from_documents(df, system_prompt="sys")
+        r = conversation_fingerprint(render_conversations(conv))
+        spans = loss_spans(conv)
+        return spans.join(
+            r.select("doc_id", F.length("rendered").alias("rlen"), "conv_digest"),
+            "doc_id",
+        )
+
+    batch = prep(docs).toPandas()
+
+    root = os.path.join(
+        tempfile.gettempdir(), "volga_spark_conv_stream", uuid.uuid4().hex[:8]
+    )
+    os.makedirs(root, exist_ok=True)
+    try:
+        pdf = docs.orderBy("doc_id").toPandas()
+        per = (len(pdf) + 2) // 3
+        for i in range(3):
+            spark.createDataFrame(pdf.iloc[i * per : (i + 1) * per]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(root, f"chunk{i}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "chunk*"))
+        )
+        streamed = run_available_now_to_memory(
+            prep(stream), output_mode="append"
+        ).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    key = ["doc_id", "turn_idx"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) > 0
+    for col in b.columns:
+        assert b[col].tolist() == s[col].tolist(), col
