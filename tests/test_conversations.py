@@ -421,3 +421,56 @@ def test_conversation_prep_stream_equals_batch(spark, sf_dir):
     assert len(b) == len(s) > 0
     for col in b.columns:
         assert b[col].tolist() == s[col].tolist(), col
+
+
+def test_best_of_n_consistent_with_pairs(spark, sf_dir):
+    """best_of_n(n=1) picks exactly preference_pairs' chosen candidate (one
+    total order across the tier), the keep set is bounded and deterministic
+    under repartition, and a DuckDB window twin agrees."""
+    from volga_spark.operators.conversations import best_of_n
+    from volga_spark.oracle import compare_frames, run_oracle
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = d.select(
+        F.expr("doc_id DIV 4").alias("p"),
+        F.col("doc_id").alias("c"),
+        (F.col("n_chars") % 7).alias("s"),
+    )
+    top1 = best_of_n(cands, prompt_col="p", cand_col="c", score_col="s", n=1)
+    pairs = preference_pairs(cands, prompt_col="p", cand_col="c", score_col="s")
+    diff = (
+        top1.select("p", F.col("c").alias("chosen_id"))
+        .join(pairs.select("p", "chosen_id"), "p")
+        .count()
+    )
+    assert diff == pairs.count()
+    assert (
+        top1.select("p", "c")
+        .exceptAll(
+            pairs.select("p", F.col("chosen_id").alias("c"))
+        )
+        .count()
+        == 0
+    )
+
+    top2 = best_of_n(cands, prompt_col="p", cand_col="c", score_col="s", n=2)
+    assert top2.groupBy("p").count().filter(F.col("count") > 2).count() == 0
+    again = best_of_n(
+        cands.repartition(17), prompt_col="p", cand_col="c", score_col="s", n=2
+    )
+    assert top2.exceptAll(again).count() == 0 and again.exceptAll(top2).count() == 0
+
+    twin = """
+        SELECT p, c, s, pick_rank FROM (
+            SELECT doc_id // 4 AS p, doc_id AS c, n_chars % 7 AS s,
+                   row_number() OVER (PARTITION BY doc_id // 4
+                                      ORDER BY n_chars % 7 DESC, doc_id DESC)
+                     AS pick_rank
+            FROM documents
+        ) WHERE pick_rank <= 2
+    """
+    problems = compare_frames(
+        top2.toPandas(),
+        run_oracle(twin, sf_dir),
+    )
+    assert not problems, problems

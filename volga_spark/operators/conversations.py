@@ -255,6 +255,33 @@ def preference_pairs(
     )
 
 
+def best_of_n(
+    cands: DataFrame,
+    *,
+    prompt_col: str,
+    cand_col: str,
+    score_col: str,
+    n: int = 1,
+) -> DataFrame:
+    """Rejection-sampling keep set: the top ``n`` candidates per prompt by
+    the same deterministic ``(score, cand_id)`` total order
+    :func:`preference_pairs` uses (ties break on the id, so the keep set is
+    stable under any partitioning/retry). ``n=1`` is the classic
+    best-of-n distillation pick. Adds ``pick_rank`` (1 = best).
+
+    One shuffle on the prompt key (rank window); rows out ≤ n per prompt.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(prompt_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).desc()
+    )
+    return (
+        cands.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= F.lit(int(n)))
+    )
+
+
 def pack_sft_spans(
     conv: DataFrame,
     *,
