@@ -41,7 +41,7 @@ def test_span_substring_invariant(spark, sf_dir):
 def test_spans_ordered_disjoint_in_bounds(spark, sf_dir):
     conv = _conv(spark, sf_dir)
     r = render_conversations(conv).select("doc_id", F.length("rendered").alias("n"))
-    s = loss_spans(conv, roles=()).join(r, "doc_id")  # all roles
+    s = loss_spans(conv, roles=None).join(r, "doc_id")  # all roles
     assert (
         s.filter(
             (F.col("span_start") < 0)
@@ -154,6 +154,48 @@ def test_preference_pairs_single_candidate_dropped(spark):
     assert set(rows) == {1}
     assert rows[1]["chosen_id"] == 10 and rows[1]["rejected_id"] == 11
     assert rows[1]["margin"] == 2 and rows[1]["n_candidates"] == 2
+
+
+def test_loss_spans_roles_none_vs_empty(spark):
+    """roles=None unmasks every role; roles=() unmasks NOTHING (a
+    dynamically-built empty role filter must not silently unmask all)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id bigint, text string"
+    )
+    conv = turns_from_documents(df, words_per_turn=3, system_prompt="s")
+    assert loss_spans(conv, roles=None).count() == 3  # system + user + asst
+    assert loss_spans(conv, roles=()).count() == 0
+    assert loss_spans(conv).count() == 1  # default: assistant only
+
+
+def test_pack_sft_spans_drops_empty_renders(spark):
+    """A conversation rendering to '' (empty turns, empty-marker template)
+    must not reach the packer: a zero-length stream on a sequence boundary
+    would emit a bogus out-of-range segment row."""
+    from volga_spark.operators.conversations import pack_sft_spans
+
+    tmpl = ChatTemplate(role_open="", role_close="", turn_end="")
+    schema = (
+        "doc_id bigint, "
+        "turns array<struct<idx:int,role:string,content:string>>"
+    )
+    rows = [
+        (1, []),  # renders to '' — must be excluded entirely
+        (2, [(0, "u", "abcd"), (1, "a", "efgh")]),
+    ]
+    conv = spark.createDataFrame(rows, schema)
+    packed, segments = pack_sft_spans(conv, seq_len=4, roles=("a",), template=tmpl)
+    seg = segments.collect()
+    assert {r["doc_id"] for r in seg} == {2}
+    assert all(
+        0 <= r["seq_offset"] < 4 and r["span_len"] > 0 for r in seg
+    ), seg
+    # render = 'uabcd'+'aefgh' (10 chars; markers empty, roles count);
+    # the assistant CONTENT 'efgh' spans chars 6..10, straddling the
+    # seq_len=4 boundary at 8 — one clipped row per sequence, length
+    # conserved (2 + 2 = 4)
+    got = {(r["seq_id"], r["seq_start"], r["seq_end"]) for r in packed.collect()}
+    assert got == {(1, 2, 4), (2, 0, 2)}, got
 
 
 def test_fingerprint_template_independent_content_sensitive(spark):
@@ -438,17 +480,21 @@ def test_best_of_n_consistent_with_pairs(spark, sf_dir):
     )
     top1 = best_of_n(cands, prompt_col="p", cand_col="c", score_col="s", n=1)
     pairs = preference_pairs(cands, prompt_col="p", cand_col="c", score_col="s")
-    diff = (
+    # join on BOTH (p, chosen_id): every pair row's chosen must be the n=1
+    # pick for that prompt (a p-only join would count rows regardless)
+    agree = (
         top1.select("p", F.col("c").alias("chosen_id"))
-        .join(pairs.select("p", "chosen_id"), "p")
+        .join(pairs.select("p", "chosen_id"), ["p", "chosen_id"])
         .count()
     )
-    assert diff == pairs.count()
+    n_pairs = pairs.count()
+    assert n_pairs > 0 and agree == n_pairs
+    # and the reverse direction, restricted to prompts that HAVE a pair
+    # (a one-candidate prompt yields a top1 row but legitimately no pair)
     assert (
         top1.select("p", "c")
-        .exceptAll(
-            pairs.select("p", F.col("chosen_id").alias("c"))
-        )
+        .join(pairs.select("p"), "p", "left_semi")
+        .exceptAll(pairs.select("p", F.col("chosen_id").alias("c")))
         .count()
         == 0
     )

@@ -153,12 +153,14 @@ def loss_spans(
     *,
     id_col: str = "doc_id",
     turns_col: str = "turns",
-    roles: tuple[str, ...] = ("assistant",),
+    roles: tuple[str, ...] | None = ("assistant",),
     template: ChatTemplate = DEFAULT_TEMPLATE,
 ) -> DataFrame:
     """Char-offset loss-mask spans into the rendered conversation string.
 
-    For every turn whose role is in ``roles``, emits one row
+    For every turn whose role is in ``roles`` (``None`` = every role; an
+    empty tuple unmasks NOTHING and returns zero rows — a dynamically-built
+    empty filter must not silently unmask user/system text), emits one row
     ``(id_col, turn_idx, role, span_start, span_end)`` where
     ``rendered[span_start:span_end]`` (0-based, half-open) is exactly that
     turn's CONTENT — the region a trainer unmasks; role markers and turn
@@ -201,8 +203,10 @@ def loss_spans(
         F.col("s.span_start").alias("span_start"),
         F.col("s.span_end").alias("span_end"),
     )
-    if roles:
-        out = out.filter(F.col("role").isin(*roles))
+    if roles is not None:
+        out = out.filter(
+            F.col("role").isin(*roles) if roles else F.lit(False)
+        )
     return out
 
 
@@ -229,15 +233,24 @@ def preference_pairs(
     rejected_score, margin, n_candidates)``.
     """
     key = F.struct(F.col(score_col), F.col(cand_col))
+    # max(key)/min(key) already carry the winning cand id inside the struct
+    # (the struct order IS the (score, id) total order), so three aggregate
+    # buffers suffice — no separate max_by/min_by duplicating the id.
     agg = cands.groupBy(prompt_col).agg(
-        F.max_by(F.col(cand_col), key).alias("chosen_id"),
-        F.min_by(F.col(cand_col), key).alias("rejected_id"),
         F.max(key).alias("_maxk"),
         F.min(key).alias("_mink"),
         F.count(F.lit(1)).alias("n_candidates"),
     )
     return (
-        agg.filter(
+        agg.select(
+            F.col(prompt_col),
+            F.col(f"_maxk.{cand_col}").alias("chosen_id"),
+            F.col(f"_mink.{cand_col}").alias("rejected_id"),
+            "_maxk",
+            "_mink",
+            "n_candidates",
+        )
+        .filter(
             (F.col("n_candidates") >= F.lit(int(min_candidates)))
             & (F.col("chosen_id") != F.col("rejected_id"))
         )
@@ -288,7 +301,7 @@ def pack_sft_spans(
     seq_len: int,
     id_col: str = "doc_id",
     turns_col: str = "turns",
-    roles: tuple[str, ...] = ("assistant",),
+    roles: tuple[str, ...] | None = ("assistant",),
     template: ChatTemplate = DEFAULT_TEMPLATE,
     seed: str = "volga-sft-pack",
 ) -> tuple[DataFrame, DataFrame]:
@@ -323,12 +336,17 @@ def pack_sft_spans(
     from volga_spark.operators.sampling import _rank
 
     rendered = render_conversations(conv, turns_col=turns_col, template=template)
+    # n_tokens = 0 (empty turns array under an empty bos/eos template) must
+    # not reach pack_sequences: a zero-length stream starting exactly on a
+    # sequence boundary k*L makes its seq-id sequence() count DOWN and emit
+    # a bogus (seq_offset == seq_len, span_len = 0) segment. Same guard the
+    # mixture_select path applies.
     selected = rendered.select(
         F.col(id_col),
         F.lit("sft").alias("domain"),
         F.length("rendered").cast("bigint").alias("n_tokens"),
         _rank(id_col, seed).alias("rank"),
-    )
+    ).filter(F.col("n_tokens") > 0)
     segments = pack_sequences(selected, seq_len, id_col=id_col)
 
     spans = loss_spans(

@@ -149,8 +149,11 @@ def q_sft_prep(spark, sf_dir):
     cands = docs.select(
         F.expr(f"doc_id DIV {_GROUP}").alias("prompt_id"),
         F.col("doc_id").alias("cand"),
+        # widen BEFORE the multiply: 1000 * size() in 32-bit INT wraps on a
+        # >2.1M-distinct-token document while the DuckDB twin's BIGINT stays
+        # exact — the cast keeps both engines in 64-bit arithmetic throughout
         F.expr(
-            "CAST(1000 * size(array_distinct(split(coalesce(text, ''), ' ')))"
+            "1000 * CAST(size(array_distinct(split(coalesce(text, ''), ' ')))"
             " AS BIGINT) DIV size(split(coalesce(text, ''), ' '))"
         ).alias("score"),
     )
