@@ -64,6 +64,54 @@ def hash_split(
     return df.withColumn("split", assign_split(id_col, fr, seed))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    seed: str = "volga",
+    *,
+    cluster_node_col: str = "node",
+    cluster_id_col: str = "component",
+    keep_cluster_col: str | None = None,
+) -> DataFrame:
+    """Split assignment where every near-duplicate CLUSTER lands in one
+    split — the leakage guard a plain per-document hash split lacks: two
+    near-identical documents split train/test by independent hashes leak
+    training text into eval verbatim-ish.
+
+    ``clusters`` is a (node, component) frame — the output shape of
+    :func:`volga_spark.operators.components.connected_components` over
+    verified near-dup edges. Documents absent from it are singletons and
+    split by their own id; members split by their cluster representative
+    (the component's min id), so the whole cluster moves together.
+
+    Plan: ONE left equi-join of the corpus against the cluster map, then
+    the same map-side md5-bucket threshold as :func:`hash_split`. The map
+    holds only documents that have a duplicate edge — on a deduped-ish
+    corpus it is a small fraction of the corpus, and AQE picks a broadcast
+    when it fits; worst case it is one hash join on the id, never a
+    shuffle of anything wider than (id, component).
+
+    Stability note: a singleton that LATER gains a duplicate re-keys from
+    its own id to the cluster representative's — unavoidable, since the
+    guarantee "cluster is atomic" must win; representatives themselves are
+    min-ids, so an existing cluster only re-keys if an even-smaller id
+    joins it.
+    """
+    fr = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    cmap = clusters.select(
+        F.col(cluster_node_col).alias(id_col),
+        F.col(cluster_id_col).alias("__cluster"),
+    )
+    joined = df.join(cmap, id_col, "left")
+    key = F.coalesce(F.col("__cluster"), F.col(id_col))
+    out = joined.withColumn("split", assign_split(key, fr, seed))
+    if keep_cluster_col is not None:
+        out = out.withColumn(keep_cluster_col, key)
+    return out.drop("__cluster")
+
+
 def split_oracle_expr(
     id_sql: str, fractions: dict[str, float], seed: str = "volga"
 ) -> str:

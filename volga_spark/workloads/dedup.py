@@ -323,9 +323,20 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+# 90/5/5: wider eval slices than the 98/1/1 default so the sf0.01 corpus
+# (500 docs) lands a non-trivial row count in every split
+_SPLIT_FR = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def _split_case() -> str:
+    from volga_spark.operators.splits import split_oracle_expr
+
+    return split_oracle_expr("cluster_id", _SPLIT_FR, seed="volga")
+
+
 @workload(
     "q_dedup_clusters",
-    oracle="""
+    oracle=f"""
         WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sh AS (
             SELECT doc_id,
@@ -355,8 +366,10 @@ def q_ngram_jaccard(spark, sf_dir):
             SELECT doc_id, doc_id FROM documents
             UNION
             SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
-        )
-        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+        ),
+        cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id, {_split_case()} AS split
+        FROM cl
     """,
     tags=("dedup",),
 )
@@ -374,15 +387,26 @@ def q_dedup_clusters(spark, sf_dir):
     both engines; at this corpus max df ≈ 25 < 64, so the pruned result
     coincides with the exact one — the prune is exercised as a plan/semantic
     path, and the threshold is the knob to drop at a boilerplate-heavy
-    corpus."""
+    corpus.
+
+    r07 'split' column: :func:`leakage_safe_split` keyed on the cluster —
+    every near-dup cluster lands in ONE of train/val/test (the leakage
+    guard a per-document hash split lacks), hash-checked against the
+    oracle's identical md5-bucket CASE over the same recursive-CTE
+    clusters."""
+    from volga_spark.operators.splits import leakage_safe_split
+
     d = load_table(spark, sf_dir, "documents")
     edges = all_pairs_jaccard(
         d, "text", "doc_id", n=3, max_shingle_freq=64
     ).filter(F.col("jaccard") >= 0.7)
     cc = connected_components(edges, "id_a", "id_b")
-    return d.select("doc_id").join(
-        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-    ).select(
-        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
-    )
+    return leakage_safe_split(
+        d.select("doc_id"),
+        cc,
+        "doc_id",
+        _SPLIT_FR,
+        seed="volga",
+        keep_cluster_col="cluster_id",
+    ).select("doc_id", "cluster_id", "split")
 
