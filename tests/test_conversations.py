@@ -198,6 +198,87 @@ def test_pack_sft_spans_drops_empty_renders(spark):
     assert got == {(1, 2, 4), (2, 0, 2)}, got
 
 
+def test_pack_sft_spans_property(spark):
+    """Hypothesis sweep over random turn shapes, templates (incl. empty
+    markers), and seq_len: packed spans conserve unmasked length, stay in
+    bounds, and reconstruct every assistant turn's content from the
+    assembled sequences — char-exact, across any boundary split."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from volga_spark.operators.conversations import pack_sft_spans
+
+    content = st.text(alphabet="ab é日 ", max_size=8)
+    turn = st.tuples(st.sampled_from(["user", "assistant"]), content)
+    conv = st.lists(turn, min_size=0, max_size=5)
+    marker = st.text(alphabet="<|>#", max_size=3)
+
+    @given(
+        st.lists(conv, min_size=1, max_size=6),
+        marker,
+        marker,
+        marker,
+        st.integers(min_value=3, max_value=40),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(convs, ro, rc, te, seq_len):
+        tmpl = ChatTemplate(role_open=ro, role_close=rc, turn_end=te)
+        rows = [
+            (i, [(j, r, c) for j, (r, c) in enumerate(turns)])
+            for i, turns in enumerate(convs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id bigint, turns array<struct<idx:int,role:string,content:string>>",
+        )
+        packed, segments = pack_sft_spans(df, seq_len=seq_len, template=tmpl)
+        pk = packed.toPandas()
+        sg = segments.toPandas()
+
+        # 1. bounds
+        assert ((pk.seq_start >= 0) & (pk.seq_start < pk.seq_end)).all()
+        assert (pk.seq_end <= seq_len).all()
+
+        # 2. conservation: unmasked chars in == unmasked chars out
+        rendered = {
+            i: "".join(f"{ro}{r}{rc}{c}{te}" for _, r, c in t) for i, t in rows
+        }
+        want_unmasked = sum(
+            len(c)
+            for _, t in rows
+            for (_, r, c) in t
+            if r == "assistant"
+        )
+        assert int((pk.seq_end - pk.seq_start).sum()) == want_unmasked
+
+        # 3. reconstruction: lay segments into sequences, then every
+        # (doc, turn) span concatenated in stream order == turn content
+        seqs: dict[int, list[str]] = {}
+        for row in sg.itertuples():
+            seqs.setdefault(row.seq_id, []).append(
+                (
+                    row.seq_offset,
+                    rendered[row.doc_id][
+                        row.doc_offset : row.doc_offset + row.span_len
+                    ],
+                )
+            )
+        seq_text = {
+            sid: "".join(s for _, s in sorted(parts))
+            for sid, parts in seqs.items()
+        }
+        got: dict[tuple[int, int], list[str]] = {}
+        for row in pk.sort_values(["doc_id", "turn_idx", "seq_id"]).itertuples():
+            got.setdefault((row.doc_id, row.turn_idx), []).append(
+                seq_text[row.seq_id][row.seq_start : row.seq_end]
+            )
+        for (did, tidx), pieces in got.items():
+            want = next(c for j, r, c in dict(rows)[did] if j == tidx)
+            assert "".join(pieces) == want, (did, tidx)
+
+    check()
+
+
 def test_fingerprint_template_independent_content_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e g")],
