@@ -149,3 +149,102 @@ def test_prefilter_actually_prunes_the_sort_input(spark):
     assert sorted(map(tuple, sel.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+# ---- repeat-factor upsampling (mixture_select_with_repeats) ----
+
+
+def test_repeats_reduces_to_mixture_select_when_budget_fits(spark):
+    """No domain over-budget → output IS mixture_select's + copy_id 0
+    (copy 0 keeps the exact mixture_select rank)."""
+    from volga_spark.operators.packing import mixture_select_with_repeats
+
+    d = _docs(spark)
+    up = mixture_select_with_repeats(d, WEIGHTS, 200)
+    base = mixture_select(d, WEIGHTS, 200)
+    assert {r["copy_id"] for r in up.collect()} == {0}
+    a = sorted(map(tuple, up.drop("copy_id").collect()))
+    b = sorted(map(tuple, base.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_repeats_hit_the_budget_plain_mixture_undershoots(spark):
+    """The knob's reason to exist: a domain whose corpus is smaller than
+    its budget reaches the budget via full passes + remainder; plain
+    mixture_select silently undershoots to the corpus size."""
+    from volga_spark.operators.packing import mixture_select_with_repeats
+
+    d = _docs(spark)  # domains 'a' and 'b': 30 docs, ~240 tokens each
+    w = {"a": 0.9, "b": 0.1}
+    budget = 1500  # a-budget 1350 ≈ 5.6 passes of 'a'; b-budget 150 < corpus
+    base_tot = sum(
+        r["n_tokens"]
+        for r in mixture_select(d, w, budget).collect()
+        if r["domain"] == "a"
+    )
+    assert base_tot < 1350  # the undershoot
+
+    up = mixture_select_with_repeats(d, w, budget).collect()
+    by_d = {}
+    for r in up:
+        by_d.setdefault(r["domain"], []).append(r)
+    tot = sum(r["n_tokens"] for r in by_d["a"])
+    longest = max(r["n_tokens"] for r in by_d["a"])
+    assert 1350 <= tot < 1350 + longest  # budget met, overshoot < last doc
+    # every doc appears n_full or n_full + 1 times; ranks all distinct
+    from collections import Counter
+
+    cnt = Counter(r["doc_id"] for r in by_d["a"])
+    n_full = min(cnt.values())
+    assert set(cnt.values()) <= {n_full, n_full + 1} and n_full >= 4
+    ranks = [r["rank"] for r in by_d["a"]]
+    assert len(set(ranks)) == len(ranks)
+    # domain under budget stays a plain single-pass selection
+    assert {r["copy_id"] for r in by_d["b"]} == {0}
+
+
+def test_repeats_matches_duckdb_twin(spark, sf_dir):
+    from volga_spark.operators.packing import (
+        mixture_repeats_oracle_sql,
+        mixture_select_with_repeats,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+    from volga_spark.tables import load_table
+
+    w = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    budget = 6000  # src0 budget 3600 >> its sf0.01 corpus → real upsampling
+    docs = load_table(spark, sf_dir, "documents")
+    got = mixture_select_with_repeats(docs, w, budget).toPandas()
+    want = run_oracle(
+        mixture_repeats_oracle_sql("SELECT * FROM documents", w, budget),
+        sf_dir,
+    )
+    assert (got["copy_id"] > 0).any()  # the upsampled path is exercised
+    assert not compare_frames(got, want)
+
+
+def test_repeats_deterministic_under_repartition(spark):
+    from volga_spark.operators.packing import mixture_select_with_repeats
+
+    d = _docs(spark)
+    w = {"a": 0.8, "b": 0.2}
+    a = sorted(
+        map(tuple, mixture_select_with_repeats(d, w, 1500).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            mixture_select_with_repeats(d.repartition(13), w, 1500).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_repeats_guard_raises_on_degenerate_plan(spark):
+    import pytest
+
+    from volga_spark.operators.packing import mixture_select_with_repeats
+
+    d = _docs(spark, n=8)  # tiny corpus
+    with pytest.raises(ValueError, match="max_repeats"):
+        mixture_select_with_repeats(d, {"a": 1.0}, 10_000_000)

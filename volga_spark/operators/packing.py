@@ -172,7 +172,19 @@ def budget_select(
     ALREADY carries `n_tokens` and `rank` columns — callers with their own
     token accounting (e.g. BPE-id counts in the training export) use this
     directly."""
-    budgets = domain_budgets(weights, token_budget)
+    return budget_select_abs(
+        d, domain_budgets(weights, token_budget), domain_col, id_col
+    )
+
+
+def budget_select_abs(
+    d: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`budget_select` with ABSOLUTE per-domain token budgets —
+    the remainder-pass entry point of :func:`mixture_select_with_repeats`."""
     budget_expr = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )[F.col(domain_col)]
@@ -221,6 +233,198 @@ def mixture_select_oracle_sql(
         )
         SELECT {id_col}, domain, n_tokens, rank FROM cum
         WHERE cum_prev < (CASE domain {case} ELSE 0 END)
+    """
+
+
+def mixture_select_with_repeats(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "volga-mix",
+    max_repeats: int = 64,
+) -> DataFrame:
+    """:func:`mixture_select` with domain UPSAMPLING — the repeat-factor
+    ("epochs per domain") knob every real LLM data recipe needs: when a
+    domain's budget floor(w·B) exceeds its corpus tokens T_d, plain
+    mixture_select silently takes the whole domain and UNDERSHOOTS,
+    breaking the requested mixture proportions. Here the domain is
+    repeated: budget_d div T_d full passes (every doc, copy_id 0..k-1)
+    plus a remainder pass selected by the budget window over a FRESH
+    deterministic shuffle — copy c ranks by md5(seed#copy{c}:id), the
+    same per-pass reshuffle rule as the training export's epoch
+    reshuffle, so repeated copies spread uniformly through the packed
+    stream instead of clustering. copy_id 0 keeps mixture_select's exact
+    rank, so with no upsampling the output IS mixture_select's (plus a
+    zero copy_id column) — pinned by test.
+
+    Output: (id_col, domain, n_tokens, rank, copy_id). Downstream packing
+    treats each (id, copy_id) as its own stream element (ranks are
+    distinct); callers needing a scalar key concat them.
+
+    Scale: the per-domain totals are ONE narrow aggregate collected
+    driver-side (bounded by the number of domains — document-scale data
+    never moves); full passes are a map-side explode (zero shuffles);
+    only the remainder pass pays the per-domain budget window, over a
+    single copy of the corpus. Output rows ∝ token_budget — the trainer's
+    own demand, irreducible. ``max_repeats`` guards a degenerate
+    weight/corpus combination (10^6 copies of a 3-doc domain) from
+    exploding the output; raise it deliberately if a recipe really wants
+    more than 64 epochs of a domain.
+    """
+    budgets = domain_budgets(weights, token_budget)
+    d = _with_tokens(docs, text_col).filter(
+        F.col(domain_col).isin(list(budgets))
+    )
+    # one narrow aggregate, rows == #domains (driver-side bound)
+    totals = {
+        r[0]: int(r[1])
+        for r in d.groupBy(domain_col).agg(F.sum("n_tokens")).collect()
+    }
+    n_full = {
+        dom: min(budgets[dom] // T, max_repeats) if T > 0 else 0
+        for dom, T in totals.items()
+    }
+    over = [d_ for d_, k in n_full.items() if budgets[d_] // max(totals[d_], 1) > max_repeats]
+    if over:
+        raise ValueError(
+            f"domains {over} need more than max_repeats={max_repeats} passes; "
+            "raise max_repeats if the recipe really wants that"
+        )
+    rem = {
+        dom: budgets[dom] - n_full[dom] * totals[dom] for dom in totals
+    }
+
+    copy_rank = F.when(F.col("copy_id") == 0, _rank(id_col, seed)).otherwise(
+        F.md5(
+            F.concat(
+                F.lit(seed + "#copy"),
+                F.col("copy_id").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    n_full_expr = F.create_map(
+        *[F.lit(x) for kv in n_full.items() for x in kv]
+    )[F.col(domain_col)].cast("int")
+    # full passes: map-side explode; sequence() only where n_full >= 1
+    # (sequence(0, -1) would count DOWN, not produce an empty array)
+    full = (
+        d.withColumn(
+            "copy_id",
+            F.explode(
+                F.when(
+                    n_full_expr >= 1, F.sequence(F.lit(0), n_full_expr - 1)
+                ).otherwise(F.expr("CAST(array() AS array<int>)"))
+            ),
+        )
+        .select(
+            id_col,
+            F.col(domain_col).alias("domain"),
+            "n_tokens",
+            copy_rank.alias("rank"),
+            "copy_id",
+        )
+    )
+    # remainder pass: one budget window over copy k, fresh shuffle
+    rem_budgets = {dom: r for dom, r in rem.items() if r > 0}
+    if not rem_budgets:
+        return full
+    rem_src = d.filter(F.col(domain_col).isin(list(rem_budgets))).withColumn(
+        "copy_id",
+        F.create_map(*[F.lit(x) for kv in n_full.items() for x in kv])[
+            F.col(domain_col)
+        ].cast("int"),
+    )
+    rem_sel = budget_select_abs(
+        rem_src.withColumn("rank", copy_rank),
+        rem_budgets,
+        domain_col,
+        id_col,
+    )
+    # budget_select_abs drops copy_id; re-derive it (constant per domain)
+    rem_out = rem_sel.withColumn(
+        "copy_id",
+        F.create_map(*[F.lit(x) for kv in n_full.items() for x in kv])[
+            F.col("domain")
+        ].cast("int"),
+    ).select(id_col, "domain", "n_tokens", "rank", "copy_id")
+    return full.unionByName(rem_out)
+
+
+def mixture_repeats_oracle_sql(
+    docs_sql: str,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "volga-mix",
+    max_repeats: int = 64,
+) -> str:
+    """DuckDB twin of :func:`mixture_select_with_repeats`, SELF-CONTAINED:
+    the per-domain pass plan (full passes = budget div T_d, remainder =
+    budget mod T_d) is derived from the corpus INSIDE the query — the
+    same arithmetic the Spark side runs — so one static oracle string is
+    exact at every scale factor."""
+    budgets = domain_budgets(weights, token_budget)
+    domains = ", ".join(f"'{d}'" for d in sorted(budgets))
+    budget_case = " ".join(
+        f"WHEN '{d}' THEN {b}" for d, b in sorted(budgets.items())
+    )
+    rank_sql = (
+        f"CASE WHEN c.copy_id = 0 THEN {_rank_sql('t.' + id_col, seed)} "
+        f"ELSE md5('{seed}#copy' || CAST(c.copy_id AS VARCHAR) || ':' "
+        f"|| CAST(t.{id_col} AS VARCHAR)) END"
+    )
+    return f"""
+        WITH toked AS (
+            SELECT {id_col}, {domain_col} AS domain,
+                   {token_counts_sql(text_col)} AS n_tokens
+            FROM ({docs_sql})
+            WHERE {token_counts_sql(text_col)} > 0
+              AND {domain_col} IN ({domains})
+        ),
+        plan AS (
+            SELECT domain,
+                   CAST((CASE domain {budget_case} ELSE 0 END)
+                        // CAST(SUM(n_tokens) AS BIGINT) AS BIGINT) AS n_full,
+                   CAST((CASE domain {budget_case} ELSE 0 END)
+                        % CAST(SUM(n_tokens) AS BIGINT) AS BIGINT) AS rem
+            FROM toked GROUP BY domain
+        ),
+        copies AS (
+            SELECT t.{id_col}, t.domain, t.n_tokens, c.copy_id,
+                   p.n_full, p.rem, {rank_sql} AS rank
+            FROM toked t
+            JOIN plan p USING (domain)
+            JOIN (SELECT unnest(generate_series(0, {int(max_repeats)}))
+                  AS copy_id) c
+              ON c.copy_id <= p.n_full
+        ),
+        full_passes AS (
+            SELECT {id_col}, domain, n_tokens, copy_id, rank
+            FROM copies WHERE copy_id < n_full
+        ),
+        rem_cum AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY domain ORDER BY rank, {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev
+            FROM copies WHERE copy_id = n_full
+        ),
+        rem_pass AS (
+            SELECT {id_col}, domain, n_tokens, copy_id, rank FROM rem_cum
+            WHERE cum_prev < rem
+        )
+        SELECT {id_col}, domain, n_tokens, rank, CAST(copy_id AS INT) AS copy_id
+        FROM full_passes
+        UNION ALL
+        SELECT {id_col}, domain, n_tokens, rank, CAST(copy_id AS INT) AS copy_id
+        FROM rem_pass
     """
 
 

@@ -1,18 +1,29 @@
 """Mixture-selection + sequence-packing workload (driver-oracled).
 
-End-to-end training-batch assembly: weighted domain mixture over the
-documents corpus (8 of the 20 sources, fixed weights, absolute token
-budget) feeding GPT-style concat-then-chunk sequence packing at a fixed
-sequence length. Every number is integer arithmetic over md5-ranked rows,
-so Spark (two-phase distributed prefix sum) and DuckDB (plain global
-window) hash-match exactly.
+End-to-end training-batch assembly, one leg-tagged union:
+
+- ``pack``: weighted domain mixture over the documents corpus (8 of the
+  20 sources, fixed weights, absolute token budget) feeding GPT-style
+  concat-then-chunk sequence packing at a fixed sequence length. Every
+  number is integer arithmetic over md5-ranked rows, so Spark (two-phase
+  distributed prefix sum) and DuckDB (plain global window) hash-match
+  exactly.
+- ``upsample`` (late r07): repeat-factor mixture selection — a recipe
+  whose domain budgets EXCEED the domain corpora, met by full passes
+  (copy_id 0..k-1) plus a budget-windowed remainder pass on a fresh
+  per-copy md5 shuffle. The oracle derives the same pass plan from the
+  corpus inside SQL, so the leg is exact at every scale factor.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from volga_spark.operators.packing import (
+    mixture_repeats_oracle_sql,
     mixture_select,
     mixture_select_oracle_sql,
+    mixture_select_with_repeats,
     pack_sequences,
     pack_sequences_oracle_sql,
 )
@@ -30,14 +41,36 @@ WEIGHTS = {
     "src7": 0.04,
 }
 TOKEN_BUDGET = 4000  # absolute budget: partial per-domain selection at every SF
+
+# upsample leg: at sf0.01 src0's ~1.4k-token corpus meets a 3.6k budget via
+# 2 full passes + remainder (real upsampling under the driver gate); at
+# larger SFs the same recipe degrades gracefully to a partial selection
+UP_WEIGHTS = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+UP_BUDGET = 6000
 SEQ_LEN = 512
 
-_ORACLE = pack_sequences_oracle_sql(
+_PACK_ORACLE = pack_sequences_oracle_sql(
     mixture_select_oracle_sql(
         "SELECT * FROM documents", WEIGHTS, TOKEN_BUDGET
     ),
     SEQ_LEN,
 )
+_UP_ORACLE = mixture_repeats_oracle_sql(
+    "SELECT * FROM documents", UP_WEIGHTS, UP_BUDGET
+)
+
+_ORACLE = f"""
+    SELECT 'pack' AS leg, doc_id AS id_a, domain AS s1,
+           CAST(seq_id AS BIGINT) AS v1, CAST(seq_offset AS BIGINT) AS v2,
+           CAST(doc_offset AS BIGINT) AS v3, CAST(span_len AS BIGINT) AS v4,
+           CAST(NULL AS VARCHAR) AS s2
+    FROM ({_PACK_ORACLE})
+    UNION ALL
+    SELECT 'upsample', doc_id, domain,
+           CAST(copy_id AS BIGINT), CAST(n_tokens AS BIGINT), NULL, NULL,
+           rank
+    FROM ({_UP_ORACLE})
+"""
 
 
 @workload(
@@ -48,8 +81,31 @@ _ORACLE = pack_sequences_oracle_sql(
 def q_mix_pack(spark, sf_dir):
     """Domain-weighted doc selection (per-domain windowed token budgets)
     piped into fixed-length sequence packing (two-phase md5-bucket prefix
-    sum — no single-partition global window). Output: span rows
-    (doc_id, domain, seq_id, seq_offset, doc_offset, span_len)."""
+    sum — no single-partition global window), plus the repeat-factor
+    upsampling leg (full passes map-side exploded; only the remainder
+    pass pays a budget window, over ONE copy of the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     sel = mixture_select(docs, WEIGHTS, TOKEN_BUDGET)
-    return pack_sequences(sel, SEQ_LEN)
+    packed = pack_sequences(sel, SEQ_LEN)
+    pack_leg = packed.select(
+        F.lit("pack").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.col("domain").alias("s1"),
+        F.col("seq_id").cast("long").alias("v1"),
+        F.col("seq_offset").cast("long").alias("v2"),
+        F.col("doc_offset").cast("long").alias("v3"),
+        F.col("span_len").cast("long").alias("v4"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    up = mixture_select_with_repeats(docs, UP_WEIGHTS, UP_BUDGET)
+    up_leg = up.select(
+        F.lit("upsample").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.col("domain").alias("s1"),
+        F.col("copy_id").cast("long").alias("v1"),
+        F.col("n_tokens").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+        F.col("rank").alias("s2"),
+    )
+    return pack_leg.unionByName(up_leg)
