@@ -248,3 +248,29 @@ def test_repeats_guard_raises_on_degenerate_plan(spark):
     d = _docs(spark, n=8)  # tiny corpus
     with pytest.raises(ValueError, match="max_repeats"):
         mixture_select_with_repeats(d, {"a": 1.0}, 10_000_000)
+
+
+def test_repeats_compose_with_pack_sequences(spark):
+    """The documented composition: upsampled selection → scalar (doc, copy)
+    key → pack_sequences. Spans tile every copy's token run exactly and
+    all sequences except the last are full — repeated copies are ordinary
+    stream elements."""
+    from volga_spark.operators.packing import (
+        mixture_select_with_repeats,
+        pack_sequences,
+    )
+
+    d = _docs(spark)
+    up = mixture_select_with_repeats(d, {"a": 0.8, "b": 0.2}, 1500)
+    keyed = up.withColumn("sid", F.col("doc_id") * 100 + F.col("copy_id"))
+    spans = pack_sequences(keyed, seq_len=64, id_col="sid").toPandas()
+
+    per_sid = spans.groupby("sid").span_len.sum()
+    want = {
+        r["doc_id"] * 100 + r["copy_id"]: r["n_tokens"] for r in up.collect()
+    }
+    assert dict(per_sid) == want  # every copy fully placed, nothing twice
+
+    per_seq = spans.groupby("seq_id").span_len.sum().sort_index()
+    assert (per_seq.iloc[:-1] == 64).all()  # all but the last full
+    assert 0 < per_seq.iloc[-1] <= 64
