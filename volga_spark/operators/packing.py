@@ -275,19 +275,22 @@ def mixture_select_with_repeats(
     more than 64 epochs of a domain.
     """
     budgets = domain_budgets(weights, token_budget)
-    d = _with_tokens(docs, text_col).filter(
-        F.col(domain_col).isin(list(budgets))
+    # pin the tokenized scan: the totals collect below materializes it once
+    # for all three consumers (totals, full-pass leg, remainder leg) — the
+    # repo's branch discipline (see pack_sequences)
+    d = (
+        _with_tokens(docs, text_col)
+        .filter(F.col(domain_col).isin(list(budgets)))
+        .localCheckpoint(eager=False)
     )
     # one narrow aggregate, rows == #domains (driver-side bound)
     totals = {
         r[0]: int(r[1])
         for r in d.groupBy(domain_col).agg(F.sum("n_tokens")).collect()
     }
-    n_full = {
-        dom: min(budgets[dom] // T, max_repeats) if T > 0 else 0
-        for dom, T in totals.items()
-    }
-    over = [d_ for d_, k in n_full.items() if budgets[d_] // max(totals[d_], 1) > max_repeats]
+    # T >= 1 always: _with_tokens filters n_tokens > 0
+    n_full = {dom: budgets[dom] // T for dom, T in totals.items()}
+    over = [dom for dom, k in n_full.items() if k > max_repeats]
     if over:
         raise ValueError(
             f"domains {over} need more than max_repeats={max_repeats} passes; "
@@ -307,9 +310,8 @@ def mixture_select_with_repeats(
             )
         )
     )
-    n_full_expr = F.create_map(
-        *[F.lit(x) for kv in n_full.items() for x in kv]
-    )[F.col(domain_col)].cast("int")
+    n_full_map = F.create_map(*[F.lit(x) for kv in n_full.items() for x in kv])
+    n_full_expr = n_full_map[F.col(domain_col)].cast("int")
     # full passes: map-side explode; sequence() only where n_full >= 1
     # (sequence(0, -1) would count DOWN, not produce an empty array)
     full = (
@@ -334,10 +336,7 @@ def mixture_select_with_repeats(
     if not rem_budgets:
         return full
     rem_src = d.filter(F.col(domain_col).isin(list(rem_budgets))).withColumn(
-        "copy_id",
-        F.create_map(*[F.lit(x) for kv in n_full.items() for x in kv])[
-            F.col(domain_col)
-        ].cast("int"),
+        "copy_id", n_full_expr
     )
     rem_sel = budget_select_abs(
         rem_src.withColumn("rank", copy_rank),
@@ -347,10 +346,7 @@ def mixture_select_with_repeats(
     )
     # budget_select_abs drops copy_id; re-derive it (constant per domain)
     rem_out = rem_sel.withColumn(
-        "copy_id",
-        F.create_map(*[F.lit(x) for kv in n_full.items() for x in kv])[
-            F.col("domain")
-        ].cast("int"),
+        "copy_id", n_full_map[F.col("domain")].cast("int")
     ).select(id_col, "domain", "n_tokens", "rank", "copy_id")
     return full.unionByName(rem_out)
 
@@ -363,13 +359,15 @@ def mixture_repeats_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "volga-mix",
-    max_repeats: int = 64,
 ) -> str:
     """DuckDB twin of :func:`mixture_select_with_repeats`, SELF-CONTAINED:
     the per-domain pass plan (full passes = budget div T_d, remainder =
     budget mod T_d) is derived from the corpus INSIDE the query — the
     same arithmetic the Spark side runs — so one static oracle string is
-    exact at every scale factor."""
+    exact at every scale factor. The copy list is a CORRELATED
+    generate_series over the derived n_full (no fixed bound), so the
+    oracle stays exact for any plan size; the Spark side's max_repeats
+    guard raises ABOVE its cap rather than diverging."""
     budgets = domain_budgets(weights, token_budget)
     domains = ", ".join(f"'{d}'" for d in sorted(budgets))
     budget_case = " ".join(
@@ -400,10 +398,8 @@ def mixture_repeats_oracle_sql(
             SELECT t.{id_col}, t.domain, t.n_tokens, c.copy_id,
                    p.n_full, p.rem, {rank_sql} AS rank
             FROM toked t
-            JOIN plan p USING (domain)
-            JOIN (SELECT unnest(generate_series(0, {int(max_repeats)}))
-                  AS copy_id) c
-              ON c.copy_id <= p.n_full
+            JOIN plan p USING (domain),
+                 unnest(generate_series(0, p.n_full)) AS c(copy_id)
         ),
         full_passes AS (
             SELECT {id_col}, domain, n_tokens, copy_id, rank

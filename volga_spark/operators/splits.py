@@ -100,16 +100,21 @@ def leakage_safe_split(
     joins it.
     """
     fr = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    # fresh internal name — a caller column named '__cluster' must not be
+    # shadowed by the working column (nor dropped on the way out)
+    tmp = "__cluster"
+    while tmp in df.columns:
+        tmp += "_"
     cmap = clusters.select(
         F.col(cluster_node_col).alias(id_col),
-        F.col(cluster_id_col).alias("__cluster"),
+        F.col(cluster_id_col).alias(tmp),
     )
     joined = df.join(cmap, id_col, "left")
-    key = F.coalesce(F.col("__cluster"), F.col(id_col))
+    key = F.coalesce(F.col(tmp), F.col(id_col))
     out = joined.withColumn("split", assign_split(key, fr, seed))
     if keep_cluster_col is not None:
         out = out.withColumn(keep_cluster_col, key)
-    return out.drop("__cluster")
+    return out.drop(tmp)
 
 
 def split_oracle_expr(
