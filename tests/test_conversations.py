@@ -601,3 +601,91 @@ def test_best_of_n_consistent_with_pairs(spark, sf_dir):
         run_oracle(twin, sf_dir),
     )
     assert not problems, problems
+
+
+def test_null_turn_fields_render_and_spans_stay_aligned(spark):
+    """ADVICE r07: a NULL role/content in a caller-supplied turns array must
+    not desync render vs spans — both coalesce the field to '' so the span
+    substring invariant still holds for every later turn."""
+    import pyspark.sql.types as T
+
+    turn_t = T.StructType(
+        [
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("turns", T.ArrayType(turn_t)),
+        ]
+    )
+    conv = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    (0, "user", "hello there"),
+                    (1, "assistant", None),  # null content mid-stream
+                    (2, None, "who said that"),  # null role mid-stream
+                    (3, "assistant", "tail answer"),
+                ],
+            )
+        ],
+        schema,
+    )
+    r = render_conversations(conv)
+    rendered = r.select("rendered").first()[0]
+    assert rendered is not None and "tail answer" in rendered
+    spans = loss_spans(conv, roles=None).join(
+        r.select("doc_id", "rendered"), "doc_id"
+    )
+    rows = spans.select(
+        "turn_idx",
+        F.expr("substring(rendered, span_start + 1, span_end - span_start)").alias(
+            "got"
+        ),
+    ).collect()
+    got = {row["turn_idx"]: row["got"] for row in rows}
+    # null content renders as '' and the LATER span offsets are still exact
+    assert got == {0: "hello there", 1: "", 2: "who said that", 3: "tail answer"}
+
+
+def test_preference_pairs_null_scores_excluded(spark):
+    """ADVICE r07: null-scored candidates must not be picked as `rejected`
+    (struct order sorts NULL first) nor count toward min_candidates."""
+    cands = spark.createDataFrame(
+        [
+            ("p1", "c1", 3.0),
+            ("p1", "c2", 1.0),
+            ("p1", "c3", None),  # unscored — must be invisible
+            ("p2", "c4", 5.0),
+            ("p2", "c5", None),  # only one scored candidate -> no pair
+        ],
+        "prompt string, cand_id string, score double",
+    )
+    out = preference_pairs(
+        cands, prompt_col="prompt", cand_col="cand_id", score_col="score"
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["prompt"], row["chosen_id"], row["rejected_id"]) == (
+        "p1",
+        "c1",
+        "c2",
+    )
+    assert row["rejected_score"] == 1.0 and row["margin"] == 2.0
+    assert row["n_candidates"] == 2  # the null-scored candidate didn't count
+
+
+def test_turns_from_documents_rejects_degenerate_params(spark, sf_dir):
+    """ADVICE r07: max_turns=0 would make sequence() count DOWN; guard."""
+    import pytest
+
+    d = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        turns_from_documents(d, max_turns=0)
+    with pytest.raises(ValueError):
+        turns_from_documents(d, words_per_turn=0)

@@ -196,3 +196,19 @@ def test_overlap_pipeline_duckdb_parity(spark):
         SF,
     )
     assert compare_frames(got, want) == []
+
+
+def test_estimate_denominator_clamped_at_tiny_vk(spark):
+    """ADVICE r07: a full sketch whose kth hash prefix is < 2^27 (the
+    > ~5e11-distinct regime at k=128) must not divide by zero — the
+    denominator is clamped to 1, capping (not corrupting) the estimate."""
+    k = 16
+    # 16 distinct synthetic "md5" strings whose 15-hex-char prefix is tiny:
+    # 8 leading zeros then a 7-hex counter < 0x10 << 2^27.
+    rows = [("0" * 8 + format(i, "07x") + "f" * 17,) for i in range(k)]
+    sk = spark.createDataFrame(rows, "h string")
+    est = kmv_distinct_estimate(sk, k=k).collect()[0]
+    assert est["n_sketch"] == k and est["vk"] < 2**27
+    assert est["est"] is not None and est["est"] > 0  # no NULL, no crash
+    # the clamp makes this the ceiling value (k-1) * 2^33
+    assert est["est"] == (k - 1) * 2**33

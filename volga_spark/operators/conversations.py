@@ -81,6 +81,13 @@ def turns_from_documents(
 
     Entirely native array expressions — no shuffle, no Python.
     """
+    if int(words_per_turn) < 1 or int(max_turns) < 1:
+        # max_turns=0 would make sequence(0, n_chunks-1) count DOWN (the
+        # sequence() trap) and words_per_turn=0 would slice with length 0.
+        raise ValueError(
+            "words_per_turn and max_turns must be >= 1 "
+            f"(got {words_per_turn}, {max_turns})"
+        )
     w = int(words_per_turn)
     words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     # ceil(n/w) via integer arithmetic (matches SQL (n + w - 1) // w); the
@@ -116,9 +123,19 @@ def turns_from_documents(
     return docs.select(F.col(id_col), base.alias(out_col))
 
 
+def _nn(c: Column) -> Column:
+    """NULL-safe turn field: render and loss_spans must agree on the bytes a
+    NULL role/content contributes (zero), or a single bad turn silently
+    desyncs every later span offset (concat returns NULL, concat_ws drops
+    the turn, the fold keeps counting). Coalescing to '' in BOTH paths keeps
+    them aligned; caller-supplied SFT corpora with nullable fields are the
+    documented entry point (see turns_from_documents docstring)."""
+    return F.coalesce(c, F.lit(""))
+
+
 def _turn_render_len(t: Column, tmpl: ChatTemplate) -> Column:
     fixed = len(tmpl.role_open) + len(tmpl.role_close) + len(tmpl.turn_end)
-    return F.length(t["role"]) + F.length(t["content"]) + F.lit(fixed)
+    return F.length(_nn(t["role"])) + F.length(_nn(t["content"])) + F.lit(fixed)
 
 
 def render_conversations(
@@ -136,9 +153,9 @@ def render_conversations(
             F.col(turns_col),
             lambda t: F.concat(
                 F.lit(template.role_open),
-                t["role"],
+                _nn(t["role"]),
                 F.lit(template.role_close),
-                t["content"],
+                _nn(t["content"]),
                 F.lit(template.turn_end),
             ),
         ),
@@ -181,14 +198,14 @@ def loss_spans(
     )
 
     def merge(acc: Column, t: Column) -> Column:
-        content_start = acc["pos"] + F.lit(open_len) + F.length(t["role"]) + F.lit(
-            close_len
-        )
+        content_start = acc["pos"] + F.lit(open_len) + F.length(
+            _nn(t["role"])
+        ) + F.lit(close_len)
         span = F.struct(
             t["idx"].alias("idx"),
-            t["role"].alias("role"),
+            _nn(t["role"]).alias("role"),
             content_start.alias("span_start"),
-            (content_start + F.length(t["content"])).alias("span_end"),
+            (content_start + F.length(_nn(t["content"]))).alias("span_end"),
         )
         return F.struct(
             (acc["pos"] + _turn_render_len(t, template)).alias("pos"),
@@ -233,6 +250,11 @@ def preference_pairs(
     rejected_score, margin, n_candidates)``.
     """
     key = F.struct(F.col(score_col), F.col(cand_col))
+    # Struct ordering sorts NULL score FIRST, so an unscored candidate would
+    # be preferentially picked as `rejected` and emit NULL margin rows; drop
+    # null-scored candidates before aggregating (they also don't count
+    # toward min_candidates — an unscored candidate is not a usable pair leg).
+    cands = cands.filter(F.col(score_col).isNotNull())
     # max(key)/min(key) already carry the winning cand id inside the struct
     # (the struct order IS the (score, id) total order), so three aggregate
     # buffers suffice — no separate max_by/min_by duplicating the id.
@@ -369,6 +391,69 @@ def pack_sft_spans(
         )
     )
     return packed, segments
+
+
+# Agentic-trace loss-mask policy: the model trains on its OWN tokens — the
+# assistant's text and the tool-call arguments it emitted — while prompts,
+# system text, and tool RESULTS (environment-produced) stay masked.
+TOOL_TRAINABLE_ROLES: tuple[str, ...] = ("assistant", "tool_call")
+
+
+def assemble_trajectories(
+    steps: DataFrame,
+    *,
+    trace_col: str = "trace_id",
+    step_col: str = "step_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    out_col: str = "turns",
+) -> DataFrame:
+    """Assemble flat per-step rows (the shape agent logs actually arrive in:
+    one row per logged step) into one turns-array row per trajectory,
+    ordered by ``step_col`` — the multi-step twin of
+    :func:`turns_from_documents`'s single-document bootstrap.
+
+    Output: ``(trace_col, out_col: array<struct<idx,role,content>>)`` —
+    directly consumable by :func:`render_conversations` /
+    :func:`loss_spans` (pass ``roles=TOOL_TRAINABLE_ROLES`` there for the
+    agentic masking policy).
+
+    ONE exchange on the trace key (collect_list partials combine map-side);
+    ordering is done inside each row by ``sort_array`` on the
+    (step, role, content) struct — (step, …) is a total order per trace when
+    steps are unique, so assembly is deterministic under any partitioning.
+    At 100 TB this is the one unavoidable shuffle (steps of a trace must
+    meet); everything downstream (render/spans/gate) is zero-shuffle.
+    """
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(step_col).cast("int").alias("idx"),
+                F.col(role_col).alias("role"),
+                F.col(content_col).alias("content"),
+            )
+        )
+    )
+    return steps.groupBy(trace_col).agg(packed.alias(out_col))
+
+
+def trace_outcome_ok(
+    turns: Column,
+    *,
+    result_role: str = "tool_result",
+    error_prefix: str = "ERROR: ",
+) -> Column:
+    """Boolean trajectory-outcome gate (zero-shuffle array predicate): a
+    trace is keepable when it COMPLETED the tool loop (has at least one
+    ``result_role`` turn) and no tool result reports an error
+    (``error_prefix``). Failed/truncated trajectories are the standard
+    drop class in agentic SFT curation; apply as
+    ``conv.filter(trace_outcome_ok(F.col("turns")))``."""
+    is_res = lambda t: _nn(t["role"]) == F.lit(result_role)  # noqa: E731
+    return F.exists(turns, is_res) & ~F.exists(
+        turns,
+        lambda t: is_res(t) & _nn(t["content"]).startswith(error_prefix),
+    )
 
 
 def conversation_fingerprint(

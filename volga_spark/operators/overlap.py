@@ -154,11 +154,17 @@ def _est_expr(n_col: Column, k: int) -> Column:
     (k-1) / (vk / 2^60) evaluated as ((k-1) << 33) div (vk >> 27).
     Truncation adds <= 2^-27 relative error — noise next to the sketch's
     ~1/sqrt(k). Same expression textually in the DuckDB oracle.
-    Requires a ``__vk`` column in scope (the kth hash prefix)."""
+    Requires a ``__vk`` column in scope (the kth hash prefix).
+
+    The denominator is clamped to >= 1: a full sketch whose kth hash prefix
+    is below 2^27 (kth order statistic that small means ~> 5e11 distinct
+    values at k=128 — inside the stated 100 TB design point) would otherwise
+    divide by zero (NULL under non-ANSI Spark, an error under ANSI/DuckDB).
+    The clamp caps the estimate at (k-1)*2^60 rather than corrupting it."""
     return F.when(n_col < k, n_col.cast("long")).otherwise(
         F.expr(
             f"CAST(({k} - 1) * CAST({2 ** _NUM_SHIFT} AS BIGINT) "
-            f"div (__vk div {2 ** _DEN_SHIFT}) AS BIGINT)"
+            f"div greatest(1, __vk div {2 ** _DEN_SHIFT}) AS BIGINT)"
         )
     )
 

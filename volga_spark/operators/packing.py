@@ -449,15 +449,47 @@ def pack_sequences(
     # branch point: d feeds BOTH the bucket-totals aggregate and the final
     # join — pin it so the upstream mixture window runs once, not per
     # consumer (lazy localCheckpoint, the repo's branch discipline)
+    pre_ckpt = d
     d = d.localCheckpoint(eager=False)
 
-    # phase 2: 256-row bucket totals → exclusive bases (tiny window), then
-    # broadcast the bases back
+    # phase 2: 256-row bucket totals → exclusive bases, folded inside ONE
+    # row via a sorted-array running sum (`aggregate` HOF) instead of an
+    # unpartitioned Window. Same arithmetic — sort_array on the
+    # (bucket, btot) struct orders by the hex bucket string exactly like
+    # ORDER BY bucket — but no WindowExec-without-partition plan node, so
+    # the "No Partition Defined" warning stays a reliable log grep for REAL
+    # global-window regressions. At most 256 rows ever reach the fold.
     totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bases = totals.withColumn(
-        "base", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
-    ).select("bucket", "base")
+    pair_t = "array<struct<bucket:string,base:bigint>>"
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("pos"),
+        F.expr(f"CAST(array() AS {pair_t})").alias("out"),
+    )
+
+    def _fold(acc, t):
+        return F.struct(
+            (acc["pos"] + t["btot"]).alias("pos"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        t["bucket"].alias("bucket"), acc["pos"].alias("base")
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    bases = (
+        totals.agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "btot"))).alias("ts")
+        )
+        .select(
+            F.explode(
+                F.aggregate("ts", init, _fold, lambda acc: acc["out"])
+            ).alias("p")
+        )
+        .select("p.bucket", "p.base")
+    )
     d = d.join(F.broadcast(bases), "bucket").withColumn(
         "start", F.col("base") + F.col("local_off")
     )
@@ -479,7 +511,7 @@ def pack_sequences(
     seg_end = F.least(
         F.col("start") + F.col("n_tokens"), (F.col("seq_id") + 1) * L
     )
-    return d.select(
+    out = d.select(
         id_col,
         "domain",
         "seq_id",
@@ -487,6 +519,11 @@ def pack_sequences(
         (seg_start - F.col("start")).alias("doc_offset"),
         (seg_end - seg_start).alias("span_len"),
     )
+    # Debug/test handle: the localCheckpoint truncates lineage, so the
+    # phase-1 windows are invisible in `out`'s executed plan; plan audits
+    # (tests/test_packing.py) inspect the pre-checkpoint frame through this.
+    out._vs_precheckpoint = pre_ckpt
+    return out
 
 
 def pack_sequences_oracle_sql(selected_sql: str, seq_len: int, id_col: str = "doc_id") -> str:

@@ -66,7 +66,7 @@ _KMV_DEN = 2**_DEN_SHIFT
             SELECT x, n_union, vk,
                    CASE WHEN n_union < {_KMV_K} THEN CAST(n_union AS BIGINT)
                         ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_NUM} AS BIGINT)
-                                  // (vk // {_KMV_DEN}) AS BIGINT)
+                                  // greatest(1, vk // {_KMV_DEN}) AS BIGINT)
                    END AS est_union
             FROM agg
         ),
