@@ -97,7 +97,7 @@ BANDS = {
     "q_hybrid_rrf": 3.4,
     "q_training_pipeline": 2.3,
     "q_temporal_join": 2.2,  # r07: asof+range legs merged; 1.53s measured (BASELINE.md)
-    "q_sft_prep": 1.9,  # r07: SFT render/span/pair union; 1.35s measured (BASELINE.md)
+    "q_sft_prep": 3.0,  # r08: +tool_render/tool_span agentic legs; 2.1s measured
     "q_sessionize": 0.95,
     "q_pipeline_sql": 2.25,
     "q_agg_stages": 1.7,

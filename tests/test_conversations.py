@@ -689,3 +689,90 @@ def test_turns_from_documents_rejects_degenerate_params(spark, sf_dir):
         turns_from_documents(d, max_turns=0)
     with pytest.raises(ValueError):
         turns_from_documents(d, words_per_turn=0)
+
+
+# --- agentic trace tier (r08) ---
+
+
+def _steps(spark):
+    rows = []
+    for tid in range(6):
+        n = 4 + (tid % 4)  # 4..7 steps
+        for i in range(n):
+            role = ["user", "assistant", "tool_call", "tool_result"][i % 4]
+            content = f"t{tid} step {i} payload"
+            if role == "tool_result" and tid == 2:
+                content = "ERROR: tool exploded"
+            rows.append((tid, i, role, content))
+    # trace 5: truncated before any tool_result (only 4 steps for tid%4==1
+    # is fine; craft one with 3 steps = no tool loop completion)
+    rows = [r for r in rows if not (r[0] == 5 and r[1] >= 3)]
+    return spark.createDataFrame(
+        rows, "trace_id long, step_idx int, role string, content string"
+    )
+
+
+def test_assemble_trajectories_order_invariant(spark):
+    """Assembly is deterministic under any partitioning/arrival order: the
+    sort_array on (step, role, content) rebuilds the same turns array."""
+    from volga_spark.operators.conversations import assemble_trajectories
+
+    steps = _steps(spark)
+    a = assemble_trajectories(steps).orderBy("trace_id").collect()
+    b = (
+        assemble_trajectories(steps.orderBy(F.rand(7)).repartition(13))
+        .orderBy("trace_id")
+        .collect()
+    )
+    assert a == b
+    by_id = {r["trace_id"]: r["turns"] for r in a}
+    assert [t["idx"] for t in by_id[0]] == [0, 1, 2, 3]
+    assert [t["role"] for t in by_id[0]] == [
+        "user",
+        "assistant",
+        "tool_call",
+        "tool_result",
+    ]
+
+
+def test_trace_outcome_gate_drops_failed_and_incomplete(spark):
+    """The outcome gate keeps only traces that completed the tool loop
+    (>=1 tool_result) with no ERROR result."""
+    from volga_spark.operators.conversations import (
+        assemble_trajectories,
+        trace_outcome_ok,
+    )
+
+    traces = assemble_trajectories(_steps(spark))
+    kept = sorted(
+        r["trace_id"]
+        for r in traces.filter(trace_outcome_ok(F.col("turns"))).collect()
+    )
+    # trace 2 has an ERROR tool_result; trace 5 never reached a tool_result
+    assert kept == [0, 1, 3, 4]
+
+
+def test_tool_policy_masks_results_trains_calls(spark):
+    """Role-scoped masking: spans cover assistant + tool_call turns only —
+    tool RESULTS (environment text) and prompts stay masked."""
+    from volga_spark.operators.conversations import (
+        TOOL_TRAINABLE_ROLES,
+        assemble_trajectories,
+        loss_spans,
+        render_conversations,
+    )
+
+    traces = assemble_trajectories(_steps(spark))
+    spans = loss_spans(traces, id_col="trace_id", roles=TOOL_TRAINABLE_ROLES)
+    roles = {r["role"] for r in spans.collect()}
+    assert roles == {"assistant", "tool_call"}
+    # and each span still cuts the exact content out of the rendered string
+    r = render_conversations(traces)
+    j = spans.join(r.select("trace_id", "rendered", "turns"), "trace_id")
+    bad = j.select(
+        F.expr(
+            "substring(rendered, span_start + 1, span_end - span_start)"
+        ).alias("got"),
+        F.expr("filter(turns, t -> t.idx = turn_idx)[0].content").alias("want"),
+    ).filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0

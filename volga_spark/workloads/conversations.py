@@ -15,6 +15,15 @@ One leg-tagged union so the whole tier fits one registry row:
 - ``pair``: DPO-style chosen/rejected preference pairs per prompt group
   (deterministic (score, id) total order; score = integer distinct-word
   ratio), via one map-side-combinable max_by/min_by aggregation.
+- ``tool_render`` / ``tool_span`` (r08): the AGENTIC trace tier — flat
+  per-step rows (user / assistant / tool_call / tool_result cycling, with
+  deterministic ERROR injection into some tool results) are assembled into
+  trajectories (one collect_list exchange), gated on outcome (traces with a
+  failed or missing tool loop are dropped — the standard agentic-SFT
+  curation filter), rendered through the same template, and masked with the
+  tool policy: assistant text AND tool-call args trainable, tool RESULTS
+  (environment-produced) masked. ``tool_span`` carries the role so the
+  driver hash pins the masking policy itself, not just the offsets.
 """
 
 from __future__ import annotations
@@ -22,9 +31,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from volga_spark.operators.conversations import (
+    TOOL_TRAINABLE_ROLES,
+    assemble_trajectories,
     loss_spans,
     preference_pairs,
     render_conversations,
+    trace_outcome_ok,
     turns_from_documents,
 )
 from volga_spark.tables import load_table
@@ -34,6 +46,13 @@ _SYS = "You are a helpful assistant."
 _W = 12  # words per turn
 _MAX_TURNS = 8
 _GROUP = 4  # docs per preference prompt
+# agentic-trace bootstrap: 4-word steps so the ~30-word synthetic documents
+# yield >= 4 steps and the user→assistant→tool_call→tool_result cycle
+# completes at least one tool loop (12-word chunks would leave most docs
+# with no tool_result and the outcome gate would drop everything)
+_TW = 4  # words per trace step
+_TMAX = 8  # max steps per trace
+_ERR = "ERROR: "  # injected failure prefix; (doc_id + step) % 5 == 0 fails
 
 _ORACLE = f"""
     WITH w AS (
@@ -95,6 +114,42 @@ _ORACLE = f"""
                  - max(CASE WHEN rn_bot = 1 THEN score END) AS margin,
                max(n_cand) AS n_cand
         FROM ranked GROUP BY prompt_id
+    ),
+    tchunk AS (
+        SELECT doc_id, CAST((i - 1) // {_TW} AS INT) AS ci,
+               string_agg(word, ' ' ORDER BY i) AS content
+        FROM tok WHERE (i - 1) // {_TW} < {_TMAX}
+        GROUP BY doc_id, CAST((i - 1) // {_TW} AS INT)
+    ),
+    tturns AS (
+        SELECT doc_id, ci AS idx,
+               CASE ci % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                    WHEN 2 THEN 'tool_call' ELSE 'tool_result' END AS role,
+               CASE WHEN ci % 4 = 3 AND (doc_id + ci) % 5 = 0
+                    THEN '{_ERR}' || content ELSE content END AS content
+        FROM tchunk
+    ),
+    tgate AS (
+        SELECT doc_id FROM tturns GROUP BY doc_id
+        HAVING count(*) FILTER (WHERE role = 'tool_result') >= 1
+           AND count(*) FILTER (WHERE role = 'tool_result'
+                                AND content LIKE '{_ERR}%') = 0
+    ),
+    toff AS (
+        SELECT doc_id, idx, role, content,
+               coalesce(sum(2 + length(role) + 2 + length(content) + 7)
+                   OVER (PARTITION BY doc_id ORDER BY idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pos
+        FROM tturns WHERE doc_id IN (SELECT doc_id FROM tgate)
+    ),
+    trendered AS (
+        SELECT doc_id,
+               string_agg('<|' || role || '|>' || content || '<|end|>',
+                          '' ORDER BY idx) AS r,
+               count(*) AS n_turns
+        FROM tturns WHERE doc_id IN (SELECT doc_id FROM tgate)
+        GROUP BY doc_id
     )
     SELECT 'render' AS leg, doc_id AS id_a, CAST(n_turns AS BIGINT) AS id_b,
            CAST(length(r) AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
@@ -111,6 +166,16 @@ _ORACLE = f"""
            NULL
     FROM pairs
     WHERE n_cand >= 2 AND chosen_id != rejected_id
+    UNION ALL
+    SELECT 'tool_render', doc_id, CAST(n_turns AS BIGINT),
+           CAST(length(r) AS BIGINT), NULL, md5(r)
+    FROM trendered
+    UNION ALL
+    SELECT 'tool_span', doc_id, CAST(idx AS BIGINT),
+           CAST(pos + 2 + length(role) + 2 AS BIGINT),
+           CAST(pos + 2 + length(role) + 2 + length(content) AS BIGINT),
+           role
+    FROM toff WHERE role IN ('assistant', 'tool_call')
 """
 
 
@@ -168,4 +233,73 @@ def q_sft_prep(spark, sf_dir):
         F.lit(None).cast("string").alias("s1"),
     )
 
-    return render_leg.unionByName(span_leg).unionByName(pair_leg)
+    # --- agentic trace tier: flat steps → assembly → outcome gate → render
+    # + tool-policy masking. The bootstrap explodes each doc into per-step
+    # ROWS first (the shape real agent logs arrive in) precisely so the
+    # collect_list assembly operator is exercised, not bypassed.
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_steps = F.least(
+        F.floor((F.size(words) + F.lit(_TW - 1)) / F.lit(_TW)).cast("int"),
+        F.lit(_TMAX),
+    )
+    role = (
+        F.when(F.col("step_idx") % 4 == 0, F.lit("user"))
+        .when(F.col("step_idx") % 4 == 1, F.lit("assistant"))
+        .when(F.col("step_idx") % 4 == 2, F.lit("tool_call"))
+        .otherwise(F.lit("tool_result"))
+    )
+    chunk = F.array_join(
+        F.slice(F.col("__ws"), F.col("step_idx") * _TW + F.lit(1), F.lit(_TW)),
+        " ",
+    )
+    steps = (
+        docs.select(
+            "doc_id",
+            words.alias("__ws"),
+            F.explode(F.sequence(F.lit(0), n_steps - F.lit(1))).alias(
+                "step_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "step_idx",
+            role.alias("role"),
+            F.when(
+                (F.col("step_idx") % 4 == 3)
+                & ((F.col("doc_id") + F.col("step_idx")) % 5 == 0),
+                F.concat(F.lit(_ERR), chunk),
+            )
+            .otherwise(chunk)
+            .alias("content"),
+        )
+    )
+    traces = assemble_trajectories(steps, trace_col="doc_id")
+    gated = traces.filter(trace_outcome_ok(F.col("turns")))
+    # branch point: gated feeds the render AND span legs — pin it so the
+    # assembly exchange runs once, not per consumer
+    gated = gated.localCheckpoint(eager=False)
+    t_rendered = render_conversations(gated)
+
+    tool_render_leg = t_rendered.select(
+        F.lit("tool_render").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.size("turns").cast("long").alias("id_b"),
+        F.length("rendered").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.md5("rendered").alias("s1"),
+    )
+    tool_span_leg = loss_spans(gated, roles=TOOL_TRAINABLE_ROLES).select(
+        F.lit("tool_span").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.col("turn_idx").cast("long").alias("id_b"),
+        F.col("span_start").alias("v1"),
+        F.col("span_end").alias("v2"),
+        F.col("role").alias("s1"),
+    )
+
+    return (
+        render_leg.unionByName(span_leg)
+        .unionByName(pair_leg)
+        .unionByName(tool_render_leg)
+        .unionByName(tool_span_leg)
+    )
