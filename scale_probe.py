@@ -160,9 +160,12 @@ def main() -> None:
     for name in queries:
         fn = reg[name] if name in reg else EXTRA_PROBES[name]
         times = {}
+        # PROBE_TRIALS=1 for very large factors where best-of-2 would double
+        # an already-long run; the default stays bench.py's best-of-2
+        trials = int(os.environ.get("PROBE_TRIALS", "2"))
         for tag, d in (("base_s", src), (f"x{factor}_s", dst)):
             best = None
-            for _ in range(2):  # best-of-2, bench.py discipline
+            for _ in range(trials):
                 t0 = time.perf_counter()
                 materialize(fn(spark, d))
                 dt = time.perf_counter() - t0

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 import uuid
 from collections import Counter
 from dataclasses import dataclass
@@ -1410,11 +1411,54 @@ def tiled_sliding_window_stream(
                 f"q{qid}" if qid else f"plan{plan_token}",
             )
         core.spill_path = os.path.join(root, f"b{bucket[0]}")
+        t0 = time.perf_counter()
         new = pd.concat(list(pdfs), ignore_index=True)
         wm_us = state.getCurrentWatermarkMs() * 1000
+        t1 = time.perf_counter()
         st = core.load(tuple(state.get)) if state.exists else core.empty_state()
+        t2 = time.perf_counter()
         out, st = core.advance(st, new, wm_us)
+        t3 = time.perf_counter()
         state.update(core.dump(st))
+        t4 = time.perf_counter()
+        mpath = os.environ.get("VOLGA_TILED_METRICS")
+        if mpath:
+            # scaling-probe observability (env-gated, off in production):
+            # per (bucket, batch) state composition + live spill bytes, so
+            # the 100× probe can record state/spill curves, not just wall
+            # clock. Single short appended line per call — O_APPEND atomic.
+            import json as _json
+
+            try:
+                sp_files = os.listdir(core.spill_path) if os.path.isdir(
+                    core.spill_path
+                ) else []
+                sp_bytes = sum(
+                    os.path.getsize(os.path.join(core.spill_path, f))
+                    for f in sp_files
+                )
+                with open(mpath, "a") as mf:
+                    mf.write(
+                        _json.dumps(
+                            {
+                                "bucket": int(bucket[0]),
+                                "head_rows": int(len(st["head"][TS])),
+                                "tiles": len(st["tiles"]),
+                                "keys": len(st["cursors"]),
+                                "spill_files": len(sp_files),
+                                "spill_bytes": int(sp_bytes),
+                                "edge_rows_read": int(core.edge_rows_read),
+                                "in_rows": int(len(new)),
+                                "ms_concat": round((t1 - t0) * 1e3, 2),
+                                "ms_load": round((t2 - t1) * 1e3, 2),
+                                "ms_advance": round((t3 - t2) * 1e3, 2),
+                                "ms_dump": round((t4 - t3) * 1e3, 2),
+                            }
+                        )
+                        + "\n"
+                    )
+            except OSError:
+                pass
         if out is not None and len(out):
             yield out
 
