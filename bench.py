@@ -104,8 +104,8 @@ BANDS = {
     "q_stream_upsert_sink": 3.3,
     "q_stream_groupby_count": 2.15,
     "q_stream_sliding_window": 5.1,
-    "q_stream_tiled_window": 8.0,
-    "q_stream_tiled_window_month": 9.15,
+    "q_stream_tiled_window": 7.4,  # r08: width-32 pin, 5.3s best-of-4 measured
+    "q_stream_tiled_window_month": 7.8,  # r08: width-32 pin, 5.5s best-of-4 measured
 }
 
 

@@ -49,13 +49,19 @@ def _checkpoint_dir() -> str:
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession):
+def _stream_shuffle(spark: SparkSession, width: int | str | None = None):
     """Bound state-store instance count for local streaming runs (the default
     200 shuffle partitions mean 200 state stores per stateful query — pure
-    overhead under local[N]; on a real cluster size this to ~2-3x cores)."""
+    overhead under local[N]; on a real cluster size this to ~2-3x cores).
+
+    ``width`` overrides the global default per query: JVM-stateful queries
+    measured fastest at 8 (state-store commit cost dominates), but queries
+    whose per-batch payload is a PYTHON handler (the tiled windows: ~16
+    CPU-s of numpy sweep per run) want the full core count — 32 measured
+    ~16% faster than 8 on the tiled pair at sf0.1."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, STREAM_SHUFFLE)
+    spark.conf.set(key, str(width) if width is not None else STREAM_SHUFFLE)
     try:
         yield
     finally:
@@ -63,14 +69,17 @@ def _stream_shuffle(spark: SparkSession):
 
 
 def run_available_now_to_memory(
-    df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+    df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+    stream_shuffle: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink; return the
     result as a (batch) DataFrame."""
     name = f"vs_mem_{uuid.uuid4().hex[:10]}"
     spark = df.sparkSession
     ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, stream_shuffle):
         q = (
             df.writeStream.outputMode(output_mode)
             .format("memory")

@@ -297,7 +297,10 @@ def q_stream_tiled_window(spark, sf_dir):
         lateness="0 seconds",
         prepared={"vc": cents("value"), "cond": F.col("value") > 100.0},
     )
-    res = run_available_now_to_memory(out, output_mode="append")
+    # width 32, not the stateful default 8: this query's per-batch payload
+    # is the PYTHON tile handler (~16 CPU-s of numpy sweep per run), so the
+    # full core count wins (~16% at sf0.1); JVM-stateful queries keep 8
+    res = run_available_now_to_memory(out, output_mode="append", stream_shuffle=32)
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
         "event_id", "user_id", "ts", "cnt_7d", "sum_7d", "avg_7d",
         "min_7d", "max_7d", "sum_cate_7d", "topf_7d", "t1r_7d",
@@ -379,7 +382,8 @@ def q_stream_tiled_window_month(spark, sf_dir):
         lateness="0 seconds",
         prepared={"vc": cents("value")},
     )
-    res = run_available_now_to_memory(out, output_mode="append")
+    # width 32: python-handler-bound, same rationale as q_stream_tiled_window
+    res = run_available_now_to_memory(out, output_mode="append", stream_shuffle=32)
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
         "event_id", "user_id", "ts", "cnt_21d", "sum_21d",
         "min_21d", "max_21d", "sum_cate_21d",
