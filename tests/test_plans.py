@@ -147,3 +147,21 @@ def test_salted_count_distinct_exact_and_two_level(spark, sf_dir):
     assert "__salt" in p
     # two reduce levels: (key, salt) then (key)
     assert p.count("HashAggregate") >= 4, p[:2000]
+
+
+def test_pipeline_sql_plan_pinned(spark, sf_dir):
+    """r07 verdict watch #1: q_pipeline_sql crept 1.32 -> 1.93s with no code
+    change. Profiled r08: warm steady state 1.75s under ambient load 5-6
+    (vs r06's 1.32 on a quiet host) with the DESIGNED plan shape — host
+    noise, not drift. This pins the shape so a real drift (an extra
+    exchange from PipelineSpec assembly, a third scan from a new branch)
+    fails loudly instead of surfacing as slow bench numbers."""
+    p = plan(spark, sf_dir, "q_pipeline_sql")
+    # two branches (native windows + cate sweep), each one user_id exchange
+    assert p.count("hashpartitioning(user_id") <= 2, p[:3000]
+    assert p.count("hashpartitioning(") <= 2
+    # one scan per branch, no more (a frame feeding N consumers re-executes
+    # upstream per consumer — the query is designed at 2)
+    assert p.count("Scan parquet") + p.count("FileScan") <= 2
+    # exactly one Arrow sweep stage for the cate UDAF
+    assert p.count("MapInPandas") + p.count("FlatMapGroupsInPandas") <= 2
