@@ -776,3 +776,90 @@ def test_tool_policy_masks_results_trains_calls(spark):
         F.expr("filter(turns, t -> t.idx = turn_idx)[0].content").alias("want"),
     ).filter(F.col("got") != F.col("want"))
     assert bad.count() == 0
+
+
+def test_assemble_trajectories_stream_equals_batch(spark):
+    """Streaming trajectory assembly (native session_window + collect_list,
+    watermark-driven emission) produces the SAME turns arrays as batch
+    assembly for traces whose steps all fall inside one session gap — and
+    splits a trace that idles past the gap into per-session partials."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from volga_spark.operators.conversations import (
+        assemble_trajectories,
+        assemble_trajectories_stream,
+    )
+    from volga_spark.streaming.runner import run_available_now_to_memory
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    rows = []
+    for tid in range(5):
+        for i in range(4 + tid % 3):
+            rows.append((tid, i, ["user", "assistant", "tool_call",
+                                  "tool_result"][i % 4],
+                         f"t{tid} step {i}", ts(tid + i)))
+    # trace 99 idles 60min mid-run -> TWO session partials at gap=30min
+    rows += [(99, 0, "user", "q", ts(0)), (99, 1, "assistant", "a", ts(1)),
+             (99, 2, "user", "q2", ts(61)), (99, 3, "assistant", "a2", ts(62))]
+    # punctuation: the watermark can never pass the max REAL event time, so
+    # the last open session would never close (the chunked_file_stream
+    # flush-row rule); a far-future sentinel step closes everything
+    rows += [(-1, 0, "user", "eos", ts(600)), (-1, 1, "user", "eos", ts(700))]
+    schema = ("trace_id long, step_idx int, role string, content string, "
+              "ts timestamp")
+    steps = spark.createDataFrame(rows, schema)
+
+    batch = {
+        r["trace_id"]: r["turns"]
+        for r in assemble_trajectories(
+            steps.filter("trace_id >= 0").drop("ts")
+        ).collect()
+    }
+
+    root = os.path.join(
+        tempfile.gettempdir(), "volga_spark_trace_stream", uuid.uuid4().hex[:8]
+    )
+    os.makedirs(root, exist_ok=True)
+    try:
+        pdf = steps.orderBy("ts").toPandas()
+        per = (len(pdf) + 2) // 3
+        for i in range(3):
+            spark.createDataFrame(
+                pdf.iloc[i * per : (i + 1) * per], schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(root, f"chunk{i}")
+            )
+        stream = (
+            spark.readStream.schema(steps.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "chunk*"))
+        )
+        out = assemble_trajectories_stream(stream, gap="30 minutes")
+        streamed = run_available_now_to_memory(out, output_mode="append")
+        got = [
+            (r["trace_id"], r["trace_start"], r["turns"])
+            for r in streamed.filter("trace_id >= 0").collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # every single-session trace matches batch assembly exactly
+    per_trace = {}
+    for tid, start, turns in got:
+        per_trace.setdefault(tid, []).append((start, turns))
+    for tid in range(5):
+        assert len(per_trace[tid]) == 1
+        assert per_trace[tid][0][1] == batch[tid]
+    # the idle trace split into two partials covering all 4 steps in order
+    parts = sorted(per_trace[99])
+    assert len(parts) == 2
+    assert [t["idx"] for t in parts[0][1]] == [0, 1]
+    assert [t["idx"] for t in parts[1][1]] == [2, 3]

@@ -437,6 +437,55 @@ def assemble_trajectories(
     return steps.groupBy(trace_col).agg(packed.alias(out_col))
 
 
+def assemble_trajectories_stream(
+    steps: DataFrame,
+    *,
+    trace_col: str = "trace_id",
+    step_col: str = "step_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "0 seconds",
+    out_col: str = "turns",
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`assemble_trajectories` — agent
+    logs arrive as STREAMS of step rows, and a trajectory is only usable
+    once it stops growing. Emission is watermark-driven via a NATIVE
+    session window on the step event time: a trace is considered complete
+    (and its turns array emitted, exactly once, in append mode) when no
+    step arrives for ``gap``; a trace idle longer than ``gap`` mid-run
+    splits into per-session partial trajectories — the standard
+    session-window semantics, and usually the right curation call for an
+    agent that stalled.
+
+    Entirely JVM-native (``session_window`` + ``collect_list`` + in-row
+    ``sort_array``): no Python handler, no custom state codec; state per
+    in-flight trace is its buffered steps, GC'd by the watermark. Output:
+    ``(trace_col, trace_start, out_col)`` — downstream render/spans/gate
+    are stateless and run unchanged on the result (one-config-N-modes).
+    """
+    s = steps.withWatermark(ts_col, lateness)
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(step_col).cast("int").alias("idx"),
+                F.col(role_col).alias("role"),
+                F.col(content_col).alias("content"),
+            )
+        )
+    )
+    return (
+        s.groupBy(F.session_window(F.col(ts_col), gap), F.col(trace_col))
+        .agg(packed.alias(out_col))
+        .select(
+            trace_col,
+            F.col("session_window.start").alias("trace_start"),
+            out_col,
+        )
+    )
+
+
 def trace_outcome_ok(
     turns: Column,
     *,
