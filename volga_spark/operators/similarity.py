@@ -535,11 +535,15 @@ def pq_train(
             # squared-L2 assignment: argmin ||x-c||² = argmax (x·c - ||c||²/2)
             d = xs @ cents.T - 0.5 * (cents**2).sum(axis=1)
             assign = np.argmax(d, axis=1)
-            for c in range(ksub):
-                members = xs[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-                # empty cell: keep the old centroid (deterministic)
+            # vectorized Lloyd update (was a 256-cluster python loop of
+            # masked means — ~0.8s of pure driver time per train call):
+            # scatter-add member sums, divide by counts; empty cells keep
+            # their old centroid (deterministic, same rule as before)
+            counts = np.bincount(assign, minlength=ksub)
+            sums = np.zeros((ksub, dsub))
+            np.add.at(sums, assign, xs)
+            nonempty = counts > 0
+            cents[nonempty] = sums[nonempty] / counts[nonempty, None]
         books[j] = cents
     return books
 
