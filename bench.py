@@ -87,7 +87,7 @@ BANDS = {
     "q_ml_top_full": 1.7,
     "q_dedup_exact": 1.9,  # r07: +kmv overlap-sketch legs (BASELINE.md)
     "q_dedup_approx_pairs": 2.4,
-    "q_approx_sketches": 8.7,
+    "q_approx_sketches": 6.5,  # r08: pq_train Lloyd vectorized; 4.4s warm measured
     "q_dedup_clusters": 6.0,
     "q_dedup_substring_spans": 2.75,
     "q_ann_brute_topk": 1.0,
