@@ -93,7 +93,7 @@ BANDS = {
     "q_ann_brute_topk": 1.0,
     "q_text_analysis": 1.35,
     "q_bm25_topk": 3.15,
-    "q_mix_pack": 2.0,  # r07-late: +upsample (repeat-factor) leg; 1.32s measured
+    "q_mix_pack": 4.0,  # r08: +fim/corrupt objective legs (HOF folds); 2.9s measured
     "q_hybrid_rrf": 3.4,
     "q_training_pipeline": 2.3,
     "q_temporal_join": 2.2,  # r07: asof+range legs merged; 1.53s measured (BASELINE.md)

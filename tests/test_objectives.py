@@ -1,0 +1,127 @@
+"""Objective prep (FIM + T5 span corruption): DuckDB twins, reconstruction
+invariants, determinism, plan audits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from volga_spark.operators.objectives import (
+    fim_oracle_sql,
+    fim_transform,
+    span_corruption,
+    span_corruption_oracle_sql,
+)
+from volga_spark.oracle import compare_frames, run_oracle
+from volga_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_fim_matches_duckdb_twin(spark):
+    got = fim_transform(_docs(spark)).toPandas()
+    want = run_oracle(fim_oracle_sql("SELECT doc_id, text FROM documents"), SF)
+    assert compare_frames(got, want) == []
+
+
+def test_span_corruption_matches_duckdb_twin(spark):
+    got = span_corruption(_docs(spark)).toPandas()
+    want = run_oracle(
+        span_corruption_oracle_sql("SELECT doc_id, text FROM documents"), SF
+    )
+    assert compare_frames(got, want) == []
+
+
+def test_fim_reconstruction(spark):
+    """The three FIM segments, reassembled in P-M-S order, equal the
+    original document exactly — the transform reorders, never loses."""
+    out = fim_transform(_docs(spark)).join(_docs(spark), "doc_id")
+    applied = out.filter("fim_applied")
+    assert applied.count() > 0
+    # token-level comparison (an empty middle leaves a doubled space in the
+    # naive string reassembly; tokens are the real unit anyway)
+    toks = lambda c: F.filter(F.split(c, " "), lambda t: t != "")  # noqa: E731
+    bad = applied.select(
+        "doc_id",
+        toks(
+            F.expr(
+                "concat_ws(' ',"
+                " split(split(fim_text, '<fim_suffix>')[0], '<fim_prefix>')[1],"
+                " split(fim_text, '<fim_middle>')[1],"
+                " split(split(fim_text, '<fim_middle>')[0], '<fim_suffix>')[1])"
+            )
+        ).alias("rebuilt"),
+        toks(F.col("text")).alias("orig"),
+    ).filter(F.col("rebuilt") != F.col("orig"))
+    assert bad.count() == 0
+    # short docs pass through verbatim
+    short = out.filter(~F.col("fim_applied"))
+    assert short.filter(F.col("fim_text") != F.coalesce("text", F.lit(""))).count() == 0
+
+
+def test_span_corruption_reconstruction(spark):
+    """Replacing each sentinel in the input with its target span rebuilds
+    the original document — the T5 encoding is lossless."""
+    rows = (
+        span_corruption(_docs(spark))
+        .join(_docs(spark), "doc_id")
+        .filter("n_corrupted > 0")
+        .select("input_text", "target_text", "text", "n_corrupted")
+        .collect()
+    )
+    assert rows
+    for r in rows[:200]:
+        inp, tgt = r["input_text"], r["target_text"]
+        # parse target: <extra_id_k> span ... closed by final sentinel
+        parts = tgt.split("<extra_id_")
+        spans = {}
+        for p in parts[1:]:
+            k, rest = p.split(">", 1)
+            spans[int(k)] = rest.strip() if rest else ""
+        rebuilt = inp
+        for k in range(r["n_corrupted"]):
+            rebuilt = rebuilt.replace(f"<extra_id_{k}>", spans[k], 1)
+        # collapse doubled spaces from empty corrupted windows
+        assert " ".join(rebuilt.split()) == " ".join(r["text"].split())
+
+
+def test_objectives_deterministic_and_seeded(spark):
+    d = _docs(spark)
+    a = fim_transform(d).orderBy("doc_id").collect()
+    b = fim_transform(d.repartition(13)).orderBy("doc_id").collect()
+    assert a == b
+    c = fim_transform(d, seed="other").orderBy("doc_id").collect()
+    assert any(x["fim_text"] != y["fim_text"] for x, y in zip(a, c))
+    sa = span_corruption(d).orderBy("doc_id").collect()
+    sb = span_corruption(d.repartition(7)).orderBy("doc_id").collect()
+    assert sa == sb
+
+
+def test_corruption_rate_near_nominal(spark):
+    """~1/corrupt_one_in of windows corrupt (md5 uniformity)."""
+    agg = span_corruption(_docs(spark), corrupt_one_in=5).agg(
+        F.sum("n_corrupted").alias("c"),
+        F.sum(F.expr("CAST(ceil(n_tokens / 3.0) AS BIGINT)")).alias("w"),
+    ).first()
+    rate = agg["c"] / agg["w"]
+    assert 0.14 < rate < 0.26, rate
+
+
+def test_objectives_zero_shuffle_plan(spark):
+    """Both transforms are pure per-row rewrites: no exchange, no Python."""
+    for df in (fim_transform(_docs(spark)), span_corruption(_docs(spark))):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_degenerate_params_rejected(spark):
+    with pytest.raises(ValueError):
+        span_corruption(_docs(spark), span_len=0)
+    with pytest.raises(ValueError):
+        fim_transform(_docs(spark), min_tokens=1)

@@ -13,12 +13,24 @@ End-to-end training-batch assembly, one leg-tagged union:
   (copy_id 0..k-1) plus a budget-windowed remainder pass on a fresh
   per-copy md5 shuffle. The oracle derives the same pass plan from the
   corpus inside SQL, so the leg is exact at every scale factor.
+- ``fim`` / ``corrupt`` (r08): the training OBJECTIVE transforms applied
+  at this assembly stage — fill-in-the-middle PSM reorder (Bavarian 2022)
+  and T5 span corruption with numbered sentinels (Raffel 2020). Both
+  zero-shuffle md5-deterministic rewrites; the legs carry the md5 of the
+  exact rewritten bytes, matched against DuckDB's independent
+  window-function formulation.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from volga_spark.operators.objectives import (
+    fim_oracle_sql,
+    fim_transform,
+    span_corruption,
+    span_corruption_oracle_sql,
+)
 from volga_spark.operators.packing import (
     mixture_repeats_oracle_sql,
     mixture_select,
@@ -59,6 +71,9 @@ _UP_ORACLE = mixture_repeats_oracle_sql(
     "SELECT * FROM documents", UP_WEIGHTS, UP_BUDGET
 )
 
+_FIM_ORACLE = fim_oracle_sql("SELECT doc_id, text FROM documents")
+_CORR_ORACLE = span_corruption_oracle_sql("SELECT doc_id, text FROM documents")
+
 _ORACLE = f"""
     SELECT 'pack' AS leg, doc_id AS id_a, domain AS s1,
            CAST(seq_id AS BIGINT) AS v1, CAST(seq_offset AS BIGINT) AS v2,
@@ -70,6 +85,16 @@ _ORACLE = f"""
            CAST(copy_id AS BIGINT), CAST(n_tokens AS BIGINT), NULL, NULL,
            rank
     FROM ({_UP_ORACLE})
+    UNION ALL
+    SELECT 'fim', doc_id, md5(fim_text),
+           n_tokens, CAST(fim_applied AS BIGINT), NULL, NULL,
+           CAST(NULL AS VARCHAR)
+    FROM ({_FIM_ORACLE})
+    UNION ALL
+    SELECT 'corrupt', doc_id, md5(input_text),
+           n_corrupted, n_tokens, NULL, NULL,
+           md5(target_text)
+    FROM ({_CORR_ORACLE})
 """
 
 
@@ -108,4 +133,37 @@ def q_mix_pack(spark, sf_dir):
         F.lit(None).cast("long").alias("v4"),
         F.col("rank").alias("s2"),
     )
-    return pack_leg.unionByName(up_leg)
+
+    # objective-prep legs (r08): the transforms a pre-training pipeline
+    # applies right at this assembly stage — FIM reorder and T5 span
+    # corruption. Both zero-shuffle per-row rewrites; the md5 of the exact
+    # rewritten bytes is the driver-gated value, so the deterministic
+    # sentinel arithmetic must match DuckDB's independent window-function
+    # formulation byte-for-byte.
+    fim = fim_transform(docs)
+    fim_leg = fim.select(
+        F.lit("fim").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.md5("fim_text").alias("s1"),
+        F.col("n_tokens").alias("v1"),
+        F.col("fim_applied").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    corr = span_corruption(docs)
+    corr_leg = corr.select(
+        F.lit("corrupt").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.md5("input_text").alias("s1"),
+        F.col("n_corrupted").alias("v1"),
+        F.col("n_tokens").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+        F.md5("target_text").alias("s2"),
+    )
+    return (
+        pack_leg.unionByName(up_leg)
+        .unionByName(fim_leg)
+        .unionByName(corr_leg)
+    )
