@@ -105,7 +105,7 @@ BANDS = {
     "q_stream_groupby_count": 2.15,
     "q_stream_sliding_window": 5.1,
     "q_stream_tiled_window": 7.4,  # r08: width-32 pin, 5.3s best-of-4 measured
-    "q_stream_tiled_window_month": 7.8,  # r08: width-32 pin, 5.5s best-of-4 measured
+    "q_stream_tiled_window_month": 8.9,  # r08: width-32 pin; 6.39 same-round session measured, ~1.4x
 }
 
 

@@ -162,7 +162,7 @@ def main() -> None:
         times = {}
         # PROBE_TRIALS=1 for very large factors where best-of-2 would double
         # an already-long run; the default stays bench.py's best-of-2
-        trials = int(os.environ.get("PROBE_TRIALS", "2"))
+        trials = max(1, int(os.environ.get("PROBE_TRIALS", "2")))
         for tag, d in (("base_s", src), (f"x{factor}_s", dst)):
             best = None
             for _ in range(trials):

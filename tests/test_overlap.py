@@ -183,11 +183,11 @@ def test_overlap_pipeline_duckdb_parity(spark):
         SELECT x, n_union, vk,
                CASE WHEN n_union < {k} THEN CAST(n_union AS BIGINT)
                     ELSE CAST(({k} - 1) * CAST({2 ** 33} AS BIGINT)
-                              // (vk // {2 ** 27}) AS BIGINT)
+                              // greatest(1, vk // {2 ** 27}) AS BIGINT)
                END AS est_union,
                CAST(x * (CASE WHEN n_union < {k} THEN CAST(n_union AS BIGINT)
                          ELSE CAST(({k} - 1) * CAST({2 ** 33} AS BIGINT)
-                                   // (vk // {2 ** 27}) AS BIGINT) END)
+                                   // greatest(1, vk // {2 ** 27}) AS BIGINT) END)
                     // (CASE WHEN n_union = 0 THEN 1
                         WHEN n_union < {k} THEN n_union
                         ELSE {k} END) AS BIGINT) AS est_intersection

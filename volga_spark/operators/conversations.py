@@ -516,11 +516,15 @@ def conversation_fingerprint(
     two conversations that differ only in rendering markers collide, which
     is the dedup semantics we want). Feeds the existing exact-dedup tier
     (digest groupBy; only the 16-byte digest ever shuffles)."""
+    # _nn keeps the digest aligned with the NULL-safe render semantics:
+    # without it, a NULL field collapses its separator (concat_ws skips
+    # NULLs), so [(role, NULL)] and [(NULL, role)] would collide while two
+    # conversations that RENDER identically could digest differently.
     joined = F.concat_ws(
         "\x1e",
         F.transform(
             F.col(turns_col),
-            lambda t: F.concat_ws("\x1f", t["role"], t["content"]),
+            lambda t: F.concat_ws("\x1f", _nn(t["role"]), _nn(t["content"])),
         ),
     )
     return conv.withColumn(out_col, F.md5(joined))

@@ -180,6 +180,12 @@ def span_corruption(
     r = int(corrupt_one_in)
     if L < 1 or r < 1:
         raise ValueError(f"span_len/corrupt_one_in must be >= 1 (got {L}, {r})")
+    if sentinel.count("{}") != 1:
+        # a '{}'-less sentinel would IndexError deep in expression
+        # construction; two placeholders would silently drop a fragment
+        raise ValueError(
+            f"sentinel must contain exactly one '{{}}' (got {sentinel!r})"
+        )
     ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(ws)
     idc = F.col(id_col)

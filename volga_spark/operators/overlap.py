@@ -160,7 +160,10 @@ def _est_expr(n_col: Column, k: int) -> Column:
     is below 2^27 (kth order statistic that small means ~> 5e11 distinct
     values at k=128 — inside the stated 100 TB design point) would otherwise
     divide by zero (NULL under non-ANSI Spark, an error under ANSI/DuckDB).
-    The clamp caps the estimate at (k-1)*2^60 rather than corrupting it."""
+    The clamp caps the estimate at (k-1)*2^33 — the numerator with the
+    denominator pinned at 1 (~1.09e12 at k=128; the truncated denominator
+    saturates 2^27 early, so the cap is NOT (k-1)*2^60) — rather than
+    corrupting it."""
     return F.when(n_col < k, n_col.cast("long")).otherwise(
         F.expr(
             f"CAST(({k} - 1) * CAST({2 ** _NUM_SHIFT} AS BIGINT) "
