@@ -198,3 +198,22 @@ def test_near_dedup_stage_keeps_cluster_representatives(spark, sf_dir):
     assert losers and kept  # the corpus really has clusters
     # schema passes through untouched
     assert out.columns == d.columns
+
+
+def test_objective_stages_equal_direct_composition(spark, sf_dir):
+    """r08: the fim/span_corrupt stage ops produce exactly what direct
+    operator composition produces (the spec front end adds nothing)."""
+    from volga_spark.operators.objectives import fim_transform, span_corruption
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = CurationSpec(
+        stages=[{"op": "fim", "seed": "s1"}, {"op": "span_corrupt"}]
+    )
+    via_spec = spec.build(spark, docs).toPandas().sort_values("doc_id")
+
+    fimmed = fim_transform(docs, seed="s1", keep_cols=True).select(
+        "doc_id", F.col("fim_text").alias("text")
+    )
+    direct = span_corruption(fimmed).toPandas().sort_values("doc_id")
+    assert via_spec.reset_index(drop=True).equals(direct.reset_index(drop=True))

@@ -21,6 +21,8 @@ SPEC = CurationSpec(
         {"op": "min_chars", "n": 20},
         {"op": "pii_redact"},
         {"op": "c4_clean_lines"},
+        {"op": "fim", "seed": "stream-parity-fim"},
+        {"op": "span_corrupt", "span_len": 3, "corrupt_one_in": 5},
         {"op": "bernoulli_sample", "fraction": 0.7, "seed": "stream-parity"},
         {"op": "split", "fractions": {"train": 0.9, "val": 0.1}, "seed": "sp"},
     ]

@@ -261,6 +261,36 @@ def _stage_pack_sequences(df, spec, seq_len=2048, **_):
     return pack_sequences(df, seq_len, id_col=spec.id_col)
 
 
+def _stage_fim(df, spec, seed="volga-fim", min_tokens=4, **_):
+    """Fill-in-the-middle rewrite (operators/objectives, r08): the text
+    column is REPLACED by the PSM-rendered form (short docs pass through);
+    other columns are preserved. Pure map-side (keep_cols, no join) — runs
+    unchanged on a streaming frame like every rewrite stage."""
+    from volga_spark.operators.objectives import fim_transform
+
+    out = fim_transform(
+        df, text_col=spec.text_col, id_col=spec.id_col,
+        seed=seed, min_tokens=min_tokens, keep_cols=True,
+    )
+    return out.withColumn(spec.text_col, F.col("fim_text")).drop(
+        "fim_text", "fim_applied", "n_tokens"
+    )
+
+
+def _stage_span_corrupt(
+    df, spec, span_len=3, corrupt_one_in=5, seed="volga-t5", **_,
+):
+    """T5 span-corruption rewrite (operators/objectives, r08). Output
+    schema changes to (id, input_text, target_text, n_corrupted,
+    n_tokens) — terminal, the trainer-facing pair frame."""
+    from volga_spark.operators.objectives import span_corruption
+
+    return span_corruption(
+        df, text_col=spec.text_col, id_col=spec.id_col,
+        span_len=span_len, corrupt_one_in=corrupt_one_in, seed=seed,
+    )
+
+
 _STAGES = {
     "html_extract": _stage_html_extract,
     "normalize_text": _stage_normalize_text,
@@ -281,6 +311,8 @@ _STAGES = {
     "expect": _stage_expect,
     "mixture_select": _stage_mixture_select,
     "pack_sequences": _stage_pack_sequences,
+    "fim": _stage_fim,
+    "span_corrupt": _stage_span_corrupt,
 }
 
 

@@ -45,6 +45,7 @@ def fim_transform(
     prefix_tok: str = "<fim_prefix>",
     suffix_tok: str = "<fim_suffix>",
     middle_tok: str = "<fim_middle>",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """PSM-mode FIM rewrite: two deterministic md5-derived cut points split
     the token stream into prefix / middle / suffix, rendered as
@@ -59,7 +60,9 @@ def fim_transform(
     are always non-empty; middle may be empty when the cuts collide
     (the FIM paper keeps those: an empty infill is a valid task).
 
-    Output: ``(id_col, fim_text, fim_applied, n_tokens)``. Zero shuffles.
+    Output: ``(id_col, fim_text, fim_applied, n_tokens)``; with
+    ``keep_cols=True`` the three new columns append to the FULL input frame
+    instead (the curation-stage shape — still zero-shuffle, no join).
     """
     if int(min_tokens) < 2:
         raise ValueError(f"min_tokens must be >= 2 (got {min_tokens})")
@@ -84,10 +87,18 @@ def fim_transform(
         join_(F.slice(ws, lo + 1, hi - lo)),
     )
     applied = n >= F.lit(int(min_tokens))
+    fim_text = F.when(applied, rendered).otherwise(
+        F.coalesce(F.col(text_col), F.lit(""))
+    )
+    if keep_cols:
+        return (
+            docs.withColumn("fim_text", fim_text)
+            .withColumn("fim_applied", applied)
+            .withColumn("n_tokens", n.cast("bigint"))
+        )
     return docs.select(
         idc,
-        F.when(applied, rendered).otherwise(F.coalesce(F.col(text_col), F.lit("")))
-        .alias("fim_text"),
+        fim_text.alias("fim_text"),
         applied.alias("fim_applied"),
         n.cast("bigint").alias("n_tokens"),
     )
