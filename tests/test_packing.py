@@ -285,3 +285,83 @@ def test_repeats_compose_with_pack_sequences(spark):
     per_seq = spans.groupby("seq_id").span_len.sum().sort_index()
     assert (per_seq.iloc[:-1] == 64).all()  # all but the last full
     assert 0 < per_seq.iloc[-1] <= 64
+
+
+# --- multi-phase training schedule (r08) ---
+
+PHASES = [
+    {"name": "base", "weights": {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+     "token_budget": 2400},
+    {"name": "anneal", "weights": {"src0": 0.8, "src3": 0.2},
+     "token_budget": 900},
+]
+
+
+def test_phase_schedule_matches_duckdb_twin(spark):
+    from volga_spark.operators.packing import (
+        phase_schedule,
+        phase_schedule_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+    from volga_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    for seq_len in (None, 64):
+        got = phase_schedule(docs, PHASES, seq_len=seq_len).toPandas()
+        want = run_oracle(
+            phase_schedule_oracle_sql(
+                "SELECT * FROM documents", PHASES, seq_len=seq_len
+            ),
+            sf,
+        )
+        assert compare_frames(got, want) == [], f"seq_len={seq_len}"
+
+
+def test_phase_schedule_phases_isolated_and_budgeted(spark):
+    """Editing one phase's recipe must not perturb another's selection
+    (phase-scoped seeds), and each phase honors its own budgets."""
+    from volga_spark.operators.packing import domain_budgets, phase_schedule
+
+    LOCAL_PHASES = [
+        {"name": "base", "weights": {"a": 0.5, "b": 0.3, "c": 0.2},
+         "token_budget": 240},
+        {"name": "anneal", "weights": {"a": 0.8, "b": 0.2},
+         "token_budget": 90},
+    ]
+    docs = _docs(spark)
+    a = phase_schedule(docs, LOCAL_PHASES)
+    changed = [LOCAL_PHASES[0], {**LOCAL_PHASES[1], "token_budget": 30}]
+    b = phase_schedule(docs, changed)
+    pa = a.filter("phase = 'base'").orderBy("doc_id").collect()
+    pb = b.filter("phase = 'base'").orderBy("doc_id").collect()
+    assert pa == pb  # phase 0 untouched by phase 1's edit
+    # per-phase, per-domain exclusive-prefix budget bound (the
+    # mixture_select invariant, re-checked through the schedule wrapper)
+    import collections
+
+    for i, ph in enumerate(LOCAL_PHASES):
+        budgets = domain_budgets(ph["weights"], ph["token_budget"])
+        rows = a.filter(F.col("phase_idx") == i).collect()
+        assert rows, ph["name"]
+        by_dom = collections.defaultdict(list)
+        for r in rows:
+            by_dom[r["domain"]].append((r["rank"], r["n_tokens"]))
+        for dom, xs in by_dom.items():
+            xs.sort()
+            run = 0
+            for _, nt in xs:
+                assert run < budgets[dom]  # exclusive prefix under budget
+                run += nt
+
+
+def test_phase_schedule_validation(spark):
+    from volga_spark.operators.packing import phase_schedule
+
+    docs = _docs(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        phase_schedule(docs, [])
+    with pytest.raises(ValueError):
+        phase_schedule(docs, [PHASES[0], {**PHASES[1], "name": "base"}])

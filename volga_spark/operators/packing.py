@@ -554,3 +554,98 @@ def pack_sequences_oracle_sql(selected_sql: str, seq_len: int, id_col: str = "do
                  - GREATEST(start, seq_id * {seq_len}) AS span_len
         FROM spans
     """
+
+
+def phase_schedule(
+    docs: DataFrame,
+    phases: list[dict],
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "volga-phase",
+    seq_len: int | None = None,
+) -> DataFrame:
+    """Multi-PHASE training data schedule — the recipe shape real
+    pre-training runs use (a broad base mixture, then a quality-anneal /
+    long-context / domain-shift phase near the end): each phase is its own
+    mixture over the same corpus, with its own weights and token budget.
+
+    ``phases`` is an ordered list of ``{"name", "weights", "token_budget"}``
+    dicts. Each phase selects INDEPENDENTLY with a phase-scoped seed
+    (``seed#<idx>:<name>``), so a document may legitimately appear in
+    several phases (annealing re-uses the best data) and editing one
+    phase's recipe cannot perturb another's selection — the same seed
+    isolation rule as epoch reshuffling. With ``seq_len`` set, each phase
+    is PACKED separately and the output carries (phase_idx, phase,
+    seq_id, …) spans: phases are distinct datasets — trainers reset the
+    batch stream at a phase boundary, and a single global pack would let
+    one training sequence straddle two phases' recipes.
+
+    Scale shape: exactly the per-phase cost of mixture_select /
+    pack_sequences — nothing global across phases; the union is plan-level
+    only. Deterministic: a pure function of (seed, phases, corpus).
+    """
+    if not phases:
+        raise ValueError("phase_schedule requires at least one phase")
+    names = [p.get("name") for p in phases]
+    if len(set(names)) != len(names) or any(not n for n in names):
+        raise ValueError(f"phase names must be unique and non-empty: {names}")
+    outs = []
+    for i, ph in enumerate(phases):
+        sel = mixture_select(
+            docs,
+            ph["weights"],
+            ph["token_budget"],
+            domain_col=domain_col,
+            id_col=id_col,
+            text_col=text_col,
+            seed=f"{seed}#{i}:{ph['name']}",
+        )
+        frame = pack_sequences(sel, seq_len, id_col=id_col) if seq_len else sel
+        outs.append(
+            frame.select(
+                F.lit(i).cast("int").alias("phase_idx"),
+                F.lit(ph["name"]).alias("phase"),
+                "*",
+            )
+        )
+    out = outs[0]
+    for f in outs[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def phase_schedule_oracle_sql(
+    docs_sql: str,
+    phases: list[dict],
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "volga-phase",
+    seq_len: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`phase_schedule` — a UNION ALL of per-phase
+    mixture (or mixture→pack) oracles, each tagged with its phase."""
+    legs = []
+    for i, ph in enumerate(phases):
+        sel_sql = mixture_select_oracle_sql(
+            docs_sql,
+            ph["weights"],
+            ph["token_budget"],
+            domain_col=domain_col,
+            id_col=id_col,
+            text_col=text_col,
+            seed=f"{seed}#{i}:{ph['name']}",
+        )
+        inner = (
+            pack_sequences_oracle_sql(sel_sql, seq_len, id_col=id_col)
+            if seq_len
+            else sel_sql
+        )
+        legs.append(
+            f"SELECT CAST({i} AS INT) AS phase_idx, '{ph['name']}' AS phase,"
+            f" * FROM ({inner})"
+        )
+    return " UNION ALL ".join(legs)
