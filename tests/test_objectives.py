@@ -125,3 +125,47 @@ def test_degenerate_params_rejected(spark):
         span_corruption(_docs(spark), span_len=0)
     with pytest.raises(ValueError):
         fim_transform(_docs(spark), min_tokens=1)
+
+
+def test_span_corruption_matches_python_reference(spark):
+    """Third independent formulation: a direct python re-implementation of
+    the T5 encoding over a seeded random corpus (including empty and
+    1-token docs) must agree byte-for-byte with the Spark fold."""
+    import hashlib
+    import random
+
+    rng = random.Random(8)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+            for i in range(60)]
+    rows += [(100, ""), (101, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L, R, SEED = 3, 5, "volga-t5"
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(doc_id, text):
+        ws = (text or "").split(" ")
+        wins = [ws[i : i + L] for i in range(0, len(ws), L)]
+        k, inp, tgt = 0, [], []
+        for w, toks in enumerate(wins):
+            wtext = " ".join(toks)
+            if h60(f"{SEED}:{doc_id}:{w}") % R == 0:
+                s = f"<extra_id_{k}>"
+                inp.append(s)
+                tgt.extend([s, wtext])
+                k += 1
+            else:
+                inp.append(wtext)
+        target = " ".join(tgt + [f"<extra_id_{k}>"]) if k else ""
+        return " ".join(inp), target, k, len(ws)
+
+    got = {
+        r["doc_id"]: (
+            r["input_text"], r["target_text"], r["n_corrupted"], r["n_tokens"]
+        )
+        for r in span_corruption(df, span_len=L, corrupt_one_in=R).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(doc_id, text), doc_id
