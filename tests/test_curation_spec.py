@@ -217,3 +217,32 @@ def test_objective_stages_equal_direct_composition(spark, sf_dir):
     )
     direct = span_corruption(fimmed).toPandas().sort_values("doc_id")
     assert via_spec.reset_index(drop=True).equals(direct.reset_index(drop=True))
+
+
+def test_phase_schedule_stage(spark, sf_dir):
+    """r08: the phase_schedule terminal stage == direct operator call, and
+    an empty phases list fails at build time."""
+    from volga_spark.operators.packing import phase_schedule
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    phases = [
+        {"name": "base", "weights": {"src0": 0.6, "src1": 0.4},
+         "token_budget": 1200},
+        {"name": "anneal", "weights": {"src0": 1.0}, "token_budget": 400},
+    ]
+    spec = CurationSpec(stages=[{"op": "phase_schedule", "phases": phases}])
+    via_spec = spec.build(spark, docs).toPandas().sort_values(
+        ["phase_idx", "doc_id"]
+    )
+    direct = phase_schedule(docs, phases).toPandas().sort_values(
+        ["phase_idx", "doc_id"]
+    )
+    assert via_spec.reset_index(drop=True).equals(direct.reset_index(drop=True))
+    assert len(via_spec) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        CurationSpec(stages=[{"op": "phase_schedule"}]).build(spark, docs)

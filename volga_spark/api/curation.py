@@ -261,6 +261,25 @@ def _stage_pack_sequences(df, spec, seq_len=2048, **_):
     return pack_sequences(df, seq_len, id_col=spec.id_col)
 
 
+def _stage_phase_schedule(
+    df, spec, phases=None, domain_col="source", seed="volga-phase",
+    seq_len=None, **_,
+):
+    """Multi-phase training schedule (operators/packing, r08). Terminal:
+    output rows are per-phase selections (or packed spans with seq_len)."""
+    from volga_spark.operators.packing import phase_schedule
+
+    if not phases:
+        raise ValueError(
+            "phase_schedule stage requires a non-empty 'phases' list of "
+            "{name, weights, token_budget} dicts"
+        )
+    return phase_schedule(
+        df, phases, domain_col=domain_col, id_col=spec.id_col,
+        text_col=spec.text_col, seed=seed, seq_len=seq_len,
+    )
+
+
 def _stage_fim(df, spec, seed="volga-fim", min_tokens=4, **_):
     """Fill-in-the-middle rewrite (operators/objectives, r08): the text
     column is REPLACED by the PSM-rendered form (short docs pass through);
@@ -313,6 +332,7 @@ _STAGES = {
     "pack_sequences": _stage_pack_sequences,
     "fim": _stage_fim,
     "span_corrupt": _stage_span_corrupt,
+    "phase_schedule": _stage_phase_schedule,
 }
 
 
