@@ -169,3 +169,18 @@ def test_span_corruption_matches_python_reference(spark):
     }
     for doc_id, text in rows:
         assert got[doc_id] == ref(doc_id, text), doc_id
+
+
+def test_fim_keep_cols_refuses_collision_and_replace_text_preserves(spark):
+    """review-pass r08: keep_cols must never silently overwrite caller
+    columns; replace_text rewrites ONLY the text column."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", 42)], "doc_id long, text string, n_tokens long"
+    )
+    with pytest.raises(ValueError):
+        fim_transform(df, keep_cols=True)
+    out = fim_transform(df, replace_text=True)
+    assert out.columns == ["doc_id", "text", "n_tokens"]
+    row = out.first()
+    assert row["n_tokens"] == 42  # caller column untouched
+    assert "<fim_prefix>" in row["text"]

@@ -297,7 +297,7 @@ PHASES = [
 ]
 
 
-def test_phase_schedule_matches_duckdb_twin(spark):
+def test_phase_schedule_matches_duckdb_twin(spark, sf_dir):
     from volga_spark.operators.packing import (
         phase_schedule,
         phase_schedule_oracle_sql,
@@ -305,7 +305,7 @@ def test_phase_schedule_matches_duckdb_twin(spark):
     from volga_spark.oracle import compare_frames, run_oracle
     from volga_spark.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     docs = load_table(spark, sf, "documents")
     for seq_len in (None, 64):
         got = phase_schedule(docs, PHASES, seq_len=seq_len).toPandas()
@@ -365,3 +365,31 @@ def test_phase_schedule_validation(spark):
         phase_schedule(docs, [])
     with pytest.raises(ValueError):
         phase_schedule(docs, [PHASES[0], {**PHASES[1], "name": "base"}])
+    # review-pass guards: silent zero-row phases and degenerate seq_len
+    with pytest.raises(ValueError):
+        phase_schedule(docs, [{"name": "p", "weights": {}, "token_budget": 10}])
+    with pytest.raises(ValueError):
+        phase_schedule(docs, [{"name": "p", "weights": {"a": 1.0},
+                               "token_budget": 0}])
+    with pytest.raises(ValueError):
+        phase_schedule(docs, PHASES, seq_len=0)
+
+
+def test_phase_schedule_quoted_name_oracle_safe(spark, sf_dir):
+    """A phase name containing a quote must not break (or inject into)
+    the DuckDB twin — escaped as a doubled quote."""
+    from volga_spark.operators.packing import (
+        phase_schedule,
+        phase_schedule_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+    from volga_spark.tables import load_table
+
+    phases = [{"name": "don't-anneal", "weights": {"src0": 1.0},
+               "token_budget": 500}]
+    docs = load_table(spark, sf_dir, "documents")
+    got = phase_schedule(docs, phases).toPandas()
+    want = run_oracle(
+        phase_schedule_oracle_sql("SELECT * FROM documents", phases), sf_dir
+    )
+    assert compare_frames(got, want) == [] and len(got) > 0

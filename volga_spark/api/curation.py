@@ -282,17 +282,15 @@ def _stage_phase_schedule(
 
 def _stage_fim(df, spec, seed="volga-fim", min_tokens=4, **_):
     """Fill-in-the-middle rewrite (operators/objectives, r08): the text
-    column is REPLACED by the PSM-rendered form (short docs pass through);
-    other columns are preserved. Pure map-side (keep_cols, no join) — runs
-    unchanged on a streaming frame like every rewrite stage."""
+    column is REPLACED in place by the PSM-rendered form (short docs pass
+    through); NO other column is touched, so frames already carrying e.g.
+    an n_tokens annotation keep it. Pure map-side — runs unchanged on a
+    streaming frame like every rewrite stage."""
     from volga_spark.operators.objectives import fim_transform
 
-    out = fim_transform(
+    return fim_transform(
         df, text_col=spec.text_col, id_col=spec.id_col,
-        seed=seed, min_tokens=min_tokens, keep_cols=True,
-    )
-    return out.withColumn(spec.text_col, F.col("fim_text")).drop(
-        "fim_text", "fim_applied", "n_tokens"
+        seed=seed, min_tokens=min_tokens, replace_text=True,
     )
 
 

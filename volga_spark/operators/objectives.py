@@ -46,6 +46,7 @@ def fim_transform(
     suffix_tok: str = "<fim_suffix>",
     middle_tok: str = "<fim_middle>",
     keep_cols: bool = False,
+    replace_text: bool = False,
 ) -> DataFrame:
     """PSM-mode FIM rewrite: two deterministic md5-derived cut points split
     the token stream into prefix / middle / suffix, rendered as
@@ -62,7 +63,10 @@ def fim_transform(
 
     Output: ``(id_col, fim_text, fim_applied, n_tokens)``; with
     ``keep_cols=True`` the three new columns append to the FULL input frame
-    instead (the curation-stage shape — still zero-shuffle, no join).
+    (refused with ValueError if the input already carries any of those
+    names — appending must never silently overwrite caller data); with
+    ``replace_text=True`` the rewrite lands IN ``text_col`` and no other
+    column is touched (the curation-stage shape). All zero-shuffle, no join.
     """
     if int(min_tokens) < 2:
         raise ValueError(f"min_tokens must be >= 2 (got {min_tokens})")
@@ -90,7 +94,15 @@ def fim_transform(
     fim_text = F.when(applied, rendered).otherwise(
         F.coalesce(F.col(text_col), F.lit(""))
     )
+    if replace_text:
+        return docs.withColumn(text_col, fim_text)
     if keep_cols:
+        clash = {"fim_text", "fim_applied", "n_tokens"} & set(docs.columns)
+        if clash:
+            raise ValueError(
+                f"keep_cols=True would overwrite existing columns {sorted(clash)}"
+                " — rename them first, or use replace_text=True"
+            )
         return (
             docs.withColumn("fim_text", fim_text)
             .withColumn("fim_applied", applied)
@@ -115,6 +127,7 @@ def fim_oracle_sql(
     middle_tok: str = "<fim_middle>",
 ) -> str:
     """DuckDB twin of :func:`fim_transform` — byte-identical fim_text."""
+    seed = str(seed).replace("'", "''")  # SQL-escape the literal
     h = (
         lambda tag: f"CAST(('0x' || substr(md5('{seed}:' || {id_col} "
         f"|| ':{tag}'), 1, 15)) AS BIGINT)"
@@ -263,6 +276,7 @@ def span_corruption_oracle_sql(
     vs Spark's in-row fold)."""
     L, r = int(span_len), int(corrupt_one_in)
     pre, post = sentinel.split("{}")
+    seed = str(seed).replace("'", "''")  # SQL-escape the literal
     h = (
         f"CAST(('0x' || substr(md5('{seed}:' || {id_col} || ':' || w), 1, 15))"
         f" AS BIGINT)"

@@ -373,9 +373,12 @@ def mixture_repeats_oracle_sql(
     budget_case = " ".join(
         f"WHEN '{d}' THEN {b}" for d, b in sorted(budgets.items())
     )
+    # escape ONLY the direct literal — _rank_sql escapes its own seed; a
+    # pre-escaped seed would double-escape there and desync from Spark
+    esc_seed = str(seed).replace("'", "''")
     rank_sql = (
         f"CASE WHEN c.copy_id = 0 THEN {_rank_sql('t.' + id_col, seed)} "
-        f"ELSE md5('{seed}#copy' || CAST(c.copy_id AS VARCHAR) || ':' "
+        f"ELSE md5('{esc_seed}#copy' || CAST(c.copy_id AS VARCHAR) || ':' "
         f"|| CAST(t.{id_col} AS VARCHAR)) END"
     )
     return f"""
@@ -591,6 +594,21 @@ def phase_schedule(
     names = [p.get("name") for p in phases]
     if len(set(names)) != len(names) or any(not n for n in names):
         raise ValueError(f"phase names must be unique and non-empty: {names}")
+    for p in phases:
+        # a zero-row phase must FAIL at build time, not "succeed" with a
+        # silently missing slice of the schedule (same rule as the
+        # mixture_select curation stage)
+        if not p.get("weights"):
+            raise ValueError(
+                f"phase {p['name']!r} requires a non-empty 'weights' map"
+            )
+        if int(p.get("token_budget", 0)) <= 0:
+            raise ValueError(
+                f"phase {p['name']!r} requires a positive 'token_budget'; "
+                f"got {p.get('token_budget')!r}"
+            )
+    if seq_len is not None and int(seq_len) < 1:
+        raise ValueError(f"seq_len must be >= 1 when given (got {seq_len!r})")
     outs = []
     for i, ph in enumerate(phases):
         sel = mixture_select(
@@ -602,7 +620,11 @@ def phase_schedule(
             text_col=text_col,
             seed=f"{seed}#{i}:{ph['name']}",
         )
-        frame = pack_sequences(sel, seq_len, id_col=id_col) if seq_len else sel
+        frame = (
+            pack_sequences(sel, int(seq_len), id_col=id_col)
+            if seq_len is not None
+            else sel
+        )
         outs.append(
             frame.select(
                 F.lit(i).cast("int").alias("phase_idx"),
@@ -640,12 +662,15 @@ def phase_schedule_oracle_sql(
             seed=f"{seed}#{i}:{ph['name']}",
         )
         inner = (
-            pack_sequences_oracle_sql(sel_sql, seq_len, id_col=id_col)
-            if seq_len
+            pack_sequences_oracle_sql(sel_sql, int(seq_len), id_col=id_col)
+            if seq_len is not None
             else sel_sql
         )
+        # SQL-escape the name literal: a quote in a (validly unique,
+        # non-empty) phase name must not break or inject into the twin
+        esc = str(ph["name"]).replace("'", "''")
         legs.append(
-            f"SELECT CAST({i} AS INT) AS phase_idx, '{ph['name']}' AS phase,"
+            f"SELECT CAST({i} AS INT) AS phase_idx, '{esc}' AS phase,"
             f" * FROM ({inner})"
         )
     return " UNION ALL ".join(legs)

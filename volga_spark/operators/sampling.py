@@ -42,7 +42,12 @@ def _rank(id_col: str | Column, seed: str) -> Column:
 
 
 def _rank_sql(id_sql: str, seed: str) -> str:
-    return f"md5('{seed}:' || CAST({id_sql} AS VARCHAR))"
+    # SQL-escape the seed literal: seeds are caller strings (phase names
+    # flow in via phase_schedule's "seed#i:name" convention) and a quote
+    # must not break or inject into the DuckDB twin. The Spark side takes
+    # the seed as a bound literal (F.lit), so no escaping there.
+    esc = str(seed).replace("'", "''")
+    return f"md5('{esc}:' || CAST({id_sql} AS VARCHAR))"
 
 
 def _bucket(id_col: str | Column, seed: str) -> Column:

@@ -122,7 +122,7 @@ def split_oracle_expr(
 ) -> str:
     """DuckDB SQL computing the identical `split` column."""
     bucket = (
-        f"CAST(('0x' || substr(md5('{seed}:' || CAST({id_sql} AS VARCHAR)), 1, 8))"
+        f"CAST(('0x' || substr(md5('{str(seed).replace(chr(39), chr(39)*2)}:' || CAST({id_sql} AS VARCHAR)), 1, 8))"
         f" AS BIGINT) % {_BUCKETS}"
     )
     names = list(fractions)
