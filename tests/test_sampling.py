@@ -181,3 +181,67 @@ def test_weighted_bottom_k_plan_take_ordered(spark):
         out.explain("formatted")
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p  # no global sort
+
+
+# --- soft dedup (r08) ---
+
+
+def test_cluster_soft_dedup_matches_duckdb_twin(spark, sf_dir):
+    from volga_spark.operators.sampling import (
+        cluster_soft_dedup,
+        cluster_soft_dedup_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # real near-dup map: exact-duplicate groups (md5(text)), component =
+    # smallest member id — the hard-dedup survivor rule
+    clusters_sql = """
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS component
+        FROM documents
+    """
+    d2 = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    clusters = d2.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias(
+            "component"
+        ),
+    )
+    got = cluster_soft_dedup(docs, clusters).toPandas()
+    want = run_oracle(
+        cluster_soft_dedup_oracle_sql(
+            "SELECT doc_id, source FROM documents", clusters_sql
+        ),
+        sf_dir,
+    )
+    assert compare_frames(got, want) == []
+    assert len(got) > 0
+
+
+def test_cluster_soft_dedup_semantics(spark):
+    from volga_spark.operators.sampling import cluster_soft_dedup
+
+    # one giant cluster (ids 0..999 in component 0), one pair, singletons
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1010)], "doc_id long, text string"
+    )
+    rows = [(i, 0) for i in range(1000)] + [(1000, 1000), (1001, 1000)]
+    clusters = spark.createDataFrame(rows, "doc_id long, component long")
+    out = cluster_soft_dedup(docs, clusters).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # representative of every cluster guaranteed kept
+    assert 0 in by_id and by_id[0]["is_representative"]
+    assert 1000 in by_id and by_id[1000]["is_representative"]
+    # singletons (not in the cluster map) always kept, size 1
+    for i in (1002, 1005, 1009):
+        assert by_id[i]["cluster_size"] == 1 and by_id[i]["is_representative"]
+    # the 1000-member cluster keeps ~2 in expectation (1 rep + ~1 soft),
+    # never anywhere near hard-keep-all; allow generous tail
+    big_kept = sum(1 for r in out if r["cluster_size"] == 1000)
+    assert 1 <= big_kept <= 12, big_kept
+    # deterministic under repartition
+    out2 = cluster_soft_dedup(docs.repartition(7), clusters).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

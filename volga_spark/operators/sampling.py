@@ -215,3 +215,82 @@ def weighted_bottom_k(
         .limit(k)
         .drop("__aes")
     )
+
+
+def cluster_soft_dedup(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    seed: str = "volga-softdedup",
+) -> DataFrame:
+    """SOFT near-dup dedup: keep the canonical representative of every
+    cluster (smallest id — the hard-dedup survivor) PLUS each other member
+    independently with probability 1/cluster_size. Hard dedup erases the
+    duplication signal entirely; soft dedup preserves it in expectation
+    (a text duplicated 1000× keeps ~2 copies, not 1000 and not exactly 1)
+    while still collapsing boilerplate mass — the standard middle ground
+    when duplication frequency itself carries quality information.
+
+    ``clusters`` is the (id_col, cluster_col) map from the near-dup tier
+    (connected_components output); docs absent from it are singletons and
+    always keep. The keep rule is the repo's deterministic md5 bucket with
+    an INTEGER threshold (``_BUCKETS div size`` — no float pow, so the
+    DuckDB twin is bit-identical). Expected survivors per cluster of size
+    s: 1 + (s-1)/s < 2. One join + one size aggregation; the docs text
+    never shuffles (the cluster map carries ids only).
+
+    Output: the kept rows of ``docs`` + (cluster_size, is_representative).
+    """
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size"),
+        F.min(id_col).alias("__rep"),
+    )
+    cmap = clusters.join(sizes, cluster_col).select(
+        id_col,
+        "cluster_size",
+        (F.col(id_col) == F.col("__rep")).alias("is_representative"),
+    )
+    j = docs.join(cmap, id_col, "left")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1))
+    keep = (
+        F.coalesce(F.col("is_representative"), F.lit(True))
+        | (_bucket(id_col, seed) < F.expr(f"{_BUCKETS} div cluster_size"))
+    )
+    return (
+        j.filter(keep)
+        .withColumn("cluster_size", size.cast("bigint"))
+        .withColumn(
+            "is_representative",
+            F.coalesce(F.col("is_representative"), F.lit(True)),
+        )
+    )
+
+
+def cluster_soft_dedup_oracle_sql(
+    docs_sql: str,
+    clusters_sql: str,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    seed: str = "volga-softdedup",
+) -> str:
+    """DuckDB twin of :func:`cluster_soft_dedup` (same integer keep rule)."""
+    return f"""
+        WITH sizes AS (
+            SELECT {cluster_col}, COUNT(*) AS cluster_size,
+                   MIN({id_col}) AS __rep
+            FROM ({clusters_sql}) GROUP BY {cluster_col}
+        ),
+        cmap AS (
+            SELECT c.{id_col}, s.cluster_size,
+                   c.{id_col} = s.__rep AS is_representative
+            FROM ({clusters_sql}) c JOIN sizes s USING ({cluster_col})
+        )
+        SELECT d.*, COALESCE(m.cluster_size, 1) AS cluster_size,
+               COALESCE(m.is_representative, TRUE) AS is_representative
+        FROM ({docs_sql}) d LEFT JOIN cmap m USING ({id_col})
+        WHERE COALESCE(m.is_representative, TRUE)
+           OR {_bucket_sql('d.' + id_col, seed)} < {_BUCKETS} // m.cluster_size
+    """
