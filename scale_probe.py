@@ -80,10 +80,51 @@ def _probe_pack_sft(spark, sf_dir):
     return packed
 
 
+def _probe_length_batching(spark, sf_dir):
+    from volga_spark.operators.batching import length_bucketed_batches
+    from volga_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_bucketed_batches(d, 64)
+
+
+def _probe_soft_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from volga_spark.operators.sampling import cluster_soft_dedup
+    from volga_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias(
+            "component"
+        ),
+    )
+    return cluster_soft_dedup(d.select("doc_id", "source"), clusters)
+
+
+def _probe_phase_schedule(spark, sf_dir):
+    from volga_spark.operators.packing import phase_schedule
+    from volga_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    phases = [
+        {"name": "base", "weights": {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+         "token_budget": 60_000},
+        {"name": "anneal", "weights": {"src0": 0.8, "src3": 0.2},
+         "token_budget": 20_000},
+    ]
+    return phase_schedule(d, phases, seq_len=2048)
+
+
 EXTRA_PROBES = {
     "pivot_agg": _probe_pivot,
     "paragraph_dedup": _probe_paragraph_dedup,
     "pack_sft_spans": _probe_pack_sft,
+    "length_bucketed_batches": _probe_length_batching,
+    "cluster_soft_dedup": _probe_soft_dedup,
+    "phase_schedule": _probe_phase_schedule,
 }
 
 ID_SHIFTS = {
