@@ -246,3 +246,28 @@ def test_phase_schedule_stage(spark, sf_dir):
 
     with pytest.raises(ValueError):
         CurationSpec(stages=[{"op": "phase_schedule"}]).build(spark, docs)
+
+
+def test_near_dedup_soft_mode(spark, sf_dir):
+    """r08: mode='soft' keeps every hard survivor (representatives are
+    guaranteed) plus a small probabilistic tail of other cluster members;
+    hard mode's output is exactly the soft output's representative rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hard = CurationSpec(
+        stages=[{"op": "near_dedup", "threshold": 0.7}]
+    ).build(spark, docs)
+    soft = CurationSpec(
+        stages=[{"op": "near_dedup", "threshold": 0.7, "mode": "soft"}]
+    ).build(spark, docs)
+    hard_ids = {r["doc_id"] for r in hard.select("doc_id").collect()}
+    soft_rows = soft.collect()
+    soft_ids = {r["doc_id"] for r in soft_rows}
+    reps = {r["doc_id"] for r in soft_rows if r["is_representative"]}
+    assert hard_ids == reps  # hard survivors == guaranteed representatives
+    assert hard_ids <= soft_ids  # soft only ever keeps MORE
+    import pytest
+
+    with pytest.raises(ValueError):
+        CurationSpec(stages=[{"op": "near_dedup", "mode": "fuzzy"}]).build(
+            spark, docs
+        )

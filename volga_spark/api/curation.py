@@ -134,13 +134,24 @@ def _stage_paragraph_dedup(df, spec, sep="\n\n", min_chars=1, normalize=True, **
     return df.select(others).join(deduped, spec.id_col, "inner")
 
 
-def _stage_near_dedup(df, spec, threshold=0.7, k=64, n=3, bands=16, **_):
+def _stage_near_dedup(
+    df, spec, threshold=0.7, k=64, n=3, bands=16, mode="hard",
+    seed="volga-softdedup", **_,
+):
     """Near-duplicate removal (r07): MinHash+LSH banded candidates →
     native gram-set Jaccard verify → connected components → keep the
     min-id representative per near-dup cluster. Shuffles carry signatures
     and int64 gram hashes only — the text never moves; the verify is
     array_intersect/array_union (no Python past the one signature pass).
-    The streaming spec's ingest twin is `dedup.neardup_stream_filter`."""
+    The streaming spec's ingest twin is `dedup.neardup_stream_filter`.
+
+    ``mode="soft"`` (r08) swaps the hard representative-only keep for
+    :func:`operators.sampling.cluster_soft_dedup`: the representative is
+    still guaranteed, other members keep with probability 1/cluster_size —
+    duplication frequency survives in expectation instead of being erased.
+    The soft output carries (cluster_size, is_representative)."""
+    if mode not in ("hard", "soft"):
+        raise ValueError(f"near_dedup mode must be 'hard' or 'soft': {mode!r}")
     from volga_spark.operators.components import connected_components
     from volga_spark.operators.dedup import (
         _band_buckets,
@@ -156,6 +167,15 @@ def _stage_near_dedup(df, spec, threshold=0.7, k=64, n=3, bands=16, **_):
     # streaming ingest twin (dedup.neardup_stream_filter)
     pairs = within_set_verified_pairs(banded, sigs, spec.id_col, threshold)
     comp = connected_components(pairs, "__a", "__b")
+    if mode == "soft":
+        from volga_spark.operators.sampling import cluster_soft_dedup
+
+        clusters = comp.select(
+            F.col("node").alias(spec.id_col), "component"
+        )
+        return cluster_soft_dedup(
+            df, clusters, id_col=spec.id_col, seed=seed
+        )
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(spec.id_col)
     )
