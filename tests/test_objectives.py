@@ -125,6 +125,29 @@ def test_degenerate_params_rejected(spark):
         span_corruption(_docs(spark), span_len=0)
     with pytest.raises(ValueError):
         fim_transform(_docs(spark), min_tokens=1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fim_transform(_docs(spark), replace_text=True, keep_cols=True)
+
+
+def test_oracle_builders_escape_token_literals(spark):
+    """Sentinel/marker tokens containing a single quote must be escaped
+    into the DuckDB twin (same rule as the seed literal) — and the Spark
+    side must still agree byte-for-byte."""
+    toks = dict(prefix_tok="<p'fx>", suffix_tok="<s'fx>", middle_tok="<m'id>")
+    got = fim_transform(_docs(spark), **toks).toPandas()
+    want = run_oracle(
+        fim_oracle_sql("SELECT doc_id, text FROM documents", **toks), SF
+    )
+    assert compare_frames(got, want) == []
+
+    got = span_corruption(_docs(spark), sentinel="<x'{}'y>").toPandas()
+    want = run_oracle(
+        span_corruption_oracle_sql(
+            "SELECT doc_id, text FROM documents", sentinel="<x'{}'y>"
+        ),
+        SF,
+    )
+    assert compare_frames(got, want) == []
 
 
 def test_span_corruption_matches_python_reference(spark):

@@ -373,6 +373,14 @@ def test_phase_schedule_validation(spark):
                                "token_budget": 0}])
     with pytest.raises(ValueError):
         phase_schedule(docs, PHASES, seq_len=0)
+    # None / non-numeric token_budget: the SAME descriptive ValueError,
+    # not a TypeError out of int()
+    with pytest.raises(ValueError, match="token_budget"):
+        phase_schedule(docs, [{"name": "p", "weights": {"a": 1.0},
+                               "token_budget": None}])
+    with pytest.raises(ValueError, match="token_budget"):
+        phase_schedule(docs, [{"name": "p", "weights": {"a": 1.0},
+                               "token_budget": "lots"}])
 
 
 def test_phase_schedule_quoted_name_oracle_safe(spark, sf_dir):

@@ -70,6 +70,10 @@ def fim_transform(
     """
     if int(min_tokens) < 2:
         raise ValueError(f"min_tokens must be >= 2 (got {min_tokens})")
+    if replace_text and keep_cols:
+        # replace_text used to silently win; the caller asked for two
+        # mutually-exclusive output shapes — refuse rather than guess
+        raise ValueError("replace_text and keep_cols are mutually exclusive")
     ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(ws)
     idc = F.col(id_col)
@@ -127,7 +131,11 @@ def fim_oracle_sql(
     middle_tok: str = "<fim_middle>",
 ) -> str:
     """DuckDB twin of :func:`fim_transform` — byte-identical fim_text."""
-    seed = str(seed).replace("'", "''")  # SQL-escape the literal
+    esc = lambda s: str(s).replace("'", "''")  # noqa: E731 — SQL-escape
+    seed = esc(seed)
+    prefix_tok, suffix_tok, middle_tok = (
+        esc(prefix_tok), esc(suffix_tok), esc(middle_tok),
+    )
     h = (
         lambda tag: f"CAST(('0x' || substr(md5('{seed}:' || {id_col} "
         f"|| ':{tag}'), 1, 15)) AS BIGINT)"
@@ -275,8 +283,9 @@ def span_corruption_oracle_sql(
     functions for the sentinel numbering, ordered string_agg re-assembly —
     vs Spark's in-row fold)."""
     L, r = int(span_len), int(corrupt_one_in)
-    pre, post = sentinel.split("{}")
-    seed = str(seed).replace("'", "''")  # SQL-escape the literal
+    esc = lambda s: str(s).replace("'", "''")  # noqa: E731 — SQL-escape
+    pre, post = (esc(p) for p in sentinel.split("{}"))
+    seed = esc(seed)
     h = (
         f"CAST(('0x' || substr(md5('{seed}:' || {id_col} || ':' || w), 1, 15))"
         f" AS BIGINT)"

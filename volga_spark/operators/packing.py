@@ -602,7 +602,11 @@ def phase_schedule(
             raise ValueError(
                 f"phase {p['name']!r} requires a non-empty 'weights' map"
             )
-        if int(p.get("token_budget", 0)) <= 0:
+        try:
+            budget = int(p.get("token_budget", 0))
+        except (TypeError, ValueError):
+            budget = 0  # None / non-numeric → same descriptive error below
+        if budget <= 0:
             raise ValueError(
                 f"phase {p['name']!r} requires a positive 'token_budget'; "
                 f"got {p.get('token_budget')!r}"

@@ -1457,7 +1457,9 @@ def tiled_sliding_window_stream(
                         )
                         + "\n"
                     )
-            except OSError:
+            except Exception:
+                # debug-only observability: a drifted state key / missing
+                # attribute here must NEVER kill the streaming query
                 pass
         if out is not None and len(out):
             yield out
