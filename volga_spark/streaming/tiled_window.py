@@ -523,6 +523,33 @@ class _GroupCore:
 
     # --- the per-batch transition -------------------------------------------
 
+    def _typed_inputs(self, cols, force_int):
+        """(null-mask, typed values, is-int) per scalar input column, for
+        the vectorized sweep. The int path keeps exact int64 arithmetic and
+        integer-typed min/max; columns that arrived float (Arrow
+        nullable-int NaN upcast, or true doubles) take the NaN-aware float
+        path. ``force_int`` pins the decision per column — edge arrays must
+        take the SAME path as the segment arrays they concatenate with."""
+        import numpy as np
+
+        out = {}
+        for c in self.inputs:
+            ser = pd.Series(cols[c])
+            mask = ser.notna().to_numpy()
+            num = pd.to_numeric(ser, errors="coerce")
+            arr = num.to_numpy()
+            int_path = (
+                force_int[c]
+                if force_int is not None
+                else c in self.int_inputs or arr.dtype.kind in "iu"
+            )
+            if int_path:
+                vals = num.fillna(0).to_numpy(np.int64)
+            else:
+                vals = arr.astype(np.float64, copy=False)
+            out[c] = (mask, vals, int_path)
+        return out
+
     def advance(self, st: dict, new: pd.DataFrame, wm_us: int):
         """Ingest ``new``, emit rows now behind the watermark, close buckets.
         Returns (output DataFrame or None, new state dict)."""
@@ -556,6 +583,11 @@ class _GroupCore:
         cols = {c: a[order] for c, a in cols.items()}
         n = len(cols[TS])
         ts_arr = cols[TS]
+
+        # typed (null-mask, values, is-int) views of the scalar inputs, built
+        # ONCE per batch — per-key pandas conversions inside the sweep were a
+        # measured regression (thousands of tiny Series builds per batch)
+        seg_typed = self._typed_inputs(cols, None)
 
         if n:
             change = np.zeros(n, dtype=bool)
@@ -623,27 +655,45 @@ class _GroupCore:
                         )
             pdf = self._read_spill_buckets(union_lo, union_hi)
             if pdf is not None and len(pdf):
-                pdf = pdf.sort_values(TS, kind="stable")  # per-group order
+                # per-group order; reset_index so positions index the typed
+                # views built below
+                pdf = pdf.sort_values(TS, kind="stable").reset_index(drop=True)
+                etyped = self._typed_inputs(
+                    pdf, {c: seg_typed[c][2] for c in self.inputs}
+                )
                 for gk, g_pdf in pdf.groupby(self.keys, sort=False):
                     if not isinstance(gk, tuple):
                         gk = (gk,)
                     gk = tuple(v.item() if hasattr(v, "item") else v for v in gk)
-                    edge_by_key[gk] = g_pdf
+                    pos = g_pdf.index.to_numpy()
+                    edge_by_key[gk] = (
+                        g_pdf,
+                        {c: (m[pos], v[pos], ip) for c, (m, v, ip) in
+                         etyped.items()},
+                    )
 
         results = []
         for s0, s1, kt, seg_ts, emit_mask, first_start, b_lo, b_hi in plans:
-            edge = None
-            g_pdf = edge_by_key.get(kt)
-            if g_pdf is not None and b_hi >= b_lo:
+            edge = edge_t = None
+            hit = edge_by_key.get(kt)
+            if hit is not None and b_hi >= b_lo:
+                g_pdf, g_typed = hit
                 ets = g_pdf[TS]
                 # clip to THIS key's edge range: rows past b_hi+g are covered
                 # by interior tile partials and must not double-count
-                part = g_pdf[(ets >= first_start) & (ets < b_hi + self.g)]
-                edge = part if len(part) else None
+                sel = ((ets >= first_start) & (ets < b_hi + self.g)).to_numpy()
+                part = g_pdf[sel]
+                if len(part):
+                    edge = part
+                    edge_t = {c: (m[sel], v[sel], ip)
+                              for c, (m, v, ip) in g_typed.items()}
                 self.edge_rows_read += len(part)
             seg_cols = {c: a[s0:s1] for c, a in cols.items()}
+            seg_t = {c: (m[s0:s1], v[s0:s1], ip)
+                     for c, (m, v, ip) in seg_typed.items()}
             res = self._sweep_key(
-                kt, seg_ts, seg_cols, emit_mask, tiles_by_key.get(kt, ()), edge
+                kt, seg_ts, seg_cols, emit_mask, tiles_by_key.get(kt, ()),
+                edge, seg_t, edge_t,
             )
             results.append(res)
             cursors[kt] = int(seg_ts[emit_mask].max())
@@ -690,137 +740,166 @@ class _GroupCore:
         return out, st
 
     def _close_buckets(self, cols, closing, st) -> None:
-        spill_cols = self.keys + [TS] + self.spill_cols
-        pdf = pd.DataFrame({c: cols[c][closing] for c in spill_cols})
-        b0s = (pdf[TS] // self.g) * self.g
-        self._write_spill(int(b0s.min()), int(b0s.max()), pdf)
-        pdf = pdf.assign(__b0=b0s)
-        agg_spec = {"__rows": (TS, "count")}  # a tile row exists even for
-        # cate-only specs (no scalar inputs) — every (key, bucket) with rows
-        for j, c in enumerate(self.inputs):
-            agg_spec[f"__n{j}"] = (c, "count")
-            agg_spec[f"__s{j}"] = (c, "sum")
-            agg_spec[f"__mn{j}"] = (c, "min")
-            agg_spec[f"__mx{j}"] = (c, "max")
-            pdf[f"__sq{j}"] = pdf[c].astype("float64") ** 2
-            agg_spec[f"__s2{j}"] = (f"__sq{j}", "sum")
-        grouped = (
-            pdf.groupby(self.keys + ["__b0"], sort=False, dropna=False)
-            .agg(**agg_spec)
-            .reset_index()
-        )
-        # column-wise access, NOT iterrows(): a row Series upcasts mixed
-        # numerics to float64 and a float in an array<bigint> state slot
-        # silently nulls out on the state round-trip
-        def _py(v):
-            return v.item() if hasattr(v, "item") else v
+        """Fold the closing rows into level-0 tiles. Rows arrive sorted by
+        (keys…, ts) from advance()'s lexsort and bucket start is monotone in
+        ts within a key, so (key, bucket) groups are CONTIGUOUS RUNS —
+        partials are run-boundary ``reduceat`` reductions, not a pandas
+        groupby (the named-agg machinery plus per-cell ``.item()`` was the
+        handler's measured hot spot: ~40% of advance CPU at sf0.1)."""
+        import numpy as np
 
-        key_arrs = [grouped[k].to_numpy() for k in self.keys]
-        b0_arr = grouped["__b0"].to_numpy()
-        comp_arrs = {name: grouped[name].to_numpy() for name in agg_spec}
-        for r in range(len(grouped)):
-            kt = tuple(_py(a[r]) for a in key_arrs)
+        sub = {c: cols[c][closing] for c in self.keys + [TS] + self.spill_cols}
+        ts = sub[TS]
+        b0s = (ts // self.g) * self.g
+        self._write_spill(int(b0s.min()), int(b0s.max()), pd.DataFrame(sub))
+
+        n = len(ts)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in self.keys:
+            a = sub[k]
+            change[1:] |= a[1:] != a[:-1]
+        change[1:] |= b0s[1:] != b0s[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        ngrp = len(starts)
+        gidx = np.repeat(np.arange(ngrp), ends - starts)  # row -> group
+
+        # scalar partials per input: null-aware count/sum/s2/min/max via
+        # masked reduceat. Int columns reduce in int64 (exact sums, and a
+        # float in an array<bigint> state slot silently nulls out on the
+        # state round-trip); count==0 canonicalizes to the EMPTY partial
+        # (pandas-skipna semantics, same as the old groupby path).
+        per_input = []
+        for j, c in enumerate(self.inputs):
+            s = pd.Series(sub[c])
+            mask = s.notna().to_numpy()
+            cnt = np.add.reduceat(mask.astype(np.int64), starts)
+            if c in self.int_inputs:
+                filled = s.fillna(0).to_numpy(dtype=np.int64)
+                sm = np.add.reduceat(np.where(mask, filled, 0), starts)
+                mn = np.minimum.reduceat(
+                    np.where(mask, filled, np.iinfo(np.int64).max), starts
+                )
+                mx = np.maximum.reduceat(
+                    np.where(mask, filled, np.iinfo(np.int64).min), starts
+                )
+                fl = filled.astype(np.float64)
+            else:
+                fl = pd.to_numeric(s, errors="coerce").to_numpy(np.float64)
+                filled0 = np.where(mask, fl, 0.0)
+                sm = np.add.reduceat(filled0, starts)
+                # fmin/fmax skip NaN operands — nulls never win the extreme
+                mn = np.fmin.reduceat(np.where(mask, fl, np.nan), starts)
+                mx = np.fmax.reduceat(np.where(mask, fl, np.nan), starts)
+            s2 = np.add.reduceat(np.where(mask, fl * fl, 0.0), starts)
+            per_input.append(
+                (cnt.tolist(), sm.tolist(), s2.tolist(), mn.tolist(),
+                 mx.tolist())
+            )
+
+        # .tolist() yields python scalars (a numpy scalar in a tuple would
+        # upcast on the state round-trip, the old _py concern)
+        key_cols = [sub[k][starts].tolist() for k in self.keys]
+        b0_list = b0s[starts].tolist()
+        tiles = st["tiles"]
+        tile_refs = []
+        for g in range(ngrp):
             comps = []
-            for j in range(len(self.inputs)):
-                # canonical null handling (pandas partials are skipna): an
-                # all-null bucket is the EMPTY partial — and int columns
-                # that picked up NaN→float64 upcasts must come back to int
-                # before landing in an array<bigint> state slot (a float
-                # there silently nulls out on the state round-trip)
-                n_j = int(comp_arrs[f"__n{j}"][r])
+            for cnt, sm, s2, mn, mx in per_input:
+                n_j = cnt[g]
                 if n_j == 0:
                     comps.append((0, 0, 0.0, None, None))
-                    continue
-                s_v = _py(comp_arrs[f"__s{j}"][r])
-                mn_v = _py(comp_arrs[f"__mn{j}"][r])
-                mx_v = _py(comp_arrs[f"__mx{j}"][r])
-                if self.inputs[j] in self.int_inputs:
-                    s_v, mn_v, mx_v = int(s_v), int(mn_v), int(mx_v)
-                comps.append(
-                    (n_j, s_v, float(comp_arrs[f"__s2{j}"][r]), mn_v, mx_v)
-                )
-            st["tiles"][(kt, 0, int(b0_arr[r]))] = {
+                else:
+                    comps.append((n_j, sm[g], s2[g], mn[g], mx[g]))
+            tile = {
                 "sc": comps,
                 "cate": [{} for _ in self.cate_specs],
                 "top": [Counter() for _ in self.top_specs],
                 "ratio": [{} for _ in self.ratio_specs],
             }
+            tiles[(tuple(kc[g] for kc in key_cols), 0, b0_list[g])] = tile
+            tile_refs.append(tile)
 
-        # per-cate-spec partials: group by (key, bucket, category) with the
-        # _where condition applied; same (n, Σ, min, max) shape per category
+        def _cat_scatter(rows, cat_vals):
+            """(group, category-code) ids for the masked rows — partials
+            land via bincount/scatter on the dense ngrp×ncat grid."""
+            codes, uniq = pd.factorize(cat_vals, use_na_sentinel=False)
+            return gidx[rows] * len(uniq) + codes, len(uniq), uniq.tolist()
+
+        # per-cate-spec partials: (key, bucket, category) with the _where
+        # condition applied; same (n, Σ, min, max) shape per category
         for j, s in enumerate(self.cate_specs):
-            sub = pdf
+            m = (
+                pd.Series(sub[s.cat_col]).notna()
+                & pd.Series(sub[s.col]).notna()
+            ).to_numpy()
             if s.cond_col is not None:
-                sub = sub[sub[s.cond_col].astype(bool)]
-            sub = sub[sub[s.cat_col].notna() & sub[s.col].notna()]
-            if not len(sub):
+                m &= pd.Series(sub[s.cond_col]).astype(bool).to_numpy()
+            rows = np.flatnonzero(m)
+            if not len(rows):
                 continue
-            cg = (
-                sub.groupby(self.keys + ["__b0", s.cat_col], sort=False, dropna=False)
-                .agg(
-                    __cn=(s.col, "count"),
-                    __cs=(s.col, "sum"),
-                    __cm=(s.col, "min"),
-                    __cx=(s.col, "max"),
-                )
-                .reset_index()
-            )
-            karrs = [cg[k].to_numpy() for k in self.keys]
-            barr = cg["__b0"].to_numpy()
-            carr = cg[s.cat_col].to_numpy()
-            narr = cg["__cn"].to_numpy()
-            sarr = cg["__cs"].to_numpy()
-            marr = cg["__cm"].to_numpy()
-            xarr = cg["__cx"].to_numpy()
-            for r in range(len(cg)):
-                kt = tuple(_py(a[r]) for a in karrs)
-                tile = st["tiles"][(kt, 0, int(barr[r]))]
-                tile["cate"][j][_py(carr[r])] = (
-                    int(narr[r]),
-                    _py(sarr[r]),
-                    _py(marr[r]),
-                    _py(xarr[r]),
-                )
+            comb, ncat, cats = _cat_scatter(rows, sub[s.cat_col][rows])
+            size = ngrp * ncat
+            cnts = np.bincount(comb, minlength=size)
+            if s.col in self.int_inputs:
+                vals = pd.Series(sub[s.col][rows]).to_numpy(dtype=np.int64)
+                sums = np.zeros(size, dtype=np.int64)
+                np.add.at(sums, comb, vals)
+                mns = np.full(size, np.iinfo(np.int64).max)
+                mxs = np.full(size, np.iinfo(np.int64).min)
+            else:
+                vals = pd.to_numeric(
+                    pd.Series(sub[s.col][rows]), errors="coerce"
+                ).to_numpy(np.float64)
+                sums = np.bincount(comb, weights=vals, minlength=size)
+                mns = np.full(size, np.inf)
+                mxs = np.full(size, -np.inf)
+            np.minimum.at(mns, comb, vals)
+            np.maximum.at(mxs, comb, vals)
+            cl, sl = cnts.tolist(), sums.tolist()
+            ml, xl = mns.tolist(), mxs.tolist()
+            for e in np.flatnonzero(cnts).tolist():
+                g, cc = divmod(e, ncat)
+                tile_refs[g]["cate"][j][cats[cc]] = (cl[e], sl[e], ml[e], xl[e])
 
         # top-family partials: per (key, bucket) value→count multiset
         for j, s in enumerate(self.top_specs):
-            sub = pdf[pdf[s.col].notna()]
-            if not len(sub):
+            rows = np.flatnonzero(pd.Series(sub[s.col]).notna().to_numpy())
+            if not len(rows):
                 continue
-            cg = (
-                sub.groupby(self.keys + ["__b0", s.col], sort=False, dropna=False)
-                .size()
-                .reset_index(name="__c")
-            )
-            karrs = [cg[k].to_numpy() for k in self.keys]
-            barr = cg["__b0"].to_numpy()
-            varr = cg[s.col].to_numpy()
-            narr = cg["__c"].to_numpy()
-            for r in range(len(cg)):
-                kt = tuple(_py(a[r]) for a in karrs)
-                tile = st["tiles"][(kt, 0, int(barr[r]))]
-                tile["top"][j][_py(varr[r])] = int(narr[r])
+            comb, ncat, vals = _cat_scatter(rows, sub[s.col][rows])
+            cnts = np.bincount(comb, minlength=ngrp * ncat)
+            cl = cnts.tolist()
+            for e in np.flatnonzero(cnts).tolist():
+                g, cc = divmod(e, ncat)
+                tile_refs[g]["top"][j][vals[cc]] = cl[e]
 
         # ratio partials: per (key, bucket, category) (rows, cond-true rows)
         for j, s in enumerate(self.ratio_specs):
-            sub = pdf[pdf[s.col].notna() & pdf[s.cat_col].notna()]
-            if not len(sub):
+            m = (
+                pd.Series(sub[s.col]).notna()
+                & pd.Series(sub[s.cat_col]).notna()
+            ).to_numpy()
+            rows = np.flatnonzero(m)
+            if not len(rows):
                 continue
-            sub = sub.assign(__ct=sub[s.cond_col].fillna(False).astype(bool).astype("int64"))
-            cg = (
-                sub.groupby(self.keys + ["__b0", s.cat_col], sort=False, dropna=False)
-                .agg(__d=(s.cond_col, "size"), __n=("__ct", "sum"))
-                .reset_index()
+            comb, ncat, cats = _cat_scatter(rows, sub[s.cat_col][rows])
+            ct = (
+                pd.Series(sub[s.cond_col][rows])
+                .fillna(False)
+                .astype(bool)
+                .to_numpy()
+                .astype(np.int64)
             )
-            karrs = [cg[k].to_numpy() for k in self.keys]
-            barr = cg["__b0"].to_numpy()
-            carr = cg[s.cat_col].to_numpy()
-            darr = cg["__d"].to_numpy()
-            narr = cg["__n"].to_numpy()
-            for r in range(len(cg)):
-                kt = tuple(_py(a[r]) for a in karrs)
-                tile = st["tiles"][(kt, 0, int(barr[r]))]
-                tile["ratio"][j][_py(carr[r])] = (int(darr[r]), int(narr[r]))
+            size = ngrp * ncat
+            dens = np.bincount(comb, minlength=size)
+            nums = np.zeros(size, dtype=np.int64)
+            np.add.at(nums, comb, ct)
+            dl, nl = dens.tolist(), nums.tolist()
+            for e in np.flatnonzero(dens).tolist():
+                g, cc = divmod(e, ncat)
+                tile_refs[g]["ratio"][j][cats[cc]] = (dl[e], nl[e])
 
     def _rollup_tiles(self, st: dict, wm_us: int) -> None:
         """Roll closed coarse buckets up the granularity ladder: a level-l
@@ -923,7 +1002,8 @@ class _GroupCore:
                 selected.append(tile)
         return selected
 
-    def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, key_tiles, edge):
+    def _sweep_key(self, kt, seg_ts, seg_cols, emit_mask, key_tiles, edge,
+                   seg_typed=None, edge_typed=None):
         """Evaluate every spec at the emitted rows of one key: tile partials
         fully inside the window merge statically (greedy coarse→fine ladder
         cover); the start-edge buckets come pre-sliced from the batch's
@@ -1011,11 +1091,144 @@ class _GroupCore:
             for s in self.ratio_specs
         ]
 
+        # --- scalar specs: vectorized across emissions. The dynamic window
+        # of emission t is raw rows [searchsorted(t-L), searchsorted(t)) —
+        # count/sum/s2 are cumsum diffs, min/max are sparse-table range
+        # queries, all numpy (the per-row add/retract loop below now runs
+        # only for the category/top/ratio families; it was the measured
+        # dominant handler cost at 100×, 88% of handler CPU in SCALING.md).
+        emit_t = seg_ts[emit_idx]
+        E = len(emit_idx)
+        his = np.searchsorted(raw_ts, emit_t, side="right")
+        los = np.searchsorted(raw_ts, emit_t - self.L, side="left")
+        width = his - los
+
+        def _range_reduce(vals, op, fill):
+            """Range ``op`` over [los, his) per emission via a sparse table
+            (O(n log n) build, O(1) vectorized query per emission)."""
+            out = np.full(E, fill, dtype=vals.dtype)
+            pos = width > 0
+            if not pos.any():
+                return out
+            w, lo, hi = width[pos], los[pos], his[pos]
+            k = (np.frexp(w.astype(np.float64))[1] - 1).astype(np.int64)
+            levels = [vals]
+            for m in range(1, int(k.max()) + 1):
+                prev = levels[-1]
+                half = 1 << (m - 1)
+                levels.append(op(prev[: len(prev) - half], prev[half:]))
+            res = np.empty(len(w), dtype=vals.dtype)
+            for kv in np.unique(k).tolist():
+                rows = k == kv
+                lvl = levels[kv]
+                res[rows] = op(lvl[lo[rows]], lvl[hi[rows] - (1 << kv)])
+            out[pos] = res
+            return out
+
+        _MOMENT_OPS = ("stddev_samp", "stddev_pop", "var_samp", "var_pop")
         need_mm = [any(s.op in ("min", "max") and s.col == c for s in self.specs) for c in self.inputs]
-        dyn_n = [0] * ni
-        dyn_s = [0] * ni
-        dyn_s2 = [0.0] * ni
-        mm = [MinMaxAcc() if need_mm[j] else None for j in range(ni)]
+        need_s2 = [
+            any(s.op in _MOMENT_OPS and s.col == c for s in self.specs)
+            for c in self.inputs
+        ]
+        I64_MAX, I64_MIN = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+        if seg_typed is None:  # direct callers without the batch-level views
+            seg_typed = self._typed_inputs(seg_cols, None)
+            edge_typed = (
+                self._typed_inputs(
+                    edge, {c: seg_typed[c][2] for c in self.inputs}
+                )
+                if edge is not None
+                else None
+            )
+        dyn = []
+        for j, c in enumerate(self.inputs):
+            mask, vals, int_path = seg_typed[c]
+            if edge_typed is not None:
+                em, ev, _ = edge_typed[c]
+                mask = np.concatenate([em, mask])
+                vals = np.concatenate([ev, vals])
+            d: dict = {"int": int_path}
+            cc = np.concatenate(
+                [[0], np.cumsum(mask.astype(np.int64))]
+            )
+            d["n"] = cc[his] - cc[los]
+            if int_path:
+                cs = np.concatenate(
+                    [[0], np.cumsum(np.where(mask, vals, 0))]
+                )
+                d["s"] = cs[his] - cs[los]
+                if need_mm[j]:
+                    d["mn"] = _range_reduce(
+                        np.where(mask, vals, I64_MAX), np.minimum, I64_MAX
+                    )
+                    d["mx"] = _range_reduce(
+                        np.where(mask, vals, I64_MIN), np.maximum, I64_MIN
+                    )
+                fl = vals.astype(np.float64)
+            else:
+                fl = vals
+                cs = np.concatenate(
+                    [[0.0], np.cumsum(np.where(mask, fl, 0.0))]
+                )
+                d["s"] = cs[his] - cs[los]
+                if need_mm[j]:
+                    d["mn"] = _range_reduce(fl, np.fmin, np.nan)
+                    d["mx"] = _range_reduce(fl, np.fmax, np.nan)
+            if need_s2[j]:
+                cs2 = np.concatenate(
+                    [[0.0], np.cumsum(np.where(mask, fl * fl, 0.0))]
+                )
+                d["s2"] = cs2[his] - cs2[los]
+            dyn.append(d)
+
+        scalar_out: dict[str, list] = {}
+        for s in self.specs:
+            j = self.inputs.index(s.col)
+            d = dyn[j]
+            sn, ss, ss2, smn, smx = static[j]
+            N = sn + d["n"]
+            none_mask = N == 0
+            if s.op == "count":
+                lst = N.tolist()
+                none_mask = None
+            elif s.op == "sum":
+                lst = (ss + d["s"]).tolist()
+            elif s.op == "avg":
+                lst = ((ss + d["s"]) / np.maximum(N, 1)).tolist()
+            elif s.op in ("min", "max"):
+                ext = d["mn"] if s.op == "min" else d["mx"]
+                if d["int"]:
+                    sent = (I64_MAX, I64_MIN)[s.op == "max"]
+                    stat = sent if (smn if s.op == "min" else smx) is None \
+                        else (smn if s.op == "min" else smx)
+                    V = (np.minimum if s.op == "min" else np.maximum)(
+                        ext, stat
+                    )
+                else:
+                    stat = np.nan if (smn if s.op == "min" else smx) is None \
+                        else (smn if s.op == "min" else smx)
+                    V = (np.fmin if s.op == "min" else np.fmax)(ext, stat)
+                    none_mask = none_mask | np.isnan(V)
+                lst = V.tolist()
+            else:  # var/stddev family
+                Sf = (ss + d["s"]).astype(np.float64)
+                S2 = ss2 + d["s2"]
+                m2 = np.maximum(S2 - Sf * Sf / np.maximum(N, 1), 0.0)
+                if s.op in ("var_pop", "stddev_pop"):
+                    V = m2 / np.maximum(N, 1)
+                else:
+                    none_mask = none_mask | (N < 2)
+                    V = m2 / np.maximum(N - 1, 1)
+                if s.op.startswith("stddev"):
+                    V = np.sqrt(V)
+                lst = V.tolist()
+            if none_mask is not None:
+                for i0 in np.flatnonzero(none_mask).tolist():
+                    lst[i0] = None
+            if s.finish is not None:
+                lst = [None if v is None else s.finish(v) for v in lst]
+            scalar_out[s.name] = lst
         # dynamic per-category sub-accumulators — the same arithmetic the
         # untiled CateAccumulator runs; rendering caches per-category parts
         # and re-formats only categories a step touched (per-row render cost
@@ -1077,72 +1290,43 @@ class _GroupCore:
         nr = len(raw_ts)
         out_vals: dict[str, list] = {
             s.name: []
-            for s in list(self.specs)
-            + self.cate_specs
-            + self.top_specs
-            + self.ratio_specs
+            for s in self.cate_specs + self.top_specs + self.ratio_specs
         }
-        lo = hi = 0
-        for i in emit_idx:
-            t = int(seg_ts[i])
-            while hi < nr and raw_ts[hi] <= t:
-                for j in range(ni):
-                    v = raw_vals[j][hi]
-                    if v is None or v != v:  # null/NaN: skip, matching the
-                        continue  # tile partials' pandas skipna semantics
-                    dyn_n[j] += 1
-                    dyn_s[j] += v
-                    dyn_s2[j] += float(v) * float(v)
-                    if mm[j] is not None:
-                        mm[j].add(v)
-                for j in range(nc):
-                    cate_step(j, hi, +1)
-                for j in range(nt):
-                    top_step(j, hi, +1)
-                for j in range(nrt):
-                    ratio_step(j, hi, +1)
-                hi += 1
-            bound = t - self.L
-            while lo < hi and raw_ts[lo] < bound:
-                for j in range(ni):
-                    v = raw_vals[j][lo]
-                    if v is None or v != v:
-                        continue
-                    dyn_n[j] -= 1
-                    dyn_s[j] -= v
-                    dyn_s2[j] -= float(v) * float(v)
-                    if mm[j] is not None:
-                        mm[j].retract(v)
-                for j in range(nc):
-                    cate_step(j, lo, -1)
-                for j in range(nt):
-                    top_step(j, lo, -1)
-                for j in range(nrt):
-                    ratio_step(j, lo, -1)
-                lo += 1
-            for s in self.specs:
-                j = self.inputs.index(s.col)
-                sn, ss, ss2, smn, smx = static[j]
-                N = sn + dyn_n[j]
-                val = self._finish_op(
-                    s.op, N, ss + dyn_s[j], ss2 + dyn_s2[j], smn, smx, mm[j]
-                )
-                if s.finish is not None and val is not None:
-                    val = s.finish(val)
-                out_vals[s.name].append(val)
-            for j, s in enumerate(self.cate_specs):
-                out_vals[s.name].append(
-                    self._render_cate(
-                        s, cstatic[j], cdyn[j], cparts[j], cdirty[j]
+        if nc or nt or nrt:
+            lo = hi = 0
+            for i in emit_idx:
+                t = int(seg_ts[i])
+                while hi < nr and raw_ts[hi] <= t:
+                    for j in range(nc):
+                        cate_step(j, hi, +1)
+                    for j in range(nt):
+                        top_step(j, hi, +1)
+                    for j in range(nrt):
+                        ratio_step(j, hi, +1)
+                    hi += 1
+                bound = t - self.L
+                while lo < hi and raw_ts[lo] < bound:
+                    for j in range(nc):
+                        cate_step(j, lo, -1)
+                    for j in range(nt):
+                        top_step(j, lo, -1)
+                    for j in range(nrt):
+                        ratio_step(j, lo, -1)
+                    lo += 1
+                for j, s in enumerate(self.cate_specs):
+                    out_vals[s.name].append(
+                        self._render_cate(
+                            s, cstatic[j], cdyn[j], cparts[j], cdirty[j]
+                        )
                     )
-                )
-                cdirty[j].clear()
-            for j, s in enumerate(self.top_specs):
-                out_vals[s.name].append(
-                    self._render_top(s, hmerged[j], htotal[j])
-                )
-            for j, s in enumerate(self.ratio_specs):
-                out_vals[s.name].append(self._render_ratio(s, rmerged[j]))
+                    cdirty[j].clear()
+                for j, s in enumerate(self.top_specs):
+                    out_vals[s.name].append(
+                        self._render_top(s, hmerged[j], htotal[j])
+                    )
+                for j, s in enumerate(self.ratio_specs):
+                    out_vals[s.name].append(self._render_ratio(s, rmerged[j]))
+        out_vals.update(scalar_out)
 
         n_emit = len(emit_idx)
         res = {k: [kv] * n_emit for k, kv in zip(self.keys, kt)}

@@ -357,9 +357,15 @@ def q_stream_tiled_window_month(spark, sf_dir):
         tiled_sliding_window_stream,
     )
 
+    # 3 files/trigger → 3 micro-batches (same structure as the 7d query):
+    # batch 2 emits days 0-18 from the raw head then closes their buckets;
+    # the flush batch emits days 18-30 through tile interiors + spill edge
+    # reads and GCs tiles behind the horizon — every month-scale state path
+    # stays live with one fewer trigger (per-trigger framework fixed cost
+    # was the measured dominator, not handler CPU)
     stream, _ = chunked_file_stream(
         spark, sf_dir, "events", "ts", n_chunks=5,
-        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=2,
+        key_col="user_id", id_col="event_id", flush=True, files_per_trigger=3,
     )
     out = tiled_sliding_window_stream(
         stream,
