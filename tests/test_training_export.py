@@ -54,6 +54,50 @@ def test_sequences_are_exact_token_stream(spark, sf_dir):
     assert got_stream == want_stream
 
 
+def test_build_sequences_boundaries(spark, sf_dir):
+    """emit_boundaries: bounds tile each sequence contiguously from 0,
+    lens match the packed chunks, and doc ids re-derive the exact stream."""
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    L = 128
+    rows = build_sequences(docs, model, L, emit_boundaries=True).collect()
+    enc = {
+        r["doc_id"]: list(r["bpe_ids"])
+        for r in encode_bpe(docs, model).collect()
+    }
+    consumed: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: r["seq_id"]):
+        pos = 0
+        for b in r["bounds"]:
+            assert b["start"] == pos  # contiguous tiling from 0
+            pos += b["len"]
+            # the span's tokens are the next b.len ids of that document
+            off = consumed.get(b["doc_id"], 0)
+            want = enc[b["doc_id"]][off : off + b["len"]]
+            got = list(r["token_ids"][b["start"] : b["start"] + b["len"]])
+            assert got == want
+            consumed[b["doc_id"]] = off + b["len"]
+        assert pos == len(r["token_ids"])
+    # every selected document fully consumed
+    assert all(consumed[d] == len(enc[d]) for d in consumed)
+
+
+def test_export_manifest_boundaries_flag(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    root = str(tmp_path / "exp_bounds")
+    man = export_training_shards(
+        docs, model, root, seq_len=128, n_shards=2, emit_boundaries=True
+    )
+    assert man["boundaries"] is True
+    shard = spark.read.parquet(f"{root}/shards")
+    assert "bounds" in shard.columns
+    man2 = export_training_shards(
+        docs, model, str(tmp_path / "exp_plain"), seq_len=128, n_shards=2
+    )
+    assert man2["boundaries"] is False
+
+
 def test_export_manifest_and_determinism(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     model = train_bpe(docs, num_merges=50)

@@ -50,11 +50,17 @@ def build_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "volga-export",
+    emit_boundaries: bool = False,
 ) -> DataFrame:
     """(seq_id, token_ids, n_tokens) fixed-length training sequences.
     Token accounting is over BPE ids (not whitespace words); with
     `weights` the per-domain token budgets apply, otherwise the whole
-    corpus packs."""
+    corpus packs. ``emit_boundaries`` adds a ``bounds``
+    array<struct<start,len,doc_id>> column (ordered by in-sequence start)
+    — the document-boundary structure trainers turn into block-diagonal
+    attention masks and position-id resets (operators/packing.py
+    pack_boundaries semantics), assembled in the SAME per-sequence
+    aggregation so it costs no extra shuffle."""
     enc = encode_bpe(docs, model, text_col=text_col)
     base = (
         enc.withColumn("n_tokens", F.size("bpe_ids").cast("bigint"))
@@ -78,29 +84,38 @@ def build_sequences(
     chunks = spans.join(ids, id_col).select(
         "seq_id",
         "seq_offset",
+        F.col(id_col).alias("__doc"),
         F.slice(
             F.col("bpe_ids"),
             (F.col("doc_offset") + 1).cast("int"),
             F.col("span_len").cast("int"),
         ).alias("chunk"),
     )
-    return (
-        chunks.groupBy("seq_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seq_offset", "chunk"))
-                    ),
-                    lambda s: s["chunk"],
-                )
-            ).alias("token_ids")
+    agg = chunks.groupBy("seq_id").agg(
+        # starts are unique within a sequence (spans partition it), so the
+        # struct sort orders by seq_offset
+        F.array_sort(
+            F.collect_list(F.struct("seq_offset", "__doc", "chunk"))
+        ).alias("ss")
+    )
+    cols = [
+        F.col("seq_id"),
+        F.flatten(F.transform("ss", lambda s: s["chunk"])).alias("token_ids"),
+    ]
+    if emit_boundaries:
+        cols.append(
+            F.transform(
+                "ss",
+                lambda s: F.struct(
+                    s["seq_offset"].cast("bigint").alias("start"),
+                    F.size(s["chunk"]).cast("bigint").alias("len"),
+                    s["__doc"].alias("doc_id"),
+                ),
+            ).alias("bounds")
         )
-        .select(
-            "seq_id",
-            "token_ids",
-            F.size("token_ids").cast("bigint").alias("n_tokens"),
-        )
+    out = agg.select(*cols)
+    return out.withColumn(
+        "n_tokens", F.size("token_ids").cast("bigint")
     )
 
 
@@ -166,6 +181,7 @@ def export_training_shards(
         "seq_len": seq_len,
         "n_shards": n_shards,
         "shuffle_seed": shuffle_seed,
+        "boundaries": "bounds" in seqs.columns,
         "shards": per_shard,
         "total_seqs": int(sum(s["n_seqs"] for s in per_shard.values())),
         "total_tokens": int(sum(s["n_tokens"] for s in per_shard.values())),

@@ -529,6 +529,62 @@ def pack_sequences(
     return out
 
 
+def pack_boundaries(
+    packed: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence document-boundary export — the last-mile structure a
+    trainer consumes from packed sequences (block-diagonal attention masks
+    and position-id resets at document boundaries; the conversation packer
+    pack_sft_spans already re-bases spans this way, this is the
+    pre-training twin). Input is :func:`pack_sequences` output; returns one
+    row per sequence:
+
+      (seq_id, bounds: array<struct<start,len,doc_id>>, n_docs, filled)
+
+    ``bounds`` is ordered by in-sequence start offset; token positions
+    [start, start+len) belong to ``doc_id`` — attention masks block on
+    these ranges and position ids reset at each ``start``. ``filled`` <
+    seq_len only on the final (ragged) sequence.
+
+    Scale: ONE combinable collect_list exchange keyed by seq_id (the
+    aggregation state per key is the ≤ seq_len/1 boundary structs, never
+    token payload) + an in-row sort_array — the same single-move shape as
+    the trajectory assembler (operators/conversations.py).
+    """
+    return packed.groupBy("seq_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("seq_offset").cast("bigint").alias("start"),
+                    F.col("span_len").cast("bigint").alias("len"),
+                    F.col(id_col).alias("doc_id"),
+                )
+            )
+        ).alias("bounds"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("span_len").cast("bigint").alias("filled"),
+    )
+
+
+def pack_boundaries_oracle_sql(
+    packed_sql: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`pack_boundaries`, rendered canonically: the
+    bounds array as 'start:len:doc' CSV ordered by start (starts are unique
+    within a sequence — spans partition it), so the driver's hash gate pins
+    the per-sequence boundary structure byte-for-byte."""
+    return f"""
+        SELECT seq_id,
+               string_agg(seq_offset || ':' || span_len || ':' || {id_col},
+                          ',' ORDER BY seq_offset) AS bounds_csv,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(span_len) AS BIGINT) AS filled
+        FROM ({packed_sql})
+        GROUP BY seq_id
+    """
+
+
 def pack_sequences_oracle_sql(selected_sql: str, seq_len: int, id_col: str = "doc_id") -> str:
     """DuckDB twin: plain global window prefix sum (single-node), identical
     span arithmetic."""

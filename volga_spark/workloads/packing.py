@@ -36,6 +36,8 @@ from volga_spark.operators.packing import (
     mixture_select,
     mixture_select_oracle_sql,
     mixture_select_with_repeats,
+    pack_boundaries,
+    pack_boundaries_oracle_sql,
     pack_sequences,
     pack_sequences_oracle_sql,
 )
@@ -70,6 +72,7 @@ _PACK_ORACLE = pack_sequences_oracle_sql(
 _UP_ORACLE = mixture_repeats_oracle_sql(
     "SELECT * FROM documents", UP_WEIGHTS, UP_BUDGET
 )
+_BOUNDS_ORACLE = pack_boundaries_oracle_sql(_PACK_ORACLE)
 
 _FIM_ORACLE = fim_oracle_sql("SELECT doc_id, text FROM documents")
 _CORR_ORACLE = span_corruption_oracle_sql("SELECT doc_id, text FROM documents")
@@ -80,6 +83,11 @@ _ORACLE = f"""
            CAST(doc_offset AS BIGINT) AS v3, CAST(span_len AS BIGINT) AS v4,
            CAST(NULL AS VARCHAR) AS s2
     FROM ({_PACK_ORACLE})
+    UNION ALL
+    SELECT 'bounds', seq_id, bounds_csv,
+           n_docs, filled, NULL, NULL,
+           CAST(NULL AS VARCHAR)
+    FROM ({_BOUNDS_ORACLE})
     UNION ALL
     SELECT 'upsample', doc_id, domain,
            CAST(copy_id AS BIGINT), CAST(n_tokens AS BIGINT), NULL, NULL,
@@ -111,7 +119,9 @@ def q_mix_pack(spark, sf_dir):
     pass pays a budget window, over ONE copy of the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     sel = mixture_select(docs, WEIGHTS, TOKEN_BUDGET)
-    packed = pack_sequences(sel, SEQ_LEN)
+    # packed feeds two legs (spans + boundaries) — pin the branch point so
+    # the span pipeline runs once (the repo's branch discipline)
+    packed = pack_sequences(sel, SEQ_LEN).localCheckpoint(eager=False)
     pack_leg = packed.select(
         F.lit("pack").alias("leg"),
         F.col("doc_id").alias("id_a"),
@@ -122,6 +132,33 @@ def q_mix_pack(spark, sf_dir):
         F.col("span_len").cast("long").alias("v4"),
         F.lit(None).cast("string").alias("s2"),
     )
+    # boundary-export leg (r08 verdict #5): per sequence, the ordered
+    # (start, len, doc_id) boundary array trainers turn into block-diagonal
+    # attention masks / position-id resets — carried as a canonical CSV so
+    # the hash gate pins the structure itself
+    bounds = pack_boundaries(packed)
+    bounds_leg = bounds.select(
+        F.lit("bounds").alias("leg"),
+        F.col("seq_id").cast("long").alias("id_a"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "bounds",
+                lambda b: F.concat_ws(
+                    ":",
+                    b["start"].cast("string"),
+                    b["len"].cast("string"),
+                    b["doc_id"].cast("string"),
+                ),
+            ),
+        ).alias("s1"),
+        F.col("n_docs").alias("v1"),
+        F.col("filled").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+
     up = mixture_select_with_repeats(docs, UP_WEIGHTS, UP_BUDGET)
     up_leg = up.select(
         F.lit("upsample").alias("leg"),
@@ -163,7 +200,8 @@ def q_mix_pack(spark, sf_dir):
         F.md5("target_text").alias("s2"),
     )
     return (
-        pack_leg.unionByName(up_leg)
+        pack_leg.unionByName(bounds_leg)
+        .unionByName(up_leg)
         .unionByName(fim_leg)
         .unionByName(corr_leg)
     )
