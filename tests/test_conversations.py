@@ -156,6 +156,98 @@ def test_preference_pairs_single_candidate_dropped(spark):
     assert rows[1]["margin"] == 2 and rows[1]["n_candidates"] == 2
 
 
+def _bt_cands(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.expr("doc_id DIV 4").alias("p"),
+        F.col("doc_id").alias("c"),
+        (F.col("n_chars") % 7).alias("s"),  # plenty of score ties
+    )
+
+
+def test_bt_win_counts_rank_identity(spark, sf_dir):
+    from volga_spark.operators.conversations import bt_win_counts
+
+    cands = _bt_cands(spark, sf_dir)
+    out = bt_win_counts(cands, prompt_col="p", cand_col="c", score_col="s")
+    rows = out.collect()
+    # wins + losses = n-1; total wins per prompt = C(n,2)
+    assert all(r.wins + r.losses == r.n_candidates - 1 for r in rows)
+    from collections import defaultdict
+
+    per_p = defaultdict(list)
+    for r in rows:
+        per_p[r.p].append(r)
+    for p, rs in per_p.items():
+        n = rs[0].n_candidates
+        assert sum(r.wins for r in rs) == n * (n - 1) // 2
+        # wins respects the (score, id) total order
+        order = sorted(rs, key=lambda r: (r.s, r.c))
+        assert [r.wins for r in order] == list(range(n))
+
+
+def test_bt_margin_pairs_complete_and_twin(spark, sf_dir):
+    from volga_spark.operators.conversations import (
+        bt_margin_pairs,
+        bt_margin_pairs_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+
+    cands = _bt_cands(spark, sf_dir)
+    got = bt_margin_pairs(
+        cands, prompt_col="p", cand_col="c", score_col="s", bin_width=2
+    )
+    # completeness: every prompt emits C(n,2) ordered pairs
+    from pyspark.sql import functions as SF
+
+    n_pairs = got.groupBy("p").count()
+    n_cands = cands.groupBy("p").agg(SF.count("*").alias("n"))
+    j = n_pairs.join(n_cands, "p").filter(
+        SF.col("count") != SF.expr("n * (n - 1) div 2")
+    )
+    assert j.count() == 0
+    cands_sql = ("SELECT doc_id // 4 AS p, doc_id AS c, n_chars % 7 AS s"
+                 " FROM documents")
+    want = run_oracle(
+        bt_margin_pairs_oracle_sql(
+            cands_sql, prompt_col="p", cand_col="c", score_col="s",
+            bin_width=2,
+        ),
+        sf_dir,
+    )
+    assert compare_frames(got.toPandas(), want) == []
+
+
+def test_bt_margin_pairs_stratified_deterministic(spark, sf_dir):
+    from volga_spark.operators.conversations import (
+        bt_margin_pairs,
+        bt_margin_pairs_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+
+    cands = _bt_cands(spark, sf_dir)
+    kw = dict(prompt_col="p", cand_col="c", score_col="s",
+              bin_width=2, per_bin=7)
+    a = bt_margin_pairs(cands, **kw)
+    b = bt_margin_pairs(cands.repartition(13), **kw)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = a.groupBy("margin_bin").count().collect()
+    assert all(r["count"] <= 7 for r in counts)
+    cands_sql = ("SELECT doc_id // 4 AS p, doc_id AS c, n_chars % 7 AS s"
+                 " FROM documents")
+    want = run_oracle(
+        bt_margin_pairs_oracle_sql(cands_sql, prompt_col="p", cand_col="c",
+                                   score_col="s", bin_width=2, per_bin=7),
+        sf_dir,
+    )
+    assert compare_frames(a.toPandas(), want) == []
+    import pytest
+
+    with pytest.raises(ValueError, match="bin_width"):
+        bt_margin_pairs(cands, prompt_col="p", cand_col="c", score_col="s",
+                        bin_width=0)
+
+
 def test_loss_spans_roles_none_vs_empty(spark):
     """roles=None unmasks every role; roles=() unmasks NOTHING (a
     dynamically-built empty role filter must not silently unmask all)."""

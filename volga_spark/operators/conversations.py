@@ -290,6 +290,153 @@ def preference_pairs(
     )
 
 
+def bt_win_counts(
+    cands: DataFrame,
+    *,
+    prompt_col: str,
+    cand_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Bradley-Terry-style per-prompt win counts: candidate ``c`` beats
+    every candidate below it in the SAME deterministic ``(score, cand_id)``
+    total order :func:`preference_pairs` uses, so ``wins`` = rank−1 and
+    ``losses`` = n−rank — the sufficient statistics a BT/reward-model fit
+    consumes per prompt group. Null-scored candidates drop (not a usable
+    comparison leg, same rule as preference_pairs).
+
+    One shuffle on the prompt key (rank window); rows out = rows in.
+    Output: ``(prompt, cand, score, wins, losses, n_candidates)``.
+    """
+    cands = cands.filter(F.col(score_col).isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(prompt_col).orderBy(
+        F.col(score_col), F.col(cand_col)
+    )
+    wn = Window.partitionBy(prompt_col)
+    return cands.select(
+        prompt_col,
+        cand_col,
+        score_col,
+        (F.row_number().over(w) - 1).cast("bigint").alias("wins"),
+        (F.count(F.lit(1)).over(wn) - F.row_number().over(w))
+        .cast("bigint")
+        .alias("losses"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_candidates"),
+    )
+
+
+def bt_margin_pairs(
+    cands: DataFrame,
+    *,
+    prompt_col: str,
+    cand_col: str,
+    score_col: str,
+    bin_width: int = 1,
+    per_bin: int | None = None,
+    seed: str = "volga-bt",
+) -> DataFrame:
+    """ALL ordered preference pairs per prompt (chosen strictly above
+    rejected in the ``(score, cand_id)`` total order) with integer score
+    margins and margin bins — the stratification a reward-model pipeline
+    samples hard pairs from (small margin = hard). With ``per_bin`` set,
+    each margin bin keeps its ``per_bin`` pairs by the md5 rank discipline
+    of ``operators/sampling`` (deterministic under any partitioning).
+
+    Scale: the within-prompt self-join is bounded by the candidate-group
+    size G the RECIPE sets (pairs/prompt = G·(G−1)/2 — G is 4-16 in
+    practice, never corpus-sized), co-partitioned on the prompt key: one
+    exchange, no global blowup. Output: ``(prompt, chosen_id, rejected_id,
+    chosen_score, rejected_score, margin, margin_bin)``.
+    """
+    if int(bin_width) < 1:
+        raise ValueError(f"bin_width must be >= 1 (got {bin_width})")
+    cands = cands.filter(F.col(score_col).isNotNull())
+    a = cands.select(
+        F.col(prompt_col),
+        F.col(cand_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    b = cands.select(
+        F.col(prompt_col),
+        F.col(cand_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    key = lambda s, c: F.struct(F.col(s), F.col(c))  # noqa: E731
+    pairs = a.join(b, prompt_col).filter(
+        key("chosen_score", "chosen_id") > key("rejected_score", "rejected_id")
+    )
+    pairs = pairs.select(
+        prompt_col,
+        "chosen_id",
+        "rejected_id",
+        "chosen_score",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        F.expr(f"(chosen_score - rejected_score) div {int(bin_width)}")
+        .alias("margin_bin"),
+    )
+    if per_bin is not None:
+        from pyspark.sql import Window
+
+        from volga_spark.operators.sampling import _rank
+
+        rk = _rank(
+            F.concat_ws(":", prompt_col, "chosen_id", "rejected_id"), seed
+        )
+        w = Window.partitionBy("margin_bin").orderBy(rk)
+        pairs = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(per_bin))
+            .drop("__rn")
+        )
+    return pairs
+
+
+def bt_margin_pairs_oracle_sql(
+    cands_sql: str,
+    *,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand",
+    score_col: str = "score",
+    bin_width: int = 1,
+    per_bin: int | None = None,
+    seed: str = "volga-bt",
+) -> str:
+    """DuckDB twin of :func:`bt_margin_pairs` (+ win counts via the same
+    rank identity), for driver-oracled legs."""
+    base = f"""
+        WITH cands AS (
+            SELECT * FROM ({cands_sql}) WHERE {score_col} IS NOT NULL
+        ),
+        pairs AS (
+            SELECT a.{prompt_col},
+                   a.{cand_col} AS chosen_id, b.{cand_col} AS rejected_id,
+                   a.{score_col} AS chosen_score,
+                   b.{score_col} AS rejected_score,
+                   a.{score_col} - b.{score_col} AS margin,
+                   (a.{score_col} - b.{score_col}) // {int(bin_width)}
+                       AS margin_bin
+            FROM cands a JOIN cands b USING ({prompt_col})
+            WHERE (a.{score_col}, a.{cand_col})
+                > (b.{score_col}, b.{cand_col})
+        )"""
+    if per_bin is None:
+        return base + "\n        SELECT * FROM pairs"
+    seed_esc = str(seed).replace("'", "''")
+    return base + f""",
+        sampled AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY margin_bin
+                       ORDER BY md5('{seed_esc}:' || {prompt_col} || ':'
+                                    || chosen_id || ':' || rejected_id)
+                   ) AS __rn
+            FROM pairs
+        )
+        SELECT * EXCLUDE (__rn) FROM sampled WHERE __rn <= {int(per_bin)}
+    """
+
+
 def best_of_n(
     cands: DataFrame,
     *,

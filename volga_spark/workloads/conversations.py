@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from volga_spark.operators.conversations import (
     TOOL_TRAINABLE_ROLES,
     assemble_trajectories,
+    bt_margin_pairs,
+    bt_win_counts,
     loss_spans,
     preference_pairs,
     render_conversations,
@@ -53,6 +55,10 @@ _GROUP = 4  # docs per preference prompt
 _TW = 4  # words per trace step
 _TMAX = 8  # max steps per trace
 _ERR = "ERROR: "  # injected failure prefix; (doc_id + step) % 5 == 0 fails
+# BT leg: margin bins of 100 score points (scores are 0-1000 integer
+# distinct-word ratios), <= 60 stratified pairs kept per bin
+_BT_BIN = 100
+_BT_PER_BIN = 60
 
 _ORACLE = f"""
     WITH w AS (
@@ -115,6 +121,29 @@ _ORACLE = f"""
                max(n_cand) AS n_cand
         FROM ranked GROUP BY prompt_id
     ),
+    btw AS (
+        -- BT win count = rank-1 under the (score, id) total order
+        SELECT prompt_id, cand, score,
+               row_number() OVER (PARTITION BY prompt_id
+                                  ORDER BY score, cand) - 1 AS wins
+        FROM scored
+    ),
+    btpairs AS (
+        SELECT a.prompt_id, a.cand AS chosen_id, b.cand AS rejected_id,
+               a.score - b.score AS margin,
+               (a.score - b.score) // {_BT_BIN} AS margin_bin,
+               a.wins AS w_c, b.wins AS w_r
+        FROM btw a JOIN btw b USING (prompt_id)
+        WHERE (a.score, a.cand) > (b.score, b.cand)
+    ),
+    btsamp AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY margin_bin
+                   ORDER BY md5('volga-bt:' || prompt_id || ':'
+                                || chosen_id || ':' || rejected_id)
+               ) AS __rn
+        FROM btpairs
+    ),
     tchunk AS (
         SELECT doc_id, CAST((i - 1) // {_TW} AS INT) AS ci,
                string_agg(word, ' ' ORDER BY i) AS content
@@ -166,6 +195,10 @@ _ORACLE = f"""
            NULL
     FROM pairs
     WHERE n_cand >= 2 AND chosen_id != rejected_id
+    UNION ALL
+    SELECT 'bt', prompt_id, chosen_id, rejected_id, CAST(margin AS BIGINT),
+           margin_bin || ':' || w_c || ':' || w_r
+    FROM btsamp WHERE __rn <= {_BT_PER_BIN}
     UNION ALL
     SELECT 'tool_render', doc_id, CAST(n_turns AS BIGINT),
            CAST(length(r) AS BIGINT), NULL, md5(r)
@@ -231,6 +264,50 @@ def q_sft_prep(spark, sf_dir):
         F.col("rejected_id").alias("v1"),
         F.col("margin").alias("v2"),
         F.lit(None).cast("string").alias("s1"),
+    )
+
+    # Bradley-Terry reward-model prep (r08 verdict #7): ALL ordered pairs
+    # per prompt with margin bins, stratified to <= _BT_PER_BIN hard/easy
+    # pairs per bin by the md5 rank discipline, each side carrying its BT
+    # win count (rank-1 under the same (score, id) total order). s1 pins
+    # bin + both win counts so the hash gate checks the BT statistics, not
+    # just pair identity.
+    wins = bt_win_counts(
+        cands, prompt_col="prompt_id", cand_col="cand", score_col="score"
+    ).select("prompt_id", "cand", "wins")
+    btp = bt_margin_pairs(
+        cands,
+        prompt_col="prompt_id",
+        cand_col="cand",
+        score_col="score",
+        bin_width=_BT_BIN,
+        per_bin=_BT_PER_BIN,
+    )
+    bt_leg = (
+        btp.join(
+            wins.select(
+                "prompt_id",
+                F.col("cand").alias("chosen_id"),
+                F.col("wins").alias("w_c"),
+            ),
+            ["prompt_id", "chosen_id"],
+        )
+        .join(
+            wins.select(
+                "prompt_id",
+                F.col("cand").alias("rejected_id"),
+                F.col("wins").alias("w_r"),
+            ),
+            ["prompt_id", "rejected_id"],
+        )
+        .select(
+            F.lit("bt").alias("leg"),
+            F.col("prompt_id").alias("id_a"),
+            F.col("chosen_id").alias("id_b"),
+            F.col("rejected_id").alias("v1"),
+            F.col("margin").alias("v2"),
+            F.concat_ws(":", "margin_bin", "w_c", "w_r").alias("s1"),
+        )
     )
 
     # --- agentic trace tier: flat steps → assembly → outcome gate → render
@@ -300,6 +377,7 @@ def q_sft_prep(spark, sf_dir):
     return (
         render_leg.unionByName(span_leg)
         .unionByName(pair_leg)
+        .unionByName(bt_leg)
         .unionByName(tool_render_leg)
         .unionByName(tool_span_leg)
     )
