@@ -383,6 +383,22 @@ def test_phase_schedule_validation(spark):
                                "token_budget": "lots"}])
 
 
+def test_phase_schedule_single_scan(spark, sf_dir):
+    """r08 verdict #6: P phases must NOT mean P corpus scans. All phase
+    ranks ride one pass; the per-phase selections are branches of the
+    pinned narrow frame, so the executed plan of the union holds ZERO
+    parquet scans (only the checkpoint RDD scan — the one corpus read
+    happened at materialization)."""
+    from volga_spark.operators.packing import phase_schedule
+    from volga_spark.tables import load_table
+
+    out = phase_schedule(load_table(spark, sf_dir, "documents"), PHASES)
+    out.count()  # finalize AQE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0, plan
+    assert "Scan ExistingRDD" in plan
+
+
 def test_phase_schedule_quoted_name_oracle_safe(spark, sf_dir):
     """A phase name containing a quote must not break (or inject into)
     the DuckDB twin — escaped as a doubled quote."""

@@ -641,9 +641,11 @@ def phase_schedule(
     batch stream at a phase boundary, and a single global pack would let
     one training sequence straddle two phases' recipes.
 
-    Scale shape: exactly the per-phase cost of mixture_select /
-    pack_sequences — nothing global across phases; the union is plan-level
-    only. Deterministic: a pure function of (seed, phases, corpus).
+    Scale shape: ONE corpus scan total — all phase-scoped rank columns
+    ride the same pass and the narrow (id, domain, n_tokens, ranks) frame
+    is pinned; each phase then costs one budget window over that frame
+    (nothing global across phases, the union is plan-level only).
+    Deterministic: a pure function of (seed, phases, corpus).
     """
     if not phases:
         raise ValueError("phase_schedule requires at least one phase")
@@ -669,16 +671,32 @@ def phase_schedule(
             )
     if seq_len is not None and int(seq_len) < 1:
         raise ValueError(f"seq_len must be >= 1 when given (got {seq_len!r})")
+    # SINGLE-SCAN selection (r08 verdict #6): all P phase-scoped rank
+    # columns are computed in one pass over the corpus, then the narrow
+    # (id, domain, n_tokens, rank_0..P-1) frame — text never enters it —
+    # is pinned so each phase's budget window is a plan branch of ONE
+    # materialization, not its own corpus scan (P=3 phases over 100 TB
+    # used to mean 2 avoidable full-text scans). Per-phase seeds keep the
+    # edit-isolation property: the rank COLUMNS are independent even
+    # though they share a scan.
+    base = _with_tokens(docs, text_col)
+    for i, ph in enumerate(phases):
+        base = base.withColumn(
+            f"__r{i}", _rank(id_col, f"{seed}#{i}:{ph['name']}")
+        )
+    base = base.select(
+        id_col, domain_col, "n_tokens",
+        *[f"__r{i}" for i in range(len(phases))],
+    ).localCheckpoint(eager=False)
+
     outs = []
     for i, ph in enumerate(phases):
-        sel = mixture_select(
-            docs,
+        sel = budget_select(
+            base.withColumn("rank", F.col(f"__r{i}")),
             ph["weights"],
             ph["token_budget"],
             domain_col=domain_col,
             id_col=id_col,
-            text_col=text_col,
-            seed=f"{seed}#{i}:{ph['name']}",
         )
         frame = (
             pack_sequences(sel, int(seq_len), id_col=id_col)
