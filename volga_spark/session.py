@@ -60,6 +60,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # the streaming memory-sink harness (run_available_now_to_memory)
+        # collects whole result sets to the driver; at the 100x scale probe
+        # that sits right at the 1g default (measured 1116 MiB). Harness
+        # headroom only — production sinks (parquet/upsert/foreachBatch)
+        # never collect.
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -661,13 +661,20 @@ class _GroupCore:
                 etyped = self._typed_inputs(
                     pdf, {c: seg_typed[c][2] for c in self.inputs}
                 )
+                # plain numpy views per column — per-key pandas indexing
+                # (Series cmp + __getitem__ in the clip below) measured ~2s
+                # per bucket at 100×
+                ecols = {
+                    c: pdf[c].to_numpy()
+                    for c in [TS] + self.spill_cols
+                }
                 for gk, g_pdf in pdf.groupby(self.keys, sort=False):
                     if not isinstance(gk, tuple):
                         gk = (gk,)
                     gk = tuple(v.item() if hasattr(v, "item") else v for v in gk)
                     pos = g_pdf.index.to_numpy()
                     edge_by_key[gk] = (
-                        g_pdf,
+                        {c: a[pos] for c, a in ecols.items()},
                         {c: (m[pos], v[pos], ip) for c, (m, v, ip) in
                          etyped.items()},
                     )
@@ -677,17 +684,17 @@ class _GroupCore:
             edge = edge_t = None
             hit = edge_by_key.get(kt)
             if hit is not None and b_hi >= b_lo:
-                g_pdf, g_typed = hit
-                ets = g_pdf[TS]
+                g_cols, g_typed = hit
+                ets = g_cols[TS]
                 # clip to THIS key's edge range: rows past b_hi+g are covered
                 # by interior tile partials and must not double-count
-                sel = ((ets >= first_start) & (ets < b_hi + self.g)).to_numpy()
-                part = g_pdf[sel]
-                if len(part):
-                    edge = part
+                sel = (ets >= first_start) & (ets < b_hi + self.g)
+                n_sel = int(sel.sum())
+                if n_sel:
+                    edge = {c: a[sel] for c, a in g_cols.items()}
                     edge_t = {c: (m[sel], v[sel], ip)
                               for c, (m, v, ip) in g_typed.items()}
-                self.edge_rows_read += len(part)
+                self.edge_rows_read += n_sel
             seg_cols = {c: a[s0:s1] for c, a in cols.items()}
             seg_t = {c: (m[s0:s1], v[s0:s1], ip)
                      for c, (m, v, ip) in seg_typed.items()}
@@ -1069,11 +1076,11 @@ class _GroupCore:
 
         def _col(c):
             if edge is not None:
-                return np.concatenate([edge[c].to_numpy(), seg_cols[c]])
+                return np.concatenate([edge[c], seg_cols[c]])
             return seg_cols[c]
 
         if edge is not None:
-            raw_ts = np.concatenate([edge[TS].to_numpy(), seg_ts])
+            raw_ts = np.concatenate([edge[TS], seg_ts])
         else:
             raw_ts = seg_ts
         raw_vals = [_col(c) for c in self.inputs]
