@@ -955,3 +955,85 @@ def test_assemble_trajectories_stream_equals_batch(spark):
     assert len(parts) == 2
     assert [t["idx"] for t in parts[0][1]] == [0, 1]
     assert [t["idx"] for t in parts[1][1]] == [2, 3]
+
+
+# --- GRPO group advantage normalization (r09) ---
+
+
+def test_group_advantages_matches_duckdb_twin(spark, sf_dir):
+    from volga_spark.operators.conversations import (
+        group_advantages,
+        group_advantages_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+
+    cands = _bt_cands(spark, sf_dir)
+    got = group_advantages(
+        cands, prompt_col="p", cand_col="c", score_col="s"
+    ).toPandas()
+    want = run_oracle(
+        group_advantages_oracle_sql(
+            "SELECT doc_id // 4 AS p, doc_id AS c, n_chars % 7 AS s"
+            " FROM documents",
+            prompt_col="p",
+            cand_col="c",
+            score_col="s",
+        ),
+        sf_dir,
+    )
+    assert len(got) > 0
+    assert compare_frames(got, want) == []
+
+
+def test_group_advantages_numpy_parity_and_zero_sum(spark, sf_dir):
+    """advantage == per-group z-score (population std), and both the exact
+    integer numerators and the float advantages sum to ~0 per group."""
+    import numpy as np
+
+    from volga_spark.operators.conversations import group_advantages
+
+    cands = _bt_cands(spark, sf_dir)
+    rows = group_advantages(
+        cands, prompt_col="p", cand_col="c", score_col="s"
+    ).collect()
+    from collections import defaultdict
+
+    per_p = defaultdict(list)
+    for r in rows:
+        per_p[r.p].append(r)
+    assert per_p
+    for p, rs in per_p.items():
+        scores = np.array([r.s for r in rs], dtype=np.float64)
+        mu, sd = scores.mean(), scores.std()  # population std, ddof=0
+        assert sd > 0  # zero-variance groups must have been dropped
+        want = (scores - mu) / sd
+        got = np.array([r.advantage for r in rs])
+        assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
+        assert sum(r.adv_num for r in rs) == 0
+        assert abs(got.sum()) < 1e-9
+
+
+def test_group_advantages_degenerate_groups(spark):
+    """Zero-variance and sub-min_group prompts drop; null scores drop
+    before the stats (not counted toward n_candidates)."""
+    from volga_spark.operators.conversations import group_advantages
+
+    rows = [
+        ("a", 1, 10),  # group a: variance > 0 -> kept
+        ("a", 2, 20),
+        ("a", 3, None),  # null score: dropped, n_candidates == 2
+        ("b", 4, 5),  # group b: zero variance -> dropped
+        ("b", 5, 5),
+        ("c", 6, 7),  # group c: single candidate -> dropped
+    ]
+    df = spark.createDataFrame(rows, "p string, c long, s long")
+    out = group_advantages(
+        df, prompt_col="p", cand_col="c", score_col="s"
+    ).collect()
+    assert {r.p for r in out} == {"a"}
+    assert {r.n_candidates for r in out} == {2}
+    by_c = {r.c: r for r in out}
+    # n=2, sum=30, sumsq=500: adv_num = 2*s - 30, var_n2 = 1000 - 900 = 100
+    assert by_c[1].adv_num == -10 and by_c[2].adv_num == 10
+    assert by_c[1].var_n2 == 100
+    assert by_c[1].advantage == -1.0 and by_c[2].advantage == 1.0

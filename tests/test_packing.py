@@ -417,3 +417,85 @@ def test_phase_schedule_quoted_name_oracle_safe(spark, sf_dir):
         phase_schedule_oracle_sql("SELECT * FROM documents", phases), sf_dir
     )
     assert compare_frames(got, want) == [] and len(got) > 0
+
+
+# --- in-context-pretraining ordering (r09) ---
+
+
+def test_context_order_matches_duckdb_twin(spark, sf_dir):
+    from volga_spark.operators.packing import (
+        context_order,
+        context_order_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = context_order(docs).toPandas()
+    want = run_oracle(
+        context_order_oracle_sql("SELECT doc_id, text, source FROM documents"),
+        sf_dir,
+    )
+    assert len(got) > 0
+    assert compare_frames(got, want) == []
+
+
+def test_context_order_rank_orders_like_simhash(spark, sf_dir):
+    """The 16-hex rank string sorts exactly like the signed simhash bigint
+    (the property pack_sequences' string ordering relies on)."""
+    from volga_spark.operators.packing import context_order
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = context_order(docs).select("rank", "simhash").collect()
+    assert all(len(r["rank"]) == 16 for r in rows)
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    by_sim = sorted(rows, key=lambda r: (r["simhash"], r["rank"]))
+    assert [r["simhash"] for r in by_rank] == [r["simhash"] for r in by_sim]
+
+
+def test_context_order_improves_sequence_locality(spark, sf_dir):
+    """The ICLM point: packing under the simhash order puts lexically
+    closer documents adjacent within a sequence than the md5 shuffle does
+    (mean Hamming distance of in-sequence neighbors strictly lower)."""
+    import itertools
+
+    from volga_spark.operators.packing import (
+        context_order,
+        pack_boundaries,
+        pack_sequences,
+    )
+    from volga_spark.operators.sampling import _rank
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ctx = context_order(docs)
+    sims = {r["doc_id"]: r["simhash"] for r in ctx.select("doc_id", "simhash").collect()}
+
+    def mean_adjacent_hamming(ordered):
+        packed = pack_boundaries(pack_sequences(ordered, 512))
+        dists = []
+        for row in packed.select("bounds").collect():
+            ids = [b["doc_id"] for b in row["bounds"]]
+            for a, b in itertools.pairwise(ids):
+                if a != b:
+                    dists.append(bin(sims[a] ^ sims[b]).count("1"))
+        return sum(dists) / len(dists)
+
+    shuffled = ctx.withColumn("rank", _rank("doc_id", "vs-ctx-baseline"))
+    h_ctx = mean_adjacent_hamming(ctx)
+    h_rand = mean_adjacent_hamming(shuffled)
+    assert h_ctx < h_rand, (h_ctx, h_rand)
+
+
+def test_context_order_deterministic_under_repartition(spark, sf_dir):
+    from volga_spark.operators.packing import context_order
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["rank"] for r in context_order(docs).collect()}
+    b = {
+        r["doc_id"]: r["rank"]
+        for r in context_order(docs.repartition(13)).collect()
+    }
+    assert a == b

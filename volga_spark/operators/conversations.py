@@ -437,6 +437,112 @@ def bt_margin_pairs_oracle_sql(
     """
 
 
+def group_advantages(
+    cands: DataFrame,
+    *,
+    prompt_col: str,
+    cand_col: str,
+    score_col: str,
+    min_group: int = 2,
+) -> DataFrame:
+    """GRPO-style per-prompt-group advantage normalization (Shao et al.
+    2024, DeepSeekMath §4.1): each rollout's advantage is its reward
+    z-scored WITHIN its prompt group, ``adv = (r − mean) / stddev_pop`` —
+    the critic-free baseline RL post-training pipelines feed the policy
+    update.
+
+    Exactness discipline: with INTEGER scores the normalization is carried
+    as exact integer sufficient statistics —
+
+        adv_num  = n·r − Σr          (exact BIGINT)
+        var_n2   = n·Σr² − (Σr)²     (exact BIGINT, = n²·variance_pop ≥ 0)
+        adv      = adv_num / sqrt(var_n2)
+
+    so the double ``adv`` is ONE correctly-rounded IEEE division of a
+    correctly-rounded sqrt of exact integers — bit-identical on any engine
+    computing from the same integers (the repo's float-determinism rule).
+    ``(adv_num, var_n2)`` fully determine ``adv`` and are what a driver
+    hash gate should pin. Integer inputs must keep ``n·Σr²`` inside
+    BIGINT (|score| ≤ ~3·10⁶ at n ≤ 10⁶ rollouts — any real recipe).
+
+    Degenerate groups follow the GRPO rule: zero-variance groups (all
+    rollouts scored identically) carry no learning signal and are DROPPED,
+    as are groups below ``min_group`` and null-scored rollouts (same rule
+    as :func:`preference_pairs`).
+
+    Scale: one exchange on the prompt key; the three window aggregates
+    share a single partitioned WindowExec (no join, no broadcast). Rows
+    out ≤ rows in. Output: ``(prompt, cand, score, n_candidates, adv_num,
+    var_n2, advantage)``.
+    """
+    from pyspark.sql import Window
+
+    cands = cands.filter(F.col(score_col).isNotNull())
+    w = Window.partitionBy(prompt_col)
+    s = F.col(score_col).cast("bigint")
+    d = cands.select(
+        prompt_col,
+        cand_col,
+        score_col,
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_candidates"),
+        F.sum(s).over(w).alias("_sum"),
+        F.sum(s * s).over(w).alias("_sumsq"),
+    )
+    d = d.select(
+        prompt_col,
+        cand_col,
+        score_col,
+        "n_candidates",
+        (F.col("n_candidates") * s - F.col("_sum")).alias("adv_num"),
+        (
+            F.col("n_candidates") * F.col("_sumsq")
+            - F.col("_sum") * F.col("_sum")
+        ).alias("var_n2"),
+    )
+    return d.filter(
+        (F.col("n_candidates") >= F.lit(int(min_group)))
+        & (F.col("var_n2") > 0)
+    ).withColumn(
+        "advantage", F.col("adv_num") / F.sqrt(F.col("var_n2"))
+    )
+
+
+def group_advantages_oracle_sql(
+    cands_sql: str,
+    *,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand",
+    score_col: str = "score",
+    min_group: int = 2,
+) -> str:
+    """DuckDB twin of :func:`group_advantages` — same exact-integer
+    sufficient statistics through an independent window formulation."""
+    return f"""
+        WITH cands AS (
+            SELECT * FROM ({cands_sql}) WHERE {score_col} IS NOT NULL
+        ),
+        stats AS (
+            -- "__"-prefixed aliases: the caller's column names (e.g. a
+            -- score column literally named "s") must not shadow them
+            SELECT {prompt_col}, {cand_col}, {score_col},
+                   count(*) OVER (PARTITION BY {prompt_col}) AS __n,
+                   sum({score_col}) OVER (PARTITION BY {prompt_col}) AS __s,
+                   sum({score_col} * {score_col})
+                       OVER (PARTITION BY {prompt_col}) AS __ss
+            FROM cands
+        )
+        SELECT {prompt_col}, {cand_col}, {score_col},
+               CAST(__n AS BIGINT) AS n_candidates,
+               CAST(__n * {score_col} - __s AS BIGINT) AS adv_num,
+               CAST(__n * __ss - __s * __s AS BIGINT) AS var_n2,
+               CAST(__n * {score_col} - __s AS BIGINT)
+                 / sqrt(CAST(__n * __ss - __s * __s AS BIGINT)) AS advantage
+        FROM stats
+        WHERE __n >= {int(min_group)}
+          AND __n * __ss - __s * __s > 0
+    """
+
+
 def best_of_n(
     cands: DataFrame,
     *,

@@ -615,6 +615,109 @@ def pack_sequences_oracle_sql(selected_sql: str, seq_len: int, id_col: str = "do
     """
 
 
+def context_order(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Semantic-locality corpus ordering for in-context pretraining (Shi
+    et al. 2023, ICLM: packing RELATED documents into the same training
+    sequence instead of random neighbors improves long-context use). The
+    ordering key is the 64-bit SimHash of the text (`operators/dedup` —
+    locality-sensitive: small Hamming distance ⇒ lexically similar), so
+    sorting the corpus by it chains similar documents adjacently — the
+    scalable stand-in for ICLM's nearest-neighbor traveling-salesman pass
+    (an exact kNN chain is a sequential graph walk; a 1D LSH-key sort is
+    one distributed sort with most of the locality benefit).
+
+    The key is rendered as the 16-hex-char ``rank`` string
+    :func:`pack_sequences` already consumes: hi/lo 32-bit halves of the
+    simhash, each biased non-negative and printf'd ``%08x`` — fixed-width
+    hex, so string order == signed-bigint simhash order, and the
+    hi-half arithmetic (clear low bits, exact div) avoids engine-specific
+    negative shift/div semantics. Bucket prefix = top 8 simhash bits,
+    roughly balanced for diverse corpora (simhash bits are near-uniform).
+
+    Output: ``(id, domain, n_tokens, rank, simhash)`` — drop-in input for
+    :func:`pack_sequences`; empty-text docs drop (no tokens to pack).
+
+    Scale: one Arrow mapInPandas signature pass over (id, text) + one
+    co-keyed join back (narrow columns) + the packer's distributed sort.
+    Nothing quadratic; no kNN graph.
+    """
+    from volga_spark.operators.dedup import add_simhash
+
+    d = _with_tokens(
+        docs.select(id_col, text_col, F.col(domain_col).alias("domain")),
+        text_col,
+    )
+    d = add_simhash(d, text_col, id_col)
+    lo = F.expr("simhash & 4294967295")
+    hi = F.expr(
+        "(simhash - (simhash & 4294967295)) div 4294967296 + 2147483648"
+    )
+    return d.select(
+        id_col,
+        "domain",
+        "n_tokens",
+        F.concat(
+            F.format_string("%08x", hi), F.format_string("%08x", lo)
+        ).alias("rank"),
+        "simhash",
+    )
+
+
+def context_order_oracle_sql(
+    docs_sql: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`context_order`: recomputes the SimHash64
+    signature from scratch (md5 bit-vector votes — the same independent
+    formulation as the q_approx_sketches twin) and renders the identical
+    hi/lo ``%08x`` rank. Single-space-separated corpus assumed (the
+    documents tables are, by construction — the python side splits on any
+    whitespace; the datagen twin documents the same bound)."""
+    return f"""
+        WITH cdocs AS ({docs_sql}),
+        ctoks AS (
+            SELECT DISTINCT {id_col},
+                   unnest(string_split({text_col}, ' ')) AS tok
+            FROM cdocs
+        ),
+        cbits AS (
+            SELECT {id_col}, i,
+                   sum(CASE WHEN (CAST(('0x' || substr(md5(tok), 2*(i//8)+1, 2))
+                                       AS BIGINT) // (1 << (i % 8))) % 2 = 1
+                            THEN 1 ELSE -1 END) AS acc
+            FROM ctoks, generate_series(0, 63) AS g(i)
+            GROUP BY {id_col}, i
+        ),
+        csh AS (
+            SELECT {id_col},
+                   CAST(coalesce(sum(CASE WHEN acc > 0 AND i < 63
+                                          THEN CAST(1 AS BIGINT) << i END), 0)
+                        + CASE WHEN max(CASE WHEN i = 63 AND acc > 0
+                                            THEN 1 ELSE 0 END) = 1
+                               THEN 0 ELSE -9223372036854775808 END
+                        AS BIGINT) AS sim
+            FROM cbits GROUP BY {id_col}
+        )
+        SELECT d.{id_col}, d.{domain_col} AS domain,
+               {n_tokens_sql(f'd.{text_col}')} AS n_tokens,
+               printf('%08x', ((s.sim - (s.sim & 4294967295)) // 4294967296)
+                              + 2147483648)
+               || printf('%08x', s.sim & 4294967295) AS rank,
+               s.sim AS simhash
+        FROM cdocs d JOIN csh s USING ({id_col})
+        WHERE {n_tokens_sql(f'd.{text_col}')} > 0
+    """
+
+
 def phase_schedule(
     docs: DataFrame,
     phases: list[dict],

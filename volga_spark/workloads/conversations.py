@@ -15,6 +15,11 @@ One leg-tagged union so the whole tier fits one registry row:
 - ``pair``: DPO-style chosen/rejected preference pairs per prompt group
   (deterministic (score, id) total order; score = integer distinct-word
   ratio), via one map-side-combinable max_by/min_by aggregation.
+- ``grpo`` (r09): GRPO-style per-prompt-group advantage normalization
+  (Shao et al. 2024) — each candidate's reward z-scored within its prompt
+  group, carried as EXACT integer sufficient statistics (n·r − Σr,
+  n·Σr² − (Σr)²) plus floor(adv·1e9), so the hash gate pins the
+  normalization bit-for-bit; zero-variance groups dropped (no signal).
 - ``tool_render`` / ``tool_span`` (r08): the AGENTIC trace tier — flat
   per-step rows (user / assistant / tool_call / tool_result cycling, with
   deterministic ERROR injection into some tool results) are assembled into
@@ -35,6 +40,7 @@ from volga_spark.operators.conversations import (
     assemble_trajectories,
     bt_margin_pairs,
     bt_win_counts,
+    group_advantages,
     loss_spans,
     preference_pairs,
     render_conversations,
@@ -144,6 +150,15 @@ _ORACLE = f"""
                ) AS __rn
         FROM btpairs
     ),
+    grpo AS (
+        -- GRPO advantage normalization as exact integer sufficient
+        -- statistics: adv_num = n*r - sum, var_n2 = n*sumsq - sum^2
+        SELECT prompt_id, cand, score,
+               count(*) OVER (PARTITION BY prompt_id) AS n,
+               sum(score) OVER (PARTITION BY prompt_id) AS s,
+               sum(score * score) OVER (PARTITION BY prompt_id) AS ss
+        FROM scored
+    ),
     tchunk AS (
         SELECT doc_id, CAST((i - 1) // {_TW} AS INT) AS ci,
                string_agg(word, ' ' ORDER BY i) AS content
@@ -199,6 +214,14 @@ _ORACLE = f"""
     SELECT 'bt', prompt_id, chosen_id, rejected_id, CAST(margin AS BIGINT),
            margin_bin || ':' || w_c || ':' || w_r
     FROM btsamp WHERE __rn <= {_BT_PER_BIN}
+    UNION ALL
+    SELECT 'grpo', prompt_id, cand,
+           CAST(n * score - s AS BIGINT),
+           CAST(n * ss - s * s AS BIGINT),
+           CAST(CAST(floor((CAST(n * score - s AS BIGINT)
+                            / sqrt(CAST(n * ss - s * s AS BIGINT)))
+                           * 1000000000.0) AS BIGINT) AS VARCHAR)
+    FROM grpo WHERE n >= 2 AND n * ss - s * s > 0
     UNION ALL
     SELECT 'tool_render', doc_id, CAST(n_turns AS BIGINT),
            CAST(length(r) AS BIGINT), NULL, md5(r)
@@ -310,6 +333,25 @@ def q_sft_prep(spark, sf_dir):
         )
     )
 
+    # GRPO advantage normalization (r09): per-prompt-group reward z-scores
+    # carried as EXACT integer sufficient statistics (adv_num, var_n2) —
+    # they fully determine the double advantage, so the hash gate pins the
+    # normalization itself; s1 additionally pins floor(adv * 1e9), one
+    # correctly-rounded div/sqrt over exact integers on both engines.
+    grpo_leg = group_advantages(
+        cands, prompt_col="prompt_id", cand_col="cand", score_col="score"
+    ).select(
+        F.lit("grpo").alias("leg"),
+        F.col("prompt_id").alias("id_a"),
+        F.col("cand").alias("id_b"),
+        F.col("adv_num").alias("v1"),
+        F.col("var_n2").alias("v2"),
+        F.floor(F.col("advantage") * F.lit(1000000000.0))
+        .cast("long")
+        .cast("string")
+        .alias("s1"),
+    )
+
     # --- agentic trace tier: flat steps → assembly → outcome gate → render
     # + tool-policy masking. The bootstrap explodes each doc into per-step
     # ROWS first (the shape real agent logs arrive in) precisely so the
@@ -378,6 +420,7 @@ def q_sft_prep(spark, sf_dir):
         render_leg.unionByName(span_leg)
         .unionByName(pair_leg)
         .unionByName(bt_leg)
+        .unionByName(grpo_leg)
         .unionByName(tool_render_leg)
         .unionByName(tool_span_leg)
     )

@@ -13,6 +13,11 @@ End-to-end training-batch assembly, one leg-tagged union:
   (copy_id 0..k-1) plus a budget-windowed remainder pass on a fresh
   per-copy md5 shuffle. The oracle derives the same pass plan from the
   corpus inside SQL, so the leg is exact at every scale factor.
+- ``ctx`` (r09): in-context-pretraining packing (Shi et al. 2023, ICLM) —
+  the same packer fed by the SEMANTIC-LOCALITY corpus order (simhash
+  sort: similar docs chain adjacently, so sequences hold related docs)
+  instead of the md5 shuffle; pinned via the per-sequence boundary CSV,
+  with the DuckDB twin recomputing the simhash signature from scratch.
 - ``fim`` / ``corrupt`` (r08): the training OBJECTIVE transforms applied
   at this assembly stage — fill-in-the-middle PSM reorder (Bavarian 2022)
   and T5 span corruption with numbered sentinels (Raffel 2020). Both
@@ -32,6 +37,8 @@ from volga_spark.operators.objectives import (
     span_corruption_oracle_sql,
 )
 from volga_spark.operators.packing import (
+    context_order,
+    context_order_oracle_sql,
     mixture_repeats_oracle_sql,
     mixture_select,
     mixture_select_oracle_sql,
@@ -74,6 +81,13 @@ _UP_ORACLE = mixture_repeats_oracle_sql(
 )
 _BOUNDS_ORACLE = pack_boundaries_oracle_sql(_PACK_ORACLE)
 
+_CTX_ORACLE = pack_boundaries_oracle_sql(
+    pack_sequences_oracle_sql(
+        context_order_oracle_sql("SELECT doc_id, text, source FROM documents"),
+        SEQ_LEN,
+    )
+)
+
 _FIM_ORACLE = fim_oracle_sql("SELECT doc_id, text FROM documents")
 _CORR_ORACLE = span_corruption_oracle_sql("SELECT doc_id, text FROM documents")
 
@@ -88,6 +102,11 @@ _ORACLE = f"""
            n_docs, filled, NULL, NULL,
            CAST(NULL AS VARCHAR)
     FROM ({_BOUNDS_ORACLE})
+    UNION ALL
+    SELECT 'ctx', seq_id, bounds_csv,
+           n_docs, filled, NULL, NULL,
+           CAST(NULL AS VARCHAR)
+    FROM ({_CTX_ORACLE})
     UNION ALL
     SELECT 'upsample', doc_id, domain,
            CAST(copy_id AS BIGINT), CAST(n_tokens AS BIGINT), NULL, NULL,
@@ -159,6 +178,33 @@ def q_mix_pack(spark, sf_dir):
         F.lit(None).cast("string").alias("s2"),
     )
 
+    # in-context-pretraining leg (r09): the SAME packer fed by the
+    # semantic-locality order (simhash sort — ICLM, Shi et al. 2023)
+    # instead of the md5 shuffle; the bounds CSV pins ordering, chaining,
+    # and span arithmetic in one hashed value per sequence.
+    ctx_bounds = pack_boundaries(pack_sequences(context_order(docs), SEQ_LEN))
+    ctx_leg = ctx_bounds.select(
+        F.lit("ctx").alias("leg"),
+        F.col("seq_id").cast("long").alias("id_a"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "bounds",
+                lambda b: F.concat_ws(
+                    ":",
+                    b["start"].cast("string"),
+                    b["len"].cast("string"),
+                    b["doc_id"].cast("string"),
+                ),
+            ),
+        ).alias("s1"),
+        F.col("n_docs").alias("v1"),
+        F.col("filled").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+
     up = mixture_select_with_repeats(docs, UP_WEIGHTS, UP_BUDGET)
     up_leg = up.select(
         F.lit("upsample").alias("leg"),
@@ -201,6 +247,7 @@ def q_mix_pack(spark, sf_dir):
     )
     return (
         pack_leg.unionByName(bounds_leg)
+        .unionByName(ctx_leg)
         .unionByName(up_leg)
         .unionByName(fim_leg)
         .unionByName(corr_leg)
