@@ -165,3 +165,20 @@ def test_pipeline_sql_plan_pinned(spark, sf_dir):
     assert p.count("Scan parquet") + p.count("FileScan") <= 2
     # exactly one Arrow sweep stage for the cate UDAF
     assert p.count("MapInPandas") + p.count("FlatMapGroupsInPandas") <= 2
+
+
+def test_text_analysis_plan_pinned(spark, sf_dir):
+    """q_text_analysis must stay ONE scan → ONE widen exchange → ONE
+    native Project (r08 verdict watch #1: the query crept round-over-round
+    with untouched code; the r09 profile decomposed it to widen ≈0.3s +
+    32-thread regex CPU and pinned the shape — any extra exchange, scan,
+    or Python stage is a real regression, everything else is host noise)."""
+    p = plan(spark, sf_dir, "q_text_analysis")
+    # formatted explain lists each node twice (tree + detail): one scan = 2
+    assert p.count("Scan parquet") == 2, p[:1500]
+    assert p.count("Exchange") == 2  # one widen_for_python round-robin
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in p
+    # the scan reads only the columns the query needs
+    read = p.split("ReadSchema")[1][:200]
+    assert "text" in read and "n_chars" not in read
