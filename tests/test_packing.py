@@ -499,3 +499,51 @@ def test_context_order_deterministic_under_repartition(spark, sf_dir):
         for r in context_order(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+def test_context_rank_formula_edge_values(spark):
+    """The hi/lo %08x rank arithmetic at int64 extremes: both engines'
+    expressions must equal the python reference (sim >> 32 arithmetic) and
+    preserve order — the property the packer's string sort relies on."""
+    import duckdb
+
+    vals = [
+        -(1 << 63), -(1 << 63) + 1, -4294967296, -4294967295, -2, -1,
+        0, 1, 4294967295, 4294967296, (1 << 62), (1 << 63) - 1,
+    ]
+
+    def py_rank(sim):
+        return f"{(sim >> 32) + (1 << 31):08x}{sim & 0xFFFFFFFF:08x}"
+
+    want = [py_rank(v) for v in vals]
+
+    df = spark.createDataFrame([(v,) for v in vals], "simhash long")
+    from pyspark.sql import functions as F
+
+    lo = F.expr("simhash & 4294967295")
+    hi = F.expr(
+        "(simhash - (simhash & 4294967295)) div 4294967296 + 2147483648"
+    )
+    got_spark = [
+        r["r"]
+        for r in df.select(
+            "simhash",
+            F.concat(
+                F.format_string("%08x", hi), F.format_string("%08x", lo)
+            ).alias("r"),
+        )
+        .orderBy("simhash")
+        .collect()
+    ]
+    assert got_spark == want
+
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT printf('%08x', ((v - (v & 4294967295)) // 4294967296)"
+            "              + 2147483648) || printf('%08x', v & 4294967295)"
+            " FROM (SELECT unnest(" + str(vals) + ") AS v) ORDER BY v"
+        ).fetchall()
+    ]
+    assert got_duck == want
+    assert sorted(want) == want  # rank string order == numeric order
