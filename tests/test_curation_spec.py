@@ -271,3 +271,27 @@ def test_near_dedup_soft_mode(spark, sf_dir):
         CurationSpec(stages=[{"op": "near_dedup", "mode": "fuzzy"}]).build(
             spark, docs
         )
+
+
+def test_context_order_stage_equals_direct_composition(spark, sf_dir):
+    """The declarative 'context_order' stage drives the ICLM locality
+    ordering + packing identically to the direct composition."""
+    from volga_spark.api.curation import CurationSpec
+    from volga_spark.operators.packing import context_order, pack_sequences
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = CurationSpec(
+        stages=[
+            {"op": "min_chars", "n": 10},
+            {"op": "context_order"},
+            {"op": "pack_sequences", "seq_len": 256},
+        ]
+    )
+    via_spec = sorted(map(tuple, spec.build(spark, docs).collect()))
+    direct = sorted(map(tuple, pack_sequences(
+        context_order(docs.filter("length(text) >= 10")), 256
+    ).collect()))
+    assert via_spec == direct and len(direct) > 0
+    spec2 = CurationSpec.from_json(spec.to_json())
+    assert sorted(map(tuple, spec2.build(spark, docs).collect())) == via_spec

@@ -300,6 +300,22 @@ def _stage_phase_schedule(
     )
 
 
+def _stage_context_order(df, spec, domain_col="source", **_):
+    """Semantic-locality packing order (operators/packing, r09 — ICLM,
+    Shi et al. 2023): output schema changes to (id, domain, n_tokens,
+    rank, simhash), a drop-in `pack_sequences` input whose rank chains
+    lexically similar documents adjacently. An ALTERNATIVE ordering to
+    `mixture_select`'s md5 shuffle (both emit the same pack-ready shape):
+    run the filter/dedup stages upstream, then pick ONE of the two rank
+    producers before `pack_sequences`."""
+    from volga_spark.operators.packing import context_order
+
+    return context_order(
+        df, text_col=spec.text_col, id_col=spec.id_col,
+        domain_col=domain_col,
+    )
+
+
 def _stage_fim(df, spec, seed="volga-fim", min_tokens=4, **_):
     """Fill-in-the-middle rewrite (operators/objectives, r08): the text
     column is REPLACED in place by the PSM-rendered form (short docs pass
@@ -347,6 +363,7 @@ _STAGES = {
     "split": _stage_split,
     "expect": _stage_expect,
     "mixture_select": _stage_mixture_select,
+    "context_order": _stage_context_order,
     "pack_sequences": _stage_pack_sequences,
     "fim": _stage_fim,
     "span_corrupt": _stage_span_corrupt,
