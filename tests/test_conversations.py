@@ -1037,3 +1037,18 @@ def test_group_advantages_degenerate_groups(spark):
     assert by_c[1].adv_num == -10 and by_c[2].adv_num == 10
     assert by_c[1].var_n2 == 100
     assert by_c[1].advantage == -1.0 and by_c[2].advantage == 1.0
+
+
+def test_group_advantages_rejects_float_scores(spark):
+    """A double score column must be refused, not silently truncated
+    (0.9 and 0.1 would both cast to 0 and the group would vanish as
+    zero-variance)."""
+    import pytest
+
+    from volga_spark.operators.conversations import group_advantages
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 2, 0.1)], "p string, c long, s double"
+    )
+    with pytest.raises(ValueError, match="integer score column"):
+        group_advantages(df, prompt_col="p", cand_col="c", score_col="s")

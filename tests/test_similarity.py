@@ -44,23 +44,34 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         .collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
-    exact = {
-        r.l_returnflag: r
+    parts = {
+        r.l_returnflag: r.parts
         for r in li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("parts"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        )
+        .agg(F.countDistinct("l_partkey").alias("parts"))
         .collect()
     }
+    # independent DISCRETE-percentile reference (inverted CDF — the
+    # percentile_disc convention the exact operating point must hit), from
+    # the raw values in python, not another Spark percentile function
+    import math
+
+    vals: dict = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+
+    def disc(v, p):
+        v = sorted(v)
+        return v[max(0, math.ceil(p * len(v)) - 1)]
+
     for flag, a in approx.items():
-        e = exact[flag]
         # r09: the leg runs at EXACT operating points (HLL lgK=21 coupon
-        # mode, percentile accuracy >= group size) — equality, not bounds;
-        # the approximate operating points are covered in
+        # mode, percentile accuracy >= group size) — EQUALITY against an
+        # independent reference for all three values, not bounds; the
+        # approximate operating points are covered in
         # tests/test_sketch_exact_points.py
-        assert a.v1 == float(e.parts)
-        assert a.v2 == pytest.approx(e.p50, rel=0.2)
+        assert a.v1 == float(parts[flag])
+        assert a.v2 == disc(vals[flag], 0.5)
+        assert a.v3 == disc(vals[flag], 0.99)
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):

@@ -423,7 +423,9 @@ def bt_margin_pairs_oracle_sql(
         )"""
     if per_bin is None:
         return base + "\n        SELECT * FROM pairs"
-    seed_esc = str(seed).replace("'", "''")
+    from volga_spark.operators.sampling import sql_quote
+
+    seed_esc = sql_quote(seed)
     return base + f""",
         sampled AS (
             SELECT *, row_number() OVER (
@@ -477,6 +479,19 @@ def group_advantages(
     """
     from pyspark.sql import Window
 
+    # The exactness contract above only holds for integer rewards; a
+    # silent cast('bigint') would TRUNCATE float scores (0.9 and 0.1 both
+    # → 0, the group silently dropped as zero-variance) and diverge from
+    # the oracle twin. Refuse rather than guess — quantize float rewards
+    # upstream (e.g. floor(r * 1e6)) and pass the integers.
+    dtype = dict(cands.dtypes).get(score_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"group_advantages requires an integer score column; "
+            f"{score_col!r} is {dtype!r} — quantize float rewards upstream "
+            "(e.g. floor(score * 1e6)) so the sufficient statistics stay "
+            "exact"
+        )
     cands = cands.filter(F.col(score_col).isNotNull())
     w = Window.partitionBy(prompt_col)
     s = F.col(score_col).cast("bigint")

@@ -131,7 +131,8 @@ def fim_oracle_sql(
     middle_tok: str = "<fim_middle>",
 ) -> str:
     """DuckDB twin of :func:`fim_transform` — byte-identical fim_text."""
-    esc = lambda s: str(s).replace("'", "''")  # noqa: E731 — SQL-escape
+    from volga_spark.operators.sampling import sql_quote as esc
+
     seed = esc(seed)
     prefix_tok, suffix_tok, middle_tok = (
         esc(prefix_tok), esc(suffix_tok), esc(middle_tok),
@@ -283,7 +284,8 @@ def span_corruption_oracle_sql(
     functions for the sentinel numbering, ordered string_agg re-assembly —
     vs Spark's in-row fold)."""
     L, r = int(span_len), int(corrupt_one_in)
-    esc = lambda s: str(s).replace("'", "''")  # noqa: E731 — SQL-escape
+    from volga_spark.operators.sampling import sql_quote as esc
+
     pre, post = (esc(p) for p in sentinel.split("{}"))
     seed = esc(seed)
     h = (

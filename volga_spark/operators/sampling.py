@@ -41,13 +41,20 @@ def _rank(id_col: str | Column, seed: str) -> Column:
     return F.md5(F.concat(F.lit(seed + ":"), c.cast("string")))
 
 
+def sql_quote(s) -> str:
+    """SQL-escape a caller string for inlining as a DuckDB single-quoted
+    literal (oracle twins only — the Spark side binds literals via F.lit,
+    which needs no escaping). THE one implementation: every oracle builder
+    that inlines seeds/tokens/phase names should use this rather than
+    hand-rolling the replace."""
+    return str(s).replace("'", "''")
+
+
 def _rank_sql(id_sql: str, seed: str) -> str:
     # SQL-escape the seed literal: seeds are caller strings (phase names
     # flow in via phase_schedule's "seed#i:name" convention) and a quote
-    # must not break or inject into the DuckDB twin. The Spark side takes
-    # the seed as a bound literal (F.lit), so no escaping there.
-    esc = str(seed).replace("'", "''")
-    return f"md5('{esc}:' || CAST({id_sql} AS VARCHAR))"
+    # must not break or inject into the DuckDB twin.
+    return f"md5('{sql_quote(seed)}:' || CAST({id_sql} AS VARCHAR))"
 
 
 def _bucket(id_col: str | Column, seed: str) -> Column:

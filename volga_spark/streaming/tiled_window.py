@@ -1083,7 +1083,6 @@ class _GroupCore:
             raw_ts = np.concatenate([edge[TS], seg_ts])
         else:
             raw_ts = seg_ts
-        raw_vals = [_col(c) for c in self.inputs]
         craw = [
             (
                 _col(s.col),
