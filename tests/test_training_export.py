@@ -231,3 +231,60 @@ def test_export_with_mixture_budget(spark, sf_dir, tmp_path):
     )
     # budgets bound the stream: ≤ budget + one straddling doc per domain
     assert 0 < m["total_tokens"] < 3000 + 2 * 2000
+
+
+def test_build_sequences_context_order(spark, sf_dir):
+    """order='context' packs the SAME token stream in simhash-locality
+    order: the concatenation equals the BPE stream of docs sorted by the
+    simhash rank (independently recomputed via simhash64), byte-exact."""
+    from volga_spark.operators.dedup import simhash64
+
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    L = 128
+    out = build_sequences(docs, model, L, order="context").collect()
+    got = []
+    for r in sorted(out, key=lambda r: r["seq_id"]):
+        got.extend(r["token_ids"])
+
+    enc = encode_bpe(docs, model)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+
+    def rank(doc_id):
+        sim = simhash64(texts[doc_id])
+        return f"{(sim >> 32) + (1 << 31):08x}{sim & 0xFFFFFFFF:08x}"
+
+    rows = [
+        (rank(r["doc_id"]), r["doc_id"], r["bpe_ids"])
+        for r in enc.collect()
+        if len(r["bpe_ids"]) > 0
+    ]
+    want = []
+    for _, _, ids in sorted(rows, key=lambda t: (t[0], t[1])):
+        want.extend(ids)
+    assert got == want
+
+
+def test_build_sequences_order_guard(spark, sf_dir):
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    with pytest.raises(ValueError, match="order must be"):
+        build_sequences(docs, model, 128, order="random")
+
+
+def test_export_manifest_records_order(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    m = export_training_shards(
+        docs, model, str(tmp_path / "ctx"), 128, n_shards=2, order="context"
+    )
+    assert m["order"] == "context"
+    m2 = export_training_shards(
+        docs, model, str(tmp_path / "shuf"), 128, n_shards=2
+    )
+    assert m2["order"] == "shuffle"

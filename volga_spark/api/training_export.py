@@ -51,6 +51,7 @@ def build_sequences(
     text_col: str = "text",
     seed: str = "volga-export",
     emit_boundaries: bool = False,
+    order: str = "shuffle",
 ) -> DataFrame:
     """(seq_id, token_ids, n_tokens) fixed-length training sequences.
     Token accounting is over BPE ids (not whitespace words); with
@@ -60,17 +61,35 @@ def build_sequences(
     — the document-boundary structure trainers turn into block-diagonal
     attention masks and position-id resets (operators/packing.py
     pack_boundaries semantics), assembled in the SAME per-sequence
-    aggregation so it costs no extra shuffle."""
+    aggregation so it costs no extra shuffle.
+
+    ``order`` picks the concatenation order the packer slices:
+    ``"shuffle"`` (default) is the seeded md5 global permutation;
+    ``"context"`` is the ICLM semantic-locality order (Shi et al. 2023 —
+    ``operators/packing.simhash_rank``), so sequences hold RELATED
+    documents; pair with ``export_training_shards(shuffle_seed=...)`` to
+    still randomize SEQUENCE order while keeping within-sequence
+    locality (the ICLM recipe: local coherence, global shuffle)."""
+    if order not in ("shuffle", "context"):
+        raise ValueError(
+            f"order must be 'shuffle' or 'context' (got {order!r})"
+        )
     enc = encode_bpe(docs, model, text_col=text_col)
-    base = (
-        enc.withColumn("n_tokens", F.size("bpe_ids").cast("bigint"))
-        .filter(F.col("n_tokens") > 0)
-        .withColumn("rank", _rank(id_col, seed))
-        # pin the branch point: `base` feeds BOTH the selection/packing
-        # pipeline and the bpe_ids side of the spans join below — without
-        # the pin the expensive BPE encode pass executes once per branch.
-        .localCheckpoint(eager=False)
-    )
+    base = enc.withColumn(
+        "n_tokens", F.size("bpe_ids").cast("bigint")
+    ).filter(F.col("n_tokens") > 0)
+    if order == "context":
+        from volga_spark.operators.packing import simhash_rank
+
+        base = simhash_rank(base, text_col=text_col, id_col=id_col).drop(
+            "simhash"
+        )
+    else:
+        base = base.withColumn("rank", _rank(id_col, seed))
+    # pin the branch point: `base` feeds BOTH the selection/packing
+    # pipeline and the bpe_ids side of the spans join below — without
+    # the pin the expensive BPE encode pass executes once per branch.
+    base = base.localCheckpoint(eager=False)
     if weights:
         selected = budget_select(
             base, weights, token_budget, domain_col, id_col
@@ -181,6 +200,7 @@ def export_training_shards(
         "seq_len": seq_len,
         "n_shards": n_shards,
         "shuffle_seed": shuffle_seed,
+        "order": kwargs.get("order", "shuffle"),
         "boundaries": "bounds" in seqs.columns,
         "shards": per_shard,
         "total_seqs": int(sum(s["n_seqs"] for s in per_shard.values())),

@@ -615,6 +615,28 @@ def pack_sequences_oracle_sql(selected_sql: str, seq_len: int, id_col: str = "do
     """
 
 
+def simhash_rank(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Append the semantic-locality ``rank`` column (and ``simhash``):
+    the 16-hex-char rendering of the 64-bit text SimHash that
+    :func:`context_order` and ``build_sequences(order="context")`` sort
+    by. Fixed-width hi/lo ``%08x`` halves, each biased non-negative, so
+    string order == signed-bigint simhash order (int64 edges pinned by
+    tests/test_packing.py)."""
+    from volga_spark.operators.dedup import add_simhash
+
+    d = add_simhash(df, text_col, id_col)
+    lo = F.expr("simhash & 4294967295")
+    hi = F.expr(
+        "(simhash - (simhash & 4294967295)) div 4294967296 + 2147483648"
+    )
+    return d.withColumn(
+        "rank",
+        F.concat(F.format_string("%08x", hi), F.format_string("%08x", lo)),
+    )
+
+
 def context_order(
     docs: DataFrame,
     *,
@@ -647,26 +669,12 @@ def context_order(
     co-keyed join back (narrow columns) + the packer's distributed sort.
     Nothing quadratic; no kNN graph.
     """
-    from volga_spark.operators.dedup import add_simhash
-
     d = _with_tokens(
         docs.select(id_col, text_col, F.col(domain_col).alias("domain")),
         text_col,
     )
-    d = add_simhash(d, text_col, id_col)
-    lo = F.expr("simhash & 4294967295")
-    hi = F.expr(
-        "(simhash - (simhash & 4294967295)) div 4294967296 + 2147483648"
-    )
-    return d.select(
-        id_col,
-        "domain",
-        "n_tokens",
-        F.concat(
-            F.format_string("%08x", hi), F.format_string("%08x", lo)
-        ).alias("rank"),
-        "simhash",
-    )
+    d = simhash_rank(d, text_col=text_col, id_col=id_col)
+    return d.select(id_col, "domain", "n_tokens", "rank", "simhash")
 
 
 def context_order_oracle_sql(
