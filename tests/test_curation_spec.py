@@ -295,3 +295,23 @@ def test_context_order_stage_equals_direct_composition(spark, sf_dir):
     assert via_spec == direct and len(direct) > 0
     spec2 = CurationSpec.from_json(spec.to_json())
     assert sorted(map(tuple, spec2.build(spark, docs).collect())) == via_spec
+
+
+def test_curriculum_order_stage_equals_direct_composition(spark, sf_dir):
+    from volga_spark.api.curation import CurationSpec
+    from volga_spark.operators.packing import curriculum_order, pack_sequences
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = CurationSpec(
+        stages=[
+            {"op": "curriculum_order", "order_col": "n_chars",
+             "ascending": False},
+            {"op": "pack_sequences", "seq_len": 256},
+        ]
+    )
+    via_spec = sorted(map(tuple, spec.build(spark, docs).collect()))
+    direct = sorted(map(tuple, pack_sequences(
+        curriculum_order(docs, "n_chars", ascending=False), 256
+    ).collect()))
+    assert via_spec == direct and len(direct) > 0

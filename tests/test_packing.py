@@ -547,3 +547,72 @@ def test_context_rank_formula_edge_values(spark):
     ]
     assert got_duck == want
     assert sorted(want) == want  # rank string order == numeric order
+
+
+# --- curriculum ordering (r09) ---
+
+
+def test_curriculum_order_matches_duckdb_twin(spark, sf_dir):
+    from volga_spark.operators.packing import (
+        curriculum_order,
+        curriculum_order_oracle_sql,
+    )
+    from volga_spark.oracle import compare_frames, run_oracle
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for asc in (True, False):
+        got = curriculum_order(docs, "n_chars", ascending=asc).toPandas()
+        want = run_oracle(
+            curriculum_order_oracle_sql(
+                "SELECT doc_id, text, source, n_chars FROM documents",
+                "n_chars",
+                ascending=asc,
+            ),
+            sf_dir,
+        )
+        assert len(got) > 0
+        assert compare_frames(got, want) == [], f"ascending={asc}"
+
+
+def test_curriculum_pack_stream_is_score_sorted(spark, sf_dir):
+    """The packed span stream walks the corpus in (score, id) order —
+    the curriculum property a trainer consumes."""
+    from volga_spark.operators.packing import curriculum_order, pack_sequences
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    spans = pack_sequences(curriculum_order(docs, "n_chars"), 512).collect()
+    # global stream position of each span = seq_id * L + seq_offset
+    stream = sorted(spans, key=lambda r: (r["seq_id"], r["seq_offset"]))
+    doc_first = []
+    for r in stream:
+        if not doc_first or doc_first[-1] != r["doc_id"]:
+            doc_first.append(r["doc_id"])
+    keys = [(scores[d], d) for d in doc_first]
+    assert keys == sorted(keys)
+    # descending flips it
+    spans_d = pack_sequences(
+        curriculum_order(docs, "n_chars", ascending=False), 512
+    ).collect()
+    stream_d = sorted(spans_d, key=lambda r: (r["seq_id"], r["seq_offset"]))
+    first_d = []
+    for r in stream_d:
+        if not first_d or first_d[-1] != r["doc_id"]:
+            first_d.append(r["doc_id"])
+    keys_d = [(-scores[d], d) for d in first_d]
+    assert keys_d == sorted(keys_d)
+
+
+def test_curriculum_order_rejects_float_scores(spark, sf_dir):
+    import pytest
+
+    from volga_spark.operators.packing import curriculum_order
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fscore", F.col("n_chars") / 7.0
+    )
+    with pytest.raises(ValueError, match="integer order column"):
+        curriculum_order(docs, "fscore")

@@ -288,3 +288,31 @@ def test_export_manifest_records_order(spark, sf_dir, tmp_path):
         docs, model, str(tmp_path / "shuf"), 128, n_shards=2
     )
     assert m2["order"] == "shuffle"
+
+
+def test_build_sequences_curriculum_order(spark, sf_dir):
+    """order='curriculum' packs the BPE stream sorted by the integer
+    score column (ties broken on id), byte-exact."""
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    out = build_sequences(
+        docs, model, 128, order="curriculum", order_col="n_chars"
+    ).collect()
+    got = []
+    for r in sorted(out, key=lambda r: r["seq_id"]):
+        got.extend(r["token_ids"])
+
+    enc = encode_bpe(docs, model)
+    scores = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    rows = [
+        (scores[r["doc_id"]], r["doc_id"], r["bpe_ids"])
+        for r in enc.collect()
+        if len(r["bpe_ids"]) > 0
+    ]
+    want = []
+    for _, _, ids in sorted(rows, key=lambda t: (t[0], t[1])):
+        want.extend(ids)
+    assert got == want

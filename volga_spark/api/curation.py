@@ -316,6 +316,23 @@ def _stage_context_order(df, spec, domain_col="source", **_):
     )
 
 
+def _stage_curriculum_order(
+    df, spec, order_col=None, ascending=True, domain_col="source", **_,
+):
+    """Curriculum packing order (operators/packing, r09): rank by an
+    integer difficulty/quality column instead of the md5 shuffle. Same
+    pack-ready output contract as `context_order` — pick ONE rank
+    producer before `pack_sequences`."""
+    from volga_spark.operators.packing import curriculum_order
+
+    if not order_col:
+        raise ValueError("curriculum_order stage requires 'order_col'")
+    return curriculum_order(
+        df, order_col, ascending=bool(ascending),
+        text_col=spec.text_col, id_col=spec.id_col, domain_col=domain_col,
+    )
+
+
 def _stage_fim(df, spec, seed="volga-fim", min_tokens=4, **_):
     """Fill-in-the-middle rewrite (operators/objectives, r08): the text
     column is REPLACED in place by the PSM-rendered form (short docs pass
@@ -364,6 +381,7 @@ _STAGES = {
     "expect": _stage_expect,
     "mixture_select": _stage_mixture_select,
     "context_order": _stage_context_order,
+    "curriculum_order": _stage_curriculum_order,
     "pack_sequences": _stage_pack_sequences,
     "fim": _stage_fim,
     "span_corrupt": _stage_span_corrupt,

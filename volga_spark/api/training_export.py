@@ -52,6 +52,8 @@ def build_sequences(
     seed: str = "volga-export",
     emit_boundaries: bool = False,
     order: str = "shuffle",
+    order_col: str | None = None,
+    ascending: bool = True,
 ) -> DataFrame:
     """(seq_id, token_ids, n_tokens) fixed-length training sequences.
     Token accounting is over BPE ids (not whitespace words); with
@@ -67,12 +69,17 @@ def build_sequences(
     ``"shuffle"`` (default) is the seeded md5 global permutation;
     ``"context"`` is the ICLM semantic-locality order (Shi et al. 2023 —
     ``operators/packing.simhash_rank``), so sequences hold RELATED
-    documents; pair with ``export_training_shards(shuffle_seed=...)`` to
-    still randomize SEQUENCE order while keeping within-sequence
-    locality (the ICLM recipe: local coherence, global shuffle)."""
-    if order not in ("shuffle", "context"):
+    documents; ``"curriculum"`` sorts by the integer ``order_col``
+    (``ascending``-controlled — quality warmups, perplexity tails,
+    length curricula; operators/packing.curriculum_order semantics).
+    Pair the non-shuffle orders with
+    ``export_training_shards(shuffle_seed=...)`` to still randomize
+    SEQUENCE order while keeping within-sequence structure (the ICLM
+    recipe: local coherence, global shuffle)."""
+    if order not in ("shuffle", "context", "curriculum"):
         raise ValueError(
-            f"order must be 'shuffle' or 'context' (got {order!r})"
+            "order must be 'shuffle', 'context' or 'curriculum' "
+            f"(got {order!r})"
         )
     enc = encode_bpe(docs, model, text_col=text_col)
     base = enc.withColumn(
@@ -83,6 +90,25 @@ def build_sequences(
 
         base = simhash_rank(base, text_col=text_col, id_col=id_col).drop(
             "simhash"
+        )
+    elif order == "curriculum":
+        from volga_spark.operators.packing import int64_rank_expr
+
+        if not order_col:
+            raise ValueError("order='curriculum' requires order_col")
+        dtype = dict(base.dtypes).get(order_col)
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"curriculum order_col must be integer; {order_col!r} is "
+                f"{dtype!r} — quantize float scores upstream"
+            )
+        key = F.col(order_col).cast("bigint")
+        if not ascending:
+            key = -key
+        base = (
+            base.withColumn("__key", key)
+            .withColumn("rank", int64_rank_expr("__key"))
+            .drop("__key")
         )
     else:
         base = base.withColumn("rank", _rank(id_col, seed))

@@ -615,26 +615,40 @@ def pack_sequences_oracle_sql(selected_sql: str, seq_len: int, id_col: str = "do
     """
 
 
+def int64_rank_expr(col: str) -> "F.Column":
+    """Fixed-width 16-hex-char rendering of a signed BIGINT column whose
+    STRING sort order equals the numeric order — the ``rank`` contract
+    :func:`pack_sequences` consumes. hi/lo 32-bit halves, each biased
+    non-negative before ``%08x`` (clear-low-bits + exact div, so no
+    engine-specific negative shift/div semantics; int64 edges pinned by
+    tests/test_packing.py). DuckDB twin: :func:`int64_rank_sql`."""
+    lo = F.expr(f"{col} & 4294967295")
+    hi = F.expr(
+        f"({col} - ({col} & 4294967295)) div 4294967296 + 2147483648"
+    )
+    return F.concat(F.format_string("%08x", hi), F.format_string("%08x", lo))
+
+
+def int64_rank_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`int64_rank_expr`."""
+    return (
+        f"printf('%08x', (({col_sql} - ({col_sql} & 4294967295))"
+        f" // 4294967296) + 2147483648)"
+        f" || printf('%08x', {col_sql} & 4294967295)"
+    )
+
+
 def simhash_rank(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Append the semantic-locality ``rank`` column (and ``simhash``):
-    the 16-hex-char rendering of the 64-bit text SimHash that
+    the :func:`int64_rank_expr` rendering of the 64-bit text SimHash that
     :func:`context_order` and ``build_sequences(order="context")`` sort
-    by. Fixed-width hi/lo ``%08x`` halves, each biased non-negative, so
-    string order == signed-bigint simhash order (int64 edges pinned by
-    tests/test_packing.py)."""
+    by."""
     from volga_spark.operators.dedup import add_simhash
 
     d = add_simhash(df, text_col, id_col)
-    lo = F.expr("simhash & 4294967295")
-    hi = F.expr(
-        "(simhash - (simhash & 4294967295)) div 4294967296 + 2147483648"
-    )
-    return d.withColumn(
-        "rank",
-        F.concat(F.format_string("%08x", hi), F.format_string("%08x", lo)),
-    )
+    return d.withColumn("rank", int64_rank_expr("simhash"))
 
 
 def context_order(
@@ -717,12 +731,80 @@ def context_order_oracle_sql(
         )
         SELECT d.{id_col}, d.{domain_col} AS domain,
                {n_tokens_sql(f'd.{text_col}')} AS n_tokens,
-               printf('%08x', ((s.sim - (s.sim & 4294967295)) // 4294967296)
-                              + 2147483648)
-               || printf('%08x', s.sim & 4294967295) AS rank,
+               {int64_rank_sql('s.sim')} AS rank,
                s.sim AS simhash
         FROM cdocs d JOIN csh s USING ({id_col})
         WHERE {n_tokens_sql(f'd.{text_col}')} > 0
+    """
+
+
+def curriculum_order(
+    docs: DataFrame,
+    order_col: str,
+    *,
+    ascending: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Curriculum corpus ordering (Bengio et al. 2009 applied to LM data
+    prep): pack the corpus sorted by an INTEGER difficulty/quality score —
+    quality-ascending warmup schedules, perplexity-descending hard-example
+    tails, length curricula — instead of the md5 shuffle. ``order_col``
+    must be an integer column (quantize float scores upstream, e.g.
+    floor(score·1e6) — the same exactness rule as ``group_advantages``);
+    score ties break on the id INSIDE the packer (pack_sequences orders by
+    (rank, id)), so the order is total and partition-independent.
+    ``ascending=False`` packs highest score first by negating the key
+    (int64 min is not a valid score — recipe-scaled values only).
+
+    Output ``(id, domain, n_tokens, rank)`` — drop-in
+    :func:`pack_sequences` input, same contract as :func:`context_order`.
+    One projection over the corpus; the only exchange is the packer's.
+    """
+    dtype = dict(docs.dtypes).get(order_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"curriculum_order requires an integer order column; "
+            f"{order_col!r} is {dtype!r} — quantize float scores upstream "
+            "(e.g. floor(score * 1e6))"
+        )
+    key = F.col(order_col).cast("bigint")
+    if not ascending:
+        key = -key
+    d = _with_tokens(
+        docs.select(
+            id_col,
+            text_col,
+            F.col(domain_col).alias("domain"),
+            key.alias("__key"),
+        ),
+        text_col,
+    )
+    return d.select(
+        id_col, "domain", "n_tokens", int64_rank_expr("__key").alias("rank")
+    )
+
+
+def curriculum_order_oracle_sql(
+    docs_sql: str,
+    order_col: str,
+    *,
+    ascending: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`curriculum_order`."""
+    key = f"CAST({order_col} AS BIGINT)"
+    if not ascending:
+        key = f"(-{key})"
+    return f"""
+        SELECT {id_col}, {domain_col} AS domain,
+               {n_tokens_sql(text_col)} AS n_tokens,
+               {int64_rank_sql(key)} AS rank
+        FROM ({docs_sql})
+        WHERE {n_tokens_sql(text_col)} > 0
     """
 
 
