@@ -616,3 +616,35 @@ def test_curriculum_order_rejects_float_scores(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="integer order column"):
         curriculum_order(docs, "fscore")
+
+
+def test_int64_rank_sql_property_sweep():
+    """Hypothesis sweep: for ANY int64, the DuckDB rendering of
+    int64_rank_sql equals the python reference, and string order equals
+    numeric order (the contract every rank producer shares)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from volga_spark.operators.packing import int64_rank_sql
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=2,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def check(vals):
+        rows = duckdb.sql(
+            f"SELECT v, {int64_rank_sql('v')} AS r"
+            f" FROM (SELECT unnest({vals}) AS v)"
+        ).fetchall()
+        for v, r in rows:
+            assert r == f"{(v >> 32) + (1 << 31):08x}{v & 0xFFFFFFFF:08x}"
+        by_rank = sorted(rows, key=lambda t: t[1])
+        assert [t[0] for t in by_rank] == sorted(v for v, _ in rows)
+
+    check()
