@@ -648,3 +648,23 @@ def test_int64_rank_sql_property_sweep():
         assert [t[0] for t in by_rank] == sorted(v for v, _ in rows)
 
     check()
+
+
+def test_curriculum_rank_spreads_pack_buckets(spark, sf_dir):
+    """Regression (r09 review): raw int64 renderings of recipe-scaled
+    scores share one hi-half prefix, collapsing pack_sequences' 256-way
+    phase-1 decomposition into a single bucket. The score-position bucket
+    prefix must spread a ~uniform score domain across many buckets while
+    preserving order."""
+    from volga_spark.operators.packing import N_BUCKETS_HEX, curriculum_order
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = curriculum_order(docs, "n_chars").select("rank", "doc_id").collect()
+    prefixes = {r["rank"][:N_BUCKETS_HEX] for r in rows}
+    assert len(prefixes) > 16, sorted(prefixes)
+    # order still == (score, id) order
+    scores = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    by_rank = sorted(rows, key=lambda r: (r["rank"], r["doc_id"]))
+    keys = [(scores[r["doc_id"]], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)

@@ -316,3 +316,24 @@ def test_build_sequences_curriculum_order(spark, sf_dir):
     for _, _, ids in sorted(rows, key=lambda t: (t[0], t[1])):
         want.extend(ids)
     assert got == want
+
+
+def test_budget_selection_is_order_independent(spark, sf_dir):
+    """Regression (r09 review): with weights set, the order knob must not
+    bias WHICH docs are selected — selection stays the uniform seeded-md5
+    sample; only the packing order of the selected subset changes."""
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, num_merges=50)
+    kw = dict(weights={"src0": 0.5, "src1": 0.5}, token_budget=3000)
+
+    def doc_set(order, **extra):
+        out = build_sequences(
+            docs, model, 128, order=order, emit_boundaries=True, **kw, **extra
+        ).collect()
+        return {b["doc_id"] for r in out for b in r["bounds"]}
+
+    shuffle_docs = doc_set("shuffle")
+    ctx_docs = doc_set("context")
+    cur_docs = doc_set("curriculum", order_col="n_chars", ascending=False)
+    assert ctx_docs == shuffle_docs
+    assert cur_docs == shuffle_docs

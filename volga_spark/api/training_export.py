@@ -75,7 +75,10 @@ def build_sequences(
     Pair the non-shuffle orders with
     ``export_training_shards(shuffle_seed=...)`` to still randomize
     SEQUENCE order while keeping within-sequence structure (the ICLM
-    recipe: local coherence, global shuffle)."""
+    recipe: local coherence, global shuffle). With ``weights`` set the
+    budget SELECTION always stays the uniform seeded-md5 sample — the
+    order knob reorders the selected corpus, it never biases which
+    documents are selected."""
     if order not in ("shuffle", "context", "curriculum"):
         raise ValueError(
             "order must be 'shuffle', 'context' or 'curriculum' "
@@ -88,28 +91,22 @@ def build_sequences(
     if order == "context":
         from volga_spark.operators.packing import simhash_rank
 
-        base = simhash_rank(base, text_col=text_col, id_col=id_col).drop(
-            "simhash"
-        )
+        # hash the RAW (id, text) projection, not `base`: the encode
+        # mapInPandas is opaque to column pruning, so hashing through
+        # base's lineage would re-run the whole BPE pass a second time;
+        # the narrow select also sheds any pre-existing simhash column
+        # (dedup outputs carry one) that would make add_simhash's join
+        # ambiguous
+        ranks = simhash_rank(
+            docs.select(id_col, text_col), text_col=text_col, id_col=id_col
+        ).select(id_col, "rank")
+        base = base.join(ranks, id_col)
     elif order == "curriculum":
-        from volga_spark.operators.packing import int64_rank_expr
+        from volga_spark.operators.packing import curriculum_rank
 
         if not order_col:
             raise ValueError("order='curriculum' requires order_col")
-        dtype = dict(base.dtypes).get(order_col)
-        if dtype not in ("tinyint", "smallint", "int", "bigint"):
-            raise ValueError(
-                f"curriculum order_col must be integer; {order_col!r} is "
-                f"{dtype!r} — quantize float scores upstream"
-            )
-        key = F.col(order_col).cast("bigint")
-        if not ascending:
-            key = -key
-        base = (
-            base.withColumn("__key", key)
-            .withColumn("rank", int64_rank_expr("__key"))
-            .drop("__key")
-        )
+        base = curriculum_rank(base, order_col, ascending=ascending)
     else:
         base = base.withColumn("rank", _rank(id_col, seed))
     # pin the branch point: `base` feeds BOTH the selection/packing
@@ -117,9 +114,26 @@ def build_sequences(
     # the pin the expensive BPE encode pass executes once per branch.
     base = base.localCheckpoint(eager=False)
     if weights:
-        selected = budget_select(
-            base, weights, token_budget, domain_col, id_col
-        )
+        if order == "shuffle":
+            selected = budget_select(
+                base, weights, token_budget, domain_col, id_col
+            )
+        else:
+            # selection and ordering are SEPARATE decisions: the budget
+            # window must keep a uniform seeded-md5 sample per domain —
+            # selecting by the simhash/score rank would keep a
+            # semantically-clustered (or lowest-score) corner of the
+            # corpus instead of a representative mixture. Select under
+            # the md5 rank, then re-attach the order rank to the
+            # selected subset (narrow id+rank join).
+            sel = budget_select(
+                base.withColumn("rank", _rank(id_col, seed)),
+                weights,
+                token_budget,
+                domain_col,
+                id_col,
+            ).drop("rank")
+            selected = sel.join(base.select(id_col, "rank"), id_col)
     else:
         selected = base.select(
             id_col, F.col(domain_col).alias("domain"), "n_tokens", "rank"
@@ -227,6 +241,8 @@ def export_training_shards(
         "n_shards": n_shards,
         "shuffle_seed": shuffle_seed,
         "order": kwargs.get("order", "shuffle"),
+        "order_col": kwargs.get("order_col"),
+        "ascending": bool(kwargs.get("ascending", True)),
         "boundaries": "bounds" in seqs.columns,
         "shards": per_shard,
         "total_seqs": int(sum(s["n_seqs"] for s in per_shard.values())),

@@ -644,9 +644,13 @@ def simhash_rank(
     """Append the semantic-locality ``rank`` column (and ``simhash``):
     the :func:`int64_rank_expr` rendering of the 64-bit text SimHash that
     :func:`context_order` and ``build_sequences(order="context")`` sort
-    by."""
+    by. A pre-existing ``simhash`` column (dedup outputs carry one) is
+    replaced, not duplicated — ``add_simhash`` joins its hashes back onto
+    the input and an ambiguous column would fail analysis."""
     from volga_spark.operators.dedup import add_simhash
 
+    if "simhash" in df.columns:
+        df = df.drop("simhash")
     d = add_simhash(df, text_col, id_col)
     return d.withColumn("rank", int64_rank_expr("simhash"))
 
@@ -738,6 +742,58 @@ def context_order_oracle_sql(
     """
 
 
+def curriculum_rank(
+    df: DataFrame, order_col: str, *, ascending: bool = True
+) -> DataFrame:
+    """Append the curriculum ``rank`` column: a ``%02x`` SCORE-POSITION
+    bucket prefix + the :func:`int64_rank_expr` rendering of the (possibly
+    negated) integer score. THE shared rank producer behind
+    :func:`curriculum_order` and ``build_sequences(order="curriculum")``.
+
+    Why the bucket prefix: :func:`pack_sequences` parallelizes its phase-1
+    prefix sum on ``substring(rank, 1, 2)``, which assumes rank prefixes
+    VARY (true for md5 and simhash ranks). A raw int64 rendering of
+    recipe-scaled scores puts every row in the same hi-half prefix
+    (``'80'`` ascending / ``'7f'`` descending) — one bucket, the whole
+    corpus through a single phase-1 window task. The prefix
+    ``bucket = (key − min) · 256 div (max − min + 1)`` (exact DECIMAL(38)
+    arithmetic, one 1-row min/max stats broadcast — the repo's
+    stats-broadcast pattern) is monotone in the key, so order is
+    preserved, and spreads ~uniform scores across ~256 buckets. Heavily
+    TIED score distributions still concentrate (90% one score ⇒ that run
+    is one bucket) — inherent to order-by-score, documented not hidden.
+
+    ``order_col`` must be an integer column; ties break on the id inside
+    the packer. int64 min is not a valid descending score (negation)."""
+    dtype = dict(df.dtypes).get(order_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"curriculum rank requires an integer order column; "
+            f"{order_col!r} is {dtype!r} — quantize float scores upstream "
+            "(e.g. floor(score * 1e6))"
+        )
+    key = F.col(order_col).cast("bigint")
+    if not ascending:
+        key = -key
+    d = df.withColumn("__key", key)
+    stats = d.agg(
+        F.min("__key").alias("__mn"), F.max("__key").alias("__mx")
+    )
+    d = d.crossJoin(F.broadcast(stats))
+    bucket = F.expr(
+        "CAST((CAST(__key AS DECIMAL(38,0)) - CAST(__mn AS DECIMAL(38,0)))"
+        " * 256 div (CAST(__mx AS DECIMAL(38,0))"
+        " - CAST(__mn AS DECIMAL(38,0)) + 1) AS BIGINT)"
+    )
+    return (
+        d.withColumn(
+            "rank",
+            F.concat(F.format_string("%02x", bucket), int64_rank_expr("__key")),
+        )
+        .drop("__key", "__mn", "__mx")
+    )
+
+
 def curriculum_order(
     docs: DataFrame,
     order_col: str,
@@ -760,30 +816,20 @@ def curriculum_order(
 
     Output ``(id, domain, n_tokens, rank)`` — drop-in
     :func:`pack_sequences` input, same contract as :func:`context_order`.
-    One projection over the corpus; the only exchange is the packer's.
+    The rank carries a score-position bucket prefix so the packer's
+    256-way phase-1 decomposition survives skewed score domains (see
+    :func:`curriculum_rank`); cost = one projection + a 1-row min/max
+    stats broadcast.
     """
-    dtype = dict(docs.dtypes).get(order_col)
-    if dtype not in ("tinyint", "smallint", "int", "bigint"):
-        raise ValueError(
-            f"curriculum_order requires an integer order column; "
-            f"{order_col!r} is {dtype!r} — quantize float scores upstream "
-            "(e.g. floor(score * 1e6))"
-        )
-    key = F.col(order_col).cast("bigint")
-    if not ascending:
-        key = -key
     d = _with_tokens(
         docs.select(
-            id_col,
-            text_col,
-            F.col(domain_col).alias("domain"),
-            key.alias("__key"),
+            id_col, text_col, F.col(domain_col).alias("domain"),
+            F.col(order_col),
         ),
         text_col,
     )
-    return d.select(
-        id_col, "domain", "n_tokens", int64_rank_expr("__key").alias("rank")
-    )
+    d = curriculum_rank(d, order_col, ascending=ascending)
+    return d.select(id_col, "domain", "n_tokens", "rank")
 
 
 def curriculum_order_oracle_sql(
@@ -795,16 +841,26 @@ def curriculum_order_oracle_sql(
     id_col: str = "doc_id",
     domain_col: str = "source",
 ) -> str:
-    """DuckDB twin of :func:`curriculum_order`."""
+    """DuckDB twin of :func:`curriculum_order` (bucket prefix included —
+    HUGEINT arithmetic mirrors Spark's DECIMAL(38) exactly)."""
     key = f"CAST({order_col} AS BIGINT)"
     if not ascending:
         key = f"(-{key})"
     return f"""
-        SELECT {id_col}, {domain_col} AS domain,
-               {n_tokens_sql(text_col)} AS n_tokens,
-               {int64_rank_sql(key)} AS rank
-        FROM ({docs_sql})
-        WHERE {n_tokens_sql(text_col)} > 0
+        WITH ckeyed AS (
+            SELECT {id_col}, {domain_col} AS domain,
+                   {n_tokens_sql(text_col)} AS n_tokens,
+                   {key} AS __k
+            FROM ({docs_sql})
+            WHERE {n_tokens_sql(text_col)} > 0
+        ),
+        cst AS (SELECT min(__k) AS __mn, max(__k) AS __mx FROM ckeyed)
+        SELECT {id_col}, domain, n_tokens,
+               printf('%02x', CAST((CAST(__k AS HUGEINT) - __mn) * 256
+                              // (CAST(__mx AS HUGEINT) - __mn + 1)
+                              AS BIGINT))
+               || {int64_rank_sql('__k')} AS rank
+        FROM ckeyed, cst
     """
 
 
