@@ -1052,3 +1052,46 @@ def test_group_advantages_rejects_float_scores(spark):
     )
     with pytest.raises(ValueError, match="integer score column"):
         group_advantages(df, prompt_col="p", cand_col="c", score_col="s")
+
+
+def test_group_advantages_oracle_exact_rational_property():
+    """Hypothesis sweep over the DuckDB GRPO twin alone: the integer
+    sufficient statistics equal exact-rational arithmetic (Fraction), and
+    the emitted advantage equals adv_num / sqrt(var_n2) to the bit."""
+    import math
+    from fractions import Fraction
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from volga_spark.operators.conversations import group_advantages_oracle_sql
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(scores):
+        rows = ", ".join(f"(0, {i}, {s})" for i, s in enumerate(scores))
+        sql = group_advantages_oracle_sql(
+            f"SELECT * FROM (VALUES {rows}) t(prompt_id, cand, score)"
+        )
+        got = duckdb.sql(sql).fetchdf()
+        n = len(scores)
+        mean = Fraction(sum(scores), n)
+        var = sum((Fraction(s) - mean) ** 2 for s in scores) / n
+        if n < 2 or var == 0:
+            assert len(got) == 0, scores
+            return
+        assert len(got) == n
+        for _, r in got.iterrows():
+            s = scores[int(r["cand"])]
+            assert r["adv_num"] == n * s - sum(scores)
+            assert r["var_n2"] == n * n * var  # exact integer identity
+            assert r["advantage"] == r["adv_num"] / math.sqrt(r["var_n2"])
+
+    check()

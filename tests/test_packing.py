@@ -668,3 +668,44 @@ def test_curriculum_rank_spreads_pack_buckets(spark, sf_dir):
     by_rank = sorted(rows, key=lambda r: (r["rank"], r["doc_id"]))
     keys = [(scores[r["doc_id"]], r["doc_id"]) for r in by_rank]
     assert keys == sorted(keys)
+
+
+def test_curriculum_oracle_order_property_sweep():
+    """Hypothesis sweep over the DuckDB curriculum twin alone: for ANY
+    integer score multiset (ties included, both directions), the emitted
+    rank strings sort exactly like (key, id) — bucket prefix included."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from volga_spark.operators.packing import curriculum_order_oracle_sql
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**53), max_value=2**53),
+            min_size=2,
+            max_size=12,
+        ),
+        st.booleans(),
+    )
+    def check(scores, asc):
+        rows = ", ".join(
+            f"({i}, 'w', 'a b c', {s})" for i, s in enumerate(scores)
+        )
+        sql = curriculum_order_oracle_sql(
+            f"SELECT * FROM (VALUES {rows})"
+            " t(doc_id, source, text, score)",
+            "score",
+            ascending=asc,
+        )
+        got = duckdb.sql(sql).fetchdf()
+        by_rank = got.sort_values(["rank", "doc_id"])["doc_id"].tolist()
+        key = dict(enumerate(scores))
+        want = sorted(
+            range(len(scores)),
+            key=lambda i: (key[i] if asc else -key[i], i),
+        )
+        assert by_rank == want, (scores, asc)
+
+    check()

@@ -538,19 +538,24 @@ def group_advantages_oracle_sql(
         ),
         stats AS (
             -- "__"-prefixed aliases: the caller's column names (e.g. a
-            -- score column literally named "s") must not shadow them
+            -- score column literally named "s") must not shadow them.
+            -- __sc mirrors the Spark side's cast('bigint'): an INT32
+            -- score column would overflow the square at |r| > 46340.
             SELECT {prompt_col}, {cand_col}, {score_col},
+                   CAST({score_col} AS BIGINT) AS __sc,
                    count(*) OVER (PARTITION BY {prompt_col}) AS __n,
-                   sum({score_col}) OVER (PARTITION BY {prompt_col}) AS __s,
-                   sum({score_col} * {score_col})
+                   CAST(sum({score_col})
+                        OVER (PARTITION BY {prompt_col}) AS BIGINT) AS __s,
+                   sum(CAST({score_col} AS BIGINT)
+                       * CAST({score_col} AS BIGINT))
                        OVER (PARTITION BY {prompt_col}) AS __ss
             FROM cands
         )
         SELECT {prompt_col}, {cand_col}, {score_col},
                CAST(__n AS BIGINT) AS n_candidates,
-               CAST(__n * {score_col} - __s AS BIGINT) AS adv_num,
+               CAST(__n * __sc - __s AS BIGINT) AS adv_num,
                CAST(__n * __ss - __s * __s AS BIGINT) AS var_n2,
-               CAST(__n * {score_col} - __s AS BIGINT)
+               CAST(__n * __sc - __s AS BIGINT)
                  / sqrt(CAST(__n * __ss - __s * __s AS BIGINT)) AS advantage
         FROM stats
         WHERE __n >= {int(min_group)}
