@@ -118,6 +118,14 @@ def _probe_phase_schedule(spark, sf_dir):
     return phase_schedule(d, phases, seq_len=2048)
 
 
+def _probe_curriculum_pack(spark, sf_dir):
+    from volga_spark.operators.packing import curriculum_order, pack_sequences
+    from volga_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(curriculum_order(d, "n_chars"), 2048)
+
+
 EXTRA_PROBES = {
     "pivot_agg": _probe_pivot,
     "paragraph_dedup": _probe_paragraph_dedup,
@@ -125,6 +133,7 @@ EXTRA_PROBES = {
     "length_bucketed_batches": _probe_length_batching,
     "cluster_soft_dedup": _probe_soft_dedup,
     "phase_schedule": _probe_phase_schedule,
+    "curriculum_pack": _probe_curriculum_pack,
 }
 
 ID_SHIFTS = {
