@@ -106,7 +106,18 @@ def build_sequences(
 
         if not order_col:
             raise ValueError("order='curriculum' requires order_col")
-        base = curriculum_rank(base, order_col, ascending=ascending)
+        # rank from the RAW (id, order_col) projection, like the context
+        # branch: curriculum_rank's 1-row min/max stats broadcast would
+        # otherwise materialize `base` — i.e. run the BPE encode
+        # mapInPandas a second time before the localCheckpoint pin below.
+        # Computing the stats over all docs (vs base's n_tokens>0 subset)
+        # can only shift bucket BOUNDARIES, never the order: the bucket
+        # prefix is monotone in the score, so the packed output is
+        # byte-identical (pinned by test_build_sequences_curriculum_order).
+        ranks = curriculum_rank(
+            docs.select(id_col, order_col), order_col, ascending=ascending
+        ).select(id_col, "rank")
+        base = base.join(ranks, id_col)
     else:
         base = base.withColumn("rank", _rank(id_col, seed))
     # pin the branch point: `base` feeds BOTH the selection/packing

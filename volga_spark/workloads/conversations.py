@@ -152,11 +152,17 @@ _ORACLE = f"""
     ),
     grpo AS (
         -- GRPO advantage normalization as exact integer sufficient
-        -- statistics: adv_num = n*r - sum, var_n2 = n*sumsq - sum^2
-        SELECT prompt_id, cand, score,
+        -- statistics: adv_num = n*r - sum, var_n2 = n*sumsq - sum^2.
+        -- BIGINT before squaring mirrors the hardened library twin
+        -- (group_advantages_oracle_sql): an INT32 score column would
+        -- overflow score*score in DuckDB at |score| > 46340 while the
+        -- Spark side (cast to bigint) would not.
+        SELECT prompt_id, cand, CAST(score AS BIGINT) AS score,
                count(*) OVER (PARTITION BY prompt_id) AS n,
-               sum(score) OVER (PARTITION BY prompt_id) AS s,
-               sum(score * score) OVER (PARTITION BY prompt_id) AS ss
+               CAST(sum(score) OVER (PARTITION BY prompt_id)
+                    AS BIGINT) AS s,
+               sum(CAST(score AS BIGINT) * CAST(score AS BIGINT))
+                   OVER (PARTITION BY prompt_id) AS ss
         FROM scored
     ),
     tchunk AS (
