@@ -18,6 +18,20 @@ r09 findings this captured (sf0.1, 100k events, 64 buckets):
 - advance CPU 12.8s -> 7.4s total; what remains is the per-emission
   category/top/ratio CSV rendering (semantically per output row) and the
   ~3.7s per-query trigger-fixed framework floor the handler cannot see.
+
+r10 findings (same harness, ambient loadavg 4-5):
+- the per-emission from-scratch sorts in _render_cate/_render_top/
+  _render_ratio were the sweep's render floor -> replaced by bisect-
+  maintained sorted views synced from the dirty sets, plus output-string
+  reuse when no step touched a spec between emissions (38% of cate
+  renders hit the cache on the 7d specs);
+- advance CPU 8.31 -> 6.24s (7d) / 6.37 -> 4.46s (month) measured
+  same-session before/after; render cum share (cProfile) cate 2.76 ->
+  2.02, top 1.57 -> 1.17, ratio 1.43 -> 0.96;
+- what remains is ~1.9s tottime in _sweep_key's numpy segment machinery
+  + the add/retract step loop + _eval of dirty categories — per-row
+  semantics with no batch structure left to exploit; locally the bench
+  official stays framework-floor-dominated (~3.7s trigger-fixed).
 """
 
 from __future__ import annotations

@@ -58,6 +58,7 @@ import math
 import os
 import time
 import uuid
+from bisect import bisect_left, insort
 from collections import Counter
 from dataclasses import dataclass
 
@@ -69,16 +70,14 @@ from pyspark.sql import functions as F
 # module-scope so cloudpickle's register_pickle_by_value captures the class
 # itself into the handler closure (executors don't have the repo on sys.path)
 from volga_spark.formatting import format_float, join_csv, scalar_to_string
-from volga_spark.functions.accumulators import (
-    FrequencyAccumulator,
-    MinMaxAcc,
-    SubAcc,
-    TopValueAccumulator,
-)
+from volga_spark.functions.accumulators import MinMaxAcc, SubAcc
 from volga_spark.operators.window import RangeFrame, interval_to_micros
 
 TS = "__ts_us"
 BKT = "__bkt"
+
+# sweep render cache sentinel: "no output rendered yet for this spec"
+_UNSET = object()
 
 _NEG_INF = -(1 << 62)
 
@@ -1252,6 +1251,25 @@ class _GroupCore:
         rmerged: list[dict] = [
             {cat: list(v) for cat, v in m.items()} for m in rstatic
         ]
+        # r10 render vectorization: each render family keeps an
+        # INCREMENTALLY SORTED view (bisect insert/remove, synced from the
+        # dirty set at render time) instead of re-sorting the whole
+        # category/value space per emitted row, and a spec whose state no
+        # step touched since its last render reuses the previous output
+        # string outright. Exactness: the sorted views are pure functions
+        # of the same merged state the from-scratch sorts read, and every
+        # state mutation passes through a dirty set.
+        csorted: list[list] = [[] for _ in range(nc)]
+        clast: list = [_UNSET] * nc
+        hdirty: list[set] = [set(c) for c in hmerged]
+        hview: list[dict] = [{} for _ in range(nt)]
+        hvals: list[list] = [[] for _ in range(nt)]
+        hcv: list[list] = [[] for _ in range(nt)]
+        hlast: list = [_UNSET] * nt
+        rdirty: list[set] = [set(m) for m in rmerged]
+        rview: list[dict] = [{} for _ in range(nrt)]
+        rsorted: list[list] = [[] for _ in range(nrt)]
+        rlast: list = [_UNSET] * nrt
 
         def cate_step(j, idx, sign):
             vals, cats, conds = craw[j]
@@ -1277,6 +1295,7 @@ class _GroupCore:
             v = v.item() if hasattr(v, "item") else v
             hmerged[j][v] += sign
             htotal[j] += sign
+            hdirty[j].add(v)
             if hmerged[j][v] == 0:
                 del hmerged[j][v]
 
@@ -1286,6 +1305,7 @@ class _GroupCore:
             if cat is None or v is None:
                 return
             cat = cat.item() if hasattr(cat, "item") else cat
+            rdirty[j].add(cat)
             cur = rmerged[j].get(cat)
             if cur is None:
                 cur = rmerged[j][cat] = [0, 0]
@@ -1320,18 +1340,28 @@ class _GroupCore:
                         ratio_step(j, lo, -1)
                     lo += 1
                 for j, s in enumerate(self.cate_specs):
-                    out_vals[s.name].append(
-                        self._render_cate(
-                            s, cstatic[j], cdyn[j], cparts[j], cdirty[j]
+                    if cdirty[j] or clast[j] is _UNSET:
+                        clast[j] = self._render_cate(
+                            s, cstatic[j], cdyn[j], cparts[j],
+                            csorted[j], cdirty[j],
                         )
-                    )
-                    cdirty[j].clear()
+                        cdirty[j].clear()
+                    out_vals[s.name].append(clast[j])
                 for j, s in enumerate(self.top_specs):
-                    out_vals[s.name].append(
-                        self._render_top(s, hmerged[j], htotal[j])
-                    )
+                    if hdirty[j] or hlast[j] is _UNSET:
+                        hlast[j] = self._render_top(
+                            s, hmerged[j], htotal[j], hview[j],
+                            hvals[j], hcv[j], hdirty[j],
+                        )
+                        hdirty[j].clear()
+                    out_vals[s.name].append(hlast[j])
                 for j, s in enumerate(self.ratio_specs):
-                    out_vals[s.name].append(self._render_ratio(s, rmerged[j]))
+                    if rdirty[j] or rlast[j] is _UNSET:
+                        rlast[j] = self._render_ratio(
+                            s, rmerged[j], rview[j], rsorted[j], rdirty[j]
+                        )
+                        rdirty[j].clear()
+                    out_vals[s.name].append(rlast[j])
         out_vals.update(scalar_out)
 
         n_emit = len(emit_idx)
@@ -1372,7 +1402,9 @@ class _GroupCore:
         return math.sqrt(max(m2, 0.0) / (N - 1))
 
     @staticmethod
-    def _render_cate(spec, static_map, dyn_map, parts_cache, dirty) -> str:
+    def _render_cate(
+        spec, static_map, dyn_map, parts_cache, sorted_view, dirty
+    ) -> str:
         """Merge static tile partials with dynamic sub-accumulators per
         category and render the reference CSV — plain form sorts the
         "cat:val" parts (CateAccumulator.result()); the top_n form
@@ -1380,8 +1412,11 @@ class _GroupCore:
         category-desc tiebreak and limits to k (GroupedAggTopK.result()).
 
         ``parts_cache`` keeps {cat: (metric, part_str)} across emissions of
-        one key sweep; only categories a step marked ``dirty`` re-evaluate —
-        the same O(changed-categories) render cost as the untiled cache."""
+        one key sweep; only categories a step marked ``dirty`` re-evaluate.
+        ``sorted_view`` is the incrementally maintained sorted entry list
+        (r10): dirty categories bisect-remove their old entry and
+        bisect-insert the new one, so the render never re-sorts the whole
+        category space — its cost is O(dirty·log C + output)."""
         op, scale = spec.op, spec.scale
 
         def _eval(cat):
@@ -1414,81 +1449,154 @@ class _GroupCore:
             return (metric, f"{cat_s}:{m_s}")
 
         # only categories a step touched re-evaluate; static categories are
-        # marked dirty once at sweep start (no static∪dynamic rescan here)
+        # marked dirty once at sweep start (no static∪dynamic rescan here).
+        # Entry shape in sorted_view: part-string (plain form, lexicographic
+        # — CateAccumulator's full-string sort), (cat, part) for order='key',
+        # (metric, cat, part) for order='value'; ascending lists rendered
+        # back-to-front reproduce the reverse=True sorts exactly (cat is
+        # unique per entry, so ties cannot reorder).
+        order = spec.order
         for cat in dirty:
+            old = parts_cache.get(cat)
             r = _eval(cat)
-            if r is None:
-                parts_cache.pop(cat, None)
-            else:
+            if r == old:
+                continue
+            if old is not None:
+                if order is None:
+                    entry = old[1]
+                elif order == "key":
+                    entry = (cat, old[1])
+                else:
+                    entry = (old[0], cat, old[1])
+                del sorted_view[bisect_left(sorted_view, entry)]
+                del parts_cache[cat]
+            if r is not None:
                 parts_cache[cat] = r
+                if order is None:
+                    insort(sorted_view, r[1])
+                elif order == "key":
+                    insort(sorted_view, (cat, r[1]))
+                else:
+                    insort(sorted_view, (r[0], cat, r[1]))
 
-        if spec.order is None:
-            return join_csv(sorted(p for _, p in parts_cache.values()))
-        items = [
-            (cat, metric, p) for cat, (metric, p) in parts_cache.items()
-        ]
-        if spec.order == "key":
-            items.sort(key=lambda it: it[0], reverse=True)
-        else:
-            items.sort(key=lambda it: (it[1], it[0]), reverse=True)
-        return join_csv([p for _, _, p in items[: spec.k]])
+        if order is None:
+            return join_csv(sorted_view)
+        if spec.k <= 0:
+            return ""
+        if order == "key":
+            return join_csv([e[1] for e in sorted_view[-spec.k:][::-1]])
+        return join_csv([e[2] for e in sorted_view[-spec.k:][::-1]])
 
     @staticmethod
-    def _render_top(spec, merged, total):
+    def _render_top(spec, merged, total, view, vals, cv, dirty):
         """Render the incrementally maintained merged multiset. The
         topn_frequency/top1_ratio forms inline the exact arithmetic of
         FrequencyAccumulator (_ranked: count desc, value desc; top1_ratio:
-        max count / total) — this runs once per emitted row, and the
-        per-call accumulator construction was a measured hot spot;
-        bit-parity with the untiled accumulators is pinned by
-        test_top_ratio_ordered_specs_vs_untiled_accumulators."""
-        if spec.op == "count_distinct":
+        max count / total); bit-parity with the untiled accumulators is
+        pinned by test_top_ratio_ordered_specs_vs_untiled_accumulators.
+
+        r10: the per-emission from-scratch sorts are replaced by sorted
+        views synced from the dirty-value set — ``vals`` (distinct values,
+        ascending; top/quantile) and ``cv`` ((count, value) ascending;
+        topn_frequency/top1_ratio), with ``view`` holding the count each
+        value had when last synced. The views are pure functions of
+        ``merged``, so the rendered output is unchanged."""
+        op = spec.op
+        if dirty and op != "count_distinct":
+            if op in ("top", "quantile"):
+                for v in dirty:
+                    cur = merged.get(v, 0)
+                    prev = view.get(v, 0)
+                    if (cur > 0) != (prev > 0):
+                        if cur > 0:
+                            insort(vals, v)
+                        else:
+                            del vals[bisect_left(vals, v)]
+                    if cur:
+                        view[v] = cur
+                    else:
+                        view.pop(v, None)
+            else:
+                for v in dirty:
+                    cur = merged.get(v, 0)
+                    prev = view.get(v, 0)
+                    if cur == prev:
+                        continue
+                    if prev:
+                        del cv[bisect_left(cv, (prev, v))]
+                    if cur:
+                        insort(cv, (cur, v))
+                        view[v] = cur
+                    else:
+                        view.pop(v, None)
+        if op == "count_distinct":
             return len(merged)
-        if spec.op == "quantile":
+        if op == "quantile":
             if not merged:
                 return None
-            m = sum(merged.values())
-            rank = math.ceil(spec.q * m)
+            rank = math.ceil(spec.q * total)  # total == sum(merged.values())
             cum = 0
-            for v in sorted(merged):
+            for v in vals:
                 cum += merged[v]
                 if cum >= rank:
                     return v
-            return v  # pragma: no cover — rank <= m by construction
-        if spec.op == "top":
-            acc = TopValueAccumulator(spec.k)
-            acc.counts = merged
-            return acc.result()
-        if spec.op == "top1_ratio":
+            return v  # pragma: no cover — rank <= total by construction
+        if op == "top":
+            # TopValueAccumulator.result() over the maintained value order
+            if spec.k <= 0:
+                return ""
+            parts: list[str] = []
+            for v in reversed(vals):
+                take = min(spec.k - len(parts), merged[v])
+                s = scalar_to_string(v) or ""
+                parts.extend([s] * take)
+                if len(parts) >= spec.k:
+                    break
+            return join_csv(parts)
+        if op == "top1_ratio":
             if total <= 0 or not merged:
                 return 0.0
-            return max(merged.values()) / total
-        ranked = sorted(
-            merged.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
-        )[: spec.k or 0]
-        return join_csv([scalar_to_string(v) or "" for v, _ in ranked])
+            return cv[-1][0] / total
+        if not spec.k or spec.k <= 0:
+            return ""
+        return join_csv(
+            [scalar_to_string(v) or "" for _, v in cv[-spec.k:][::-1]]
+        )
 
     @staticmethod
-    def _render_ratio(spec, merged) -> str:
+    def _render_ratio(spec, merged, view, sorted_view, dirty) -> str:
         """RatioTopK.result() over the incrementally merged (rows,
         cond-true) pairs; entries whose row count hit zero stay in the map
-        and are skipped here (same as RatioTopK's deletion)."""
-        items = []
-        for cat, (den, num) in merged.items():
-            if den <= 0:
+        and are skipped here (same as RatioTopK's deletion).
+
+        r10: ``sorted_view`` keeps (cat, part) [order='key'] or
+        (ratio, cat, part) [order='value'] entries ascending, synced from
+        the dirty-category set; parts are formatted once per change, not
+        once per emission, and the ascending list rendered back-to-front
+        reproduces the reverse=True sort (cat unique ⇒ no tie reorder)."""
+        bykey = spec.order == "key"
+        for cat in dirty:
+            e = merged.get(cat)
+            entry = None
+            if e is not None and e[0] > 0:
+                cs = scalar_to_string(cat)
+                if cs is not None:
+                    r = e[1] / e[0]
+                    part = f"{cs}:{format_float(r)}"
+                    entry = (cat, part) if bykey else (r, cat, part)
+            old = view.get(cat)
+            if entry == old:
                 continue
-            items.append((cat, num / den))
-        if spec.order == "key":
-            items.sort(key=lambda cm: cm[0], reverse=True)
-        else:
-            items.sort(key=lambda cm: (cm[1], cm[0]), reverse=True)
-        parts = []
-        for cat, r in items[: spec.k]:
-            cs = scalar_to_string(cat)
-            if cs is None:
-                continue
-            parts.append(f"{cs}:{format_float(r)}")
-        return join_csv(parts)
+            if old is not None:
+                del sorted_view[bisect_left(sorted_view, old)]
+            if entry is not None:
+                insort(sorted_view, entry)
+                view[cat] = entry
+            else:
+                view.pop(cat, None)
+        if spec.k <= 0:
+            return ""
+        return join_csv([e[-1] for e in sorted_view[-spec.k:][::-1]])
 
 
 def tiled_sliding_window_stream(
