@@ -228,6 +228,45 @@ def test_cover_buckets_properties():
     assert len(runs) < flat / 50, (len(runs), flat)
 
 
+def test_cover_segments_expr_matches_python_walk(spark):
+    """The native unrolled cover expression (r10 — the serving path's
+    probe build with no Python stage) must reproduce cover_buckets
+    exactly, segment order included, across randomized aligned intervals
+    on a multi-level ladder and on a degenerate single-level one."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from volga_spark.operators.tiles import (
+        add_cover_segments,
+        cover_buckets,
+    )
+
+    rng = random.Random(23)
+    for gs in ([1, 6, 60, 720], [5], [7, 42]):
+        cases = []
+        for _ in range(200):
+            lo = rng.randrange(0, 3000 // gs[0]) * gs[0]
+            hi = lo + rng.randrange(0, 5000 // gs[0]) * gs[0]
+            cases.append((lo, hi))
+        df = add_cover_segments(
+            spark.createDataFrame(cases, "lo long, hi long"),
+            F.col("lo"),
+            F.col("hi"),
+            gs,
+            out="cov",
+        )
+        for r in df.collect():
+            want = cover_buckets(r["lo"], r["hi"], gs)
+            got = [
+                (e["g"], b)
+                for e in r["cov"]
+                if e["hi"] >= e["lo"]  # the empty-segment sentinel
+                for b in range(e["lo"], e["hi"] + 1)
+            ]
+            assert got == want, (gs, r["lo"], r["hi"])
+
+
 @pytest.mark.parametrize("window", ["25 HOURS", "7 DAYS"])
 def test_ladder_lookup_equals_naive_and_flat(spark, sf_dir, window):
     """A ladder-served lookup must equal BOTH the naive scan and the
@@ -384,3 +423,15 @@ def test_stream_maintained_tiles_serve_through_ladder(spark, sf_dir):
     )
     for col in ("cnt", "sum_value", "min_value", "max_value"):
         pd.testing.assert_series_equal(got[col], naive[col], check_names=False)
+
+
+def test_interval_parsing_case_and_plural():
+    """r10 regression: '7 DAYS' raised (the optional plural 's' in the
+    parser regex was case-sensitive, so the unit lowered to 'days')."""
+    from volga_spark.operators.window import interval_to_micros
+
+    day = 86_400_000_000
+    assert interval_to_micros("7 DAYS") == 7 * day
+    assert interval_to_micros("7 days") == 7 * day
+    assert interval_to_micros("1 Day") == day
+    assert interval_to_micros("25 HOURS") == 25 * 3_600_000_000

@@ -172,6 +172,82 @@ def cover_buckets(lo: int, hi: int, gs: list[int]) -> list[tuple[int, int]]:
     return out
 
 
+def add_cover_segments(df: DataFrame, lo, hi, gs: list[int], out: str = "__segs") -> DataFrame:
+    """Native twin of :func:`cover_buckets`: appends an
+    ``array<struct<g:long,lo:long,hi:long>>`` column — the canonical cover
+    of the aligned interior [lo, hi) as CONTIGUOUS BUCKET RANGES (hi
+    inclusive), one element per ladder segment, the granularity-tree walk
+    unrolled at PLAN TIME over the (static) ladder levels. Each level
+    contributes at most one ascend segment, the coarsest one stride, and
+    one descend segment (2L−1 elements); the ``break`` of the Python walk
+    is equivalent to the per-level ``cur % g == 0`` guard (a cur not
+    divisible by level g is not divisible by any coarser multiple either).
+    Empty segments carry lo=0, hi=−1 — callers must FILTER ``hi >= lo``
+    before ``explode(sequence(lo, hi))`` (a descending sequence counts
+    down, it is not empty).
+
+    Two performance constraints shaped this (r10, both measured):
+    - NO higher-order functions — transform/aggregate lambdas are
+      CodegenFallback (interpreted per row); plain struct/array
+      constructors + generators stay inside whole-stage codegen.
+    - the sequential ``cur`` carry is projected into a REAL COLUMN per
+      level (hence a DataFrame transformer, not a Column factory): each
+      carry step references the previous one several times, so inlining
+      the chain into one expression grows it ~4× PER LEVEL — the
+      inlined form measured 4-15× slower than the Python UDF it was
+      meant to beat, while the projected form is linear in ladder depth
+      (CollapseProject keeps multiply-referenced non-trivial aliases
+      projected). Bit-parity with the Python walk is pinned by
+      test_tiles.py's randomized equivalence sweep."""
+
+    def fdiv(x, g):
+        # floor (not cast/div) — matches the floor-bucket arithmetic used
+        # across this module for negative-µs safety
+        return F.floor(x / F.lit(g)).cast("long")
+
+    zero = F.lit(0).cast("long")
+    neg1 = F.lit(-1).cast("long")
+
+    def seg(g, ok, a, b):
+        # bucket range [a/g, b/g - 1] when ok, else the empty sentinel
+        return F.struct(
+            F.lit(g).cast("long").alias("g"),
+            F.when(ok, fdiv(a, g)).otherwise(zero).alias("lo"),
+            F.when(ok, fdiv(b, g) - 1).otherwise(neg1).alias("hi"),
+        )
+
+    d = df.withColumn("__cov_cur", lo).withColumn("__cov_hi", hi)
+    cur, chi = F.col("__cov_cur"), F.col("__cov_hi")
+    seg_cols: list[str] = []
+    temp_cols: list[str] = ["__cov_cur", "__cov_hi"]
+
+    def step(i, g, stop):
+        nonlocal d
+        ok = (cur % g == 0) & (stop > cur)
+        sc, cc = f"__cov_s{i}", f"__cov_c{i}"
+        d = d.withColumn(sc, seg(g, ok, cur, stop)).withColumn(
+            cc, F.when(ok, stop).otherwise(cur)
+        )
+        # re-point the carry at the projected column, NOT the expression
+        d = d.withColumn("__cov_cur", F.col(cc))
+        seg_cols.append(sc)
+        temp_cols.append(cc)
+
+    i = 0
+    for g, nxt in zip(gs, gs[1:]):
+        aligned = -fdiv(-cur, nxt) * nxt  # ceil(cur / nxt) * nxt
+        step(i, g, F.least(aligned, fdiv(chi, g) * g))
+        i += 1
+    step(i, gs[-1], fdiv(chi, gs[-1]) * gs[-1])
+    i += 1
+    for g in reversed(gs[:-1]):
+        step(i, g, fdiv(chi, g) * g)
+        i += 1
+    return d.withColumn(out, F.array(*[F.col(c) for c in seg_cols])).drop(
+        *temp_cols, *seg_cols
+    )
+
+
 def build_serving_state(
     events: DataFrame,
     tiles: DataFrame,
@@ -342,8 +418,10 @@ def tiled_lookup(
     the interior probe is the canonical multi-granularity cover
     (:func:`cover_buckets`): O(Σ level branching + W/g_max) probe rows per
     request instead of W/g_fine — a 30-day window probes ~200 buckets on a
-    [1m, 1h, 1d] ladder, not 43k. The cover runs as a Python UDF on the
-    REQUEST side only (bounded, ~10³ rows/batch — never corpus data)."""
+    [1m, 1h, 1d] ladder, not 43k. The cover is a native unrolled
+    expression (:func:`cover_buckets_expr`, r10) — the probe build is
+    whole-stage-codegen JVM work with no Python stage anywhere in the
+    serving path."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     g = interval_to_micros(granularity)
     w = frame.micros
@@ -388,28 +466,33 @@ def tiled_lookup(
                 "granularity must be the ladder's finest level "
                 f"({gs[0]} µs); got {g} µs"
             )
-        import volga_spark.operators.tiles as _self
-        from volga_spark._pickle import register_by_value
-
-        register_by_value(_self)
-        cover = F.udf(
-            lambda lo_a, hi_a: cover_buckets(int(lo_a), int(hi_a), gs),
-            "array<struct<g:long,b:long>>",
-        )
-        interior_gb = has_interior.select(
-            request_id_col,
-            *keys,
-            F.explode(
-                cover(
-                    F.col("__b_first") * F.lit(g),
-                    (F.col("__b_last") + 1) * F.lit(g),
-                )
-            ).alias("__gb"),
-        ).select(
-            request_id_col,
-            *keys,
-            F.col("__gb.g").alias("__g"),
-            F.col("__gb.b").alias("__b"),
+        seg_src = add_cover_segments(
+            has_interior.select(request_id_col, *keys, "__b_first", "__b_last"),
+            F.col("__b_first") * F.lit(g),
+            (F.col("__b_last") + 1) * F.lit(g),
+            gs,
+        ).select(request_id_col, *keys, "__segs")
+        # barrier before the explode: collapsed into the Generate stage,
+        # the carry-projection chain re-inlines into one enormous codegen
+        # unit (measured 2.7s vs 0.15s per 1000-request batch); the
+        # checkpoint materializes only 2L-1 segment structs per request —
+        # request-bounded, never corpus data
+        seg_src = seg_src.localCheckpoint(eager=False)
+        interior_gb = (
+            seg_src.select(
+                request_id_col, *keys, F.explode("__segs").alias("__seg")
+            )
+            # empty-segment sentinel is lo=0, hi=-1; filter BEFORE the
+            # sequence explode (a descending sequence counts down)
+            .filter(F.col("__seg.hi") >= F.col("__seg.lo"))
+            .select(
+                request_id_col,
+                *keys,
+                F.col("__seg.g").alias("__g"),
+                F.explode(
+                    F.sequence(F.col("__seg.lo"), F.col("__seg.hi"))
+                ).alias("__b"),
+            )
         )
     interior_req = interior_gb.select(
         request_id_col,

@@ -44,7 +44,9 @@ _UNIT_MICROS = {
 
 def interval_to_micros(spec: str) -> int:
     """Parse '1 hour', '10 minutes', '1000 milliseconds' → microseconds."""
-    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+?)s?\s*", spec)
+    # IGNORECASE: without it the optional plural 's' only matched
+    # lowercase, so "7 DAYS" fell through to unit 'days' and raised
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+?)s?\s*", spec, re.IGNORECASE)
     if not m:
         raise ValueError(f"cannot parse interval: {spec!r}")
     qty, unit = int(m.group(1)), m.group(2).lower()
