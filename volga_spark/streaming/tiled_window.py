@@ -276,6 +276,10 @@ class _GroupCore:
         # the spill tier for edge sweeps, and interior tiles merged
         self.edge_rows_read = 0
         self.tiles_merged = 0
+        # cumulative on-disk bytes of spill files actually read back from
+        # disk (cache misses only — the per-call cache makes re-touches
+        # free), for the 100x spill-I/O audit (r09 verdict #6)
+        self.spill_bytes_read = 0
 
     # --- state (de)serialization to a flat tuple of lists ------------------
 
@@ -499,9 +503,12 @@ class _GroupCore:
             if hi < b0_lo or lo > b0_hi:
                 continue
             if f not in self._spill_cache:
-                self._spill_cache[f] = pq.read_table(
-                    os.path.join(self.spill_path, f)
-                ).to_pandas()
+                fp = os.path.join(self.spill_path, f)
+                self._spill_cache[f] = pq.read_table(fp).to_pandas()
+                try:
+                    self.spill_bytes_read += os.path.getsize(fp)
+                except OSError:
+                    pass
             pdf = self._spill_cache[f]
             ts = pdf[TS]
             parts.append(pdf[(ts >= b0_lo) & (ts < b0_hi + self.g)])
@@ -1746,6 +1753,13 @@ def tiled_sliding_window_stream(
                                 "spill_files": len(sp_files),
                                 "spill_bytes": int(sp_bytes),
                                 "edge_rows_read": int(core.edge_rows_read),
+                                # per-call delta: the counter is cumulative
+                                # per worker-local core, so the delta is
+                                # this (bucket, batch)'s disk re-read
+                                "spill_read_delta": int(
+                                    core.spill_bytes_read
+                                    - getattr(core, "_sbr_prev", 0)
+                                ),
                                 "in_rows": int(len(new)),
                                 "ms_concat": round((t1 - t0) * 1e3, 2),
                                 "ms_load": round((t2 - t1) * 1e3, 2),
@@ -1755,6 +1769,7 @@ def tiled_sliding_window_stream(
                         )
                         + "\n"
                     )
+                core._sbr_prev = core.spill_bytes_read
             except Exception:
                 # debug-only observability: a drifted state key / missing
                 # attribute here must NEVER kill the streaming query
