@@ -1,0 +1,229 @@
+"""r10 regression net for the tiled sweep's incremental render views.
+
+The cate/top/ratio renders keep bisect-maintained sorted views synced
+from dirty sets instead of re-sorting per emission
+(`streaming/tiled_window.py::_render_*`). These tests drive long random
+add/retract sequences through the exact calling protocol the sweep uses
+and compare EVERY intermediate render against an independent
+from-scratch recomputation (the pre-r10 formulas, reimplemented here) —
+so any drift in the view maintenance (stale entry, missed removal,
+tie-order change) fails on the first divergent emission."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+from volga_spark.formatting import format_float, join_csv, scalar_to_string
+from volga_spark.functions.accumulators import SubAcc
+from volga_spark.streaming.tiled_window import TiledRatioSpec, TiledTopSpec, _GroupCore
+
+
+def _scratch_top(spec, merged, total):
+    """The pre-r10 from-scratch _render_top."""
+    if spec.op == "count_distinct":
+        return len(merged)
+    if spec.op == "quantile":
+        if not merged:
+            return None
+        rank = math.ceil(spec.q * total)
+        cum = 0
+        for v in sorted(merged):
+            cum += merged[v]
+            if cum >= rank:
+                return v
+        return v
+    if spec.op == "top":
+        if spec.k <= 0:
+            return ""
+        parts = []
+        for v in sorted(merged, reverse=True):
+            take = min(spec.k - len(parts), merged[v])
+            parts.extend([scalar_to_string(v) or ""] * take)
+            if len(parts) >= spec.k:
+                break
+        return join_csv(parts)
+    if spec.op == "top1_ratio":
+        if total <= 0 or not merged:
+            return 0.0
+        return max(merged.values()) / total
+    ranked = sorted(
+        merged.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+    )[: spec.k or 0]
+    return join_csv([scalar_to_string(v) or "" for v, _ in ranked])
+
+
+def test_top_render_views_match_scratch_under_random_ops():
+    rng = random.Random(7)
+    specs = [
+        TiledTopSpec("t", "top", "c", k=3),
+        TiledTopSpec("f", "topn_frequency", "c", k=2),
+        TiledTopSpec("r1", "top1_ratio", "c", out_type="double"),
+        TiledTopSpec("cd", "count_distinct", "c", out_type="bigint"),
+        TiledTopSpec("q", "quantile", "c", q=0.5, out_type="bigint"),
+    ]
+    for spec in specs:
+        merged: Counter = Counter()
+        total = 0
+        view: dict = {}
+        vals: list = []
+        cv: list = []
+        dirty: set = set()
+        live: list = []  # multiset of currently-added values for retracts
+        for step in range(800):
+            if live and rng.random() < 0.45:
+                v = live.pop(rng.randrange(len(live)))
+                merged[v] -= 1
+                total -= 1
+                dirty.add(v)
+                if merged[v] == 0:
+                    del merged[v]
+            else:
+                v = rng.randrange(12)
+                live.append(v)
+                merged[v] += 1
+                total += 1
+                dirty.add(v)
+            if rng.random() < 0.6:  # render at varying cadences
+                got = _GroupCore._render_top(
+                    spec, merged, total, view, vals, cv, dirty
+                )
+                dirty.clear()
+                want = _scratch_top(spec, merged, total)
+                assert got == want, (spec.op, step, got, want)
+
+
+def test_ratio_render_views_match_scratch_under_random_ops():
+    rng = random.Random(11)
+    for order in ("key", "value"):
+        spec = TiledRatioSpec("rr", order, 2, "v", "cond", "c")
+        merged: dict = {}
+        view: dict = {}
+        sview: list = []
+        dirty: set = set()
+        live: list = []
+        for step in range(800):
+            if live and rng.random() < 0.45:
+                cat, cond = live.pop(rng.randrange(len(live)))
+                cur = merged[cat]
+                cur[0] -= 1
+                if cond:
+                    cur[1] -= 1
+                dirty.add(cat)
+            else:
+                cat, cond = rng.randrange(8), rng.random() < 0.4
+                live.append((cat, cond))
+                cur = merged.setdefault(cat, [0, 0])
+                cur[0] += 1
+                if cond:
+                    cur[1] += 1
+                dirty.add(cat)
+            if rng.random() < 0.6:
+                got = _GroupCore._render_ratio(spec, merged, view, sview, dirty)
+                dirty.clear()
+                # pre-r10 from-scratch formula
+                items = [
+                    (c, n / d) for c, (d, n) in merged.items() if d > 0
+                ]
+                if order == "key":
+                    items.sort(key=lambda cm: cm[0], reverse=True)
+                else:
+                    items.sort(key=lambda cm: (cm[1], cm[0]), reverse=True)
+                want = join_csv(
+                    [
+                        f"{scalar_to_string(c)}:{format_float(r)}"
+                        for c, r in items[: spec.k]
+                    ]
+                )
+                assert got == want, (order, step, got, want)
+
+
+class _CateSpecStub:
+    def __init__(self, op, order=None, k=None, scale=1.0):
+        self.op = op
+        self.order = order
+        self.k = k
+        self.scale = scale
+
+
+def test_cate_render_views_match_scratch_under_random_ops():
+    rng = random.Random(13)
+    cases = [
+        _CateSpecStub("sum", scale=100.0),
+        _CateSpecStub("count"),
+        _CateSpecStub("min"),
+        _CateSpecStub("sum", order="key", k=2, scale=100.0),
+        _CateSpecStub("sum", order="value", k=2, scale=100.0),
+    ]
+    for spec in cases:
+        # random static tile partials for half the categories
+        static = {}
+        for cat in range(0, 8, 2):
+            n = rng.randrange(1, 5)
+            s = sum(rng.randrange(1, 500) for _ in range(n))
+            mn = rng.randrange(1, 100)
+            static[cat] = (n, s, mn, mn + rng.randrange(100))
+        dyn: dict = {}
+        parts: dict = {}
+        sview: list = []
+        dirty = set(static)
+        live: list = []
+
+        def scratch():
+            out = {}
+            for cat in set(static) | set(dyn):
+                sn, ss, smn, smx = static.get(cat, (0, 0, None, None))
+                acc = dyn.get(cat)
+                dn = acc.sum.n if acc is not None else 0
+                ds = acc.sum.s if acc is not None else 0
+                N = sn + dn
+                if N == 0:
+                    continue
+                if spec.op == "count":
+                    m = N
+                elif spec.op == "sum":
+                    m = (ss + ds) / spec.scale
+                else:  # min
+                    dmm = (
+                        acc.mm.min()
+                        if acc is not None and acc.mm is not None
+                        else None
+                    )
+                    cands = [v for v in (smn, dmm) if v is not None]
+                    if not cands:
+                        continue
+                    m = min(cands) / spec.scale
+                out[cat] = (m, f"{scalar_to_string(cat)}:{scalar_to_string(m)}")
+            if spec.order is None:
+                return join_csv(sorted(p for _, p in out.values()))
+            items = [(c, m, p) for c, (m, p) in out.items()]
+            if spec.order == "key":
+                items.sort(key=lambda it: it[0], reverse=True)
+            else:
+                items.sort(key=lambda it: (it[1], it[0]), reverse=True)
+            return join_csv([p for _, _, p in items[: spec.k]])
+
+        for step in range(600):
+            if live and rng.random() < 0.45:
+                cat, v = live.pop(rng.randrange(len(live)))
+                acc = dyn[cat]
+                acc.retract(v)
+                if acc.empty:
+                    del dyn[cat]
+                dirty.add(cat)
+            else:
+                cat, v = rng.randrange(8), rng.randrange(1, 500)
+                live.append((cat, v))
+                acc = dyn.get(cat)
+                if acc is None:
+                    acc = dyn[cat] = SubAcc(spec.op)
+                acc.add(v)
+                dirty.add(cat)
+            if rng.random() < 0.6:
+                got = _GroupCore._render_cate(
+                    spec, static, dyn, parts, sview, dirty
+                )
+                dirty.clear()
+                want = scratch()
+                assert got == want, (spec.op, spec.order, step, got, want)
