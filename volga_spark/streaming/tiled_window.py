@@ -1089,17 +1089,25 @@ class _GroupCore:
             raw_ts = np.concatenate([edge[TS], seg_ts])
         else:
             raw_ts = seg_ts
+        # .tolist() once per sweep: the add/retract step loop reads these
+        # per element, and numpy scalar extraction (+ the .item() hashable
+        # conversion it forces) is ~3x a plain list index. tolist preserves
+        # None in object arrays and yields float nan for float arrays —
+        # the same None-check semantics as element access (r10).
+        def _lcol(c):
+            return _col(c).tolist()
+
         craw = [
             (
-                _col(s.col),
-                _col(s.cat_col),
-                _col(s.cond_col) if s.cond_col is not None else None,
+                _lcol(s.col),
+                _lcol(s.cat_col),
+                _lcol(s.cond_col) if s.cond_col is not None else None,
             )
             for s in self.cate_specs
         ]
-        hraw = [_col(s.col) for s in self.top_specs]
+        hraw = [_lcol(s.col) for s in self.top_specs]
         rraw = [
-            (_col(s.col), _col(s.cond_col), _col(s.cat_col))
+            (_lcol(s.col), _lcol(s.cond_col), _lcol(s.cat_col))
             for s in self.ratio_specs
         ]
 
@@ -1279,11 +1287,12 @@ class _GroupCore:
         rlast: list = [_UNSET] * nrt
 
         def cate_step(j, idx, sign):
+            # raw columns are plain Python lists (tolist'd once below), so
+            # values are already native/hashable — no .item() needed
             vals, cats, conds = craw[j]
             v, cat = vals[idx], cats[idx]
             if cat is None or v is None or (conds is not None and not conds[idx]):
                 return
-            cat = cat.item() if hasattr(cat, "item") else cat
             cdirty[j].add(cat)
             acc = cdyn[j].get(cat)
             if sign > 0:
@@ -1299,7 +1308,6 @@ class _GroupCore:
             v = hraw[j][idx]
             if v is None:
                 return
-            v = v.item() if hasattr(v, "item") else v
             hmerged[j][v] += sign
             htotal[j] += sign
             hdirty[j].add(v)
@@ -1311,7 +1319,6 @@ class _GroupCore:
             v, cat = vals[idx], cats[idx]
             if cat is None or v is None:
                 return
-            cat = cat.item() if hasattr(cat, "item") else cat
             rdirty[j].add(cat)
             cur = rmerged[j].get(cat)
             if cur is None:
@@ -1321,6 +1328,7 @@ class _GroupCore:
                 cur[1] += sign
 
         nr = len(raw_ts)
+        rts = raw_ts.tolist()  # list index beats numpy scalar extraction
         out_vals: dict[str, list] = {
             s.name: []
             for s in self.cate_specs + self.top_specs + self.ratio_specs
@@ -1329,7 +1337,7 @@ class _GroupCore:
             lo = hi = 0
             for i in emit_idx:
                 t = int(seg_ts[i])
-                while hi < nr and raw_ts[hi] <= t:
+                while hi < nr and rts[hi] <= t:
                     for j in range(nc):
                         cate_step(j, hi, +1)
                     for j in range(nt):
@@ -1338,7 +1346,7 @@ class _GroupCore:
                         ratio_step(j, hi, +1)
                     hi += 1
                 bound = t - self.L
-                while lo < hi and raw_ts[lo] < bound:
+                while lo < hi and rts[lo] < bound:
                     for j in range(nc):
                         cate_step(j, lo, -1)
                     for j in range(nt):
