@@ -16,7 +16,6 @@ the numbers are adjudicable against ambient load.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -26,8 +25,6 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main():
-    from pyspark.sql import functions as F
-
     from volga_spark.operators.dedup import add_minhash, lsh_candidate_pairs
     from volga_spark.session import get_spark
     from volga_spark.tables import load_table

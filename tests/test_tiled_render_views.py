@@ -227,3 +227,53 @@ def test_cate_render_views_match_scratch_under_random_ops():
                 dirty.clear()
                 want = scratch()
                 assert got == want, (spec.op, spec.order, step, got, want)
+
+
+def test_nan_static_partial_cannot_corrupt_views():
+    """r10 review repro: a NaN metric used to enter the sorted view and
+    break bisect invariants (all NaN comparisons are False), deleting the
+    WRONG category's entry on its next change. NaN now renders as
+    no-value and the other categories survive every subsequent change."""
+    spec = _CateSpecStub("sum", scale=1.0)
+    static = {
+        "a": (1, 10, None, None),
+        "b": (1, 5, None, None),
+        "c": (1, float("nan"), None, None),
+    }
+    dyn: dict = {}
+    parts: dict = {}
+    sview: list = []
+    dirty = set(static)
+    out = _GroupCore._render_cate(spec, static, dyn, parts, sview, dirty)
+    assert out == "a:10,b:5"
+    dirty = {"c"}  # touch the NaN category again — pre-fix this deleted 'a'
+    acc = dyn["c"] = SubAcc("sum")
+    acc.add(1)
+    out = _GroupCore._render_cate(spec, static, dyn, parts, sview, dirty)
+    assert out == "a:10,b:5"  # nan + 1 is still NaN -> still no-value
+    dirty = {"b"}
+    dyn["b"] = SubAcc("sum")
+    dyn["b"].add(2)
+    out = _GroupCore._render_cate(spec, static, dyn, parts, sview, dirty)
+    assert out == "a:10,b:7"
+
+
+def test_cover_segments_guards():
+    """r10 review: the native cover must refuse what cover_buckets
+    refused — a non-divisible ladder at plan time, a misaligned interval
+    at run time — instead of silently serving a wrong cover."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from volga_spark.operators.tiles import add_cover_segments
+    from volga_spark.session import get_spark
+
+    spark = get_spark("test_cover_guards")
+    df = spark.createDataFrame([(60, 180)], "lo long, hi long")
+    with pytest.raises(ValueError, match="not a multiple"):
+        add_cover_segments(df, F.col("lo"), F.col("hi"), [60, 90])
+    with pytest.raises(ValueError, match="ascending"):
+        add_cover_segments(df, F.col("lo"), F.col("hi"), [60, 30])
+    bad = spark.createDataFrame([(61, 180)], "lo long, hi long")
+    with pytest.raises(Exception, match="finest-level aligned"):
+        add_cover_segments(bad, F.col("lo"), F.col("hi"), [60, 120]).collect()

@@ -200,6 +200,16 @@ def add_cover_segments(df: DataFrame, lo, hi, gs: list[int], out: str = "__segs"
       projected). Bit-parity with the Python walk is pinned by
       test_tiles.py's randomized equivalence sweep."""
 
+    # same guards cover_buckets enforces (r10 review: the old UDF path
+    # raised per row on a bad ladder; the native path must not silently
+    # serve a mis-bucketed cover instead) — levels at plan time, lo/hi
+    # alignment at runtime via the assert fold below
+    if not gs or sorted(gs) != list(gs):
+        raise ValueError("granularities must be ascending and non-empty")
+    for a, b in zip(gs, gs[1:]):
+        if b % a:
+            raise ValueError(f"granularity {b} is not a multiple of {a}")
+
     def fdiv(x, g):
         # floor (not cast/div) — matches the floor-bucket arithmetic used
         # across this module for negative-µs safety
@@ -216,7 +226,17 @@ def add_cover_segments(df: DataFrame, lo, hi, gs: list[int], out: str = "__segs"
             F.when(ok, fdiv(b, g) - 1).otherwise(neg1).alias("hi"),
         )
 
-    d = df.withColumn("__cov_cur", lo).withColumn("__cov_hi", hi)
+    # runtime alignment guard, folded into the carry so column pruning
+    # cannot drop it: assert_true yields NULL when the predicate holds
+    # (coalesce makes it a +0 no-op) and raises on a misaligned interval
+    aligned_ok = (lo % gs[0] == 0) & (hi % gs[0] == 0)
+    guard = F.coalesce(
+        F.assert_true(
+            aligned_ok, F.lit("cover: lo/hi must be finest-level aligned")
+        ).cast("long"),
+        F.lit(0),
+    )
+    d = df.withColumn("__cov_cur", lo + guard).withColumn("__cov_hi", hi)
     cur, chi = F.col("__cov_cur"), F.col("__cov_hi")
     seg_cols: list[str] = []
     temp_cols: list[str] = ["__cov_cur", "__cov_hi"]
@@ -338,6 +358,7 @@ class TiledFeatureService:
         self.cache = cache
         self._cached = False
         self._state: DataFrame | None = None
+        self._batch_pins: list = []
 
     def _ensure_cached(self) -> None:
         # pin the UNIONED serving state (tile partials + bucketed raw rows)
@@ -357,7 +378,20 @@ class TiledFeatureService:
                 self._state = self._state.persist()
                 self._cached = True
 
+    def _release_batch_pins(self) -> None:
+        # the ladder lookup pins one tiny cover-barrier frame per batch
+        # (see tiled_lookup); release the PREVIOUS batch's pin so a
+        # long-running serving loop cannot accumulate blocks. Safe: by the
+        # time the next lookup is issued the prior result was consumed.
+        for df in self._batch_pins:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — release must never fail serving
+                pass
+        self._batch_pins = []
+
     def close(self) -> None:
+        self._release_batch_pins()
         if self._cached:
             self._state.unpersist()
             self._cached = False
@@ -365,6 +399,7 @@ class TiledFeatureService:
 
     def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
         self._ensure_cached()
+        self._release_batch_pins()
         return tiled_lookup(
             self.events,
             requests,
@@ -377,6 +412,7 @@ class TiledFeatureService:
             tiles=self.tiles,
             state=self._state,
             granularities=self.granularities,
+            _barrier_sink=self._batch_pins,
         )
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
@@ -398,9 +434,17 @@ def tiled_lookup(
     tiles: DataFrame | None = None,
     state: DataFrame | None = None,
     granularities: list[str] | None = None,
+    _barrier_sink: list | None = None,
 ) -> DataFrame:
     """COUNT/SUM(cents)/MIN/MAX over [rts - W, rts] per request, via tiles +
     edge rows. Returns request_id, keys, cnt/sum/min/max columns.
+
+    The ladder path pins one tiny persisted frame per call (the cover
+    barrier, see inline note). Pass ``_barrier_sink`` (a list) to receive
+    the pinned frame for explicit release — ``TiledFeatureService`` does
+    this and unpersists the previous batch's pin on every lookup, so a
+    long-running serving loop cannot accumulate blocks; one-shot callers
+    can rely on session teardown or ``caching.release_cached_blocks``.
 
     Serving-path plan shape (r07 rework of the r05 5-stage version): the
     request batch is the BOUNDED side — it explodes into interior-bucket
@@ -419,9 +463,8 @@ def tiled_lookup(
     (:func:`cover_buckets`): O(Σ level branching + W/g_max) probe rows per
     request instead of W/g_fine — a 30-day window probes ~200 buckets on a
     [1m, 1h, 1d] ladder, not 43k. The cover is a native unrolled
-    expression (:func:`cover_buckets_expr`, r10) — the probe build is
-    whole-stage-codegen JVM work with no Python stage anywhere in the
-    serving path."""
+    expression (:func:`add_cover_segments`, r10) — the probe build is
+    native JVM work with no Python stage anywhere in the serving path."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     g = interval_to_micros(granularity)
     w = frame.micros
@@ -472,12 +515,18 @@ def tiled_lookup(
             (F.col("__b_last") + 1) * F.lit(g),
             gs,
         ).select(request_id_col, *keys, "__segs")
-        # barrier before the explode: collapsed into the Generate stage,
-        # the carry-projection chain re-inlines into one enormous codegen
-        # unit (measured 2.7s vs 0.15s per 1000-request batch); the
-        # checkpoint materializes only 2L-1 segment structs per request —
-        # request-bounded, never corpus data
-        seg_src = seg_src.localCheckpoint(eager=False)
+        # barrier before the explode: fed straight (or via a repartition —
+        # measured, it does NOT help) into the Generate, the carry chain's
+        # evaluation degrades ~10x (2.7s vs 0.15s per 1000-request batch);
+        # a materialization barrier fixes it. persist() over
+        # localCheckpoint: same speed measured, but releasable at the
+        # DataFrame level, so a serving loop can unpersist the previous
+        # batch's pin (localCheckpoint blocks have no public release short
+        # of dropping every persistent RDD). The pinned frame is 2L-1
+        # segment structs per request — request-bounded, never corpus data.
+        seg_src = seg_src.persist()
+        if _barrier_sink is not None:
+            _barrier_sink.append(seg_src)
         interior_gb = (
             seg_src.select(
                 request_id_col, *keys, F.explode("__segs").alias("__seg")

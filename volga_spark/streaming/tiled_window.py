@@ -1287,11 +1287,22 @@ class _GroupCore:
         rlast: list = [_UNSET] * nrt
 
         def cate_step(j, idx, sign):
-            # raw columns are plain Python lists (tolist'd once below), so
-            # values are already native/hashable — no .item() needed
+            # raw columns are plain Python lists (tolist'd once above), so
+            # values are already native/hashable — no .item() needed.
+            # `v != v` drops float NaN like None (r10 review): NaN keys
+            # corrupt the bisect-maintained views (all NaN comparisons are
+            # False, so removal targets the wrong entry) and NaN dict keys
+            # were already identity-chaotic pre-r10 — NaN-as-null is the
+            # one well-defined semantic.
             vals, cats, conds = craw[j]
             v, cat = vals[idx], cats[idx]
-            if cat is None or v is None or (conds is not None and not conds[idx]):
+            if (
+                cat is None
+                or v is None
+                or v != v
+                or cat != cat
+                or (conds is not None and not conds[idx])
+            ):
                 return
             cdirty[j].add(cat)
             acc = cdyn[j].get(cat)
@@ -1306,7 +1317,7 @@ class _GroupCore:
 
         def top_step(j, idx, sign):
             v = hraw[j][idx]
-            if v is None:
+            if v is None or v != v:  # NaN-as-null, see cate_step
                 return
             hmerged[j][v] += sign
             htotal[j] += sign
@@ -1317,7 +1328,7 @@ class _GroupCore:
         def ratio_step(j, idx, sign):
             vals, conds, cats = rraw[j]
             v, cat = vals[idx], cats[idx]
-            if cat is None or v is None:
+            if cat is None or v is None or v != v or cat != cat:
                 return
             rdirty[j].add(cat)
             cur = rmerged[j].get(cat)
@@ -1457,6 +1468,8 @@ class _GroupCore:
                 if not cands:
                     return None
                 metric = (min(cands) if op == "min" else max(cands)) / scale
+            if metric != metric:  # NaN (e.g. NaN static partials): treat
+                return None  # as no-value — a NaN sort key breaks bisect
             cat_s = scalar_to_string(cat)
             m_s = scalar_to_string(metric)
             if cat_s is None or m_s is None:
