@@ -435,3 +435,42 @@ def test_interval_parsing_case_and_plural():
     assert interval_to_micros("7 days") == 7 * day
     assert interval_to_micros("1 Day") == day
     assert interval_to_micros("25 HOURS") == 25 * 3_600_000_000
+
+
+def test_ladder_service_releases_batch_pins(spark, sf_dir):
+    """r10 review: the ladder lookup pins one cover-barrier frame per
+    batch; the service must release the previous batch's pin on every
+    lookup so a serving loop cannot accumulate persistent RDD blocks."""
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        build_tile_ladder,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "5 minutes"]
+    svc = TiledFeatureService(
+        ev,
+        build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("1 hour"),
+        granularities=gs,
+    )
+    req = ev.limit(20).select(
+        F.col("user_id"),
+        "ts",
+        F.monotonically_increasing_id().alias("request_id"),
+    ).select("request_id", "user_id", "ts")
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    svc.lookup(req).count()
+    after_first = n_persistent()
+    for _ in range(3):
+        svc.lookup(req).count()
+    assert n_persistent() <= after_first  # pins released, no growth
+    assert len(svc._batch_pins) == 1  # exactly the live batch's pin
+    svc.close()
+    assert svc._batch_pins == []
