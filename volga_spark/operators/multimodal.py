@@ -2,10 +2,13 @@
 
 The Spark-side machinery is real and tested: binary payload columns with
 typed metadata, Arrow-batched ``mapInPandas`` decode/feature/resize stages
-with explicit schemas and partition-size control. The actual codec calls are
-STUBBED (``decode_image`` raises NotImplementedError unless a decoder
-callback is injected) because no image/audio libraries exist in this image —
-swap ``decoder=`` for PIL/ffmpeg in production; nothing else changes.
+with explicit schemas and partition-size control. Pixel/sample decode is
+REAL for every format numpy + the stdlib can honestly express — PNG
+(zlib inflate + spec unfilter), uncompressed BMP, binary PPM/PGM, PCM
+WAV (r10; round-trip pinned by tests/test_multimodal_decode.py).
+Entropy-coded codecs (JPEG, WebP, video) remain behind the injectable
+``decoder=`` gate because no image/audio libraries exist in this image —
+swap in PIL/ffmpeg in production; nothing else changes.
 
 At 100 TB: binaries should ride in parquet with
 ``spark.sql.files.maxPartitionBytes`` sized so a task's Arrow batch of
@@ -43,10 +46,176 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
+    """REAL pixel decode for the formats pure numpy/stdlib can express —
+    PNG (zlib inflate + per-spec scanline unfilter), BMP (uncompressed
+    BI_RGB), and PPM/PGM binary — returning an (h, w[, c]) uint8 array.
+    Entropy-coded formats (JPEG, WebP, GIF/LZW) still raise the injectable
+    NotImplementedError: their codecs need PIL/opencv, absent here; swap
+    ``decoder=`` in :func:`extract_features` for them. (r10: this closes
+    the "pixel decode is stubbed" gap for every format a from-scratch
+    decoder can honestly cover.)"""
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:2] in (b"P5", b"P6"):
+        return decode_ppm(b)
     raise NotImplementedError(
-        "image decoding requires PIL/opencv — not present in this image; "
-        "inject decoder= into extract_features instead"
+        "decoding this format requires PIL/opencv — not present in this "
+        "image; inject decoder= into extract_features instead"
     )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """From-scratch PNG decoder (RFC 2083): 8-bit non-interlaced
+    greyscale / RGB / grey+alpha / RGBA. Chunk walk → concatenated IDAT →
+    zlib inflate → per-scanline unfilter (None/Sub/Up/Average/Paeth).
+    Sub/Up are vectorized; Average/Paeth carry the spec's left-dependence
+    per pixel — correctness is the contract here, a production hot path
+    injects a native codec via ``decoder=``."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i, w = 8, None
+    idat = []
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, comp, filt, interlace = data[8:13]
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            if comp or filt:
+                raise ValueError("nonstandard PNG compression/filter method")
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if ch is None:
+                raise NotImplementedError(f"PNG color type {ctype}")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    import zlib
+
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: left-dependence — per-channel cumsum mod 256
+            rec = line.reshape(-1, ch).cumsum(axis=0) % 256
+            rec = rec.reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                bb = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP, 24/32-bit: (h, w, 3|4) uint8, rows
+    un-padded and flipped per the bottom-up convention (negative height =
+    top-down), BGR(A) reordered to RGB(A)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} (only BI_RGB)")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"BMP {bpp}bpp (only 24/32)")
+    ch = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * ch + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(b, dtype=np.uint8, count=h * row_bytes, offset=off)
+    px = px.reshape(h, row_bytes)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    order = [2, 1, 0] if ch == 3 else [2, 1, 0, 3]
+    return np.ascontiguousarray(px[:, :, order])
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, (h, w, 3)) / PGM (P5, (h, w)), maxval ≤ 255;
+    header tokens may be separated by whitespace and # comments."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    ch = 3 if b[:2] == b"P6" else 1
+    px = np.frombuffer(b, dtype=np.uint8, count=h * w * ch, offset=i)
+    return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → ((n_frames, channels) int array, sample_rate) via the
+    stdlib ``wave`` reader: 8-bit unsigned, 16/32-bit signed little-endian."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload))) as wf:
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {width}")
+    arr = np.frombuffer(frames, dtype=dtype).reshape(-1, ch)
+    return arr, rate
 
 
 def _fake_decoder(payload: bytes) -> np.ndarray:
