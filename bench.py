@@ -127,7 +127,11 @@ def _cpu_ticks() -> tuple[int, int]:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # exclude guest/guest_nice (fields 9-10): the kernel folds guest
+        # time into user/nice already, and double-counting it inflates the
+        # denominator — understating the very steal share this telemetry
+        # exists to expose
+        return steal, sum(vals[:8])
     except OSError:
         return 0, 0
 

@@ -72,8 +72,13 @@ def main():
     )
 
     def req_batch(n, salt):
-        # fresh ids per batch; keys/ts sampled from the event stream
-        return (
+        # fresh ids per batch; keys/ts sampled from the event stream.
+        # persist + eager count (NOT localCheckpoint): request arrival is
+        # not part of the measured lookup, and the caller unpersists after
+        # each trial — 30 accumulated checkpoint frames would otherwise
+        # put the later (naive-path) trials under cached-block residue,
+        # the exact contamination bench.py's header documents (r02).
+        req = (
             ev.select("user_id", "ts")
             .orderBy(F.xxhash64("user_id", "ts", F.lit(salt)))
             .limit(n)
@@ -82,8 +87,10 @@ def main():
                 F.monotonically_increasing_id() + F.lit(salt * 10_000_000),
             )
             .select("request_id", "user_id", "ts")
-            .localCheckpoint()  # request arrival is not part of the lookup
+            .persist()
         )
+        req.count()
+        return req
 
     tele = _Telemetry()
     out = {"sf": SF, "n_events": n_ev, "paths": {}}
@@ -97,6 +104,7 @@ def main():
                     f"{label}_{n}", "cold" if i == 0 else "warm",
                     lambda: materialize(svc.lookup(req)),
                 )
+                req.unpersist()
                 times.append(round(dt, 3))
             warm = times[1:]
             avg = sum(warm) / len(warm)

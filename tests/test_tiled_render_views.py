@@ -277,3 +277,36 @@ def test_cover_segments_guards():
     bad = spark.createDataFrame([(61, 180)], "lo long, hi long")
     with pytest.raises(Exception, match="finest-level aligned"):
         add_cover_segments(bad, F.col("lo"), F.col("hi"), [60, 120]).collect()
+
+
+def test_nan_is_null_engine_wide():
+    """r10 high-review: the tiled sweep drops NaN at its steps; the
+    UNTILED accumulators must agree (NaN ≡ null everywhere — the Arrow
+    float path cannot even distinguish them), or the two window paths
+    diverge on NaN-bearing float columns."""
+    from volga_spark.functions.accumulators import (
+        CateAccumulator,
+        FrequencyAccumulator,
+        RatioTopK,
+        TopValueAccumulator,
+    )
+
+    nan = float("nan")
+    top = TopValueAccumulator(3)
+    top.add(nan)
+    top.add(1.0)
+    assert top.result() == "1"
+    freq = FrequencyAccumulator(2)
+    freq.add(nan)
+    freq.add(2.0)
+    assert freq.total == 1
+    cate = CateAccumulator("sum", 1.0)
+    cate.add(nan, True, "a")
+    cate.add(3.0, True, "a")
+    assert cate.result() == "a:3"
+    cate.add(5.0, True, nan)  # NaN CATEGORY is equally absent
+    assert cate.result() == "a:3"
+    ratio = RatioTopK("key", 3)
+    ratio.add(nan, True, "a")
+    ratio.add(1.0, False, "a")
+    assert ratio.result() == "a:0"

@@ -26,6 +26,16 @@ from collections import Counter
 from volga_spark.formatting import format_float, join_csv, scalar_to_string
 
 
+def _absent(v) -> bool:
+    """NULL check shared by every accumulator entry point: None, or float
+    NaN (``v != v`` — false for every non-float and every real number).
+    Engine-wide rule (r10): NaN ≡ null. The Arrow float path cannot even
+    distinguish the two (a null double arrives as NaN in pandas), the
+    tiled scalar families already mask NaN via notna, and NaN dict keys /
+    sort keys are ill-defined — so every family treats NaN as no-value."""
+    return v is None or v != v
+
+
 # --- scalar sub-accumulators --------------------------------------------------
 
 class SumAcc:
@@ -154,7 +164,7 @@ class CateAccumulator:
         self._parts: dict = {}
 
     def add(self, value, cond, cat):
-        if cat is None or value is None or not cond:
+        if _absent(cat) or _absent(value) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -163,7 +173,7 @@ class CateAccumulator:
         self._parts[cat] = None
 
     def retract(self, value, cond, cat):
-        if cat is None or value is None or not cond:
+        if _absent(cat) or _absent(value) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -203,12 +213,12 @@ class TopValueAccumulator:
         self.counts = Counter()
 
     def add(self, value):
-        if value is None:
+        if _absent(value):
             return
         self.counts[value] += 1
 
     def retract(self, value):
-        if value is None:
+        if _absent(value):
             return
         self.counts[value] -= 1
         if self.counts[value] <= 0:
@@ -237,13 +247,13 @@ class FrequencyAccumulator:
         self.total = 0
 
     def add(self, value):
-        if value is None:
+        if _absent(value):
             return
         self.counts[value] += 1
         self.total += 1
 
     def retract(self, value):
-        if value is None:
+        if _absent(value):
             return
         self.counts[value] -= 1
         if self.counts[value] <= 0:
@@ -281,7 +291,7 @@ class GroupedAggTopK:
         self._rendered: dict = {}  # cat -> (metric, "cat:metric") cache
 
     def add(self, value, cond, cat):
-        if cat is None or value is None or not cond:
+        if _absent(cat) or _absent(value) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -290,7 +300,7 @@ class GroupedAggTopK:
         self._rendered[cat] = None
 
     def retract(self, value, cond, cat):
-        if cat is None or value is None or not cond:
+        if _absent(cat) or _absent(value) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -336,14 +346,14 @@ class RatioTopK:
         self.den = Counter()
 
     def add(self, value, cond, cat):
-        if cat is None or value is None:
+        if _absent(cat) or _absent(value):
             return
         self.den[cat] += 1
         if cond:
             self.num[cat] += 1
 
     def retract(self, value, cond, cat):
-        if cat is None or value is None:
+        if _absent(cat) or _absent(value):
             return
         self.den[cat] -= 1
         if self.den[cat] <= 0:

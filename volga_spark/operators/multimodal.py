@@ -191,7 +191,10 @@ def decode_ppm(b: bytes) -> np.ndarray:
             j += 1
         toks.append(int(b[i:j]))
         i = j
-    i += 1  # single whitespace after maxval
+    # the spec mandates a SINGLE whitespace byte after maxval; tolerate the
+    # common nonconforming "\r\n" (consuming only '\r' would shift the
+    # raster one byte and silently corrupt every pixel)
+    i += 2 if b[i : i + 2] == b"\r\n" else 1
     w, h, maxval = toks
     if maxval > 255:
         raise NotImplementedError("16-bit PPM")

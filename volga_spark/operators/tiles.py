@@ -445,6 +445,11 @@ def tiled_lookup(
     this and unpersists the previous batch's pin on every lookup, so a
     long-running serving loop cannot accumulate blocks; one-shot callers
     can rely on session teardown or ``caching.release_cached_blocks``.
+    Retention caveat: after the service unpins a batch, re-materializing
+    that batch's RESULT frame recomputes through the barrier and
+    re-caches it outside the sink's tracking (released only at close/
+    session teardown) — consume a batch's result before issuing the next
+    lookup, the normal serving cadence.
 
     Serving-path plan shape (r07 rework of the r05 5-stage version): the
     request batch is the BOUNDED side — it explodes into interior-bucket
