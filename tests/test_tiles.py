@@ -474,3 +474,33 @@ def test_ladder_service_releases_batch_pins(spark, sf_dir):
     assert len(svc._batch_pins) == 1  # exactly the live batch's pin
     svc.close()
     assert svc._batch_pins == []
+
+
+def test_sharded_lookup_equals_unsharded(spark, sf_dir):
+    """shards>1 must be a pure partition-union of the same answers — the
+    broadcast-ceiling escape hatch cannot change a single value."""
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        build_tile_ladder,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "1 hour"]
+    svc = TiledFeatureService(
+        ev,
+        build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("25 HOURS"),
+        granularities=gs,
+    )
+    req = ev.limit(60).select(
+        F.monotonically_increasing_id().alias("request_id"), "user_id", "ts"
+    ).localCheckpoint()
+    base = {r["request_id"]: r for r in svc.lookup(req).collect()}
+    sharded = {r["request_id"]: r for r in svc.lookup(req, shards=3).collect()}
+    svc.close()
+    assert set(base) == set(sharded) and base
+    for rid in base:
+        assert base[rid].asDict() == sharded[rid].asDict(), rid

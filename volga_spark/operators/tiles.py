@@ -397,23 +397,54 @@ class TiledFeatureService:
             self._cached = False
         self._state = None
 
-    def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+    def lookup(
+        self,
+        requests: DataFrame,
+        request_id_col: str = "request_id",
+        shards: int = 1,
+    ) -> DataFrame:
+        """Answer one request batch. ``shards > 1`` splits the batch into
+        hash-disjoint sub-lookups unioned back together — the escape hatch
+        for the plan's one scale bound: the probe frame (requests ×
+        ~cover-size rows) is the BROADCAST side of the state join, so a
+        very large batch approaches the broadcast ceiling (measured ~4M
+        probe rows at 50k requests × a 7d/[1m,1h,12h] ladder; see
+        SCALING.md). Pick shards ≈ ceil(n_requests × probes_per_request /
+        2e6); each sub-lookup probes the same cached state, so the only
+        added cost is one more tiny request-side scan per shard."""
         self._ensure_cached()
         self._release_batch_pins()
-        return tiled_lookup(
-            self.events,
-            requests,
-            key_cols=self.key_cols,
-            ts_col=self.ts_col,
-            value_col=self.value_col,
-            frame=self.frame,
-            granularity=self.granularity,
-            request_id_col=request_id_col,
-            tiles=self.tiles,
-            state=self._state,
-            granularities=self.granularities,
-            _barrier_sink=self._batch_pins,
-        )
+
+        def one(req: DataFrame) -> DataFrame:
+            return tiled_lookup(
+                self.events,
+                req,
+                key_cols=self.key_cols,
+                ts_col=self.ts_col,
+                value_col=self.value_col,
+                frame=self.frame,
+                granularity=self.granularity,
+                request_id_col=request_id_col,
+                tiles=self.tiles,
+                state=self._state,
+                granularities=self.granularities,
+                _barrier_sink=self._batch_pins,
+            )
+
+        if shards <= 1:
+            return one(requests)
+        parts = [
+            one(
+                requests.filter(
+                    F.pmod(F.xxhash64(request_id_col), F.lit(shards)) == i
+                )
+            )
+            for i in range(shards)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
         """points = [(request_id, key..., ts)] → list of feature dicts."""
