@@ -167,6 +167,21 @@ class _Telemetry:
         return dt
 
 
+def bench_result_line(total: float, timings: dict, sf: float) -> dict:
+    """The driver-facing headline object — the ONLY thing on the final
+    stdout line. Kept minimal (r10 verdict #1): the driver tail-captures
+    ~2000 chars, so anything beyond {metric,value,unit,queries,sf} risks
+    pushing the JSON out of the capture window. Telemetry lives in
+    BENCH_TELEMETRY_LAST.json instead."""
+    return {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
 def materialize(df) -> int:
     # df.count() alone lets Catalyst prune computed columns (a pure-projection
     # window query would degrade to a scan count); hashing every column forces
@@ -282,24 +297,26 @@ def main() -> None:
             )
 
     total = sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # self-adjudication telemetry (r09 verdict #2): every timed
-                # trial with its host conditions, so an over-band reading
-                # can be attributed to ambient load from the artifact alone
-                "host": {
-                    "cpus": os.cpu_count(),
-                    "trials": tele.trials,
-                },
-            }
-        )
+    # r11 (r10 verdict #1): the driver captures only the tail of stdout, so
+    # the final line must stay compact — the r10 run inlined per-trial
+    # telemetry here (~5.4 KB) and the driver recorded parsed:null. The
+    # headline line is now exactly the r09 shape; the telemetry (r09
+    # verdict #2 — still wanted, just not on stdout) goes to a sidecar
+    # artifact next to this script. Line-length is contract-guarded by
+    # tests/test_contract_guards.py::test_bench_final_line_fits_driver_tail.
+    telemetry_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_TELEMETRY_LAST.json"
     )
+    with open(telemetry_path, "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "host": {"cpus": os.cpu_count(), "trials": tele.trials},
+            },
+            fh,
+        )
+    print(f"# telemetry -> {telemetry_path}", file=sys.stderr)
+    print(json.dumps(bench_result_line(total, timings, sf)))
 
 
 if __name__ == "__main__":
