@@ -166,8 +166,12 @@ def test_wav_roundtrip(width, dtype):
 
 
 def test_entropy_coded_formats_still_gate():
+    # r11: baseline JPEG now decodes for real (tests/test_jpeg_decode.py);
+    # WebP/GIF remain the honestly-gated entropy codecs
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"GIF89a" + b"\x00" * 32)
 
 
 def test_extract_features_with_real_decoder(spark):

@@ -5,10 +5,12 @@ typed metadata, Arrow-batched ``mapInPandas`` decode/feature/resize stages
 with explicit schemas and partition-size control. Pixel/sample decode is
 REAL for every format numpy + the stdlib can honestly express — PNG
 (zlib inflate + spec unfilter), uncompressed BMP, binary PPM/PGM, PCM
-WAV (r10; round-trip pinned by tests/test_multimodal_decode.py).
-Entropy-coded codecs (JPEG, WebP, video) remain behind the injectable
-``decoder=`` gate because no image/audio libraries exist in this image —
-swap in PIL/ffmpeg in production; nothing else changes.
+WAV (r10; round-trip pinned by tests/test_multimodal_decode.py), and
+baseline sequential JPEG (r11: T.81 Huffman + dequant + IDCT + YCbCr,
+pinned against an independent forward encoder in tests/test_jpeg_decode.py).
+The residual codecs (progressive JPEG, WebP, video) remain behind the
+injectable ``decoder=`` gate because no image/audio libraries exist in
+this image — swap in PIL/ffmpeg in production; nothing else changes.
 
 At 100 TB: binaries should ride in parquet with
 ``spark.sql.files.maxPartitionBytes`` sized so a task's Arrow batch of
@@ -47,16 +49,18 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """REAL pixel decode for the formats pure numpy/stdlib can express —
-    PNG (zlib inflate + per-spec scanline unfilter), BMP (uncompressed
-    BI_RGB), and PPM/PGM binary — returning an (h, w[, c]) uint8 array.
-    Entropy-coded formats (JPEG, WebP, GIF/LZW) still raise the injectable
-    NotImplementedError: their codecs need PIL/opencv, absent here; swap
-    ``decoder=`` in :func:`extract_features` for them. (r10: this closes
-    the "pixel decode is stubbed" gap for every format a from-scratch
-    decoder can honestly cover.)"""
+    PNG (zlib inflate + per-spec scanline unfilter), baseline sequential
+    JPEG (r11: Huffman + dequant + IDCT + YCbCr, from the T.81 spec), BMP
+    (uncompressed BI_RGB), and PPM/PGM binary — returning an (h, w[, c])
+    uint8 array. The remaining gated formats (progressive JPEG, WebP,
+    GIF/LZW, video) raise the injectable NotImplementedError: their codecs
+    need PIL/opencv/ffmpeg, absent here; swap ``decoder=`` in
+    :func:`extract_features` for them."""
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:2] in (b"P5", b"P6"):
@@ -191,16 +195,328 @@ def decode_ppm(b: bytes) -> np.ndarray:
             j += 1
         toks.append(int(b[i:j]))
         i = j
-    # the spec mandates a SINGLE whitespace byte after maxval; tolerate the
-    # common nonconforming "\r\n" (consuming only '\r' would shift the
-    # raster one byte and silently corrupt every pixel)
-    i += 2 if b[i : i + 2] == b"\r\n" else 1
     w, h, maxval = toks
     if maxval > 255:
         raise NotImplementedError("16-bit PPM")
     ch = 3 if b[:2] == b"P6" else 1
+    # the spec mandates a SINGLE whitespace byte after maxval; tolerate the
+    # common nonconforming "\r\n" — but disambiguate by LENGTH (r11, advisor):
+    # a conforming lone-'\r' separator whose first raster byte is 0x0A also
+    # looks like "\r\n", and a blind 2-byte skip would shift the raster. A
+    # 1-byte skip that leaves exactly h*w*ch bytes is the conforming read.
+    need = h * w * ch
+    i += 2 if (b[i : i + 2] == b"\r\n" and len(b) - (i + 1) != need) else 1
     px = np.frombuffer(b, dtype=np.uint8, count=h * w * ch, offset=i)
     return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+
+
+# --- Baseline JPEG (ITU-T T.81 / ISO 10918-1), from scratch -----------------
+#
+# r11 (verdict #3): the one honestly-buildable residual of the entropy-coded
+# gap. Baseline sequential DCT only: 8-bit samples, Huffman coding, SOF0/SOF1
+# frames, optional restart intervals, grayscale or YCbCr with any 1-4 h/v
+# sampling factors. Progressive (SOF2) and arithmetic coding stay gated —
+# same honesty rule as before. Entropy decode + dequantization is LOSSLESS
+# and is pinned bit-exactly against an independent forward encoder in
+# tests/test_jpeg_decode.py; the IDCT/color stages are pinned against an
+# independent direct-form IDCT. Reference parity target: the reference's
+# media ingestion treats images as opaque payloads + metadata; this closes
+# the decode gap for the dominant crawl format without PIL.
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)  # index k in zigzag scan order -> position in the natural (row-major) 8x8
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """A[u, x] = alpha(u)/2 * cos((2x+1) u pi / 16) — spec A.3.3; the 2-D
+    IDCT of block F is A.T @ F @ A."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = np.cos((2 * x + 1) * u * np.pi / 16.0) / 2.0
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+class _JpegHuffTable:
+    """Canonical Huffman table in the spec's DECODE form (F.2.2.3)."""
+
+    def __init__(self, counts: list[int], values: bytes) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.values = values
+        code, k = 0, 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            self.maxcode[ln] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded (restart) segment, with
+    the 0xFF 0x00 stuffing already stripped by the caller."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # past-the-end reads pad with 1s (spec F.2.2.5 handling of the
+            # final partial byte / truncated streams fail on table lookup)
+            return 1
+        v = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _JpegHuffTable) -> int:
+        code, ln = self.read_bit(), 1
+        while code > table.maxcode[ln]:
+            ln += 1
+            if ln > 16:
+                raise ValueError("invalid JPEG Huffman code")
+            code = (code << 1) | self.read_bit()
+        return table.values[table.valptr[ln] + code - table.mincode[ln]]
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.read_bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_parse(b: bytes) -> dict:
+    """Marker walk + entropy decode. Returns frame geometry plus, per
+    component, the DEQUANTIZED coefficient blocks in natural order, shape
+    (blocks_y, blocks_x, 8, 8) float64 — the lossless half of the decoder."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _JpegHuffTable] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            raise ValueError("JPEG marker segment length < 2")
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = tbl  # DQT entries arrive in zigzag order
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = list(seg[j + 1 : j + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _JpegHuffTable(counts, seg[j + 17 : j + 17 + n])
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if seg[0] != 8:
+                raise NotImplementedError(f"JPEG precision {seg[0]} (only 8)")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) — progressive/"
+                "arithmetic/lossless need PIL; inject decoder= instead"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan[cid] = (tt >> 4, tt & 15)
+            data_start = i + 2 + seg_len
+            return _jpeg_decode_scan(
+                b, data_start, frame, scan, qt, huff, restart_interval
+            )
+        i += 2 + seg_len
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(
+    b: bytes,
+    start: int,
+    frame: dict,
+    scan: dict,
+    qt: dict,
+    huff: dict,
+    restart_interval: int,
+) -> dict:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+        c["dc_tab"], c["ac_tab"] = (
+            huff.get((0, scan[c["id"]][0])),
+            huff.get((1, scan[c["id"]][1])),
+        )
+        if c["dc_tab"] is None or c["ac_tab"] is None:
+            raise ValueError("JPEG scan references a missing Huffman table")
+
+    # split the entropy stream into restart segments: scan forward for
+    # 0xFF followed by anything but 0x00 (stuffing) — RSTn separate
+    # segments, any other marker ends the scan
+    segments, seg_start, j = [], start, start
+    n = len(b)
+    while j < n - 1:
+        if b[j] == 0xFF and b[j + 1] != 0x00:
+            m = b[j + 1]
+            segments.append(b[seg_start:j].replace(b"\xff\x00", b"\xff"))
+            if 0xD0 <= m <= 0xD7:
+                seg_start = j = j + 2
+                continue
+            break
+        j += 1
+    else:
+        segments.append(b[seg_start:].replace(b"\xff\x00", b"\xff"))
+
+    mcu_total = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else mcu_total
+    mcu = 0
+    for seg_data in segments:
+        if mcu >= mcu_total:
+            break
+        reader = _JpegBitReader(seg_data)
+        pred = {c["id"]: 0 for c in comps}
+        for _ in range(min(per_seg, mcu_total - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for c in comps:
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        blk_row = my * c["v"] + vy
+                        blk_col = mx * c["h"] + vx
+                        coef = c["coef"][blk_row * c["bx"] + blk_col]
+                        t = reader.decode_symbol(c["dc_tab"])
+                        pred[c["id"]] += reader.receive_extend(t)
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(c["ac_tab"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            coef[_JPEG_ZIGZAG[k]] = reader.receive_extend(s)
+                            k += 1
+            mcu += 1
+    if mcu != mcu_total:
+        raise ValueError("JPEG truncated entropy stream")
+
+    for c in comps:
+        table = qt.get(c["tq"])
+        if table is None:
+            raise ValueError("JPEG frame references a missing quant table")
+        c["deq"] = (c["coef"] * table).astype(np.float64).reshape(
+            c["by"], c["bx"], 8, 8
+        )
+        del c["coef"], c["dc_tab"], c["ac_tab"]
+    return {
+        "h": frame["h"],
+        "w": frame["w"],
+        "hmax": hmax,
+        "vmax": vmax,
+        "comps": comps,
+    }
+
+
+def jpeg_dequantized_blocks(payload: bytes) -> list[np.ndarray]:
+    """The lossless half of the JPEG decode — per-component dequantized
+    coefficient blocks (blocks_y, blocks_x, 8, 8) in natural order. Exposed
+    so tests can pin Huffman+dequant BIT-exactly against an independent
+    forward encoder (the IDCT half is float and pinned separately)."""
+    return [c["deq"] for c in _jpeg_parse(bytes(payload))["comps"]]
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → (h, w) uint8 grayscale or (h, w, 3) uint8
+    RGB (JFIF YCbCr, BT.601 full-range). Chroma upsampling is sample
+    replication — the spec leaves the filter to the decoder; replication is
+    the deterministic choice tests can reproduce."""
+    info = _jpeg_parse(bytes(payload))
+    a = _jpeg_idct_matrix()
+    h, w = info["h"], info["w"]
+    planes = []
+    for c in info["comps"]:
+        blocks = c["deq"]  # (by, bx, 8, 8)
+        pix = a.T @ blocks @ a  # broadcasted 2-D IDCT per block
+        by, bx = blocks.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        sx, sy = info["hmax"] // c["h"], info["vmax"] // c["v"]
+        if sx > 1 or sy > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise NotImplementedError(f"JPEG with {len(planes)} components")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
