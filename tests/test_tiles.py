@@ -504,3 +504,95 @@ def test_sharded_lookup_equals_unsharded(spark, sf_dir):
     assert set(base) == set(sharded) and base
     for rid in base:
         assert base[rid].asDict() == sharded[rid].asDict(), rid
+
+
+def test_probe_bound_dominates_enumerated_cover():
+    """max_probe_rows_per_request is an alignment-independent UPPER bound
+    on the enumerated cover size (+2 edge buckets) — the auto-shard
+    heuristic divides by it, so an under-estimate would under-shard and
+    walk a batch back into the broadcast ceiling."""
+    import random
+
+    from volga_spark.operators.tiles import (
+        cover_buckets,
+        max_probe_rows_per_request,
+    )
+
+    rng = random.Random(1117)
+    ladders = [
+        [60],
+        [60, 3600],
+        [60, 3600, 43200],
+        [60, 3600, 86400],
+        [1, 60, 360, 720],
+    ]
+    for gs in ladders:
+        for w_mult in (1, 7, 31, 365):
+            w = gs[-1] * w_mult + gs[0] * rng.randrange(0, 7)
+            bound = max_probe_rows_per_request(w, gs)
+            for _ in range(25):
+                # a request at arbitrary alignment: interior = the aligned
+                # part of [rts - w, rts), at most w wide
+                rts = rng.randrange(0, 10 * gs[-1]) * gs[0] + gs[-1] * 400
+                lo = -(-(rts - w) // gs[0]) * gs[0]
+                hi = (rts // gs[0]) * gs[0]
+                if hi <= lo:
+                    continue
+                n = len(cover_buckets(lo, hi, gs)) + 2
+                assert n <= bound, (gs, w, rts, n, bound)
+
+
+def test_auto_shards_heuristic():
+    """Pinned shard selection (r10 verdict #2): the measured ceiling was
+    ~4M probe rows; the heuristic holds each shard's probe frame ≤ 2M."""
+    from volga_spark.operators.tiles import auto_shards
+
+    assert auto_shards(60, 85) == 1
+    assert auto_shards(50_000, 85) == 3  # the r10 50k case: ~4.25M rows
+    assert auto_shards(200_000, 85) == 9  # the reference's 200k bench scale
+    assert auto_shards(0, 85) == 1
+    for n in (1, 10_000, 50_000, 200_000, 1_000_000):
+        k = auto_shards(n, 85)
+        assert -(-n // k) * 85 <= 2_000_000 + 85  # per-shard rows in target
+
+
+def test_lookup_auto_shards_from_batch_size(spark, sf_dir):
+    """lookup(shards=None) derives the shard count from the live batch:
+    a small batch stays single-sharded (no filter/union legs in the plan),
+    and the heuristic inputs come from the service's own frame/ladder."""
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        auto_shards,
+        build_tile_ladder,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "1 hour"]
+    svc = TiledFeatureService(
+        ev,
+        build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("25 HOURS"),
+        granularities=gs,
+    )
+    ppr = svc.probe_rows_per_request()
+    # 25h window on [1m,1h]: ascend ≤59 + stride 26 + descend ≤59 + 2 edges
+    assert 26 <= ppr <= 150
+    req = ev.limit(40).select(
+        F.monotonically_increasing_id().alias("request_id"), "user_id", "ts"
+    ).localCheckpoint()
+    assert auto_shards(40, ppr) == 1
+
+    def unions(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("Union")
+
+    out = svc.lookup(req)  # shards=None -> auto
+    # the serving state itself carries Unions (ladder levels + raw rows);
+    # the auto plan must match the explicit single-shard plan's shape and
+    # not grow the extra top-level legs sharding adds
+    assert unions(out) == unions(svc.lookup(req, shards=1))
+    assert unions(out) < unions(svc.lookup(req, shards=3))
+    assert out.count() == 40
+    svc.close()

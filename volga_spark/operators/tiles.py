@@ -33,6 +33,17 @@ from pyspark.sql import functions as F
 from volga_spark.operators.window import RangeFrame, interval_to_micros
 
 
+def fdiv(x, g: int):
+    """Exact integer floor division of a long column by a positive literal
+    granularity — THE bucket arithmetic for this module (r11, advisor): the
+    old ``floor(x / lit(g))`` round-trips through double, exact only for
+    |x| < 2^53 (~year 2255 in µs); ``(x - pmod(x, g)) div g`` stays in long
+    arithmetic and keeps floor semantics for negative µs (pmod ≥ 0). Every
+    bucket site below uses this one helper so tiles, covers, edge rows and
+    serving state can never disagree near the precision boundary."""
+    return F.call_function("div", x - F.pmod(x, F.lit(g)), F.lit(g)).cast("long")
+
+
 def build_tiles(
     events: DataFrame,
     key_cols: str | list[str],
@@ -47,7 +58,7 @@ def build_tiles(
         # floor, not cast-truncation: pre-1970 timestamps (negative µs)
         # must land in the same buckets cover_buckets/the ladder compute
         events.withColumn(
-            "__b", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long")
+            "__b", fdiv(F.unix_micros(F.col(ts_col)), g)
         )
         .groupBy(*keys, "__b")
         .agg(
@@ -103,7 +114,7 @@ def ladder_from_tiles(
         ratio = g // prev_g
         coarse = (
             prev.groupBy(
-                *keys, F.floor(F.col("__b") / F.lit(ratio)).cast("long").alias("__cb")
+                *keys, fdiv(F.col("__b"), ratio).alias("__cb")
             )
             .agg(
                 F.sum("t_cnt").alias("t_cnt"),
@@ -172,6 +183,35 @@ def cover_buckets(lo: int, hi: int, gs: list[int]) -> list[tuple[int, int]]:
     return out
 
 
+def max_probe_rows_per_request(frame_micros: int, gs: list[int]) -> int:
+    """Worst-case probe rows one request contributes to the serving-state
+    join, from the cover's structure (no data scan): each finer level emits
+    at most (next/g − 1) buckets on the ascend AND the descend, the
+    coarsest strides ceil(W/g_max)+1, plus the ≤2 raw-edge boundary
+    buckets. Alignment-independent upper bound — pinned ≥ the enumerated
+    ``cover_buckets`` size over randomized offsets in test_tiles.py."""
+    bound = frame_micros // gs[-1] + 1
+    for a, b in zip(gs, gs[1:]):
+        bound += 2 * (b // a - 1)
+    return bound + 2
+
+
+def auto_shards(
+    n_requests: int,
+    probe_rows_per_request: int,
+    target_rows: int = 2_000_000,
+) -> int:
+    """Shard count for :meth:`TiledFeatureService.lookup`: smallest k with
+    n_requests × probe_rows / k ≤ target_rows. The probe frame is the
+    BROADCAST side of the state join; ~4M rows approached the driver's
+    broadcast ceiling at 50k requests × a 7d/[1m,1h,12h] ladder
+    (SCALING.md r10), so the default target keeps each shard's probe frame
+    at half that with headroom for wider ladders."""
+    if n_requests <= 0 or probe_rows_per_request <= 0:
+        return 1
+    return max(1, -(-n_requests * probe_rows_per_request // target_rows))
+
+
 def add_cover_segments(df: DataFrame, lo, hi, gs: list[int], out: str = "__segs") -> DataFrame:
     """Native twin of :func:`cover_buckets`: appends an
     ``array<struct<g:long,lo:long,hi:long>>`` column — the canonical cover
@@ -210,11 +250,8 @@ def add_cover_segments(df: DataFrame, lo, hi, gs: list[int], out: str = "__segs"
         if b % a:
             raise ValueError(f"granularity {b} is not a multiple of {a}")
 
-    def fdiv(x, g):
-        # floor (not cast/div) — matches the floor-bucket arithmetic used
-        # across this module for negative-µs safety
-        return F.floor(x / F.lit(g)).cast("long")
-
+    # bucket arithmetic via the module-level exact fdiv (r11) — the cover
+    # must agree with build_tiles/build_serving_state bucketing bit-for-bit
     zero = F.lit(0).cast("long")
     neg1 = F.lit(-1).cast("long")
 
@@ -307,7 +344,7 @@ def build_serving_state(
         F.lit(g).alias("__g"),
         # floor (not cast) — see build_tiles; keeps raw-edge rows bucketed
         # identically to the tile/cover arithmetic for negative µs
-        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long").alias("__b"),
+        fdiv(F.unix_micros(F.col(ts_col)), g).alias("__b"),
         F.lit("r").alias("__kind"),
         F.when(v.isNotNull(), 1).otherwise(0).cast("long").alias("__cnt"),
         F.round(v * 100).cast("long").alias("__cents"),
@@ -397,11 +434,20 @@ class TiledFeatureService:
             self._cached = False
         self._state = None
 
+    def probe_rows_per_request(self) -> int:
+        """Worst-case probe rows per request for THIS service's frame and
+        ladder (single-level services probe W/g interior buckets)."""
+        if self.granularities:
+            gs = [interval_to_micros(x) for x in self.granularities]
+        else:
+            gs = [interval_to_micros(self.granularity)]
+        return max_probe_rows_per_request(self.frame.micros, gs)
+
     def lookup(
         self,
         requests: DataFrame,
         request_id_col: str = "request_id",
-        shards: int = 1,
+        shards: int | None = None,
     ) -> DataFrame:
         """Answer one request batch. ``shards > 1`` splits the batch into
         hash-disjoint sub-lookups unioned back together — the escape hatch
@@ -409,11 +455,16 @@ class TiledFeatureService:
         ~cover-size rows) is the BROADCAST side of the state join, so a
         very large batch approaches the broadcast ceiling (measured ~4M
         probe rows at 50k requests × a 7d/[1m,1h,12h] ladder; see
-        SCALING.md). Pick shards ≈ ceil(n_requests × probes_per_request /
-        2e6); each sub-lookup probes the same cached state, so the only
-        added cost is one more tiny request-side scan per shard."""
+        SCALING.md). ``shards=None`` (r11, default) picks the count
+        automatically: ceil(n_requests × worst-case probe rows per request
+        / 2M) via :func:`auto_shards` — one cheap count() of the request
+        batch buys a batch-size-proof plan. Each sub-lookup probes the
+        same cached state, so the only added cost is one more tiny
+        request-side scan per shard."""
         self._ensure_cached()
         self._release_batch_pins()
+        if shards is None:
+            shards = auto_shards(requests.count(), self.probe_rows_per_request())
 
         def one(req: DataFrame) -> DataFrame:
             return tiled_lookup(
@@ -525,8 +576,8 @@ def tiled_lookup(
         {
             "__lo": F.col("__rts") - F.lit(w),
             # interior bucket range: bG > lo and (b+1)G <= rts + 1
-            "__b_first": (F.floor((F.col("__rts") - F.lit(w)) / F.lit(g)) + 1).cast("long"),
-            "__b_last": (F.floor((F.col("__rts") + 1) / F.lit(g)) - 1).cast("long"),
+            "__b_first": fdiv(F.col("__rts") - F.lit(w), g) + 1,
+            "__b_last": fdiv(F.col("__rts") + 1, g) - 1,
         }
     )
 
@@ -599,8 +650,8 @@ def tiled_lookup(
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.floor(F.col("__lo") / F.lit(g)).cast("long"),
-                    F.floor(F.col("__rts") / F.lit(g)).cast("long"),
+                    fdiv(F.col("__lo"), g),
+                    fdiv(F.col("__rts"), g),
                 )
             )
         ).alias("__b"),
