@@ -310,3 +310,44 @@ def test_nan_is_null_engine_wide():
     ratio.add(nan, True, "a")
     ratio.add(1.0, False, "a")
     assert ratio.result() == "a:0"
+
+
+def test_nan_cond_is_cond_false_engine_wide():
+    """r11 (advisor): an ABSENT cond (None or float NaN riding a float
+    column through Arrow) is truthy in Python — `not nan` is False — so
+    without masking, a null cond would count as cond-SATISFIED, the
+    opposite of SQL WHERE-null. Absent cond must mean: skip for the cate/
+    top_where families, count denominator-only for ratio. Tiled and
+    untiled paths must both obey (tiled pinned via the property sweep in
+    this file reusing these accumulators as its reference model)."""
+    from volga_spark.functions.accumulators import (
+        CateAccumulator,
+        GroupedAggTopK,
+        RatioTopK,
+    )
+
+    nan = float("nan")
+    for bad in (nan, None):
+        cate = CateAccumulator("sum", 1.0)
+        cate.add(3.0, bad, "a")
+        assert cate.result() == "", bad
+        cate.add(2.0, True, "a")
+        cate.add(4.0, bad, "a")  # absent cond skipped, not summed
+        assert cate.result() == "a:2", bad
+        cate.retract(4.0, bad, "a")  # symmetric on retract
+        assert cate.result() == "a:2", bad
+
+        top = GroupedAggTopK("sum", "key", 3, 1.0)
+        top.add(5.0, bad, "x")
+        assert top.result() == "", bad
+        top.add(1.0, 1.0, "x")
+        top.retract(1.0, bad, "x")
+        assert top.result() == "x:1", bad
+
+        ratio = RatioTopK("key", 3)
+        ratio.add(1.0, bad, "a")  # denominator-only
+        assert ratio.result() == "a:0", bad
+        ratio.add(1.0, True, "a")
+        assert ratio.result() == "a:0.5", bad
+        ratio.retract(1.0, bad, "a")
+        assert ratio.result() == "a:1", bad

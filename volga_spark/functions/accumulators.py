@@ -164,7 +164,7 @@ class CateAccumulator:
         self._parts: dict = {}
 
     def add(self, value, cond, cat):
-        if _absent(cat) or _absent(value) or not cond:
+        if _absent(cat) or _absent(value) or _absent(cond) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -173,7 +173,7 @@ class CateAccumulator:
         self._parts[cat] = None
 
     def retract(self, value, cond, cat):
-        if _absent(cat) or _absent(value) or not cond:
+        if _absent(cat) or _absent(value) or _absent(cond) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -291,7 +291,7 @@ class GroupedAggTopK:
         self._rendered: dict = {}  # cat -> (metric, "cat:metric") cache
 
     def add(self, value, cond, cat):
-        if _absent(cat) or _absent(value) or not cond:
+        if _absent(cat) or _absent(value) or _absent(cond) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -300,7 +300,7 @@ class GroupedAggTopK:
         self._rendered[cat] = None
 
     def retract(self, value, cond, cat):
-        if _absent(cat) or _absent(value) or not cond:
+        if _absent(cat) or _absent(value) or _absent(cond) or not cond:
             return
         acc = self.cats.get(cat)
         if acc is None:
@@ -349,7 +349,7 @@ class RatioTopK:
         if _absent(cat) or _absent(value):
             return
         self.den[cat] += 1
-        if cond:
+        if not _absent(cond) and cond:
             self.num[cat] += 1
 
     def retract(self, value, cond, cat):
@@ -360,7 +360,7 @@ class RatioTopK:
             del self.den[cat]
             self.num.pop(cat, None)
             return
-        if cond:
+        if not _absent(cond) and cond:
             self.num[cat] -= 1
             if self.num[cat] <= 0:
                 del self.num[cat]

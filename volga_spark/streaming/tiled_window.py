@@ -1301,7 +1301,14 @@ class _GroupCore:
                 or v is None
                 or v != v
                 or cat != cat
-                or (conds is not None and not conds[idx])
+                or (
+                    conds is not None
+                    and (
+                        conds[idx] is None
+                        or conds[idx] != conds[idx]
+                        or not conds[idx]
+                    )
+                )
             ):
                 return
             cdirty[j].add(cat)
@@ -1335,7 +1342,11 @@ class _GroupCore:
             if cur is None:
                 cur = rmerged[j][cat] = [0, 0]
             cur[0] += sign
-            if conds[idx]:
+            c = conds[idx]
+            # absent cond counts den-only (r11, advisor): a NaN riding a
+            # float cond column is truthy in Python but must mean
+            # cond-false, matching SQL WHERE-null and the untiled families
+            if c is not None and c == c and c:
                 cur[1] += sign
 
         nr = len(raw_ts)
