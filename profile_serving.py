@@ -23,6 +23,12 @@ from bench import _Telemetry, materialize  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BATCHES = (1_000, 10_000, 50_000)
+# r11 (r10 verdict #2): the reference's request bench evaluates 200k points
+# (window_operator_benchmark.rs:590-618); the tiled path runs that scale
+# here with AUTO-sharding (lookup(shards=None) splits the probe frame to
+# stay under the broadcast ceiling). The naive path stays at 50k — its
+# full-window recompute at 200k adds minutes without new information.
+TILED_EXTRA = (200_000,)
 
 
 def main():
@@ -96,7 +102,8 @@ def main():
     out = {"sf": SF, "n_events": n_ev, "paths": {}}
     for label, svc in (("tiled_ladder", tiled), ("naive", naive)):
         per = {}
-        for n in BATCHES:
+        batches = BATCHES + TILED_EXTRA if label == "tiled_ladder" else BATCHES
+        for n in batches:
             times = []
             for i in range(5):
                 req = req_batch(n, i + 1)
@@ -114,6 +121,12 @@ def main():
                 "warm_avg": round(avg, 3),
                 "lookups_per_s": round(n / avg),
             }
+            if label == "tiled_ladder":
+                from volga_spark.operators.tiles import auto_shards
+
+                per[n]["auto_shards"] = auto_shards(
+                    n, tiled.probe_rows_per_request()
+                )
             print(f"# {label} n={n}: cold {times[0]} warm {warm} "
                   f"-> {per[n]['lookups_per_s']}/s", file=sys.stderr)
         out["paths"][label] = per

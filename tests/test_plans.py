@@ -182,3 +182,77 @@ def test_text_analysis_plan_pinned(spark, sf_dir):
     # the scan reads only the columns the query needs
     read = p.split("ReadSchema")[1][:200]
     assert "text" in read and "n_chars" not in read
+
+
+def test_serving_cover_barrier_is_load_bearing(spark, sf_dir):
+    """r10 verdict #7 (pin audit): the ladder lookup persists the cover
+    frame as a MATERIALIZATION BARRIER between the carry-chain projection
+    and the explode — measured 2.7s -> 0.15s per 1k-request batch; a
+    repartition does NOT substitute. This pins the plan shape, not the
+    timing: the segment explode must read an InMemoryTableScan directly
+    (no exchange/scan between), so a Spark upgrade that stops honoring
+    the persist — or a refactor that drops it — fails here loudly."""
+    from pyspark.sql import functions as F
+
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        build_tile_ladder,
+    )
+    from volga_spark.operators.window import range_frame
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "1 hour"]
+    svc = TiledFeatureService(
+        ev,
+        build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("25 HOURS"),
+        granularities=gs,
+    )
+    req = ev.limit(20).select(
+        F.monotonically_increasing_id().alias("request_id"), "user_id", "ts"
+    ).localCheckpoint()
+    out = svc.lookup(req)
+    out.count()  # materialize so the executed plan is final (AQE)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # anchor on the cover explode (NOT the first InMemoryTableScan — the
+    # serving state is cached too); its feed must be the cached barrier
+    gen_at = p.index("Generate explode(__segs")
+    scan_at = p.index("InMemoryTableScan", gen_at)
+    between = p[gen_at:scan_at]
+    for node in ("Exchange", "Scan parquet", "MapInPandas", "HashAggregate"):
+        assert node not in between, (
+            f"{node} crept between the cover explode and its barrier:\n"
+            + between
+        )
+    svc.close()
+
+
+def test_training_export_checkpoint_pin_is_load_bearing(spark, sf_dir):
+    """r10 verdict #7 (pin audit): build_sequences pins its branch point
+    with localCheckpoint(eager=False) — `base` feeds BOTH the packing
+    pipeline and the bpe_ids span join, and without the pin the BPE
+    encode mapInPandas executes once per consumer (r05: 3 full passes
+    measured). localCheckpoint TRUNCATES the plan, so the pin being alive
+    shows as: zero python-eval nodes in the final optimized plan (the
+    encode is behind the checkpoint) and >=2 reads of the checkpointed
+    RDD (the two consumers). A Spark upgrade that stops truncating — or
+    a refactor that drops the pin — re-surfaces the encode here."""
+    from volga_spark.api.training_export import build_sequences
+    from volga_spark.operators.bpe import train_bpe
+    from volga_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    model = train_bpe(docs.limit(50), num_merges=30)
+    out = build_sequences(docs, model, seq_len=128)
+    p = out._jdf.queryExecution().optimizedPlan().toString()
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in p, (
+            f"{node} above the checkpoint pin — the BPE encode would "
+            "re-execute per consumer"
+        )
+    rdd_reads = p.count("LogicalRDD") + p.count("ExistingRDD")
+    assert rdd_reads >= 2, f"expected both consumers to read the pin:\n{p}"

@@ -543,17 +543,20 @@ def test_probe_bound_dominates_enumerated_cover():
 
 
 def test_auto_shards_heuristic():
-    """Pinned shard selection (r10 verdict #2): the measured ceiling was
-    ~4M probe rows; the heuristic holds each shard's probe frame ≤ 2M."""
+    """Pinned shard selection (r10 verdict #2), calibrated r11: 50k × the
+    7d/[1m,1h,12h] ladder (worst-case bound 157/request) must stay
+    UNSHARDED — that regime measured 10,243 lookups/s unsharded vs ~40%
+    slower at 4 shards — while the reference's 200k scale shards to keep
+    each broadcast at the proven size."""
     from volga_spark.operators.tiles import auto_shards
 
-    assert auto_shards(60, 85) == 1
-    assert auto_shards(50_000, 85) == 3  # the r10 50k case: ~4.25M rows
-    assert auto_shards(200_000, 85) == 9  # the reference's 200k bench scale
-    assert auto_shards(0, 85) == 1
+    assert auto_shards(60, 157) == 1
+    assert auto_shards(50_000, 157) == 1  # r10-proven regime: no sharding
+    assert auto_shards(200_000, 157) == 4  # the reference's bench scale
+    assert auto_shards(0, 157) == 1
     for n in (1, 10_000, 50_000, 200_000, 1_000_000):
-        k = auto_shards(n, 85)
-        assert -(-n // k) * 85 <= 2_000_000 + 85  # per-shard rows in target
+        k = auto_shards(n, 157)
+        assert -(-n // k) * 157 <= 8_000_000 + 157  # per-shard in target
 
 
 def test_lookup_auto_shards_from_batch_size(spark, sf_dir):

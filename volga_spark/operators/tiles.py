@@ -199,14 +199,18 @@ def max_probe_rows_per_request(frame_micros: int, gs: list[int]) -> int:
 def auto_shards(
     n_requests: int,
     probe_rows_per_request: int,
-    target_rows: int = 2_000_000,
+    target_rows: int = 8_000_000,
 ) -> int:
     """Shard count for :meth:`TiledFeatureService.lookup`: smallest k with
-    n_requests × probe_rows / k ≤ target_rows. The probe frame is the
-    BROADCAST side of the state join; ~4M rows approached the driver's
-    broadcast ceiling at 50k requests × a 7d/[1m,1h,12h] ladder
-    (SCALING.md r10), so the default target keeps each shard's probe frame
-    at half that with headroom for wider ladders."""
+    n_requests × probe_rows / k ≤ target_rows. Calibration (r11, measured):
+    `probe_rows_per_request` is the alignment-independent WORST case —
+    ≈2× the typical cover occupancy (157 vs ~85 on the 7d/[1m,1h,12h]
+    ladder) — and 50k requests × ~85 ≈ 4M REAL probe rows measured fine
+    unsharded (r10: 10,243 lookups/s) while sharding that same batch 4×
+    measured ~40% slower (extra broadcast jobs), so the target keeps the
+    r10-proven regime unsharded: 8M bound-rows ≈ the measured-good ~4M
+    real rows. 200k requests (the reference's bench scale) lands at 4
+    shards, bounding the per-shard broadcast at the proven size."""
     if n_requests <= 0 or probe_rows_per_request <= 0:
         return 1
     return max(1, -(-n_requests * probe_rows_per_request // target_rows))
