@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from volga_spark.operators.tiles import fdiv
+
 
 def range_join(
     left: DataFrame,
@@ -68,13 +70,13 @@ def range_join(
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.floor((lt + F.lit(lower_us)) / F.lit(width)).cast("long"),
-                    F.floor((lt + F.lit(upper_us)) / F.lit(width)).cast("long"),
+                    fdiv(lt + F.lit(lower_us), width),
+                    fdiv(lt + F.lit(upper_us), width),
                 )
             )
         ),
     )
-    r = right.withColumn("__lb", F.floor(rt / F.lit(width)).cast("long"))
+    r = right.withColumn("__lb", fdiv(rt, width))
     inner = (
         l.join(r, keys + ["__lb"], "inner")
         .filter(

@@ -29,6 +29,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from volga_spark.operators.tiles import fdiv
 from volga_spark.operators.window import interval_to_micros
 from volga_spark.streaming.runner import _state_root, run_foreach_batch
 
@@ -56,10 +57,11 @@ def stream_build_tiles(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         merged = (
             batch_df.withColumn(
-                # floor (not cast-truncation): must bucket identically to
-                # operators/tiles.build_tiles for negative (pre-1970) µs
+                # exact long floor-division (r11): must bucket identically
+                # to operators/tiles.build_tiles — negative (pre-1970) µs
+                # AND past the double 2^53 precision bound
                 "__b",
-                F.floor(F.unix_micros(F.col(ts_col)) / F.lit(g)).cast("long"),
+                fdiv(F.unix_micros(F.col(ts_col)), g),
             )
             .groupBy(*keys, "__b")
             .agg(
