@@ -502,6 +502,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pix = a.T @ blocks @ a  # broadcasted 2-D IDCT per block
         by, bx = blocks.shape[:2]
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        if info["hmax"] % c["h"] or info["vmax"] % c["v"]:
+            # e.g. 3:2 — integer replication cannot express it; fail loud
+            # rather than silently mis-upsample
+            raise NotImplementedError(
+                "JPEG sampling factors must divide the maxima "
+                f"({c['h']}x{c['v']} vs {info['hmax']}x{info['vmax']})"
+            )
         sx, sy = info["hmax"] // c["h"], info["vmax"] // c["v"]
         if sx > 1 or sy > 1:
             plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
