@@ -166,12 +166,10 @@ def test_wav_roundtrip(width, dtype):
 
 
 def test_entropy_coded_formats_still_gate():
-    # r11: baseline JPEG now decodes for real (tests/test_jpeg_decode.py);
-    # WebP/GIF remain the honestly-gated entropy codecs
+    # r11: baseline JPEG and GIF now decode for real (test_jpeg_decode.py,
+    # test_gif_decode.py); WebP remains the honestly-gated entropy codec
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"GIF89a" + b"\x00" * 32)
 
 
 def test_extract_features_with_real_decoder(spark):

@@ -7,10 +7,12 @@ REAL for every format numpy + the stdlib can honestly express — PNG
 (zlib inflate + spec unfilter), uncompressed BMP, binary PPM/PGM, PCM
 WAV (r10; round-trip pinned by tests/test_multimodal_decode.py), and
 baseline sequential JPEG (r11: T.81 Huffman + dequant + IDCT + YCbCr,
-pinned against an independent forward encoder in tests/test_jpeg_decode.py).
-The residual codecs (progressive JPEG, WebP, video) remain behind the
-injectable ``decoder=`` gate because no image/audio libraries exist in
-this image — swap in PIL/ffmpeg in production; nothing else changes.
+pinned against an independent forward encoder in tests/test_jpeg_decode.py),
+and GIF (r11: from-scratch LZW + palettes + interlacing,
+tests/test_gif_decode.py). The residual codecs (progressive JPEG, WebP,
+video) remain behind the injectable ``decoder=`` gate because no
+image/audio libraries exist in this image — swap in PIL/ffmpeg in
+production; nothing else changes.
 
 At 100 TB: binaries should ride in parquet with
 ``spark.sql.files.maxPartitionBytes`` sized so a task's Arrow batch of
@@ -52,15 +54,17 @@ def decode_image(payload: bytes) -> "np.ndarray":
     PNG (zlib inflate + per-spec scanline unfilter), baseline sequential
     JPEG (r11: Huffman + dequant + IDCT + YCbCr, from the T.81 spec), BMP
     (uncompressed BI_RGB), and PPM/PGM binary — returning an (h, w[, c])
-    uint8 array. The remaining gated formats (progressive JPEG, WebP,
-    GIF/LZW, video) raise the injectable NotImplementedError: their codecs
-    need PIL/opencv/ffmpeg, absent here; swap ``decoder=`` in
-    :func:`extract_features` for them."""
+    uint8 array, plus GIF via the from-scratch LZW decoder. The remaining
+    gated formats (progressive JPEG, WebP, video) raise the injectable
+    NotImplementedError: their codecs need PIL/opencv/ffmpeg, absent here;
+    swap ``decoder=`` in :func:`extract_features` for them."""
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
     if b[:2] == b"\xff\xd8":
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:2] in (b"P5", b"P6"):
@@ -208,6 +212,132 @@ def decode_ppm(b: bytes) -> np.ndarray:
     i += 2 if (b[i : i + 2] == b"\r\n" and len(b) - (i + 1) != need) else 1
     px = np.frombuffer(b, dtype=np.uint8, count=h * w * ch, offset=i)
     return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+
+
+# --- GIF (87a/89a), from scratch ---------------------------------------------
+#
+# r11: GIF's "entropy coding" is LZW — table-driven, no transform math, so a
+# from-scratch decoder is honestly expressible in pure Python/numpy. Scope:
+# the FIRST image frame, decoded to an (h, w, 3) uint8 RGB array over its
+# own rectangle (animation compositing/disposal is a player concern, not a
+# pixel-decode one). Global + local color tables, interlacing, and the
+# GCE transparency index (transparent pixels take the palette color —
+# callers needing alpha read the index plane via decode_gif(..., rgb=False)).
+# Round-trip pinned against an independent spec-forward LZW compressor in
+# tests/test_gif_decode.py.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF LZW (89a spec appendix F): variable code width from
+    min_code_size+1, CLEAR resets the table, dict caps at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits  # LSB-first bit packing
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def decode_gif(payload: bytes, rgb: bool = True) -> np.ndarray:
+    """From-scratch GIF decoder: first frame → (h, w, 3) uint8 RGB (or the
+    raw palette-index plane with ``rgb=False``). Handles 87a/89a, global
+    and local color tables, interlacing, and sub-block chained LZW data."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = b[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-block chain
+            i += 2
+            while b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            min_code = b[i]
+            i += 1
+            chunks = []
+            while b[i]:
+                chunks.append(b[i + 1 : i + 1 + b[i]])
+                i += 1 + b[i]
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), h * w)
+            if len(idx) < h * w:
+                raise ValueError("GIF LZW stream truncated")
+            plane = np.array(idx[: h * w], dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                out_rows = np.empty((h, w), dtype=np.uint8)
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                out_rows[order] = plane
+                plane = out_rows
+            if not rgb:
+                return plane
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            return pal[plane]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image frame")
 
 
 # --- Baseline JPEG (ITU-T T.81 / ISO 10918-1), from scratch -----------------
