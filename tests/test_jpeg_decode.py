@@ -379,13 +379,14 @@ def test_jpeg_via_decode_image_dispatch():
     assert img.dtype == np.uint8
 
 
-def test_progressive_jpeg_still_gates():
-    """SOF2 (progressive) must keep raising the injectable gate."""
+def test_arithmetic_jpeg_still_gates():
+    """SOF9 (arithmetic coding) must keep raising the injectable gate —
+    progressive (SOF2) decodes for real since r11 (tests below)."""
     body = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
         [1, 1, 0x11, 0]
     )
-    payload = b"\xff\xd8" + _seg(0xC2, body)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    payload = b"\xff\xd8" + _seg(0xC9, body)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(payload)
 
 

@@ -340,18 +340,25 @@ def decode_gif(payload: bytes, rgb: bool = True) -> np.ndarray:
     raise ValueError("GIF has no image frame")
 
 
-# --- Baseline JPEG (ITU-T T.81 / ISO 10918-1), from scratch -----------------
+# --- JPEG (ITU-T T.81 / ISO 10918-1), from scratch ---------------------------
 #
-# r11 (verdict #3): the one honestly-buildable residual of the entropy-coded
-# gap. Baseline sequential DCT only: 8-bit samples, Huffman coding, SOF0/SOF1
-# frames, optional restart intervals, grayscale or YCbCr with any 1-4 h/v
-# sampling factors. Progressive (SOF2) and arithmetic coding stay gated —
-# same honesty rule as before. Entropy decode + dequantization is LOSSLESS
-# and is pinned bit-exactly against an independent forward encoder in
-# tests/test_jpeg_decode.py; the IDCT/color stages are pinned against an
-# independent direct-form IDCT. Reference parity target: the reference's
-# media ingestion treats images as opaque payloads + metadata; this closes
-# the decode gap for the dominant crawl format without PIL.
+# r11: baseline sequential (SOF0/SOF1) AND progressive (SOF2 — spectral
+# selection + successive approximation, Annex G): 8-bit samples, Huffman
+# coding, restart intervals, grayscale or YCbCr with any divisible h/v
+# sampling factors, single-component scans non-interleaved per spec.
+# Arithmetic coding and lossless/differential modes stay gated. The
+# lossless layers are pinned bit-exactly against independent spec-forward
+# test encoders: baseline entropy+dequant in tests/test_jpeg_decode.py;
+# progressive scan convergence (the decoder's final coefficient state must
+# equal the full-precision quantized array after all scans) in
+# tests/test_jpeg_progressive.py, with baseline==progressive pixel
+# cross-checks. Honest caveat for progressive: encoder and decoder are
+# both written here (no codec library exists to cross-validate against),
+# so the pin is convergence-to-the-independent-coefficient-state plus the
+# baseline cross-check, not a third-party byte stream. IDCT/color pinned
+# against a direct-form reconstruction. Reference parity target: the
+# reference's media ingestion treats images as opaque payloads + metadata;
+# this closes the decode gap for the dominant crawl format without PIL.
 
 _JPEG_ZIGZAG = np.array(
     [
@@ -438,15 +445,21 @@ class _JpegBitReader:
 
 
 def _jpeg_parse(b: bytes) -> dict:
-    """Marker walk + entropy decode. Returns frame geometry plus, per
+    """Marker walk + entropy decode for BASELINE (SOF0/SOF1, one scan) and
+    PROGRESSIVE (SOF2, multiple scans — spectral selection + successive
+    approximation, T.81 Annex G). Returns frame geometry plus, per
     component, the DEQUANTIZED coefficient blocks in natural order, shape
-    (blocks_y, blocks_x, 8, 8) float64 — the lossless half of the decoder."""
+    (blocks_y, blocks_x, 8, 8) float64 — the lossless half of the decoder.
+
+    Coefficients are accumulated across scans in ZIGZAG order (progressive
+    bands are zigzag ranges) and mapped to natural order at finalize."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _JpegHuffTable] = {}
     frame = None
     restart_interval = 0
+    saw_scan = False
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -458,7 +471,7 @@ def _jpeg_parse(b: bytes) -> dict:
         if seg_len < 2:
             raise ValueError("JPEG marker segment length < 2")
         seg = b[i + 4 : i + 2 + seg_len]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (tables kept in zigzag order, like coefz)
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 15
@@ -469,9 +482,7 @@ def _jpeg_parse(b: bytes) -> dict:
                 else:
                     tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int64)
                     j += 128
-                nat = np.empty(64, dtype=np.int64)
-                nat[_JPEG_ZIGZAG] = tbl  # DQT entries arrive in zigzag order
-                qt[tq] = nat
+                qt[tq] = tbl
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -480,7 +491,7 @@ def _jpeg_parse(b: bytes) -> dict:
                 n = sum(counts)
                 huff[(tc, th)] = _JpegHuffTable(counts, seg[j + 17 : j + 17 + n])
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             if seg[0] != 8:
                 raise NotImplementedError(f"JPEG precision {seg[0]} (only 8)")
             h = int.from_bytes(seg[1:3], "big")
@@ -490,58 +501,68 @@ def _jpeg_parse(b: bytes) -> dict:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bx"] = mcus_x * c["h"]
+                c["by"] = mcus_y * c["v"]
+                # the non-interleaved (single-component-scan) block grid:
+                # ceil over the component's OWN sample dims (spec A.2.2)
+                cw = -(-w * c["h"] // hmax)
+                chh = -(-h * c["v"] // vmax)
+                c["nw8"] = -(-cw // 8)
+                c["nh8"] = -(-chh // 8)
+                c["coefz"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+            frame = {
+                "h": h,
+                "w": w,
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcus_x": mcus_x,
+                "mcus_y": mcus_y,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) — progressive/"
-                "arithmetic/lossless need PIL; inject decoder= instead"
+                "only baseline/extended-sequential/progressive Huffman JPEG "
+                "(SOF0/1/2) — arithmetic/lossless/differential need PIL; "
+                "inject decoder= instead"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            ns = seg[0]
-            scan = {}
-            for c in range(ns):
-                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
-                scan[cid] = (tt >> 4, tt & 15)
-            data_start = i + 2 + seg_len
-            return _jpeg_decode_scan(
-                b, data_start, frame, scan, qt, huff, restart_interval
-            )
+            i = _jpeg_decode_scan(b, i + 2 + seg_len, seg, frame, huff, restart_interval)
+            saw_scan = True
+            continue
         i += 2 + seg_len
-    raise ValueError("JPEG has no SOS scan")
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    for c in frame["comps"]:
+        table = qt.get(c["tq"])
+        if table is None:
+            raise ValueError("JPEG frame references a missing quant table")
+        deq = np.zeros_like(c["coefz"], dtype=np.float64)
+        deq[:, _JPEG_ZIGZAG] = (c["coefz"] * table).astype(np.float64)
+        c["deq"] = deq.reshape(c["by"], c["bx"], 8, 8)
+        del c["coefz"]
+    return {
+        "h": frame["h"],
+        "w": frame["w"],
+        "hmax": frame["hmax"],
+        "vmax": frame["vmax"],
+        "comps": frame["comps"],
+    }
 
 
-def _jpeg_decode_scan(
-    b: bytes,
-    start: int,
-    frame: dict,
-    scan: dict,
-    qt: dict,
-    huff: dict,
-    restart_interval: int,
-) -> dict:
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-    for c in comps:
-        c["bx"] = mcus_x * c["h"]
-        c["by"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
-        c["dc_tab"], c["ac_tab"] = (
-            huff.get((0, scan[c["id"]][0])),
-            huff.get((1, scan[c["id"]][1])),
-        )
-        if c["dc_tab"] is None or c["ac_tab"] is None:
-            raise ValueError("JPEG scan references a missing Huffman table")
-
-    # split the entropy stream into restart segments: scan forward for
-    # 0xFF followed by anything but 0x00 (stuffing) — RSTn separate
-    # segments, any other marker ends the scan
+def _jpeg_entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy stream into restart segments (0xFF00
+    unstuffed). Returns (segments, index of the terminating marker's 0xFF
+    or len(b) if the stream is truncated)."""
     segments, seg_start, j = [], start, start
     n = len(b)
     while j < n - 1:
@@ -551,63 +572,196 @@ def _jpeg_decode_scan(
             if 0xD0 <= m <= 0xD7:
                 seg_start = j = j + 2
                 continue
-            break
+            return segments, j
         j += 1
-    else:
-        segments.append(b[seg_start:].replace(b"\xff\x00", b"\xff"))
+    segments.append(b[seg_start:].replace(b"\xff\x00", b"\xff"))
+    return segments, n
 
-    mcu_total = mcus_x * mcus_y
-    per_seg = restart_interval if restart_interval else mcu_total
-    mcu = 0
+
+def _jpeg_dec_seq_block(reader, coef, dct, act, pred: list) -> None:
+    """Sequential (baseline) DC+AC for one block; coef is zigzag-ordered."""
+    t = reader.decode_symbol(dct)
+    pred[0] += reader.receive_extend(t)
+    coef[0] = pred[0]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break  # EOB
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overrun")
+        coef[k] = reader.receive_extend(s)
+        k += 1
+
+
+def _jpeg_dec_ac_first(reader, coef, act, ss, se, al, eobrun: list) -> None:
+    """Progressive AC initial scan for one block (G.2 / spec figure G.3)."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overrun")
+        coef[k] = reader.receive_extend(s) << al
+        k += 1
+
+
+def _jpeg_dec_ac_refine(reader, coef, act, ss, se, al, eobrun: list) -> None:
+    """Progressive AC refinement for one block: correction bits for
+    history-nonzero coefficients, ±1<<Al insertions for newly-significant
+    ones, EOB runs carrying the correction bits of the blocks they skip."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and not (int(coef[k]) & p1):
+            coef[k] += p1 if coef[k] > 0 else m1
+
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refine magnitude != 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG AC refine overrun")
+                coef[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:  # current block's tail rides the EOB run
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _jpeg_decode_scan(
+    b: bytes,
+    start: int,
+    seg: bytes,
+    frame: dict,
+    huff: dict,
+    restart_interval: int,
+) -> int:
+    """Decode ONE scan's entropy data into the frame's coefficient state;
+    returns the stream index just past the scan (at the next marker)."""
+    ns = seg[0]
+    scomps = []
+    by_id = {c["id"]: c for c in frame["comps"]}
+    for c in range(ns):
+        cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+        if cid not in by_id:
+            raise ValueError("JPEG scan references unknown component")
+        scomps.append((by_id[cid], tt >> 4, tt & 15))
+    ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    prog = frame["progressive"]
+    if not prog:
+        ss, se, ah, al = 0, 63, 0, 0
+    if prog and ss == 0 and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if prog and ss > 0 and ns != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+
+    tabs = {}
+    for comp, tdc, tac in scomps:
+        dct = huff.get((0, tdc))
+        act = huff.get((1, tac))
+        need_dc = ss == 0 and ah == 0
+        need_ac = (not prog) or ss > 0
+        if (need_dc and dct is None) or (need_ac and act is None):
+            raise ValueError("JPEG scan references a missing Huffman table")
+        tabs[comp["id"]] = (dct, act)
+
+    mcus_x = frame["mcus_x"]
+    if ns == 1:
+        # single-component scans are NON-interleaved (spec A.2.2): the
+        # unit walk covers the component's own ceil block grid, not the
+        # MCU-padded grid
+        comp = scomps[0][0]
+        uw, uh = comp["nw8"], comp["nh8"]
+        units_total = uw * uh
+    else:
+        units_total = mcus_x * frame["mcus_y"]
+
+    segments, end = _jpeg_entropy_segments(b, start)
+    per_seg = restart_interval if restart_interval else units_total
+    unit = 0
     for seg_data in segments:
-        if mcu >= mcu_total:
+        if unit >= units_total:
             break
         reader = _JpegBitReader(seg_data)
-        pred = {c["id"]: 0 for c in comps}
-        for _ in range(min(per_seg, mcu_total - mcu)):
-            my, mx = divmod(mcu, mcus_x)
-            for c in comps:
-                for vy in range(c["v"]):
-                    for vx in range(c["h"]):
-                        blk_row = my * c["v"] + vy
-                        blk_col = mx * c["h"] + vx
-                        coef = c["coef"][blk_row * c["bx"] + blk_col]
-                        t = reader.decode_symbol(c["dc_tab"])
-                        pred[c["id"]] += reader.receive_extend(t)
-                        coef[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(c["ac_tab"])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16  # ZRL
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overrun")
-                            coef[_JPEG_ZIGZAG[k]] = reader.receive_extend(s)
-                            k += 1
-            mcu += 1
-    if mcu != mcu_total:
+        preds = {c["id"]: [0] for c, _, _ in scomps}
+        eobrun = [0]
+        for _ in range(min(per_seg, units_total - unit)):
+            if ns == 1:
+                comp = scomps[0][0]
+                row, col = divmod(unit, uw)
+                blocks = [(comp, row * comp["bx"] + col)]
+            else:
+                my, mx = divmod(unit, mcus_x)
+                blocks = [
+                    (c, (my * c["v"] + vy) * c["bx"] + (mx * c["h"] + vx))
+                    for c, _, _ in scomps
+                    for vy in range(c["v"])
+                    for vx in range(c["h"])
+                ]
+            for comp, bi in blocks:
+                coef = comp["coefz"][bi]
+                dct, act = tabs[comp["id"]]
+                if not prog:
+                    _jpeg_dec_seq_block(reader, coef, dct, act, preds[comp["id"]])
+                elif ss == 0:
+                    if ah == 0:  # DC initial
+                        t = reader.decode_symbol(dct)
+                        preds[comp["id"]][0] += reader.receive_extend(t)
+                        coef[0] = preds[comp["id"]][0] << al
+                    else:  # DC refinement: one bit
+                        coef[0] |= reader.read_bit() << al
+                elif ah == 0:
+                    _jpeg_dec_ac_first(reader, coef, act, ss, se, al, eobrun)
+                else:
+                    _jpeg_dec_ac_refine(reader, coef, act, ss, se, al, eobrun)
+            unit += 1
+    if unit != units_total:
         raise ValueError("JPEG truncated entropy stream")
-
-    for c in comps:
-        table = qt.get(c["tq"])
-        if table is None:
-            raise ValueError("JPEG frame references a missing quant table")
-        c["deq"] = (c["coef"] * table).astype(np.float64).reshape(
-            c["by"], c["bx"], 8, 8
-        )
-        del c["coef"], c["dc_tab"], c["ac_tab"]
-    return {
-        "h": frame["h"],
-        "w": frame["w"],
-        "hmax": hmax,
-        "vmax": vmax,
-        "comps": comps,
-    }
+    return end
 
 
 def jpeg_dequantized_blocks(payload: bytes) -> list[np.ndarray]:
@@ -619,10 +773,10 @@ def jpeg_dequantized_blocks(payload: bytes) -> list[np.ndarray]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → (h, w) uint8 grayscale or (h, w, 3) uint8
-    RGB (JFIF YCbCr, BT.601 full-range). Chroma upsampling is sample
-    replication — the spec leaves the filter to the decoder; replication is
-    the deterministic choice tests can reproduce."""
+    """Baseline sequential OR progressive JPEG → (h, w) uint8 grayscale or
+    (h, w, 3) uint8 RGB (JFIF YCbCr, BT.601 full-range). Chroma upsampling
+    is sample replication — the spec leaves the filter to the decoder;
+    replication is the deterministic choice tests can reproduce."""
     info = _jpeg_parse(bytes(payload))
     a = _jpeg_idct_matrix()
     h, w = info["h"], info["w"]
