@@ -206,3 +206,195 @@ def test_extract_features_with_real_decoder(spark):
     for doc_id, arr in imgs.items():
         want = arr.reshape(-1, 3).mean(axis=0)
         assert np.allclose(out[doc_id], want), doc_id
+
+
+# --- r11: 16-bit and Adam7 PNG (independent encoder, like _encode_png) ------
+
+ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _filter_rows(rows: np.ndarray, bpp: int, filters: list[int]) -> bytes:
+    """Apply the requested filter per scanline over raw byte rows (h, stride);
+    byte-wise with left-offset bpp, per spec — shared by depths."""
+    h, stride = rows.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = rows[y].astype(np.int64)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]])
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]])
+            enc = (line - (left + prev) // 2) % 256
+        else:
+            enc = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    return bytes(out)
+
+
+def _encode_png_v2(
+    img: np.ndarray, filters: list[int], depth: int, interlace: bool
+) -> bytes:
+    """Forward encoder for 8/16-bit and optional Adam7: samples to
+    big-endian bytes, per-pass filtering, one zlib stream."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bps = depth // 8
+    bpp = ch * bps
+
+    def rows_of(sub: np.ndarray) -> np.ndarray:
+        ph, pw = sub.shape[:2]
+        if depth == 8:
+            return sub.reshape(ph, pw * ch).astype(np.int64)
+        hi = (sub >> 8).astype(np.uint8)
+        lo = (sub & 0xFF).astype(np.uint8)
+        inter = np.stack([hi, lo], axis=-1)  # big-endian sample bytes
+        return inter.reshape(ph, pw * bpp).astype(np.int64)
+
+    raw = bytearray()
+    if not interlace:
+        raw += _filter_rows(rows_of(img), bpp, filters)
+    else:
+        for x0, y0, dx, dy in ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _filter_rows(rows_of(sub), bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png16_roundtrip(ch, interlace):
+    rng = np.random.default_rng(100 + ch + interlace)
+    shape = (13, 9) if ch == 1 else (13, 9, ch)
+    img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    payload = _encode_png_v2(img, [0, 1, 2, 3, 4], depth=16, interlace=interlace)
+    got = decode_png(payload)
+    assert got.dtype == np.uint16
+    assert got.shape == img.shape
+    assert (got == img).all()
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (2, 3), (7, 5), (16, 16), (9, 23)])
+def test_png_adam7_8bit_roundtrip(dims):
+    """Adam7 at awkward sizes: passes that are empty or single-pixel."""
+    rng = np.random.default_rng(sum(dims))
+    img = rng.integers(0, 256, size=(*dims, 3), dtype=np.uint8)
+    payload = _encode_png_v2(img, [0, 1, 2, 3, 4], depth=8, interlace=True)
+    got = decode_png(payload)
+    assert (got == img).all()
+    assert (decode_image(payload) == img).all()
+
+
+@pytest.mark.parametrize("dtype,bits", [("<f4", 32), ("<f8", 64)])
+def test_wav_ieee_float_roundtrip(dtype, bits):
+    """r11: IEEE-float WAV (format 3) — built forward from the RIFF spec
+    (stdlib wave cannot write it either)."""
+    rng = np.random.default_rng(bits)
+    samples = rng.standard_normal((40, 2)).astype(dtype)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, 48000, 48000 * 2 * bits // 8,
+                      2 * bits // 8, bits)
+    payload = (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    got, rate = decode_wav(payload)
+    assert rate == 48000
+    assert got.dtype == np.dtype(dtype)
+    assert (got == samples).all()
+
+
+def test_mixed_format_decode_census_on_spark(spark):
+    """One Arrow-batched mapInPandas pass over a MIXED-format binary corpus
+    (PNG, baseline JPEG, GIF, BMP — every real decoder at once): each
+    executor-side decode must dispatch by magic and report exact shapes."""
+    from test_gif_decode import encode_gif
+    from test_jpeg_decode import encode_jpeg
+
+    from volga_spark.operators.multimodal import decode_image, probe_image
+    from volga_spark.partitioning import widen_for_python
+
+    rng = np.random.default_rng(8)
+    rows = []
+    want = {}
+    for doc_id in range(12):
+        h, w = int(rng.integers(4, 15)), int(rng.integers(4, 15))
+        kind = doc_id % 4
+        if kind == 0:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = _encode_png(img, filters=[0, 1, 2, 3, 4])
+            fmt = "png"
+        elif kind == 1:
+            plane = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            payload, _ = encode_jpeg([plane], [(1, 1)], h, w)
+            fmt = "jpeg"
+        elif kind == 2:
+            plane = rng.integers(0, 8, size=(h, w), dtype=np.uint8)
+            pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+            payload = encode_gif(plane, pal)
+            fmt = "gif"
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = _encode_bmp(img, top_down=False)
+            fmt = "bmp"
+        rows.append((doc_id, bytearray(payload)))
+        want[doc_id] = (fmt, h, w)
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    import pandas as pd
+
+    from volga_spark._pickle import register_by_value
+    import volga_spark.operators.multimodal as mm
+
+    register_by_value(mm)
+
+    def census(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "h": [], "w": []}
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(p))
+                f, _, _ = probe_image(bytes(p))
+                out["doc_id"].append(i)
+                out["fmt"].append(f)
+                out["h"].append(img.shape[0])
+                out["w"].append(img.shape[1])
+            yield pd.DataFrame(out)
+
+    got = {
+        r["doc_id"]: (r["fmt"], r["h"], r["w"])
+        for r in widen_for_python(df)
+        .mapInPandas(census, "doc_id bigint, fmt string, h int, w int")
+        .collect()
+    }
+    assert got == want

@@ -75,11 +75,60 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth) over one
+    (sub-)image: `raw` is h*(stride+1) filter-prefixed bytes; `bpp` is the
+    FILTER left-offset in bytes (channels x bytes-per-sample — PNG filters
+    operate on bytes, whatever the bit depth). Returns (h, stride) uint8."""
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: left-dependence — per-byte-column cumsum mod 256
+            rec = line.reshape(-1, bpp).cumsum(axis=0) % 256
+            rec = rec.reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    return out.astype(np.uint8)
+
+
+_PNG_ADAM7 = [  # (x0, y0, dx, dy) per pass, RFC 2083 §2.6
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """From-scratch PNG decoder (RFC 2083): 8-bit non-interlaced
-    greyscale / RGB / grey+alpha / RGBA. Chunk walk → concatenated IDAT →
-    zlib inflate → per-scanline unfilter (None/Sub/Up/Average/Paeth).
-    Sub/Up are vectorized; Average/Paeth carry the spec's left-dependence
+    """From-scratch PNG decoder (RFC 2083): 8- and 16-bit greyscale / RGB /
+    grey+alpha / RGBA, non-interlaced or Adam7. Chunk walk → concatenated
+    IDAT → zlib inflate → per-scanline unfilter (byte-wise, per spec, so
+    both depths share one path) → 16-bit samples reassembled big-endian.
+    Returns uint8 (depth 8) or uint16 (depth 16), shape (h, w[, c]).
+    Sub/Up are vectorized; Average/Paeth carry the spec\'s left-dependence
     per pixel — correctness is the contract here, a production hot path
     injects a native codec via ``decoder=``."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -94,10 +143,11 @@ def decode_png(b: bytes) -> np.ndarray:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, comp, filt, interlace = data[8:13]
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
+            if depth not in (8, 16):
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} (only 8/16; sub-byte depths are "
+                    "palette/bilevel territory — inject decoder=)"
+                )
             if comp or filt:
                 raise ValueError("nonstandard PNG compression/filter method")
             ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
@@ -113,43 +163,40 @@ def decode_png(b: bytes) -> np.ndarray:
     import zlib
 
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    raw = raw.reshape(h, stride + 1)
-    filters = raw[:, 0]
-    lines = raw[:, 1:].astype(np.int64)
-    out = np.zeros((h, stride), dtype=np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        f, line = int(filters[y]), lines[y]
-        if f == 0:
-            rec = line
-        elif f == 1:  # Sub: left-dependence — per-channel cumsum mod 256
-            rec = line.reshape(-1, ch).cumsum(axis=0) % 256
-            rec = rec.reshape(stride)
-        elif f == 2:  # Up
-            rec = (line + prev) % 256
-        elif f == 3:  # Average
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
-        elif f == 4:  # Paeth
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                bb = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + bb - c
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                rec[x] = (line[x] + pred) % 256
-        else:
-            raise ValueError(f"PNG filter type {f}")
-        out[y] = rec
-        prev = out[y]
-    img = out.astype(np.uint8).reshape(h, w, ch)
+    bps = depth // 8  # bytes per sample
+    bpp = ch * bps  # filter left-offset (bytes per pixel)
+
+    def to_samples(bytes2d: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if depth == 8:
+            return bytes2d.reshape(ph, pw, ch)
+        u16 = bytes2d.reshape(ph, pw, ch, 2).astype(np.uint16)
+        return (u16[..., 0] << 8) | u16[..., 1]  # network byte order
+
+    if not interlace:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        img = to_samples(_png_unfilter(raw, h, stride, bpp), h, w)
+    elif interlace == 1:  # Adam7
+        dtype = np.uint8 if depth == 8 else np.uint16
+        img = np.zeros((h, w, ch), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG data length mismatch")
+            sub = _png_unfilter(raw[off : off + need], ph, stride, bpp)
+            img[y0::dy, x0::dx] = to_samples(sub, ph, pw)
+            off += need
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
+    else:
+        raise ValueError(f"PNG interlace method {interlace}")
     return img[:, :, 0] if ch == 1 else img
 
 
@@ -811,21 +858,57 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV → ((n_frames, channels) int array, sample_rate) via the
-    stdlib ``wave`` reader: 8-bit unsigned, 16/32-bit signed little-endian."""
+    """WAV → ((n_frames, channels) array, sample_rate). PCM (format 1:
+    8-bit unsigned, 16/32-bit signed little-endian) via the stdlib ``wave``
+    reader; IEEE float (format 3: float32/float64 — r11) via a direct RIFF
+    fmt/data chunk walk, which the stdlib reader rejects."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(bytes(payload))) as wf:
-        ch = wf.getnchannels()
-        width = wf.getsampwidth()
-        rate = wf.getframerate()
-        frames = wf.readframes(wf.getnframes())
-    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
-    if dtype is None:
-        raise NotImplementedError(f"WAV sample width {width}")
-    arr = np.frombuffer(frames, dtype=dtype).reshape(-1, ch)
-    return arr, rate
+    b = bytes(payload)
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+        if dtype is None:
+            raise NotImplementedError(f"WAV sample width {width}")
+        arr = np.frombuffer(frames, dtype=dtype).reshape(-1, ch)
+        return arr, rate
+    except wave.Error:
+        pass
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i, fmt = 12, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            fmt = (
+                int.from_bytes(b[i + 8 : i + 10], "little"),  # audio format
+                int.from_bytes(b[i + 10 : i + 12], "little"),  # channels
+                int.from_bytes(b[i + 12 : i + 16], "little"),  # rate
+                int.from_bytes(b[i + 22 : i + 24], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data before fmt")
+            afmt, ch, rate, bits = fmt
+            data = b[i + 8 : i + 8 + clen]
+            if afmt == 3 and bits == 32:
+                dtype = np.dtype("<f4")
+            elif afmt == 3 and bits == 64:
+                dtype = np.dtype("<f8")
+            else:
+                raise NotImplementedError(
+                    f"WAV format {afmt} at {bits} bits (PCM rides the stdlib "
+                    "path; only IEEE float is decoded here)"
+                )
+            return np.frombuffer(data, dtype=dtype).reshape(-1, ch), rate
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
 
 
 def _fake_decoder(payload: bytes) -> np.ndarray:
