@@ -398,3 +398,85 @@ def test_mixed_format_decode_census_on_spark(spark):
         .collect()
     }
     assert got == want
+
+
+def _encode_png_pal(
+    idx: np.ndarray, palette: np.ndarray, depth: int, filters, interlace: bool
+) -> bytes:
+    """Forward palette-PNG encoder: pack indices MSB-first at `depth` bits
+    per scanline (per pass when interlaced), filter on packed bytes."""
+    h, w = idx.shape
+
+    def pack_rows(sub: np.ndarray) -> np.ndarray:
+        ph, pw = sub.shape
+        if depth == 8:
+            return sub.astype(np.int64)
+        bits = ((sub[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(
+            np.uint8
+        ).reshape(ph, pw * depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((ph, pad), dtype=np.uint8)], axis=1
+            )
+        return np.packbits(bits, axis=1).astype(np.int64)
+
+    raw = bytearray()
+    if not interlace:
+        raw += _filter_rows(pack_rows(idx), 1, filters)
+    else:
+        for x0, y0, dx, dy in ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_rows(pack_rows(sub), 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_palette_roundtrip(depth, interlace):
+    rng = np.random.default_rng(200 + depth + interlace)
+    n = 1 << depth
+    idx = rng.integers(0, n, size=(11, 13), dtype=np.uint8)
+    palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    payload = _encode_png_pal(idx, palette, depth, [0, 1, 2, 3, 4], interlace)
+    got = decode_png(payload)
+    assert got.shape == (11, 13, 3)
+    assert (got == palette[idx]).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_grey_subbyte_roundtrip(depth):
+    """Sub-byte greyscale returns RAW sample values (lossless contract)."""
+    rng = np.random.default_rng(300 + depth)
+    img = rng.integers(0, 1 << depth, size=(9, 17), dtype=np.uint8)
+
+    def pack(sub):
+        bits = ((sub[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(
+            np.uint8
+        ).reshape(sub.shape[0], -1)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((sub.shape[0], pad), dtype=np.uint8)], axis=1
+            )
+        return np.packbits(bits, axis=1).astype(np.int64)
+
+    raw = _filter_rows(pack(img), 1, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 17, 9, depth, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert got.shape == (9, 17)
+    assert (got == img).all()

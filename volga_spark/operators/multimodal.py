@@ -123,11 +123,15 @@ _PNG_ADAM7 = [  # (x0, y0, dx, dy) per pass, RFC 2083 §2.6
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """From-scratch PNG decoder (RFC 2083): 8- and 16-bit greyscale / RGB /
-    grey+alpha / RGBA, non-interlaced or Adam7. Chunk walk → concatenated
-    IDAT → zlib inflate → per-scanline unfilter (byte-wise, per spec, so
-    both depths share one path) → 16-bit samples reassembled big-endian.
-    Returns uint8 (depth 8) or uint16 (depth 16), shape (h, w[, c]).
+    """From-scratch PNG decoder (RFC 2083): greyscale (1/2/4/8/16-bit),
+    RGB / grey+alpha / RGBA (8/16-bit), and PLTE palette images
+    (1/2/4/8-bit indices → (h, w, 3) RGB), non-interlaced or Adam7.
+    Chunk walk → concatenated IDAT → zlib inflate → per-scanline unfilter
+    (byte-wise, per spec, shared by every depth — sub-byte rows unfilter
+    on PACKED bytes with a 1-byte offset, then unpack MSB-first) →
+    16-bit samples reassembled big-endian. Returns uint8 (or uint16 at
+    depth 16), shape (h, w[, c]); greyscale sub-byte returns RAW sample
+    values 0..2^d−1 (lossless, no 255-rescale). tRNS alpha is ignored.
     Sub/Up are vectorized; Average/Paeth carry the spec\'s left-dependence
     per pixel — correctness is the contract here, a production hot path
     injects a native codec via ``decoder=``."""
@@ -135,6 +139,7 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     i, w = 8, None
     idat = []
+    plte = None
     while i + 8 <= len(b):
         ln = int.from_bytes(b[i : i + 4], "big")
         typ = b[i + 4 : i + 8]
@@ -143,16 +148,24 @@ def decode_png(b: bytes) -> np.ndarray:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, comp, filt, interlace = data[8:13]
-            if depth not in (8, 16):
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} (only 8/16; sub-byte depths are "
-                    "palette/bilevel territory — inject decoder=)"
-                )
             if comp or filt:
                 raise ValueError("nonstandard PNG compression/filter method")
-            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if ch is None:
                 raise NotImplementedError(f"PNG color type {ctype}")
+            ok_depths = {
+                0: (1, 2, 4, 8, 16),  # greyscale
+                2: (8, 16),  # RGB
+                3: (1, 2, 4, 8),  # palette indices
+                4: (8, 16),  # grey+alpha
+                6: (8, 16),  # RGBA
+            }[ctype]
+            if depth not in ok_depths:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} for color type {ctype}"
+                )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -160,25 +173,38 @@ def decode_png(b: bytes) -> np.ndarray:
         i += 12 + ln  # length + type + data + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     import zlib
 
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    bps = depth // 8  # bytes per sample
-    bpp = ch * bps  # filter left-offset (bytes per pixel)
+    # filter left-offset in bytes; sub-byte depths round up to 1 (spec 6.2)
+    bpp = max(1, ch * depth // 8)
 
     def to_samples(bytes2d: np.ndarray, ph: int, pw: int) -> np.ndarray:
         if depth == 8:
             return bytes2d.reshape(ph, pw, ch)
-        u16 = bytes2d.reshape(ph, pw, ch, 2).astype(np.uint16)
-        return (u16[..., 0] << 8) | u16[..., 1]  # network byte order
+        if depth == 16:
+            u16 = bytes2d.reshape(ph, pw, ch, 2).astype(np.uint16)
+            return (u16[..., 0] << 8) | u16[..., 1]  # network byte order
+        # sub-byte: unpack MSB-first bit groups per scanline, trim pad bits
+        bits = np.unpackbits(bytes2d, axis=1)[:, : pw * depth]
+        groups = bits.reshape(ph, pw, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (groups * weights).sum(axis=2, dtype=np.uint16).astype(
+            np.uint8
+        )[:, :, None]
+
+    def pass_stride(pw: int) -> int:
+        return -(-pw * ch * depth // 8)  # packed bytes per scanline
 
     if not interlace:
-        stride = w * bpp
+        stride = pass_stride(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG data length mismatch")
         img = to_samples(_png_unfilter(raw, h, stride, bpp), h, w)
     elif interlace == 1:  # Adam7
-        dtype = np.uint8 if depth == 8 else np.uint16
+        dtype = np.uint16 if depth == 16 else np.uint8
         img = np.zeros((h, w, ch), dtype=dtype)
         off = 0
         for x0, y0, dx, dy in _PNG_ADAM7:
@@ -186,7 +212,7 @@ def decode_png(b: bytes) -> np.ndarray:
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            stride = pw * bpp
+            stride = pass_stride(pw)
             need = ph * (stride + 1)
             if off + need > len(raw):
                 raise ValueError("PNG data length mismatch")
@@ -197,6 +223,11 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError("PNG data length mismatch")
     else:
         raise ValueError(f"PNG interlace method {interlace}")
+    if ctype == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]  # (h, w, 3)
     return img[:, :, 0] if ch == 1 else img
 
 
