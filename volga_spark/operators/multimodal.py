@@ -1199,3 +1199,250 @@ def probe_video(payload: bytes) -> tuple[str | None, float | None]:
         return None, None
     except (IndexError, ValueError, ZeroDivisionError):
         return None, None
+
+
+# --- Image transform ops (r11): resize + re-encode ---------------------------
+#
+# The resize/re-encode stage of a multimodal ingest pipeline (decode →
+# normalize size → store), pure numpy end to end: nearest and bilinear
+# resampling plus a minimal REAL PNG encoder (filter 0 + zlib) so the
+# output of `transform_images` is a self-describing standard container,
+# not a bespoke blob. encode→decode is the identity (PNG is lossless;
+# the decoder is independently spec-pinned).
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer: 8-bit grey / grey+alpha / RGB / RGBA, filter
+    type 0 on every scanline, one zlib IDAT. Small and real — the decoder
+    side (and any external PNG reader) round-trips it losslessly."""
+    import struct
+    import zlib
+
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8 samples")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    raw = bytearray()
+    flat = np.ascontiguousarray(img).reshape(h, w * ch)
+    for y in range(h):
+        raw.append(0)  # filter: None
+        raw.extend(flat[y].tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_image(
+    img: np.ndarray, size: tuple[int, int], method: str = "bilinear"
+) -> np.ndarray:
+    """Resample to (out_h, out_w): 'nearest' (index mapping) or 'bilinear'
+    (align-corners=False convention — sample at pixel centers, edge-clamped;
+    the convention torch/TF/PIL default to). Vectorized numpy throughout."""
+    out_h, out_w = size
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if method == "nearest":
+        ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        out = img[ys[:, None], xs[None, :]]
+    elif method == "bilinear":
+        fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+        fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+        y0 = np.clip(np.floor(fy), 0, h - 1).astype(np.int64)
+        x0 = np.clip(np.floor(fx), 0, w - 1).astype(np.int64)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+        wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+        p = img.astype(np.float64)
+        top = p[y0[:, None], x0[None, :]] * (1 - wx) + p[y0[:, None], x1[None, :]] * wx
+        bot = p[y1[:, None], x0[None, :]] * (1 - wx) + p[y1[:, None], x1[None, :]] * wx
+        out = np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(
+            img.dtype
+        )
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+    return out[:, :, 0] if squeeze else out
+
+
+def transform_images(
+    df: DataFrame,
+    size: tuple[int, int],
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "bilinear",
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """decode → resize → re-encode (PNG) over mapInPandas: the standard
+    image-normalization pass of a multimodal training pipeline. Output rows
+    carry the resized payload plus its dims; undecodable payloads yield a
+    null payload and the error class name (quarantine-friendly, matching
+    the ingest layer's malformed-row discipline)."""
+    import volga_spark.operators.multimodal as _self
+
+    register_by_value(_self)
+    dec = decoder or decode_image
+    out_h, out_w = size
+    schema = (
+        f"{id_col} bigint, payload binary, height int, width int, err string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, hs, ws, errs = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(i)
+                try:
+                    img = dec(bytes(p))
+                    if img.dtype != np.uint8:
+                        img = np.clip(img // 257, 0, 255).astype(np.uint8)
+                    resized = resize_image(img, (out_h, out_w), method)
+                    payloads.append(encode_png(resized))
+                    hs.append(out_h)
+                    ws.append(out_w)
+                    errs.append(None)
+                except (ValueError, NotImplementedError) as ex:
+                    payloads.append(None)
+                    hs.append(None)
+                    ws.append(None)
+                    errs.append(type(ex).__name__)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "height": hs,
+                    "width": ws,
+                    "err": errs,
+                }
+            )
+
+    return widen_for_python(df.select(id_col, payload_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+# --- Audio feature ops (r11): spectrogram / log-mel --------------------------
+
+
+def frame_signal(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """(n,) mono signal → (frames, n_fft) windowed frames (Hann, periodic),
+    frame count = 1 + floor((n - n_fft)/hop); no padding (a streaming
+    framer would carry the remainder into the next batch)."""
+    n = len(x)
+    if n < n_fft:
+        return np.zeros((0, n_fft))
+    n_frames = 1 + (n - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    return x[idx] * win
+
+
+def spectrogram(x: np.ndarray, n_fft: int = 256, hop: int = 128) -> np.ndarray:
+    """Magnitude-squared STFT, (frames, n_fft//2 + 1) float64."""
+    frames = frame_signal(np.asarray(x, dtype=np.float64), n_fft, hop)
+    spec = np.fft.rfft(frames, axis=1)
+    return (spec.real**2 + spec.imag**2)
+
+
+def mel_filterbank(
+    n_mels: int, n_fft: int, rate: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filters on the HTK mel scale
+    (mel = 2595 log10(1 + f/700)), peak-normalized to 1."""
+    fmax = fmax if fmax is not None else rate / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    hz_pts = from_mel(mel_pts)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+    fb = np.zeros((n_mels, len(freqs)))
+    for m in range(n_mels):
+        lo, mid, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (freqs - lo) / max(mid - lo, 1e-12)
+        down = (hi - freqs) / max(hi - mid, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_fft: int = 256,
+    hop: int = 128,
+    n_mels: int = 16,
+) -> DataFrame:
+    """WAV payload → per-document log-mel summary via mapInPandas: decode
+    (PCM or IEEE float), mix to mono, STFT → mel → log, then mean over
+    frames — the fixed-width acoustic fingerprint shape a speech-corpus
+    curation pass runs at scale (one Arrow batch per task, no shuffle)."""
+    import volga_spark.operators.multimodal as _self
+
+    register_by_value(_self)
+    schema = (
+        f"{id_col} bigint, n_frames int, sample_rate int, "
+        "log_mel array<double>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, rates, feats = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr, rate = decode_wav(bytes(p))
+                if np.issubdtype(arr.dtype, np.integer):
+                    info = np.iinfo(arr.dtype)
+                    x = arr.astype(np.float64)
+                    if arr.dtype == np.uint8:
+                        x = (x - 128.0) / 128.0
+                    else:
+                        x = x / max(abs(info.min), info.max)
+                else:
+                    x = arr.astype(np.float64)
+                mono = x.mean(axis=1)
+                spec = spectrogram(mono, n_fft, hop)
+                fb = mel_filterbank(n_mels, n_fft, rate)
+                logmel = np.log10(spec @ fb.T + 1e-10)
+                ids.append(i)
+                nfr.append(spec.shape[0])
+                rates.append(rate)
+                feats.append(
+                    logmel.mean(axis=0).tolist() if len(logmel) else [0.0] * n_mels
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_frames": nfr,
+                    "sample_rate": rates,
+                    "log_mel": feats,
+                }
+            )
+
+    return widen_for_python(df.select(id_col, payload_col)).mapInPandas(
+        gen, schema=schema
+    )
