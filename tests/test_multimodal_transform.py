@@ -171,3 +171,34 @@ def test_extract_audio_features_on_spark(spark):
     # the higher tone concentrates energy in higher mel bands: the argmax
     # band of doc 1 must exceed doc 0's
     assert int(np.argmax(out[1]["log_mel"])) > int(np.argmax(out[0]["log_mel"]))
+
+
+def test_resize_bilinear_uint16_keeps_range():
+    """16-bit inputs must clamp to the uint16 range, not 255."""
+    img = np.full((4, 4), 60000, dtype=np.uint16)
+    out = resize_image(img, (2, 2), "bilinear")
+    assert out.dtype == np.uint16
+    assert (out == 60000).all()
+
+
+def test_transform_images_quarantines_corrupt_containers(spark):
+    """Corrupt-but-magic-valid payloads (bad zlib stream, bad LZW code,
+    truncated header) must land in the err column, not fail the task."""
+    from volga_spark.operators.multimodal import transform_images
+
+    rng = np.random.default_rng(6)
+    good = encode_png(rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8))
+    corrupt_png = good[:40] + b"\x00" * 10 + good[50:]  # wreck the IDAT
+    truncated_gif = b"GIF89a" + b"\x05\x00\x05\x00"  # header cut short
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(corrupt_png)),
+            (3, bytearray(truncated_gif)),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    out = {r["doc_id"]: r for r in transform_images(df, (3, 3)).collect()}
+    assert out[1]["err"] is None and out[1]["payload"] is not None
+    assert out[2]["err"] is not None and out[2]["payload"] is None
+    assert out[3]["err"] is not None and out[3]["payload"] is None

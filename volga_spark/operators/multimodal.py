@@ -1278,9 +1278,12 @@ def resize_image(
         p = img.astype(np.float64)
         top = p[y0[:, None], x0[None, :]] * (1 - wx) + p[y0[:, None], x1[None, :]] * wx
         bot = p[y1[:, None], x0[None, :]] * (1 - wx) + p[y1[:, None], x1[None, :]] * wx
-        out = np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(
-            img.dtype
-        )
+        blended = top * (1 - wy) + bot * wy
+        if np.issubdtype(img.dtype, np.integer):
+            info = np.iinfo(img.dtype)  # clamp to the INPUT dtype's range
+            out = np.clip(np.round(blended), info.min, info.max).astype(img.dtype)
+        else:
+            out = blended.astype(img.dtype)
     else:
         raise ValueError(f"unknown resize method {method!r}")
     return out[:, :, 0] if squeeze else out
@@ -1299,6 +1302,8 @@ def transform_images(
     carry the resized payload plus its dims; undecodable payloads yield a
     null payload and the error class name (quarantine-friendly, matching
     the ingest layer's malformed-row discipline)."""
+    import zlib
+
     import volga_spark.operators.multimodal as _self
 
     register_by_value(_self)
@@ -1322,7 +1327,13 @@ def transform_images(
                     hs.append(out_h)
                     ws.append(out_w)
                     errs.append(None)
-                except (ValueError, NotImplementedError) as ex:
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    KeyError,  # corrupt GIF LZW code
+                    IndexError,  # truncated headers
+                    zlib.error,  # corrupt PNG IDAT
+                ) as ex:
                     payloads.append(None)
                     hs.append(None)
                     ws.append(None)
