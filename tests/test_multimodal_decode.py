@@ -480,3 +480,30 @@ def test_png_grey_subbyte_roundtrip(depth):
     got = decode_png(payload)
     assert got.shape == (9, 17)
     assert (got == img).all()
+
+
+@pytest.mark.parametrize(
+    "magic",
+    [
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff",
+        b"GIF89a",
+        b"BM",
+        b"P6\n",
+        b"RIFF",
+    ],
+    ids=["png", "jpeg", "gif", "bmp", "ppm", "riff"],
+)
+def test_decoders_fail_cleanly_on_garbage(magic):
+    """Adversarial corpus bytes with valid magic must raise promptly (any
+    exception class), never hang or return garbage silently masquerading
+    as success with absurd dimensions."""
+    rng = np.random.default_rng(sum(magic))
+    for trial in range(120):
+        payload = magic + rng.integers(0, 256, size=240, dtype=np.uint8).tobytes()
+        try:
+            img = decode_image(payload)
+        except Exception:
+            continue  # clean failure is the expected outcome
+        # the rare "parse succeeded" case must at least be bounded
+        assert img.size < 10_000_000, (trial, img.shape)
