@@ -202,3 +202,42 @@ def test_transform_images_quarantines_corrupt_containers(spark):
     assert out[1]["err"] is None and out[1]["payload"] is not None
     assert out[2]["err"] is not None and out[2]["payload"] is None
     assert out[3]["err"] is not None and out[3]["payload"] is None
+
+
+def test_extract_audio_features_quarantines_corrupt_wav(spark):
+    from volga_spark.operators.multimodal import extract_audio_features
+
+    t = np.arange(4000)
+    tone = (np.sin(2 * np.pi * 10 * t / 256) * 20000).astype("<i2").reshape(-1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(tone, 8000))),
+            (2, bytearray(b"RIFF\x10\x00\x00\x00WAVEjunk")),
+            (3, bytearray(b"definitely not audio")),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    out = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert out[1]["err"] is None and out[1]["log_mel"] is not None
+    assert out[2]["err"] is not None and out[2]["log_mel"] is None
+    assert out[3]["err"] is not None
+
+
+def test_transform_images_float_decoder_scales_not_blackens(spark):
+    """An injected decoder returning 0..1 floats must scale to 0..255,
+    not floor-divide to all-black (r11 review)."""
+    from volga_spark.operators.multimodal import decode_image, transform_images
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+    def float_decoder(payload: bytes) -> np.ndarray:
+        return decode_image(payload).astype(np.float64) / 255.0
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "doc_id bigint, payload binary"
+    )
+    row = transform_images(df, (8, 8), decoder=float_decoder).collect()[0]
+    assert row["err"] is None
+    got = decode_png(bytes(row["payload"]))
+    assert (got == img).all()  # identity resize + exact 255-rescale

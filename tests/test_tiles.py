@@ -471,7 +471,10 @@ def test_ladder_service_releases_batch_pins(spark, sf_dir):
     for _ in range(3):
         svc.lookup(req).count()
     assert n_persistent() <= after_first  # pins released, no growth
-    assert len(svc._batch_pins) == 1  # exactly the live batch's pin
+    # exactly the live batch's pins: the request-frame pin (r11 — the auto
+    # path materializes the batch before counting/sharding) + the cover
+    # barrier
+    assert len(svc._batch_pins) == 2
     svc.close()
     assert svc._batch_pins == []
 
@@ -598,4 +601,44 @@ def test_lookup_auto_shards_from_batch_size(spark, sf_dir):
     assert unions(out) == unions(svc.lookup(req, shards=1))
     assert unions(out) < unions(svc.lookup(req, shards=3))
     assert out.count() == 40
+    svc.close()
+
+
+def test_sharded_lookup_pins_nondeterministic_request_frames(spark, sf_dir):
+    """r11 review: the sharded path re-scans the request frame once per
+    shard; a NON-deterministic request plan (rand() sampling +
+    monotonically_increasing_id, no checkpoint) re-evaluated per shard
+    would drop some requests and duplicate others across the
+    hash-disjoint filters. lookup() now persists the batch before
+    fanning out — every request must come back exactly once."""
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        build_tile_ladder,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "1 hour"]
+    svc = TiledFeatureService(
+        ev,
+        build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("25 HOURS"),
+        granularities=gs,
+    )
+    # deliberately unstable plan: random order, volatile ids, NO checkpoint
+    req = (
+        ev.orderBy(F.rand())
+        .limit(30)
+        .select(
+            F.monotonically_increasing_id().alias("request_id"),
+            "user_id",
+            "ts",
+        )
+    )
+    out = svc.lookup(req, shards=3)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert len({r["request_id"] for r in rows}) == 30
     svc.close()

@@ -1321,7 +1321,15 @@ def transform_images(
                 try:
                     img = dec(bytes(p))
                     if img.dtype != np.uint8:
-                        img = np.clip(img // 257, 0, 255).astype(np.uint8)
+                        if np.issubdtype(img.dtype, np.floating):
+                            # injected ML decoders commonly emit 0..1 floats
+                            img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+                        elif img.dtype == np.uint16:
+                            img = (img // 257).astype(np.uint8)  # 16-bit PNG
+                        else:
+                            raise ValueError(
+                                f"decoder returned dtype {img.dtype}"
+                            )
                     resized = resize_image(img, (out_h, out_w), method)
                     payloads.append(encode_png(resized))
                     hs.append(out_h)
@@ -1418,39 +1426,54 @@ def extract_audio_features(
     register_by_value(_self)
     schema = (
         f"{id_col} bigint, n_frames int, sample_rate int, "
-        "log_mel array<double>"
+        "log_mel array<double>, err string"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fbs: dict[int, np.ndarray] = {}  # per-rate filterbanks, built once
         for pdf in batches:
-            ids, nfr, rates, feats = [], [], [], []
+            ids, nfr, rates, feats, errs = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                arr, rate = decode_wav(bytes(p))
-                if np.issubdtype(arr.dtype, np.integer):
-                    info = np.iinfo(arr.dtype)
-                    x = arr.astype(np.float64)
-                    if arr.dtype == np.uint8:
-                        x = (x - 128.0) / 128.0
-                    else:
-                        x = x / max(abs(info.min), info.max)
-                else:
-                    x = arr.astype(np.float64)
-                mono = x.mean(axis=1)
-                spec = spectrogram(mono, n_fft, hop)
-                fb = mel_filterbank(n_mels, n_fft, rate)
-                logmel = np.log10(spec @ fb.T + 1e-10)
                 ids.append(i)
-                nfr.append(spec.shape[0])
-                rates.append(rate)
-                feats.append(
-                    logmel.mean(axis=0).tolist() if len(logmel) else [0.0] * n_mels
-                )
+                try:
+                    arr, rate = decode_wav(bytes(p))
+                    if np.issubdtype(arr.dtype, np.integer):
+                        info = np.iinfo(arr.dtype)
+                        x = arr.astype(np.float64)
+                        if arr.dtype == np.uint8:
+                            x = (x - 128.0) / 128.0
+                        else:
+                            x = x / max(abs(info.min), info.max)
+                    else:
+                        x = arr.astype(np.float64)
+                    mono = x.mean(axis=1)
+                    spec = spectrogram(mono, n_fft, hop)
+                    fb = fbs.get(rate)
+                    if fb is None:
+                        fb = fbs[rate] = mel_filterbank(n_mels, n_fft, rate)
+                    logmel = np.log10(spec @ fb.T + 1e-10)
+                    nfr.append(spec.shape[0])
+                    rates.append(rate)
+                    feats.append(
+                        logmel.mean(axis=0).tolist()
+                        if len(logmel)
+                        else [0.0] * n_mels
+                    )
+                    errs.append(None)
+                except (ValueError, NotImplementedError, EOFError, IndexError) as ex:
+                    # quarantine, matching transform_images: one corrupt
+                    # payload must not fail the task (r11 review)
+                    nfr.append(None)
+                    rates.append(None)
+                    feats.append(None)
+                    errs.append(type(ex).__name__)
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "n_frames": nfr,
                     "sample_rate": rates,
                     "log_mel": feats,
+                    "err": errs,
                 }
             )
 

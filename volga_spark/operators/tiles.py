@@ -461,14 +461,26 @@ class TiledFeatureService:
         probe rows at 50k requests × a 7d/[1m,1h,12h] ladder; see
         SCALING.md). ``shards=None`` (r11, default) picks the count
         automatically: ceil(n_requests × worst-case probe rows per request
-        / 2M) via :func:`auto_shards` — one cheap count() of the request
-        batch buys a batch-size-proof plan. Each sub-lookup probes the
-        same cached state, so the only added cost is one more tiny
-        request-side scan per shard."""
+        / 8M bound-rows) via :func:`auto_shards` — one cheap count() of
+        the request batch buys a batch-size-proof plan. Each sub-lookup
+        probes the same cached state, so the only added cost is one more
+        tiny request-side scan per shard. Whenever the request frame will
+        be scanned more than once (auto mode's count, or >1 shard), it is
+        persisted for the batch and released with the batch pins: a
+        NON-deterministic request plan (monotonically_increasing_id,
+        rand() sampling) re-evaluated per shard would otherwise
+        drop/duplicate requests across the hash-disjoint filters (r11
+        review). NULL request ids are safe either way — xxhash64(NULL)
+        folds to the hash seed, landing them all in one shard."""
         self._ensure_cached()
         self._release_batch_pins()
-        if shards is None:
-            shards = auto_shards(requests.count(), self.probe_rows_per_request())
+        if shards is None or shards > 1:
+            # multi-scan path: materialize the batch (see docstring)
+            requests = requests.persist()
+            n = requests.count()
+            self._batch_pins.append(requests)
+            if shards is None:
+                shards = auto_shards(n, self.probe_rows_per_request())
 
         def one(req: DataFrame) -> DataFrame:
             return tiled_lookup(
