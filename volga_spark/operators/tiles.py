@@ -277,20 +277,30 @@ def add_cover_segments(df: DataFrame, lo, hi, gs: list[int], out: str = "__segs"
         ).cast("long"),
         F.lit(0),
     )
-    d = df.withColumn("__cov_cur", lo + guard).withColumn("__cov_hi", hi)
+    # ONE select per carry step (r12): the serving floor at small batches
+    # is dominated by driver-side analysis — every Dataset creation
+    # re-analyzes the growing tree, so the old withColumn×3-per-step form
+    # paid ~3× the analyzer passes of this fused form for the same
+    # physical plan (the carry still lands in a REAL projected column;
+    # later steps reference it by name, never by expression).
+    d = df.select(
+        "*", (lo + guard).alias("__cov_cur"), hi.alias("__cov_hi")
+    )
     cur, chi = F.col("__cov_cur"), F.col("__cov_hi")
     seg_cols: list[str] = []
     temp_cols: list[str] = ["__cov_cur", "__cov_hi"]
 
     def step(i, g, stop):
-        nonlocal d
+        nonlocal d, cur
         ok = (cur % g == 0) & (stop > cur)
         sc, cc = f"__cov_s{i}", f"__cov_c{i}"
-        d = d.withColumn(sc, seg(g, ok, cur, stop)).withColumn(
-            cc, F.when(ok, stop).otherwise(cur)
+        d = d.select(
+            "*",
+            seg(g, ok, cur, stop).alias(sc),
+            F.when(ok, stop).otherwise(cur).alias(cc),
         )
         # re-point the carry at the projected column, NOT the expression
-        d = d.withColumn("__cov_cur", F.col(cc))
+        cur = F.col(cc)
         seg_cols.append(sc)
         temp_cols.append(cc)
 
@@ -405,9 +415,23 @@ class TiledFeatureService:
         # pin the UNIONED serving state (tile partials + bucketed raw rows)
         # once — every request batch after the first probes cached blocks
         # with a single broadcast join instead of re-scanning (and
-        # re-aggregating, when tiles were derived) the event log twice
+        # re-aggregating, when tiles were derived) the event log twice.
+        #
+        # r12 (small-batch floor, measured in profile_serving_floor*.py):
+        # localCheckpoint instead of persist TRUNCATES the state's logical
+        # plan to a LogicalRDD — with plain persist, every per-batch
+        # Dataset creation in tiled_lookup (join/filter/agg/join/select)
+        # re-ANALYZES the full events→ladder-union tree (~1.0s of the
+        # 1k-batch 2.1s floor was driver-side analysis; cache substitution
+        # only happens at execution, after analysis). coalesce to the
+        # scheduler's parallelism first: the 3-level ladder union cached
+        # at ~100 partitions launched ~100 near-empty probe tasks per
+        # batch. Block release in close() is targeted by rdd id captured
+        # across the checkpoint (DataFrame.unpersist cannot release
+        # localCheckpoint blocks, and touching .rdd is banned engine-wide
+        # — see caching.py).
         if self._state is None:
-            self._state = build_serving_state(
+            st = build_serving_state(
                 self.events,
                 self.tiles,
                 self.key_cols,
@@ -416,8 +440,19 @@ class TiledFeatureService:
                 self.granularity,
             )
             if self.cache:
-                self._state = self._state.persist()
+                sc = st.sparkSession.sparkContext
+                before = {
+                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+                }
+                st = st.coalesce(sc.defaultParallelism).localCheckpoint(
+                    eager=True
+                )
+                after = {
+                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+                }
+                self._ckpt_rdd_ids = after - before
                 self._cached = True
+            self._state = st
 
     def _release_batch_pins(self) -> None:
         # the ladder lookup pins one tiny cover-barrier frame per batch
@@ -434,7 +469,18 @@ class TiledFeatureService:
     def close(self) -> None:
         self._release_batch_pins()
         if self._cached:
-            self._state.unpersist()
+            # targeted release of the checkpoint blocks captured in
+            # _ensure_cached — never a blanket clear of other callers'
+            # persistent RDDs
+            try:
+                sc = self.events.sparkSession.sparkContext
+                jmap = sc._jsc.getPersistentRDDs()
+                for rid in getattr(self, "_ckpt_rdd_ids", ()):  # noqa: B007
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist()
+            except Exception:  # noqa: BLE001 — release must never fail close
+                pass
             self._cached = False
         self._state = None
 
@@ -452,6 +498,7 @@ class TiledFeatureService:
         requests: DataFrame,
         request_id_col: str = "request_id",
         shards: int | None = None,
+        n_requests: int | None = None,
     ) -> DataFrame:
         """Answer one request batch. ``shards > 1`` splits the batch into
         hash-disjoint sub-lookups unioned back together — the escape hatch
@@ -471,14 +518,34 @@ class TiledFeatureService:
         rand() sampling) re-evaluated per shard would otherwise
         drop/duplicate requests across the hash-disjoint filters (r11
         review). NULL request ids are safe either way — xxhash64(NULL)
-        folds to the hash seed, landing them all in one shard."""
+        folds to the hash seed, landing them all in one shard.
+
+        ``n_requests`` (r12) is a caller-supplied batch-size hint: auto
+        mode resolves the shard count from it WITHOUT the per-batch
+        ``count()`` job, and a hint that resolves to one shard skips the
+        batch pin entirely (single-scan plans don't need the determinism
+        pin). Online callers know their batch size (``get_features``
+        passes ``len(points)``); the hint only sizes the shard split, so
+        an inexact value affects performance, never results.
+
+        The multi-scan pin persists a DERIVED frame
+        (``requests.select("*")``), never the caller's own DataFrame
+        object (r11 advisor): persisting the caller's frame would either
+        raise ('cannot change storage level') or silently evict their
+        cache entry when the pin is released."""
         self._ensure_cached()
         self._release_batch_pins()
+        if shards is None and n_requests is not None:
+            shards = auto_shards(n_requests, self.probe_rows_per_request())
         if shards is None or shards > 1:
-            # multi-scan path: materialize the batch (see docstring)
-            requests = requests.persist()
-            n = requests.count()
+            # multi-scan path: pin a DERIVED frame and materialize it
+            # EAGERLY (the count) before any shard filter scans it — the
+            # determinism guarantee needs the batch fixed before the
+            # hash-disjoint filters evaluate, not lazily during the first
+            # shard's job
+            requests = requests.select("*").persist()
             self._batch_pins.append(requests)
+            n = requests.count()
             if shards is None:
                 shards = auto_shards(n, self.probe_rows_per_request())
 
@@ -517,7 +584,11 @@ class TiledFeatureService:
         """points = [(request_id, key..., ts)] → list of feature dicts."""
         cols = ["request_id", *self.key_cols, self.ts_col]
         req = spark.createDataFrame(points, cols)
-        return [r.asDict() for r in self.lookup(req).collect()]
+        # the online caller knows its batch size — skip the count job
+        return [
+            r.asDict()
+            for r in self.lookup(req, n_requests=len(points)).collect()
+        ]
 
 
 def tiled_lookup(
@@ -584,17 +655,15 @@ def tiled_lookup(
             events, tiles, keys, ts_col, value_col, granularity
         )
 
+    rts = F.unix_micros(F.col(ts_col))
     req = requests.select(
         request_id_col,
         *keys,
-        F.unix_micros(F.col(ts_col)).alias("__rts"),
-    ).withColumns(
-        {
-            "__lo": F.col("__rts") - F.lit(w),
-            # interior bucket range: bG > lo and (b+1)G <= rts + 1
-            "__b_first": fdiv(F.col("__rts") - F.lit(w), g) + 1,
-            "__b_last": fdiv(F.col("__rts") + 1, g) - 1,
-        }
+        rts.alias("__rts"),
+        (rts - F.lit(w)).alias("__lo"),
+        # interior bucket range: bG > lo and (b+1)G <= rts + 1
+        (fdiv(rts - F.lit(w), g) + 1).alias("__b_first"),
+        (fdiv(rts + 1, g) - 1).alias("__b_last"),
     )
 
     has_interior = req.filter(F.col("__b_first") <= F.col("__b_last"))
