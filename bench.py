@@ -304,19 +304,25 @@ def main() -> None:
     # verdict #2 — still wanted, just not on stdout) goes to a sidecar
     # artifact next to this script. Line-length is contract-guarded by
     # tests/test_contract_guards.py::test_bench_final_line_fits_driver_tail.
+    # The headline stdout line is printed FIRST (r11 advisor): the sidecar
+    # write is best-effort — an unwritable script directory must not cost
+    # the driver the whole run's single tail-captured result line.
+    print(json.dumps(bench_result_line(total, timings, sf)))
     telemetry_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_TELEMETRY_LAST.json"
     )
-    with open(telemetry_path, "w") as fh:
-        json.dump(
-            {
-                "sf": sf,
-                "host": {"cpus": os.cpu_count(), "trials": tele.trials},
-            },
-            fh,
-        )
-    print(f"# telemetry -> {telemetry_path}", file=sys.stderr)
-    print(json.dumps(bench_result_line(total, timings, sf)))
+    try:
+        with open(telemetry_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "host": {"cpus": os.cpu_count(), "trials": tele.trials},
+                },
+                fh,
+            )
+        print(f"# telemetry -> {telemetry_path}", file=sys.stderr)
+    except OSError as ex:
+        print(f"# telemetry sidecar write failed: {ex}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -185,13 +185,62 @@ def test_text_analysis_plan_pinned(spark, sf_dir):
 
 
 def test_serving_cover_barrier_is_load_bearing(spark, sf_dir):
-    """r10 verdict #7 (pin audit): the ladder lookup persists the cover
-    frame as a MATERIALIZATION BARRIER between the carry-chain projection
-    and the explode — measured 2.7s -> 0.15s per 1k-request batch; a
-    repartition does NOT substitute. This pins the plan shape, not the
-    timing: the segment explode must read an InMemoryTableScan directly
-    (no exchange/scan between), so a Spark upgrade that stops honoring
-    the persist — or a refactor that drops it — fails here loudly."""
+    """r10 verdict #7 (pin audit): the CARRY-CHAIN ladder path (the
+    fallback for ladders whose phase space is too large for the r12
+    precomputed template) persists the cover frame as a MATERIALIZATION
+    BARRIER between the carry-chain projection and the explode — measured
+    2.7s -> 0.15s per 1k-request batch; a repartition does NOT
+    substitute. This pins the plan shape, not the timing: the segment
+    explode must read an InMemoryTableScan directly (no exchange/scan
+    between), so a Spark upgrade that stops honoring the persist — or a
+    refactor that drops it — fails here loudly. Exercised through
+    tiled_lookup directly (cover_template=None) since the service now
+    prefers the template whenever the ladder is eligible."""
+    from pyspark.sql import functions as F
+
+    from volga_spark.operators.tiles import build_tile_ladder, tiled_lookup
+    from volga_spark.operators.window import range_frame
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "1 hour"]
+    req = ev.limit(20).select(
+        F.monotonically_increasing_id().alias("request_id"), "user_id", "ts"
+    ).localCheckpoint()
+    sink: list = []
+    out = tiled_lookup(
+        ev,
+        req,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("25 HOURS"),
+        granularity="1 minute",
+        tiles=build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        granularities=gs,
+        _barrier_sink=sink,
+    )
+    out.count()  # materialize so the executed plan is final (AQE)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # anchor on the cover explode (NOT the first InMemoryTableScan — the
+    # serving state is cached too); its feed must be the cached barrier
+    gen_at = p.index("Generate explode(__segs")
+    scan_at = p.index("InMemoryTableScan", gen_at)
+    between = p[gen_at:scan_at]
+    for node in ("Exchange", "Scan parquet", "MapInPandas", "HashAggregate"):
+        assert node not in between, (
+            f"{node} crept between the cover explode and its barrier:\n"
+            + between
+        )
+    for df in sink:
+        df.unpersist()
+
+
+def test_serving_template_path_has_no_carry_chain(spark, sf_dir):
+    """r12: an eligible ladder service answers the interior probe with a
+    broadcast join against the precomputed cover template — the executed
+    plan must contain NO segment explode (the carry chain), no per-batch
+    barrier pin for it, and no Python stage anywhere."""
     from pyspark.sql import functions as F
 
     from volga_spark.operators.tiles import (
@@ -216,18 +265,14 @@ def test_serving_cover_barrier_is_load_bearing(spark, sf_dir):
         F.monotonically_increasing_id().alias("request_id"), "user_id", "ts"
     ).localCheckpoint()
     out = svc.lookup(req)
-    out.count()  # materialize so the executed plan is final (AQE)
+    out.count()
+    assert svc._cover_template is not None
     p = out._jdf.queryExecution().executedPlan().toString()
-    # anchor on the cover explode (NOT the first InMemoryTableScan — the
-    # serving state is cached too); its feed must be the cached barrier
-    gen_at = p.index("Generate explode(__segs")
-    scan_at = p.index("InMemoryTableScan", gen_at)
-    between = p[gen_at:scan_at]
-    for node in ("Exchange", "Scan parquet", "MapInPandas", "HashAggregate"):
-        assert node not in between, (
-            f"{node} crept between the cover explode and its barrier:\n"
-            + between
-        )
+    assert "Generate explode(__segs" not in p, p[:2000]
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in p
+    # the template feeds a broadcast join (never a shuffle)
+    assert "BroadcastHashJoin" in p
     svc.close()
 
 

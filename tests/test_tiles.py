@@ -471,12 +471,15 @@ def test_ladder_service_releases_batch_pins(spark, sf_dir):
     for _ in range(3):
         svc.lookup(req).count()
     assert n_persistent() <= after_first  # pins released, no growth
-    # exactly the live batch's pins: the request-frame pin (r11 — the auto
-    # path materializes the batch before counting/sharding) + the cover
-    # barrier
-    assert len(svc._batch_pins) == 2
-    svc.close()
+    # exactly the live batch's pins: the request-frame CHECKPOINT pin
+    # (r11 determinism fix; r12 made it a localCheckpoint tracked by rdd
+    # id). The cover barrier is gone on the template path (r12): the
+    # interior probe is a broadcast join against the service-lifetime
+    # template, so nothing batch-scoped is pinned for it.
     assert svc._batch_pins == []
+    assert len(svc._batch_pin_rdd_ids) == 1
+    svc.close()
+    assert svc._batch_pins == [] and not svc._batch_pin_rdd_ids
 
 
 def test_sharded_lookup_equals_unsharded(spark, sf_dir):
@@ -595,12 +598,18 @@ def test_lookup_auto_shards_from_batch_size(spark, sf_dir):
         return df._jdf.queryExecution().optimizedPlan().toString().count("Union")
 
     out = svc.lookup(req)  # shards=None -> auto
+    # consume WITHIN the serving cadence: each lookup releases the
+    # previous batch's request-pin checkpoint, after which a stale result
+    # frame raises loudly (r12 — better than the persist-era behavior of
+    # silently recomputing a possibly non-deterministic batch)
+    n_out = out.count()
+    u_auto = unions(out)
     # the serving state itself carries Unions (ladder levels + raw rows);
     # the auto plan must match the explicit single-shard plan's shape and
     # not grow the extra top-level legs sharding adds
-    assert unions(out) == unions(svc.lookup(req, shards=1))
-    assert unions(out) < unions(svc.lookup(req, shards=3))
-    assert out.count() == 40
+    assert u_auto == unions(svc.lookup(req, shards=1))
+    assert u_auto < unions(svc.lookup(req, shards=3))
+    assert n_out == 40
     svc.close()
 
 
@@ -642,3 +651,90 @@ def test_sharded_lookup_pins_nondeterministic_request_frames(spark, sf_dir):
     assert len(rows) == 30
     assert len({r["request_id"] for r in rows}) == 30
     svc.close()
+
+
+def test_cover_template_matches_cover_buckets():
+    """r12: the precomputed template must reproduce cover_buckets for
+    EVERY reachable (b_first, b_last) — randomized rts/window sweep over
+    ladders, resolving buckets through the template exactly as the
+    serving join does (phase = b_first mod P, shift = (b_first−phase)·g
+    div g_i)."""
+    import random
+
+    from volga_spark.operators.tiles import cover_buckets, cover_template_rows
+
+    rng = random.Random(7)
+    for gs in ([1, 6, 60, 720], [5, 40], [7, 42, 84]):
+        g, p_count = gs[0], gs[-1] // gs[0]
+        for w in (g * 3 + 1, g * 17, g * 150 + g // 2 + 1, gs[-1] * 4 + 3):
+            tpl = {}
+            for ph, length, tg, rel in cover_template_rows(w, gs):
+                tpl.setdefault((ph, length), []).append((tg, rel))
+            for _ in range(300):
+                rts = rng.randrange(-10 * gs[-1], 10**7)
+                q_first = (rts - w) // g + 1
+                q_last = (rts + 1) // g - 1
+                if q_first > q_last:
+                    continue
+                want = cover_buckets(q_first * g, (q_last + 1) * g, gs)
+                ph = q_first % p_count
+                length = q_last - q_first + 1
+                got = sorted(
+                    (tg, rel + (q_first - ph) * g // tg)
+                    for tg, rel in tpl.get((ph, length), [])
+                )
+                assert got == sorted(want), (gs, w, rts)
+
+
+def test_template_lookup_equals_carry_chain(spark, sf_dir):
+    """r12: the service's template path and the carry-chain fallback are
+    the same operator — answers must match bit for bit (and the naive
+    parity of test_ladder_lookup_equals_naive_and_flat covers ground
+    truth)."""
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        build_tile_ladder,
+        tiled_lookup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    requests = ev.filter(F.col("event_id") % 7 == 0).limit(50).select(
+        F.col("event_id").alias("request_id"), "user_id", "ts"
+    )
+    evs = ev.select("user_id", "ts", "value")
+    ladder = ["1 minute", "1 hour", "12 hours"]
+    tiles = build_tile_ladder(evs, ["user_id"], "ts", "value", ladder)
+    svc = TiledFeatureService(
+        evs,
+        tiles,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("7 days"),
+        granularities=ladder,
+    )
+    got = svc.lookup(requests).toPandas().set_index("request_id").sort_index()
+    assert svc._cover_template is not None  # the template path actually ran
+    sink = []
+    chain = (
+        tiled_lookup(
+            evs,
+            requests,
+            key_cols="user_id",
+            ts_col="ts",
+            value_col="value",
+            frame=range_frame("7 days"),
+            granularity="1 minute",
+            tiles=tiles,
+            granularities=ladder,
+            _barrier_sink=sink,
+        )
+        .toPandas()
+        .set_index("request_id")
+        .sort_index()
+    )
+    for col in ("cnt", "sum_value", "min_value", "max_value"):
+        pd.testing.assert_series_equal(got[col], chain[col], check_names=False)
+    svc.close()
+    for df in sink:
+        df.unpersist()

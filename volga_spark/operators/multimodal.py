@@ -49,6 +49,24 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Decompression-bomb guard (r11 advisor): a few-hundred-byte payload can
+# DECLARE an enormous raster (65535×65535 SOF ≈ 34 GB of JPEG coefficient
+# state; a small zlib-bomb PNG inflates unbounded) — one adversarial row
+# would then kill the whole task with MemoryError, which is not a
+# quarantinable decode error. Every decoder validates declared dimensions
+# against this cap BEFORE allocating and raises ValueError (quarantined).
+# Module attribute, overridable for genuinely huge media.
+MAX_DECODE_PIXELS = 100_000_000
+
+
+def _check_raster(w: int, h: int, fmt: str) -> None:
+    if w < 0 or h < 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt} declares a {w}x{h} raster past the "
+            f"{MAX_DECODE_PIXELS}-pixel decode cap"
+        )
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """REAL pixel decode for the formats pure numpy/stdlib can express —
     PNG (zlib inflate + per-spec scanline unfilter), baseline sequential
@@ -164,6 +182,7 @@ def decode_png(b: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"PNG bit depth {depth} for color type {ctype}"
                 )
+            _check_raster(w, h, "PNG")
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -177,9 +196,29 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing PLTE")
     import zlib
 
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     # filter left-offset in bytes; sub-byte depths round up to 1 (spec 6.2)
     bpp = max(1, ch * depth // 8)
+
+    def pass_stride(pw: int) -> int:
+        return -(-pw * ch * depth // 8)  # packed bytes per scanline
+
+    # bound the inflate by the EXACT raw size the declared geometry needs
+    # (zlib-bomb guard — max_length caps the output allocation; anything
+    # longer is a malformed payload, reported like any length mismatch)
+    if not interlace:
+        expected = h * (pass_stride(w) + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw and ph:
+                expected += ph * (pass_stride(pw) + 1)
+    dec = zlib.decompressobj()
+    inflated = dec.decompress(b"".join(idat), expected + 1)
+    if len(inflated) > expected:
+        raise ValueError("PNG data length mismatch")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
 
     def to_samples(bytes2d: np.ndarray, ph: int, pw: int) -> np.ndarray:
         if depth == 8:
@@ -194,9 +233,6 @@ def decode_png(b: bytes) -> np.ndarray:
         return (groups * weights).sum(axis=2, dtype=np.uint16).astype(
             np.uint8
         )[:, :, None]
-
-    def pass_stride(pw: int) -> int:
-        return -(-pw * ch * depth // 8)  # packed bytes per scanline
 
     if not interlace:
         stride = pass_stride(w)
@@ -249,6 +285,7 @@ def decode_bmp(b: bytes) -> np.ndarray:
     ch = bpp // 8
     top_down = h < 0
     h = abs(h)
+    _check_raster(w, h, "BMP")
     row_bytes = (w * ch + 3) & ~3  # rows pad to 4 bytes
     px = np.frombuffer(b, dtype=np.uint8, count=h * row_bytes, offset=off)
     px = px.reshape(h, row_bytes)[:, : w * ch].reshape(h, w, ch)
@@ -278,6 +315,7 @@ def decode_ppm(b: bytes) -> np.ndarray:
         toks.append(int(b[i:j]))
         i = j
     w, h, maxval = toks
+    _check_raster(w, h, "PPM")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM")
     ch = 3 if b[:2] == b"P6" else 1
@@ -356,13 +394,23 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]
 
 
 def decode_gif(payload: bytes, rgb: bool = True) -> np.ndarray:
-    """From-scratch GIF decoder: first frame → (h, w, 3) uint8 RGB (or the
-    raw palette-index plane with ``rgb=False``). Handles 87a/89a, global
-    and local color tables, interlacing, and sub-block chained LZW data."""
+    """From-scratch GIF decoder: first frame → uint8 RGB (or the raw
+    palette-index plane with ``rgb=False``). Handles 87a/89a, global and
+    local color tables, interlacing, and sub-block chained LZW data.
+
+    The first frame is COMPOSITED onto the logical screen (r11 advisor):
+    a frame whose image descriptor carries a left/top offset or smaller
+    dims is placed at its offset on a background-color canvas, so the
+    returned shape always matches :func:`probe_image`'s (logical-screen)
+    dimensions."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    _check_raster(sw, sh, "GIF")
     flags = b[10]
+    bg_idx = b[11]
     i = 13
     gct = None
     if flags & 0x80:
@@ -377,8 +425,13 @@ def decode_gif(payload: bytes, rgb: bool = True) -> np.ndarray:
                 i += 1 + b[i]
             i += 1
         elif block == 0x2C:  # image descriptor
+            left = int.from_bytes(b[i + 1 : i + 3], "little")
+            top = int.from_bytes(b[i + 3 : i + 5], "little")
             w = int.from_bytes(b[i + 5 : i + 7], "little")
             h = int.from_bytes(b[i + 7 : i + 9], "little")
+            _check_raster(w, h, "GIF")
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame exceeds the logical screen")
             iflags = b[i + 9]
             i += 10
             pal = gct
@@ -406,6 +459,16 @@ def decode_gif(payload: bytes, rgb: bool = True) -> np.ndarray:
                 )
                 out_rows[order] = plane
                 plane = out_rows
+            if (left, top) != (0, 0) or (w, h) != (sw, sh):
+                # composite onto the logical screen: background color
+                # index from the header (0 when it points past the
+                # palette — per spec it is only meaningful with a GCT)
+                fill = (
+                    bg_idx if pal is not None and bg_idx < len(pal) else 0
+                )
+                canvas = np.full((sh, sw), fill, dtype=np.uint8)
+                canvas[top : top + h, left : left + w] = plane
+                plane = canvas
             if not rgb:
                 return plane
             if pal is None:
@@ -542,6 +605,10 @@ def _jpeg_parse(b: bytes) -> dict:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+        # id — some encoders pad with them (r11 advisor); skip the run
+        while i + 4 <= len(b) and b[i + 1] == 0xFF:
+            i += 1
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -574,6 +641,7 @@ def _jpeg_parse(b: bytes) -> dict:
                 raise NotImplementedError(f"JPEG precision {seg[0]} (only 8)")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            _check_raster(w, h, "JPEG")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
@@ -645,12 +713,25 @@ def _jpeg_entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
     n = len(b)
     while j < n - 1:
         if b[j] == 0xFF and b[j + 1] != 0x00:
-            m = b[j + 1]
+            # a run of 0xFF is FILL preceding the marker id (T.81
+            # B.1.1.2) — the entropy segment ends at the FIRST fill byte,
+            # the marker id is the first non-FF after the run
+            k = j + 1
+            while k < n and b[k] == 0xFF:
+                k += 1
+            if k >= n:
+                break  # truncated inside a fill run
+            m = b[k]
+            if m == 0x00:
+                # ...unless the run closes with a stuffed zero: the last
+                # 0xFF is entropy data, keep scanning past the pair
+                j = k + 1
+                continue
             segments.append(b[seg_start:j].replace(b"\xff\x00", b"\xff"))
             if 0xD0 <= m <= 0xD7:
-                seg_start = j = j + 2
+                seg_start = j = k + 1
                 continue
-            return segments, j
+            return segments, k - 1
         j += 1
     segments.append(b[seg_start:].replace(b"\xff\x00", b"\xff"))
     return segments, n
@@ -1341,6 +1422,7 @@ def transform_images(
                     KeyError,  # corrupt GIF LZW code
                     IndexError,  # truncated headers
                     zlib.error,  # corrupt PNG IDAT
+                    MemoryError,  # belt-and-braces under _check_raster
                 ) as ex:
                     payloads.append(None)
                     hs.append(None)
@@ -1460,7 +1542,13 @@ def extract_audio_features(
                         else [0.0] * n_mels
                     )
                     errs.append(None)
-                except (ValueError, NotImplementedError, EOFError, IndexError) as ex:
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    EOFError,
+                    IndexError,
+                    MemoryError,  # belt-and-braces under _check_raster
+                ) as ex:
                     # quarantine, matching transform_images: one corrupt
                     # payload must not fail the task (r11 review)
                     nfr.append(None)

@@ -183,6 +183,70 @@ def cover_buckets(lo: int, hi: int, gs: list[int]) -> list[tuple[int, int]]:
     return out
 
 
+def cover_template_rows(
+    frame_micros: int, gs: list[int]
+) -> list[tuple[int, int, int, int]]:
+    """Precomputed cover TEMPLATE for a fixed frame over a granularity
+    ladder (r12, small-batch serving floor): the canonical cover of a
+    request interior [b_first, b_last] is a pure function of the interval,
+    and it is translation-EQUIVARIANT under shifts of P = g_max/g_fine
+    fine buckets (shifting by P·g preserves every level's alignment, so
+    each level-gi bucket id shifts by exactly P·g/gi). For a fixed window
+    W the interior length L = b_last − b_first + 1 takes only two values
+    {m−1, m} (m = W div g, from the floor arithmetic of the bounds), so
+    the WHOLE cover space is P × 2 entries, enumerable once per service
+    instead of re-deriving the granularity-tree walk per request per
+    batch (the carry-chain form paid ~1s of per-batch driver analysis at
+    1k requests — profile_serving_floor2.py).
+
+    Returns rows (phase, L, g_i, rel_bucket) where phase = b_first mod P
+    and rel_bucket is the level-g_i bucket id of the instance with
+    b_first = phase. A request resolves absolute buckets as
+    rel + (b_first − phase)·g div g_i. Entries with L < 1 (no interior)
+    are omitted — they mirror the has-interior filter on the request side.
+    Bit-parity with :func:`cover_buckets` is by construction (each entry
+    IS a cover_buckets call); the randomized sweep in test_tiles.py pins
+    the joined path against both the enumeration and the carry chain."""
+    g, g_max = gs[0], gs[-1]
+    p_count = g_max // g
+    m = frame_micros // g
+    rows: list[tuple[int, int, int, int]] = []
+    for ph in range(p_count):
+        for length in {m - 1, m}:
+            if length < 1:
+                continue
+            for gi, b in cover_buckets(ph * g, (ph + length) * g, gs):
+                rows.append((ph, length, gi, b))
+    return rows
+
+
+# broadcast-side budget for the precomputed template: P × 2 shapes ×
+# worst-case cover size, in rows (4 longs each ≈ 32 B) — 1M rows ≈ 32 MB,
+# inside the 64 MB broadcast threshold. Ladders past it (e.g. 1-second
+# finest under a 1-day coarsest) fall back to the native carry chain.
+COVER_TEMPLATE_MAX_ROWS = 1_000_000
+
+
+def cover_template_eligible(frame_micros: int, gs: list[int]) -> bool:
+    p_count = gs[-1] // gs[0]
+    bound = max_probe_rows_per_request(frame_micros, gs)
+    return 2 * p_count * bound <= COVER_TEMPLATE_MAX_ROWS
+
+
+def build_cover_template(spark, frame_micros: int, gs: list[int]) -> DataFrame:
+    """Materialize :func:`cover_template_rows` as a small DataFrame
+    (columns __ph/__L/__tg/__rel, all long) — the broadcast side of the
+    per-batch interior join. Callers that reuse it across batches (the
+    service) should persist it."""
+    import pandas as pd
+
+    rows = cover_template_rows(frame_micros, gs)
+    pdf = pd.DataFrame(
+        rows, columns=["__ph", "__L", "__tg", "__rel"], dtype="int64"
+    )
+    return spark.createDataFrame(pdf)
+
+
 def max_probe_rows_per_request(frame_micros: int, gs: list[int]) -> int:
     """Worst-case probe rows one request contributes to the serving-state
     join, from the cover's structure (no data scan): each finer level emits
@@ -409,7 +473,9 @@ class TiledFeatureService:
         self.cache = cache
         self._cached = False
         self._state: DataFrame | None = None
+        self._cover_template: DataFrame | None = None
         self._batch_pins: list = []
+        self._batch_pin_rdd_ids: set[int] = set()
 
     def _ensure_cached(self) -> None:
         # pin the UNIONED serving state (tile partials + bucketed raw rows)
@@ -453,18 +519,54 @@ class TiledFeatureService:
                 self._ckpt_rdd_ids = after - before
                 self._cached = True
             self._state = st
+        if (
+            self._cover_template is None
+            and self.granularities
+            and cover_template_eligible(
+                self.frame.micros,
+                [interval_to_micros(x) for x in self.granularities],
+            )
+        ):
+            # service-lifetime cover template (see cover_template_rows):
+            # replaces the per-batch carry chain + persist barrier with one
+            # broadcast join against a table built ONCE — persisted so the
+            # per-batch broadcast build re-reads cached blocks, released
+            # in close()
+            gs = [interval_to_micros(x) for x in self.granularities]
+            # a handful of cached partitions, not defaultParallelism: the
+            # per-batch broadcast build re-reads every cached partition as
+            # one task — 32 near-empty tasks measured 0.067s/batch vs
+            # ~0.02s at 4
+            tpl = build_cover_template(
+                self.events.sparkSession, self.frame.micros, gs
+            ).coalesce(4).persist()
+            tpl.count()
+            self._cover_template = tpl
 
     def _release_batch_pins(self) -> None:
-        # the ladder lookup pins one tiny cover-barrier frame per batch
-        # (see tiled_lookup); release the PREVIOUS batch's pin so a
-        # long-running serving loop cannot accumulate blocks. Safe: by the
-        # time the next lookup is issued the prior result was consumed.
+        # release the PREVIOUS batch's pins so a long-running serving loop
+        # cannot accumulate blocks — persisted frames (the carry-chain
+        # cover barrier) via unpersist, checkpointed request pins via the
+        # rdd ids captured across the checkpoint. Safe: by the time the
+        # next lookup is issued the prior result was consumed.
         for df in self._batch_pins:
             try:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — release must never fail serving
                 pass
         self._batch_pins = []
+        if self._batch_pin_rdd_ids:
+            try:
+                jmap = (
+                    self.events.sparkSession.sparkContext._jsc.getPersistentRDDs()
+                )
+                for rid in self._batch_pin_rdd_ids:
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+            self._batch_pin_rdd_ids = set()
 
     def close(self) -> None:
         self._release_batch_pins()
@@ -482,6 +584,12 @@ class TiledFeatureService:
             except Exception:  # noqa: BLE001 — release must never fail close
                 pass
             self._cached = False
+        if self._cover_template is not None:
+            try:
+                self._cover_template.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+            self._cover_template = None
         self._state = None
 
     def probe_rows_per_request(self) -> int:
@@ -528,25 +636,39 @@ class TiledFeatureService:
         passes ``len(points)``); the hint only sizes the shard split, so
         an inexact value affects performance, never results.
 
-        The multi-scan pin persists a DERIVED frame
-        (``requests.select("*")``), never the caller's own DataFrame
-        object (r11 advisor): persisting the caller's frame would either
-        raise ('cannot change storage level') or silently evict their
-        cache entry when the pin is released."""
+        The multi-scan pin is an eager ``localCheckpoint`` of a DERIVED
+        frame, never a ``persist`` of the caller's own DataFrame object
+        (r11 advisor): persisting the caller's frame would either raise
+        ('cannot change storage level') or silently evict their cache
+        entry when the pin is released. The checkpoint also truncates the
+        request plan for every downstream analysis/optimizer pass (r12
+        floor work); its blocks are released per batch by rdd id."""
         self._ensure_cached()
         self._release_batch_pins()
         if shards is None and n_requests is not None:
             shards = auto_shards(n_requests, self.probe_rows_per_request())
         if shards is None or shards > 1:
-            # multi-scan path: pin a DERIVED frame and materialize it
-            # EAGERLY (the count) before any shard filter scans it — the
-            # determinism guarantee needs the batch fixed before the
-            # hash-disjoint filters evaluate, not lazily during the first
-            # shard's job
-            requests = requests.select("*").persist()
-            self._batch_pins.append(requests)
-            n = requests.count()
+            # multi-scan path: pin the batch via an EAGER localCheckpoint —
+            # it materializes the batch before any shard filter scans it
+            # (the determinism guarantee) AND truncates the caller's
+            # request plan to a LogicalRDD, so the dozen downstream
+            # Dataset creations and every per-job optimizer pass stop
+            # re-walking it (measured: the request-frame subtree was a
+            # visible slice of the 1k-batch driver floor). The checkpoint
+            # never touches the caller's own DataFrame or cache entry;
+            # blocks are released per batch by rdd id (DataFrame.unpersist
+            # cannot release checkpoint blocks).
+            sc = requests.sparkSession.sparkContext
+            before = {
+                int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+            }
+            requests = requests.localCheckpoint(eager=True)
+            after = {
+                int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+            }
+            self._batch_pin_rdd_ids |= after - before
             if shards is None:
+                n = requests.count()
                 shards = auto_shards(n, self.probe_rows_per_request())
 
         def one(req: DataFrame) -> DataFrame:
@@ -562,6 +684,7 @@ class TiledFeatureService:
                 tiles=self.tiles,
                 state=self._state,
                 granularities=self.granularities,
+                cover_template=self._cover_template,
                 _barrier_sink=self._batch_pins,
             )
 
@@ -603,6 +726,7 @@ def tiled_lookup(
     tiles: DataFrame | None = None,
     state: DataFrame | None = None,
     granularities: list[str] | None = None,
+    cover_template: DataFrame | None = None,
     _barrier_sink: list | None = None,
 ) -> DataFrame:
     """COUNT/SUM(cents)/MIN/MAX over [rts - W, rts] per request, via tiles +
@@ -614,11 +738,16 @@ def tiled_lookup(
     this and unpersists the previous batch's pin on every lookup, so a
     long-running serving loop cannot accumulate blocks; one-shot callers
     can rely on session teardown or ``caching.release_cached_blocks``.
-    Retention caveat: after the service unpins a batch, re-materializing
-    that batch's RESULT frame recomputes through the barrier and
-    re-caches it outside the sink's tracking (released only at close/
-    session teardown) — consume a batch's result before issuing the next
-    lookup, the normal serving cadence.
+    Retention caveat: consume a batch's result before issuing the next
+    lookup (the normal serving cadence). The service releases the
+    previous batch's request-pin checkpoint on every lookup; a stale
+    result frame re-materialized afterwards raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — loud by design (r12): the
+    persist-era behavior silently recomputed through the pin, which for
+    a non-deterministic request plan means silently WRONG rows, not just
+    wasted work. Carry-chain barrier pins (persisted frames) still
+    recompute on re-materialization and re-cache outside the sink's
+    tracking (released only at close/session teardown).
 
     Serving-path plan shape (r07 rework of the r05 5-stage version): the
     request batch is the BOUNDED side — it explodes into interior-bucket
@@ -655,24 +784,78 @@ def tiled_lookup(
             events, tiles, keys, ts_col, value_col, granularity
         )
 
-    rts = F.unix_micros(F.col(ts_col))
-    req = requests.select(
-        request_id_col,
-        *keys,
-        rts.alias("__rts"),
-        (rts - F.lit(w)).alias("__lo"),
+    # Hot-path projections are SQL expression STRINGS, not Column algebra
+    # (r12): in classic PySpark every Column operation is one py4j round
+    # trip — the old Column-built plan cost ~1,300 JVM calls ≈ 0.5s of the
+    # per-batch serving floor (cProfile: 0.43s in socket recv); the
+    # selectExpr form is one call per projection and parses JVM-side.
+    # Semantics are identical: `_fs` is textual fdiv (exact long floor
+    # division), literals are µs ints inlined, identifiers backquoted.
+    def _q(c: str) -> str:
+        return f"`{c}`"
+
+    def _fs(x: str, d: int) -> str:
+        return f"(({x} - pmod({x}, {d})) div {d})"
+
+    rid_q = _q(request_id_col)
+    keys_q = [_q(k) for k in keys]
+    rts_s = f"unix_micros({_q(ts_col)})"
+    req = requests.selectExpr(
+        rid_q,
+        *keys_q,
+        f"{rts_s} as __rts",
+        f"({rts_s} - {w}) as __lo",
         # interior bucket range: bG > lo and (b+1)G <= rts + 1
-        (fdiv(rts - F.lit(w), g) + 1).alias("__b_first"),
-        (fdiv(rts + 1, g) - 1).alias("__b_last"),
+        f"({_fs(f'({rts_s} - {w})', g)} + 1) as __b_first",
+        f"({_fs(f'({rts_s} + 1)', g)} - 1) as __b_last",
     )
 
-    has_interior = req.filter(F.col("__b_first") <= F.col("__b_last"))
+    # probe columns shared by the interior variants (kind 't')
+    _t_exprs = (
+        "'t' as __kind",
+        "CAST(NULL AS BIGINT) as __lo",
+        "CAST(NULL AS BIGINT) as __rts",
+    )
+    has_interior = req.filter("__b_first <= __b_last")
     if granularities is None:
-        interior_gb = has_interior.select(
-            request_id_col,
-            *keys,
-            F.lit(g).alias("__g"),
-            F.explode(F.sequence("__b_first", "__b_last")).alias("__b"),
+        interior_req = has_interior.selectExpr(
+            rid_q,
+            *keys_q,
+            f"CAST({g} AS BIGINT) as __g",
+            "explode(sequence(__b_first, __b_last)) as __b",
+            *_t_exprs,
+        )
+    elif cover_template is not None:
+        # precomputed-template path (r12, see cover_template_rows): the
+        # interior probe is ONE broadcast join on (phase, interior length)
+        # — no per-batch carry chain, no persist barrier, no segment
+        # explode. Absolute bucket = rel + (b_first − phase)·g div g_i
+        # (exact: b_first − phase is a multiple of g_max/g, so the product
+        # is a multiple of every g_i).
+        gs = sorted(interval_to_micros(x) for x in granularities)
+        if gs[0] != g:
+            raise ValueError(
+                "granularity must be the ladder's finest level "
+                f"({gs[0]} µs); got {g} µs"
+            )
+        p_count = gs[-1] // g
+        jreq = has_interior.selectExpr(
+            rid_q,
+            *keys_q,
+            "__b_first",
+            f"pmod(__b_first, {p_count}) as __ph",
+            "(__b_last - __b_first + 1) as __L",
+        )
+        interior_req = jreq.join(
+            F.broadcast(cover_template), ["__ph", "__L"]
+        ).selectExpr(
+            rid_q,
+            *keys_q,
+            "__tg as __g",
+            # abs bucket = rel + (b_first − phase)·g div g_i (exact: the
+            # difference is a multiple of g_max/g, so the product divides)
+            f"CAST(__rel + (__b_first - __ph) * {g} div __tg AS BIGINT) as __b",
+            *_t_exprs,
         )
     else:
         gs = sorted(interval_to_micros(x) for x in granularities)
@@ -699,7 +882,7 @@ def tiled_lookup(
         seg_src = seg_src.persist()
         if _barrier_sink is not None:
             _barrier_sink.append(seg_src)
-        interior_gb = (
+        interior_req = (
             seg_src.select(
                 request_id_col, *keys, F.explode("__segs").alias("__seg")
             )
@@ -713,50 +896,36 @@ def tiled_lookup(
                 F.explode(
                     F.sequence(F.col("__seg.lo"), F.col("__seg.hi"))
                 ).alias("__b"),
+                F.lit("t").alias("__kind"),
+                F.lit(None).cast("long").alias("__lo"),
+                F.lit(None).cast("long").alias("__rts"),
             )
         )
-    interior_req = interior_gb.select(
-        request_id_col,
-        *keys,
-        "__g",
-        "__b",
-        F.lit("t").alias("__kind"),
-        F.lit(None).cast("long").alias("__lo"),
-        F.lit(None).cast("long").alias("__rts"),
-    )
-    # edge buckets: the (≤2) partially-covered FINE buckets at the bounds
-    edge_req = req.select(
-        request_id_col,
-        *keys,
-        "__lo",
-        "__rts",
-        "__b_first",
-        "__b_last",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    fdiv(F.col("__lo"), g),
-                    fdiv(F.col("__rts"), g),
-                )
-            )
-        ).alias("__b"),
-    ).filter(  # skip buckets already counted as interior
-        (F.col("__b") < F.col("__b_first")) | (F.col("__b") > F.col("__b_last"))
-    ).select(
-        request_id_col,
-        *keys,
-        F.lit(g).alias("__g"),
-        "__b",
-        F.lit("r").alias("__kind"),
+    # edge buckets: the (≤2) partially-covered FINE buckets at the bounds.
+    # Interior-covered edges are masked BEFORE the explode (when → null,
+    # array_distinct collapses a kept duplicate, array_compact drops the
+    # nulls, exploding an empty array emits no row) — one Dataset creation
+    # instead of the old select→filter→select chain (r12: driver-side
+    # analysis is the small-batch serving floor).
+    def _edge(e: str) -> str:
+        return f"CASE WHEN {e} < __b_first OR {e} > __b_last THEN {e} END"
+
+    edge_req = req.selectExpr(
+        rid_q,
+        *keys_q,
+        f"CAST({g} AS BIGINT) as __g",
+        "explode(array_compact(array_distinct(array("
+        f"{_edge(_fs('__lo', g))}, {_edge(_fs('__rts', g))}"
+        ")))) as __b",
+        "'r' as __kind",
         "__lo",
         "__rts",
     )
     probe = interior_req.unionByName(edge_req)
 
-    contrib = state.join(F.broadcast(probe), keys + ["__g", "__b", "__kind"]).filter(
-        (F.col("__kind") == "t")
-        | ((F.col("__ets") >= F.col("__lo")) & (F.col("__ets") <= F.col("__rts")))
-    )
+    contrib = state.join(
+        F.broadcast(probe), keys + ["__g", "__b", "__kind"]
+    ).filter("__kind = 't' OR (__ets >= __lo AND __ets <= __rts)")
     agg = contrib.groupBy(request_id_col).agg(
         F.sum("__cnt").alias("cnt"),
         F.sum("__cents").alias("cents"),
@@ -767,19 +936,19 @@ def tiled_lookup(
     # FASTER than the union-a-zero-row-per-request alternative (the union
     # widens the agg input to the full shuffle width and defeats the
     # small-exchange coalesce)
-    combined = req.select(request_id_col, *keys).join(
+    combined = req.selectExpr(rid_q, *keys_q).join(
         F.broadcast(agg), request_id_col, "left"
     )
-    cnt = F.coalesce("cnt", F.lit(0))
-    return combined.select(
-        request_id_col,
-        *keys,
-        cnt.alias("cnt"),
-        (F.when(cnt > 0, F.coalesce("cents", F.lit(0))) / F.lit(100.0)).alias(
-            "sum_value"
-        ),
-        F.col("vmin").alias("min_value"),
-        F.col("vmax").alias("max_value"),
+    return combined.selectExpr(
+        rid_q,
+        *keys_q,
+        "coalesce(cnt, 0) as cnt",
+        # 100.0D: a bare 100.0 literal is DECIMAL in Spark SQL — the result
+        # must stay DOUBLE to match the Column-algebra form bit-for-bit
+        "CASE WHEN coalesce(cnt, 0) > 0 THEN coalesce(cents, 0) END / 100.0D"
+        " as sum_value",
+        "vmin as min_value",
+        "vmax as max_value",
     )
 
 
