@@ -989,7 +989,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(f"WAV sample width {width}")
         arr = np.frombuffer(frames, dtype=dtype).reshape(-1, ch)
         return arr, rate
-    except wave.Error:
+    except (wave.Error, EOFError):
+        # EOFError: the stdlib reader hits end-of-stream before the fmt
+        # chunk on truncated headers (r12) — fall through to the RIFF
+        # chunk walk, which classifies it as a ValueError like every
+        # other malformed payload
         pass
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -1434,6 +1438,77 @@ def transform_images(
                     "payload": payloads,
                     "height": hs,
                     "width": ws,
+                    "err": errs,
+                }
+            )
+
+    return widen_for_python(df.select(id_col, payload_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """Decode → per-image pixel statistics (dims, sum, min, max) over
+    mapInPandas — the verification half of an image-normalization pass:
+    chained after :func:`transform_images` it closes the decode→resize→
+    re-encode loop (the stats of the RE-DECODED output are predictable for
+    structured inputs, which is how the driver oracle pins the round trip;
+    see workloads/multimodal.py 'xform' leg). Quarantine discipline
+    matches the other media ops: one corrupt (or null) payload yields an
+    error-class row, never a task failure."""
+    import zlib
+
+    import volga_spark.operators.multimodal as _self
+
+    register_by_value(_self)
+    dec = decoder or decode_image
+    schema = (
+        f"{id_col} bigint, height int, width int, px_sum double, "
+        "px_min int, px_max int, err string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, sums, mins, maxs, errs = [], [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(i)
+                try:
+                    if p is None:
+                        raise ValueError("null payload")
+                    img = dec(bytes(p))
+                    hs.append(int(img.shape[0]))
+                    ws.append(int(img.shape[1]))
+                    sums.append(float(img.sum()))
+                    mins.append(int(img.min()))
+                    maxs.append(int(img.max()))
+                    errs.append(None)
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    KeyError,
+                    IndexError,
+                    zlib.error,
+                    MemoryError,
+                ) as ex:
+                    hs.append(None)
+                    ws.append(None)
+                    sums.append(None)
+                    mins.append(None)
+                    maxs.append(None)
+                    errs.append(type(ex).__name__)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "height": hs,
+                    "width": ws,
+                    "px_sum": sums,
+                    "px_min": mins,
+                    "px_max": maxs,
                     "err": errs,
                 }
             )

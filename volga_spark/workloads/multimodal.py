@@ -16,8 +16,11 @@ from pyspark.sql import functions as F
 
 from volga_spark.operators.multimodal import (
     attach_payload,
+    extract_audio_features,
     extract_features,
     frame_sample,
+    image_pixel_stats,
+    transform_images,
 )
 from volga_spark.tables import load_table
 from volga_spark.workloads import workload
@@ -56,6 +59,32 @@ from volga_spark.workloads import workload
                    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
             FROM documents
         )
+        UNION ALL
+        -- 'xform' (r12): decode->resize->re-encode->RE-DECODE round trip.
+        -- The synthesized PGM is CONSTANT c = 32 + length%95 over a
+        -- doc-varying geometry, and bilinear resampling of a constant
+        -- image is that constant, so the re-decoded 12x10 PNG has
+        -- sum = 120c and min = max = c; every 97th doc gets a truncated
+        -- header and must come back as a quarantined ValueError row.
+        SELECT 'xform' AS leg, doc_id, CAST(x.idx AS BIGINT) AS idx,
+               CASE WHEN doc_id % 97 = 0 THEN NULL
+                    WHEN x.idx = 0 THEN 12010.0
+                    WHEN x.idx = 1 THEN (32 + length(text) % 95) * 120.0
+                    ELSE (32 + length(text) % 95) * 1001.0 END AS num_val,
+               CASE WHEN doc_id % 97 = 0 THEN 'ValueError' END AS str_val
+        FROM documents, (SELECT unnest([0, 1, 2]) AS idx) x
+        UNION ALL
+        -- 'mel' (r12): WAV -> STFT frame geometry. n_samples = 128m with
+        -- m = 32 + doc_id%8, so frames = 1 + (128m - 256)/128 = m - 1;
+        -- rate and mel-vector width are schema invariants. Every 89th doc
+        -- gets a 6-byte RIFF stub -> quarantined ValueError row.
+        SELECT 'mel' AS leg, doc_id, CAST(a.idx AS BIGINT) AS idx,
+               CASE WHEN doc_id % 89 = 0 THEN NULL
+                    WHEN a.idx = 0 THEN 31.0 + doc_id % 8
+                    WHEN a.idx = 1 THEN 8192.0
+                    ELSE 16.0 END AS num_val,
+               CASE WHEN doc_id % 89 = 0 THEN 'ValueError' END AS str_val
+        FROM documents, (SELECT unnest([0, 1, 2]) AS idx) a
     """,
     tags=("multimodal",),
 )
@@ -121,4 +150,111 @@ def q_multimodal(spark, sf_dir):
         F.col("frame_md5").alias("str_val"),
     )
 
-    return meta.unionByName(feats).unionByName(frames)
+    # --- 'xform' (r12, r11 verdict #2): REAL decode→resize→re-encode over
+    # synthesized PGMs (constant pixel c = 32 + len%95, doc-varying dims),
+    # then image_pixel_stats RE-DECODES the emitted PNG — the whole round
+    # trip sits under the driver oracle because bilinear resampling of a
+    # constant image is that constant (sum = 120c, min = max = c). Every
+    # 97th doc carries a truncated header to oracle the quarantine path.
+    synth_img = d.selectExpr(
+        "doc_id",
+        """CASE WHEN doc_id % 97 = 0
+             THEN encode('P5\n9 7\n255\n', 'utf-8')
+             ELSE encode(concat(
+               'P5\n', cast(6 + doc_id % 7 as string), ' ',
+               cast(5 + doc_id % 5 as string), '\n255\n',
+               repeat(char(32 + length(text) % 95),
+                      (6 + doc_id % 7) * (5 + doc_id % 5))), 'utf-8')
+           END as payload""",
+    )
+    xf = transform_images(synth_img, size=(12, 10))
+    xf0 = xf.selectExpr(
+        "'xform' as leg",
+        "doc_id",
+        "CAST(0 AS BIGINT) as idx",
+        "CAST(height * 1000 + width AS DOUBLE) as num_val",
+        "err as str_val",
+    )
+    xf_stats = image_pixel_stats(xf).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("bigint").alias("idx"),
+                    F.col("px_sum").alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("idx"),
+                    (F.col("px_min") * 1000 + F.col("px_max"))
+                    .cast("double")
+                    .alias("v"),
+                ),
+            )
+        ).alias("e"),
+        "err",
+    ).select(
+        F.lit("xform").alias("leg"),
+        "doc_id",
+        F.col("e.idx").alias("idx"),
+        F.col("e.v").alias("num_val"),
+        F.col("err").alias("str_val"),
+    )
+
+    # --- 'mel' (r12): WAV synthesized natively in SQL (PCM16 mono, rate
+    # 8192, constant sample, n = 128·(32 + doc_id%8)) → log-mel extraction;
+    # the oracled invariants are the STFT frame geometry (frames = m − 1),
+    # the rate passthrough, and the mel-vector width (transcendental mel
+    # VALUES stay off the hash surface per the float-parity rule). Every
+    # 89th doc is a 6-byte RIFF stub → quarantined ValueError row.
+    synth_wav = d.selectExpr(
+        "doc_id",
+        """CASE WHEN doc_id % 89 = 0
+             THEN encode('RIFFxx', 'utf-8')
+             ELSE encode(concat(
+               'RIFF', char(36), char(32 + doc_id % 8), char(0), char(0),
+               'WAVEfmt ', char(16), char(0), char(0), char(0),
+               char(1), char(0), char(1), char(0),
+               char(0), char(32), char(0), char(0),
+               char(0), char(64), char(0), char(0),
+               char(2), char(0), char(16), char(0),
+               'data', char(0), char(32 + doc_id % 8), char(0), char(0),
+               repeat(concat(char(64), char(0)), 128 * (32 + doc_id % 8))
+             ), 'utf-8')
+           END as payload""",
+    )
+    mel = extract_audio_features(synth_wav).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("idx"),
+                    F.col("n_frames").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).cast("bigint").alias("idx"),
+                    F.col("sample_rate").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("idx"),
+                    F.when(F.col("err").isNull(), F.size("log_mel"))
+                    .cast("double")
+                    .alias("v"),
+                ),
+            )
+        ).alias("e"),
+        "err",
+    ).select(
+        F.lit("mel").alias("leg"),
+        "doc_id",
+        F.col("e.idx").alias("idx"),
+        F.col("e.v").alias("num_val"),
+        F.col("err").alias("str_val"),
+    )
+
+    return (
+        meta.unionByName(feats)
+        .unionByName(frames)
+        .unionByName(xf0)
+        .unionByName(xf_stats)
+        .unionByName(mel)
+    )
