@@ -476,10 +476,10 @@ def test_ladder_service_releases_batch_pins(spark, sf_dir):
     # id). The cover barrier is gone on the template path (r12): the
     # interior probe is a broadcast join against the service-lifetime
     # template, so nothing batch-scoped is pinned for it.
-    assert svc._batch_pins == []
-    assert len(svc._batch_pin_rdd_ids) == 1
+    assert not any(svc._batch_pins.values())
+    assert sum(len(v) for v in svc._batch_pin_rdd_ids.values()) == 1
     svc.close()
-    assert svc._batch_pins == [] and not svc._batch_pin_rdd_ids
+    assert not svc._batch_pins and not svc._batch_pin_rdd_ids
 
 
 def test_sharded_lookup_equals_unsharded(spark, sf_dir):
@@ -738,3 +738,58 @@ def test_template_lookup_equals_carry_chain(spark, sf_dir):
     svc.close()
     for df in sink:
         df.unpersist()
+
+
+def test_concurrent_lookups_share_one_service(spark, sf_dir):
+    """r11 verdict #7: K concurrent callers against ONE service — the
+    shared cached state must serve all of them and the per-batch pin
+    release must be scoped per caller thread (a global release would free
+    another thread's in-flight request-pin checkpoint mid-query, which
+    fails loudly since r12). Each thread runs several sequential batches
+    with fresh request ids; every batch must return exactly its rows."""
+    import threading
+
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        build_tile_ladder,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "1 hour"]
+    svc = TiledFeatureService(
+        ev,
+        build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("25 HOURS"),
+        granularities=gs,
+    )
+    base = ev.limit(25).select("user_id", "ts")
+    errors: list = []
+
+    def caller(k: int) -> None:
+        try:
+            for b in range(3):
+                req = base.select(
+                    (F.monotonically_increasing_id() + k * 1_000_000 + b * 1_000)
+                    .alias("request_id"),
+                    "user_id",
+                    "ts",
+                )
+                rows = svc.lookup(req).collect()
+                assert len(rows) == 25, (k, b, len(rows))
+                assert all(r["cnt"] >= 1 for r in rows)
+        except Exception as ex:  # noqa: BLE001 — surfaced to the main thread
+            errors.append((k, ex))
+
+    threads = [threading.Thread(target=caller, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # all four threads' final pins are live until close, then released
+    assert len(svc._batch_pin_rdd_ids) <= 4
+    svc.close()
+    assert not svc._batch_pin_rdd_ids

@@ -27,6 +27,8 @@ by key hash; request batches join against it with standard shuffle pruning.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -474,10 +476,25 @@ class TiledFeatureService:
         self._cached = False
         self._state: DataFrame | None = None
         self._cover_template: DataFrame | None = None
-        self._batch_pins: list = []
-        self._batch_pin_rdd_ids: set[int] = set()
+        # per-THREAD batch pins (r12, concurrency probe): a service is one
+        # shared cached state serving many callers; releasing "the
+        # previous batch" must mean the previous batch OF THAT CALLER, or
+        # concurrent lookups would free each other's in-flight request
+        # pins (loud CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND mid-query). The
+        # lock also serializes checkpoint-id capture — two concurrent
+        # checkpoints diffing getPersistentRDDs unguarded could claim each
+        # other's blocks and mis-release them.
+        self._pins_lock = threading.Lock()
+        self._state_lock = threading.Lock()  # one-time state/template build
+        self._batch_pins: dict[int, list] = {}
+        self._batch_pin_rdd_ids: dict[int, set[int]] = {}
 
     def _ensure_cached(self) -> None:
+        # serialized: concurrent first lookups must build ONE state/template
+        with self._state_lock:
+            self._ensure_cached_locked()
+
+    def _ensure_cached_locked(self) -> None:
         # pin the UNIONED serving state (tile partials + bucketed raw rows)
         # once — every request batch after the first probes cached blocks
         # with a single broadcast join instead of re-scanning (and
@@ -507,16 +524,22 @@ class TiledFeatureService:
             )
             if self.cache:
                 sc = st.sparkSession.sparkContext
-                before = {
-                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-                }
-                st = st.coalesce(sc.defaultParallelism).localCheckpoint(
-                    eager=True
-                )
-                after = {
-                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-                }
-                self._ckpt_rdd_ids = after - before
+                # capture under the pins lock: a concurrent lookup's
+                # request-pin checkpoint interleaving here would be
+                # claimed as state blocks and mis-released at close
+                with self._pins_lock:
+                    before = {
+                        int(k)
+                        for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+                    }
+                    st = st.coalesce(sc.defaultParallelism).localCheckpoint(
+                        eager=True
+                    )
+                    after = {
+                        int(k)
+                        for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+                    }
+                    self._ckpt_rdd_ids = after - before
                 self._cached = True
             self._state = st
         if (
@@ -543,30 +566,41 @@ class TiledFeatureService:
             tpl.count()
             self._cover_template = tpl
 
-    def _release_batch_pins(self) -> None:
+    def _release_batch_pins(self, all_threads: bool = True) -> None:
         # release the PREVIOUS batch's pins so a long-running serving loop
         # cannot accumulate blocks — persisted frames (the carry-chain
         # cover barrier) via unpersist, checkpointed request pins via the
-        # rdd ids captured across the checkpoint. Safe: by the time the
-        # next lookup is issued the prior result was consumed.
-        for df in self._batch_pins:
+        # rdd ids captured across the checkpoint. Scoped per CALLER thread
+        # by default (all_threads=False from lookup): concurrent callers
+        # release only their own previous batch. Safe within a thread: by
+        # the time its next lookup is issued, its prior result was
+        # consumed (the normal serving cadence).
+        tid = threading.get_ident()
+        with self._pins_lock:
+            if all_threads:
+                frames = [f for v in self._batch_pins.values() for f in v]
+                ids = set().union(*self._batch_pin_rdd_ids.values(), set())
+                self._batch_pins = {}
+                self._batch_pin_rdd_ids = {}
+            else:
+                frames = self._batch_pins.pop(tid, [])
+                ids = self._batch_pin_rdd_ids.pop(tid, set())
+        for df in frames:
             try:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — release must never fail serving
                 pass
-        self._batch_pins = []
-        if self._batch_pin_rdd_ids:
+        if ids:
             try:
                 jmap = (
                     self.events.sparkSession.sparkContext._jsc.getPersistentRDDs()
                 )
-                for rid in self._batch_pin_rdd_ids:
+                for rid in ids:
                     jrdd = jmap.get(rid)
                     if jrdd is not None:
                         jrdd.unpersist()
             except Exception:  # noqa: BLE001
                 pass
-            self._batch_pin_rdd_ids = set()
 
     def close(self) -> None:
         self._release_batch_pins()
@@ -644,7 +678,10 @@ class TiledFeatureService:
         request plan for every downstream analysis/optimizer pass (r12
         floor work); its blocks are released per batch by rdd id."""
         self._ensure_cached()
-        self._release_batch_pins()
+        # release only THIS caller thread's previous batch (concurrent
+        # callers each keep their in-flight pins — see __init__ note)
+        self._release_batch_pins(all_threads=False)
+        tid = threading.get_ident()
         if shards is None and n_requests is not None:
             shards = auto_shards(n_requests, self.probe_rows_per_request())
         if shards is None or shards > 1:
@@ -659,17 +696,22 @@ class TiledFeatureService:
             # blocks are released per batch by rdd id (DataFrame.unpersist
             # cannot release checkpoint blocks).
             sc = requests.sparkSession.sparkContext
-            before = {
-                int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-            }
-            requests = requests.localCheckpoint(eager=True)
-            after = {
-                int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-            }
-            self._batch_pin_rdd_ids |= after - before
+            with self._pins_lock:  # serialize id capture across threads
+                before = {
+                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+                }
+                requests = requests.localCheckpoint(eager=True)
+                after = {
+                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+                }
+                self._batch_pin_rdd_ids.setdefault(tid, set()).update(
+                    after - before
+                )
             if shards is None:
                 n = requests.count()
                 shards = auto_shards(n, self.probe_rows_per_request())
+
+        sink: list = []
 
         def one(req: DataFrame) -> DataFrame:
             return tiled_lookup(
@@ -685,22 +727,26 @@ class TiledFeatureService:
                 state=self._state,
                 granularities=self.granularities,
                 cover_template=self._cover_template,
-                _barrier_sink=self._batch_pins,
+                _barrier_sink=sink,
             )
 
         if shards <= 1:
-            return one(requests)
-        parts = [
-            one(
-                requests.filter(
-                    F.pmod(F.xxhash64(request_id_col), F.lit(shards)) == i
+            out = one(requests)
+        else:
+            parts = [
+                one(
+                    requests.filter(
+                        F.pmod(F.xxhash64(request_id_col), F.lit(shards)) == i
+                    )
                 )
-            )
-            for i in range(shards)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+                for i in range(shards)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if sink:
+            with self._pins_lock:
+                self._batch_pins.setdefault(tid, []).extend(sink)
         return out
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
