@@ -181,14 +181,27 @@ def q_request_tiled_lookup(spark, sf_dir):
     per-request probe volume is O(Σ level branching + W/g_max) and stays
     bounded as windows grow. r07: the ladder path itself is what the
     driver oracle hash-checks here (the answer must equal the raw SQL
-    window regardless of how the cover decomposes it)."""
-    from volga_spark.operators.tiles import tiled_lookup
+    window regardless of how the cover decomposes it). r12: this query
+    probes through the PRECOMPUTED COVER TEMPLATE (the serving default),
+    while q_request_stream_tiles keeps the carry-chain fallback — both
+    cover decompositions stay under the driver's hash gate."""
+    from volga_spark.operators.tiles import (
+        build_cover_template,
+        tiled_lookup,
+    )
+    from volga_spark.operators.window import interval_to_micros
 
     ev = load_table(spark, sf_dir, "events")
     requests = ev.filter(F.col("event_id") % 10 == 0).select(
         F.col("event_id").alias("request_id"),
         "user_id",
         (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    gs = ["1 minute", "10 minutes"]
+    tpl = build_cover_template(
+        spark,
+        range_frame("1 hour").micros,
+        [interval_to_micros(x) for x in gs],
     )
     return tiled_lookup(
         ev.select("user_id", "ts", "value"),
@@ -198,7 +211,8 @@ def q_request_tiled_lookup(spark, sf_dir):
         value_col="value",
         frame=range_frame("1 hour"),
         granularity="1 minute",
-        granularities=["1 minute", "10 minutes"],
+        granularities=gs,
+        cover_template=tpl,
     )
 
 
