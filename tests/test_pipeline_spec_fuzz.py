@@ -481,3 +481,80 @@ def test_spec_fuzz_differential(spark, src_df, seed):
             f"seed {seed} diverged: {problems}\nSHRUNK: {minimal or 'only-in-combination'}"
             f"\nFULL SQL:\n{spec_sql(spec)}"
         )
+
+
+# --- request-mode differential (write path vs virtual-point sweep) -----------
+
+
+def draw_request_spec(seed: int) -> dict:
+    """Request-mode-shaped spec: ONE RANGE window (the v1 serving scope),
+    2-4 calls across every family the service compiles."""
+    rng = random.Random(10_000 + seed)
+    n, unit = rng.choice(
+        [(rng.randint(60, 900), "SECOND"), (rng.randint(2, 40), "MINUTE"),
+         (rng.randint(1, 3), "HOUR")]
+    )
+    windows = [{"name": "w0", "kind": "range", "n": n, "unit": unit}]
+    calls = [_draw_call(rng, i, "w0") for i in range(rng.randint(2, 4))]
+    return {"windows": windows, "calls": calls}
+
+
+_REQ_SEEDS = int(os.environ.get("FUZZ_REQUEST_SEEDS", "8"))
+
+
+@pytest.mark.parametrize("seed", range(_REQ_SEEDS))
+def test_request_mode_fuzz_matches_write_path(spark, src_df, seed):
+    """The SAME random spec compiled two independent ways — the emitting
+    write path (native Catalyst windows + batch sweep) and the request
+    service (virtual-point retractable sweep over state) — must agree at
+    every existing event's own (key, ts): request rows never contribute,
+    so the lookup answer IS that row's write-path value."""
+    from pyspark.sql import functions as F
+
+    spec = draw_request_spec(seed)
+    p = PipelineSpec(
+        sql=spec_sql(spec), sources=[SourceSpec("src", dataframe=src_df)]
+    )
+    aliases = [c["alias"] for c in spec["calls"]]
+    write = {
+        r["event_id"]: r
+        for r in p.build(spark).filter(F.col("event_id") % 5 == 0).collect()
+    }
+    assert write
+    svc = p.build_request_service(spark)
+    try:
+        requests = src_df.filter(F.col("event_id") % 5 == 0).select(
+            F.col("event_id").alias("request_id"), "user_id", "ts"
+        )
+        got = {r["request_id"]: r for r in svc.lookup(requests).collect()}
+    finally:
+        svc.close()
+    assert set(got) == set(write)
+    problems = []
+    for rid in sorted(write):
+        for c in spec["calls"]:
+            a = c["alias"]
+            wv, gv = write[rid][a], got[rid][a]
+            if isinstance(wv, float) or isinstance(gv, float):
+                # stddev: Catalyst's moment-based vs the sweep's s2 form
+                # differ in the last ulps on near-constant windows
+                tol = 1e-6 if c.get("agg") == "stddev" else 1e-9
+                ok = (
+                    (wv is None and gv is None)
+                    or (
+                        wv is not None
+                        and gv is not None
+                        and (
+                            abs(float(wv) - float(gv))
+                            <= tol * max(1.0, abs(float(wv)))
+                        )
+                    )
+                )
+            else:
+                ok = wv == gv
+            if not ok:
+                problems.append((rid, a, c["family"], wv, gv))
+    assert not problems, (
+        f"seed {seed}: {len(problems)} divergences, first 5: {problems[:5]}\n"
+        f"SQL:\n{spec_sql(spec)}"
+    )

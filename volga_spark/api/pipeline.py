@@ -470,7 +470,16 @@ class PipelineSpec:
                 self.mm = MinMaxAcc() if op in ("min", "max") else None
 
             def add(self, v):
-                if v is None:
+                # engine-wide rule: NaN ≡ null at EVERY accumulator entry
+                # point (_absent, r10) — a prepared CASE WHEN column
+                # arrives from Arrow as NaN on cond-false rows, and the
+                # old `is None` gate counted/summed those rows and fed
+                # NaN into the min/max heap (r12: found by the request-
+                # mode spec fuzzer, seed 6; pinned by
+                # test_request_mode_conditional_native_aggs)
+                from volga_spark.functions.accumulators import _absent
+
+                if _absent(v):
                     return
                 self.n += 1
                 if self.mm is not None:
@@ -480,7 +489,9 @@ class PipelineSpec:
                     self.s2 += float(v) * float(v)
 
             def retract(self, v):
-                if v is None:
+                from volga_spark.functions.accumulators import _absent
+
+                if _absent(v):
                     return
                 self.n -= 1
                 if self.mm is not None:
