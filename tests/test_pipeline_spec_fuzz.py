@@ -62,24 +62,28 @@ def _source_pdf() -> pd.DataFrame:
 
 
 def _draw_window(rng: random.Random, name: str) -> dict:
+    pk = rng.choice(["user_id", "event_type"])
     if rng.random() < 0.6:
         n, unit = rng.choice(
             [(rng.randint(30, 900), "SECOND"), (rng.randint(1, 40), "MINUTE"),
              (rng.randint(1, 3), "HOUR")]
         )
-        return {"name": name, "kind": "range", "n": n, "unit": unit}
-    return {"name": name, "kind": "rows", "n": rng.randint(1, 60)}
+        return {"name": name, "kind": "range", "n": n, "unit": unit, "pk": pk}
+    return {"name": name, "kind": "rows", "n": rng.randint(1, 60), "pk": pk}
 
 
 def _draw_cond(rng: random.Random) -> tuple[str, str]:
     """(spark/source-side expr, pairs-side expr over v/vc/cat)."""
-    kind = rng.randrange(3)
+    kind = rng.randrange(4)
     if kind == 0:
         c = round(rng.uniform(-5, 30), 2)
         return f"value > {c}", f"v > {c}"
     if kind == 1:
         k = rng.choice([2, 3, 5, 7])
         return f"vc % {k} = 0", f"vc % {k} = 0"
+    if kind == 2:
+        cat = rng.choice(CATS)
+        return f"event_type <> '{cat}'", f"cat <> '{cat}'"
     c = round(rng.uniform(-5, 30), 2)
     return f"value <= {c}", f"v <= {c}"
 
@@ -197,7 +201,10 @@ def _window_sql(w: dict) -> str:
         )
     else:
         frame = f"ROWS BETWEEN {w['n']} PRECEDING AND CURRENT ROW"
-    return f"{w['name']} AS (PARTITION BY user_id ORDER BY ts {frame})"
+    return (
+        f"{w['name']} AS (PARTITION BY {w.get('pk', 'user_id')} "
+        f"ORDER BY ts {frame})"
+    )
 
 
 def spec_sql(spec: dict) -> str:
@@ -214,23 +221,24 @@ def _pairs_ctes(w: dict) -> list[str]:
     (event, window member), the window-membership relation both sweep
     families aggregate over."""
     nm = w["name"]
+    pk = w.get("pk", "user_id")
     if w["kind"] == "range":
         return [
             f"""pairs_{nm} AS (
               SELECT e.event_id AS eid, e2.event_type AS cat,
                      e2.value AS v, e2.vc AS vc
-              FROM src e JOIN src e2 ON e2.user_id = e.user_id
+              FROM src e JOIN src e2 ON e2.{pk} = e.{pk}
                AND e2.ts >= e.ts - INTERVAL {w['n']} {w['unit']}
                AND e2.ts <= e.ts)"""
         ]
     return [
         f"""nb_{nm} AS (
-          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          SELECT *, row_number() OVER (PARTITION BY {pk} ORDER BY ts) AS rn
           FROM src)""",
         f"""pairs_{nm} AS (
           SELECT e.event_id AS eid, e2.event_type AS cat,
                  e2.value AS v, e2.vc AS vc
-          FROM nb_{nm} e JOIN nb_{nm} e2 ON e2.user_id = e.user_id
+          FROM nb_{nm} e JOIN nb_{nm} e2 ON e2.{pk} = e.{pk}
            AND e2.rn BETWEEN e.rn - {w['n']} AND e.rn)""",
     ]
 
