@@ -793,3 +793,74 @@ def test_concurrent_lookups_share_one_service(spark, sf_dir):
     assert len(svc._batch_pin_rdd_ids) <= 4
     svc.close()
     assert not svc._batch_pin_rdd_ids
+
+
+@pytest.mark.parametrize("seed", range(int(__import__("os").environ.get("FUZZ_TILE_SEEDS", "4"))))
+def test_ladder_serving_fuzz_template_chain_naive(spark, sf_dir, seed):
+    """r12 randomized hardening of the serving rewrite: a random
+    (divisibility ladder × window × request alignment) must answer
+    identically through the PRECOMPUTED TEMPLATE (the serving default),
+    the CARRY-CHAIN fallback, and the naive full-scan — bit for bit.
+    Ladders are drawn as random divisor chains (2-3 levels) so phase
+    spaces, stride counts, and ascend/descend shapes all vary."""
+    import random
+
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        build_tile_ladder,
+        tiled_lookup,
+    )
+
+    rng = random.Random(31_000 + seed)
+    # random divisor chain in minutes: g0 | g1 | g2
+    g0 = rng.choice([1, 2, 3, 5])
+    g1 = g0 * rng.choice([2, 4, 6, 12])
+    levels = [f"{g0} minutes", f"{g1} minutes"]
+    if rng.random() < 0.7:
+        levels.append(f"{g1 * rng.choice([2, 5, 10])} minutes")
+    w_mins = rng.randint(3, 60) * g0 + rng.choice([0, g0 // 2, 1])
+    frame = range_frame(f"{w_mins} minutes")
+
+    ev = load_table(spark, sf_dir, "events")
+    evs = ev.select("user_id", "ts", "value")
+    requests = ev.filter(F.col("event_id") % 9 == seed % 9).limit(40).select(
+        F.col("event_id").alias("request_id"),
+        "user_id",
+        # mix raw and bucket-aligned request timestamps
+        F.when(
+            F.col("event_id") % 18 == 0, F.date_trunc("minute", F.col("ts"))
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    tiles = build_tile_ladder(evs, ["user_id"], "ts", "value", levels)
+    svc = TiledFeatureService(
+        evs, tiles, key_cols=["user_id"], ts_col="ts", value_col="value",
+        frame=frame, granularities=levels,
+    )
+    got = svc.lookup(requests).toPandas().set_index("request_id").sort_index()
+    assert svc._cover_template is not None, (levels, w_mins)
+    sink: list = []
+    chain = tiled_lookup(
+        evs, requests, key_cols="user_id", ts_col="ts", value_col="value",
+        frame=frame, granularity=levels[0], tiles=tiles,
+        granularities=levels, _barrier_sink=sink,
+    ).toPandas().set_index("request_id").sort_index()
+    naive = (
+        _naive_window(spark, sf_dir, requests, f"{w_mins} MINUTES")
+        .toPandas()
+        .set_index("request_id")
+        .sort_index()
+    )
+    try:
+        for col in ("cnt", "sum_value", "min_value", "max_value"):
+            pd.testing.assert_series_equal(
+                got[col], chain[col], check_names=False,
+                obj=f"seed {seed} template-vs-chain {levels} w={w_mins}m {col}",
+            )
+            pd.testing.assert_series_equal(
+                got[col], naive[col], check_names=False,
+                obj=f"seed {seed} template-vs-naive {levels} w={w_mins}m {col}",
+            )
+    finally:
+        svc.close()
+        for df in sink:
+            df.unpersist()
