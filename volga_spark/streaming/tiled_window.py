@@ -1722,9 +1722,18 @@ def tiled_sliding_window_stream(
         cate_specs,
         top_specs,
         ratio_specs,
+        # integer-accumulation set: EVERY column whose partials land in a
+        # schema-typed numeric state slot — scalar-spec inputs AND cate-spec
+        # value columns (r12, found by the tiled-stream fuzzer: a
+        # TiledCateSpec over a bigint column with NO scalar spec on the
+        # same column used the float partial path, and the floats written
+        # into the array<array<bigint>> gs/gm/gx slots were silently
+        # NULLED on the state round trip — the r04 mistyped-slot gotcha.
+        # Every prior workload happened to pair cate specs with a scalar
+        # spec over the same column, which masked it.)
         int_inputs={
             c
-            for c in inputs
+            for c in set(inputs) | {s.col for s in cate_specs}
             if schema[c] in ("bigint", "int", "smallint", "tinyint")
         },
     )
