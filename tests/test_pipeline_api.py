@@ -422,3 +422,58 @@ def test_request_mode_conditional_native_aggs(spark, sf_dir):
                 assert gv is not None and abs(float(gv) - float(wv)) <= 1e-9 * max(
                     1.0, abs(float(wv))
                 ), (rid, col, gv, wv)
+
+
+def test_request_mode_serves_multi_window_sql(spark, sf_dir):
+    """r12: request mode now serves multi-WINDOW SQL (the v1 one-window
+    limit ruled out the README's flagship shape). Windows sharing a frame
+    length ride one sweep; distinct lengths become one sweep each, joined
+    on request_id — lookups at existing events' own (key, ts) must equal
+    the write path for every column across both windows."""
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    sql = """
+        SELECT event_id,
+               count(vc) OVER w_short AS cnt_s,
+               sum_where(vc, value > 100.0) OVER w_short AS sw_s,
+               sum_cate(vc, event_type) OVER w_long AS sc_l,
+               topn_frequency(event_type, 2) OVER w_long AS tf_l,
+               min(value) OVER w_short AS mn_s
+        FROM events
+        WINDOW w_short AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '600' SECOND PRECEDING AND CURRENT ROW),
+               w_long AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '6' HOUR PRECEDING AND CURRENT ROW)
+    """
+    spec = PipelineSpec(sql=sql, sources=[SourceSpec("events", dataframe=ev)])
+    cols = ("cnt_s", "sw_s", "sc_l", "tf_l", "mn_s")
+    write = {
+        r["event_id"]: tuple(r[c] for c in cols)
+        for r in spec.build(spark).filter(F.col("event_id") % 11 == 0).collect()
+    }
+    assert write
+    svc = spec.build_request_service(spark)
+    try:
+        assert len(svc._groups) == 2  # two distinct frame lengths
+        req = ev.filter(F.col("event_id") % 11 == 0).select(
+            F.col("event_id").alias("request_id"), "user_id", "ts"
+        )
+        out = svc.lookup(req)
+        assert list(out.columns)[-5:] == list(cols)  # SQL call order kept
+        got = {
+            r["request_id"]: tuple(r[c] for c in cols) for r in out.collect()
+        }
+    finally:
+        svc.close()
+    assert set(got) == set(write)
+    for rid, exp in write.items():
+        for g, w, c in zip(got[rid], exp, cols):
+            if isinstance(w, float):
+                assert g is not None and abs(g - w) <= 1e-9 * max(1.0, abs(w)), (
+                    rid, c, g, w,
+                )
+            else:
+                assert g == w, (rid, c, g, w)

@@ -495,15 +495,24 @@ def test_spec_fuzz_differential(spark, src_df, seed):
 
 
 def draw_request_spec(seed: int) -> dict:
-    """Request-mode-shaped spec: ONE RANGE window (the v1 serving scope),
-    2-4 calls across every family the service compiles."""
+    """Request-mode-shaped spec: 1-2 RANGE windows over the same
+    partition/order (r12 multi-WINDOW serving), 2-4 calls across every
+    family the service compiles."""
     rng = random.Random(10_000 + seed)
-    n, unit = rng.choice(
-        [(rng.randint(60, 900), "SECOND"), (rng.randint(2, 40), "MINUTE"),
-         (rng.randint(1, 3), "HOUR")]
-    )
-    windows = [{"name": "w0", "kind": "range", "n": n, "unit": unit}]
-    calls = [_draw_call(rng, i, "w0") for i in range(rng.randint(2, 4))]
+    windows = []
+    for i in range(rng.randint(1, 2)):
+        n, unit = rng.choice(
+            [(rng.randint(60, 900), "SECOND"), (rng.randint(2, 40), "MINUTE"),
+             (rng.randint(1, 3), "HOUR")]
+        )
+        windows.append(
+            {"name": f"w{i}", "kind": "range", "n": n, "unit": unit,
+             "pk": "user_id"}
+        )
+    calls = [
+        _draw_call(rng, i, rng.choice(windows)["name"])
+        for i in range(rng.randint(2, 4))
+    ]
     return {"windows": windows, "calls": calls}
 
 

@@ -527,9 +527,8 @@ class PipelineSpec:
                     return m2 / (n - 1)
                 return math.sqrt(m2 / (n - 1))  # stddev / stddev_samp
 
-        specs: list = []
+        per_call: list = []  # (window name, spec) in SQL order
         prepared: dict = {}
-        wnames: set[str] = set()
         for start, end, fn, argstr, m_over in _find_calls(sql):
             if m_over is None:
                 continue
@@ -537,7 +536,9 @@ class PipelineSpec:
             args = _split_args(argstr)
             wname, alias = m_over.group(1), m_over.group(2)
             if fnl in _CATE_FNS or fnl in _TOP_FNS or _TOPN_RE.match(fnl):
-                specs.append(_compile_sweep_call(fn, args, alias, prepared))
+                per_call.append(
+                    (wname, _compile_sweep_call(fn, args, alias, prepared))
+                )
             elif fnl in _NATIVE_AGGS:
                 if fnl == "stddev":
                     fnl = "stddev_samp"
@@ -551,31 +552,62 @@ class PipelineSpec:
                     col = f"__req_{alias}"
                     prepared[col] = F.expr(args[0]).cast("double")
                     inputs = [col]
-                specs.append(
-                    SlidingSpec(
-                        alias,
-                        lambda op=fnl: _NativeSweepAcc(op),
-                        inputs,
-                        "bigint" if fnl == "count" else "double",
+                per_call.append(
+                    (
+                        wname,
+                        SlidingSpec(
+                            alias,
+                            lambda op=fnl: _NativeSweepAcc(op),
+                            inputs,
+                            "bigint" if fnl == "count" else "double",
+                        ),
                     )
                 )
-            else:
-                continue
-            wnames.add(wname)
-        if not specs:
+        if not per_call:
             raise ValueError("request mode: no OVER window expressions found")
-        if len(wnames) != 1:
-            raise ValueError(
-                f"request mode serves one window's state; SQL uses {sorted(wnames)}"
-            )
-        keys, order, frame, _ = windows[next(iter(wnames))]
-        if not isinstance(frame, RangeFrame):
-            raise ValueError("request-mode lookups are time-based: RANGE frames only")
+        # multi-WINDOW serving (r12 — the v1 one-window limit ruled out the
+        # README's flagship multi-window SQL): every referenced window must
+        # be a RANGE frame over the SAME partition/order (one state, one
+        # point-in-time axis); windows sharing a frame length ride one
+        # sweep, distinct lengths become one sweep each, joined on
+        # request_id at lookup.
+        keys = order = None
+        groups: dict[int, list] = {}
+        frames: dict[int, RangeFrame] = {}
+        for wname, spec in per_call:
+            if wname not in windows:
+                raise ValueError(f"request mode: WINDOW {wname} not declared")
+            w_keys, w_order, w_frame, _ = windows[wname]
+            if not isinstance(w_frame, RangeFrame):
+                raise ValueError(
+                    "request-mode lookups are time-based: RANGE frames only"
+                )
+            if keys is None:
+                keys, order = w_keys, w_order
+            elif (w_keys, w_order) != (keys, order):
+                raise ValueError(
+                    "request mode serves one (partition, order) state; "
+                    f"windows disagree: {(keys, order)} vs {(w_keys, w_order)}"
+                )
+            groups.setdefault(w_frame.micros, []).append(spec)
+            frames[w_frame.micros] = w_frame
         table_m = re.search(r"FROM\s+(\w+)", sql, re.IGNORECASE)
         if not table_m:
             raise ValueError("cannot find FROM table")
         state = spark.table(table_m.group(1))
-        return PipelineRequestService(state, keys, order, frame, specs, prepared)
+        ordered = sorted(groups)
+        first = ordered[0]
+        alias_order = [s.name for _, s in per_call]
+        return PipelineRequestService(
+            state,
+            keys,
+            order,
+            frames[first],
+            groups[first],
+            prepared,
+            extra_groups=[(frames[m], groups[m]) for m in ordered[1:]],
+            alias_order=alias_order,
+        )
 
     def build(self, spark: SparkSession) -> DataFrame:
         for src in self.sources:
@@ -682,12 +714,31 @@ class PipelineRequestService:
     exposes it over HTTP unchanged; state pins in the block cache on first
     lookup (``close()`` releases)."""
 
-    def __init__(self, state, key_cols, ts_col, frame, specs, prepared):
+    def __init__(
+        self,
+        state,
+        key_cols,
+        ts_col,
+        frame,
+        specs,
+        prepared,
+        extra_groups=None,
+        alias_order=None,
+    ):
         self.state = state
         self.key_cols = list(key_cols)
         self.ts_col = ts_col
         self.frame = frame
-        self.specs = specs
+        self.specs = list(specs) + [
+            s for _, group in (extra_groups or []) for s in group
+        ]
+        # one sweep per distinct frame length (r12 multi-WINDOW serving);
+        # frame/specs above stay the first group for FeatureService
+        # duck-type compatibility
+        self._groups = [(frame, list(specs))] + [
+            (f, list(g)) for f, g in (extra_groups or [])
+        ]
+        self._alias_order = list(alias_order or [s.name for s in self.specs])
         self.prepared = prepared
         self._cached = False
 
@@ -697,19 +748,30 @@ class PipelineRequestService:
         if not self._cached:
             self.state = self.state.persist()
             self._cached = True
-        out = point_in_time_ml_lookup(
-            self.state,
-            requests,
-            key_cols=self.key_cols,
-            ts_col=self.ts_col,
-            frame=self.frame,
-            specs=self.specs,
-            prepared=self.prepared,
-            request_id_col=request_id_col,
-        )
-        return out.select(
-            request_id_col, *self.key_cols, self.ts_col,
-            *[s.name for s in self.specs],
+        outs = []
+        for frame, specs in self._groups:
+            outs.append(
+                point_in_time_ml_lookup(
+                    self.state,
+                    requests,
+                    key_cols=self.key_cols,
+                    ts_col=self.ts_col,
+                    frame=frame,
+                    specs=specs,
+                    prepared=self.prepared,
+                    request_id_col=request_id_col,
+                )
+            )
+        base = outs[0]
+        for (_, specs), o in zip(self._groups[1:], outs[1:]):
+            base = base.join(
+                F.broadcast(
+                    o.select(request_id_col, *[s.name for s in specs])
+                ),
+                request_id_col,
+            )
+        return base.select(
+            request_id_col, *self.key_cols, self.ts_col, *self._alias_order
         )
 
     def close(self) -> None:
