@@ -441,8 +441,13 @@ class PipelineSpec:
         ``get_features`` / ``key_cols`` / ``ts_col``), so
         ``api.serving.FeatureServer`` serves it over HTTP unchanged.
 
-        v1 scope (the reference's request graph serves ONE window operator's
-        state): every OVER call must reference the same RANGE window.
+        Scope: every referenced WINDOW must be a RANGE frame over the same
+        (partition, order) — one state table, one point-in-time axis.
+        Multi-WINDOW SQL is served since r12: windows sharing a frame
+        length ride one virtual-point sweep, distinct lengths become one
+        sweep each, joined on request_id at lookup. ROWS frames stay
+        rejected by design — a virtual point has no row position (the
+        reference likewise serves only time-based lookups through tiles).
         """
         from volga_spark.operators.window import RangeFrame
 
