@@ -449,7 +449,17 @@ class PipelineSpec:
         rejected by design — a virtual point has no row position (the
         reference likewise serves only time-based lookups through tiles).
         """
+        from volga_spark.functions.accumulators import MinMaxAcc, _absent
+        from volga_spark.functions.sliding import _self_contained_udfs
         from volga_spark.operators.window import RangeFrame
+
+        # the native sweep accumulator below is a LOCAL class cloudpickled
+        # by value; its MinMaxAcc/_absent references must be bound at
+        # definition time with the accumulators module registered by value
+        # (a runtime `import volga_spark...` inside add/retract executes a
+        # real import on the executor, which fails whenever the driver
+        # imported this repo from an arbitrary location — the r07 gotcha)
+        _self_contained_udfs()
 
         for src in self.sources:
             src.load(spark).createOrReplaceTempView(src.name)
@@ -466,8 +476,6 @@ class PipelineSpec:
             retractable_points.rs). Local class → cloudpickled by value."""
 
             def __init__(self, op):
-                from volga_spark.functions.accumulators import MinMaxAcc
-
                 self.op = op
                 self.n = 0
                 self.s = 0.0
@@ -482,8 +490,6 @@ class PipelineSpec:
                 # NaN into the min/max heap (r12: found by the request-
                 # mode spec fuzzer, seed 6; pinned by
                 # test_request_mode_conditional_native_aggs)
-                from volga_spark.functions.accumulators import _absent
-
                 if _absent(v):
                     return
                 self.n += 1
@@ -494,8 +500,6 @@ class PipelineSpec:
                     self.s2 += float(v) * float(v)
 
             def retract(self, v):
-                from volga_spark.functions.accumulators import _absent
-
                 if _absent(v):
                     return
                 self.n -= 1

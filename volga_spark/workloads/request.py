@@ -79,13 +79,13 @@ def q_request_point_lookup(spark, sf_dir):
              AND e.ts >= q.rts - INTERVAL 1 HOUR AND e.ts <= q.rts
         ),
         per_cat AS (
-            SELECT request_id, cat, sum(vc) AS s, count(*) AS c
+            SELECT request_id, cat, CAST(sum(vc) AS BIGINT) AS s, count(*) AS c
             FROM pairs GROUP BY request_id, cat
         ),
         cate_strs AS (
             SELECT request_id,
-                   string_agg(cat || ':' || {DUCK_FMT.format(expr="s / 100.0")}, ','
-                              ORDER BY cat || ':' || {DUCK_FMT.format(expr="s / 100.0")})
+                   string_agg(cat || ':' || CAST(s AS VARCHAR), ','
+                              ORDER BY cat || ':' || CAST(s AS VARCHAR))
                        AS sum_cate_1h
             FROM per_cat GROUP BY request_id
         ),
@@ -112,15 +112,25 @@ def q_request_point_lookup(spark, sf_dir):
             SELECT request_id, CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
                                / max(total) AS top1_ratio_type
             FROM ranked_f GROUP BY request_id
+        ),
+        cnt10 AS (
+            SELECT q.request_id,
+                   count(CASE WHEN e.value > 100.0 THEN e.value END) AS cnt_big_10m
+            FROM req q LEFT JOIN events e
+              ON e.user_id = q.user_id
+             AND e.ts >= q.rts - INTERVAL 10 MINUTE AND e.ts <= q.rts
+            GROUP BY q.request_id
         )
         SELECT q.request_id, q.user_id,
                coalesce(cs.sum_cate_1h, '') AS sum_cate_1h,
                coalesce(ts_.top3_value, '') AS top3_value,
-               coalesce(r.top1_ratio_type, 0.0) AS top1_ratio_type
+               coalesce(r.top1_ratio_type, 0.0) AS top1_ratio_type,
+               coalesce(c10.cnt_big_10m, 0) AS cnt_big_10m
         FROM req q
         LEFT JOIN cate_strs cs ON cs.request_id = q.request_id
         LEFT JOIN top_strs ts_ ON ts_.request_id = q.request_id
         LEFT JOIN ratio r ON r.request_id = q.request_id
+        LEFT JOIN cnt10 c10 ON c10.request_id = q.request_id
     """,
     tags=("request", "ml_udaf"),
 )
@@ -128,9 +138,13 @@ def q_request_ml_lookup(spark, sf_dir):
     """The full ML UDAF library evaluated at virtual request points —
     sum_cate + top + top1_ratio features as of each request timestamp
     (reference window_request_operator.rs evaluates its complete UDAF
-    surface at request points, not just native aggs). Requests ride the
-    write-path sweep's exchange; request rows emit but never contribute."""
-    from volga_spark.functions.cate_top import sum_cate, top, top1_ratio
+    surface at request points, not just native aggs). r12: routed through
+    the MULTI-WINDOW ``PipelineSpec`` request compiler (two RANGE windows:
+    the 1h UDAF window plus a 10-minute conditioned native — the rewritten
+    ``count_where`` exercises the NaN-safe sweep accumulator), so the
+    driver gate covers the SQL→service path, the per-frame sweep split and
+    the request_id join, not just the bare operator."""
+    from volga_spark.api import PipelineSpec, SourceSpec
 
     ev = load_table(spark, sf_dir, "events")
     requests = ev.filter(F.col("event_id") % 10 == 0).select(
@@ -138,19 +152,31 @@ def q_request_ml_lookup(spark, sf_dir):
         "user_id",
         (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
     )
-    return point_in_time_ml_lookup(
-        ev.select("user_id", "ts", "value", "event_type"),
-        requests,
-        key_cols="user_id",
-        ts_col="ts",
-        frame=range_frame("1 hour"),
-        specs=[
-            sum_cate("sum_cate_1h", "vc", "event_type", scale=100.0),
-            top("top3_value", "value", 3),
-            top1_ratio("top1_ratio_type", "event_type"),
-        ],
-        prepared={"vc": cents("value")},
-    ).select("request_id", "user_id", "sum_cate_1h", "top3_value", "top1_ratio_type")
+    sql = """
+        SELECT event_id, user_id,
+               sum_cate(CAST(round(value * 100) AS BIGINT), event_type)
+                   OVER w1h AS sum_cate_1h,
+               top(value, 3) OVER w1h AS top3_value,
+               top1_ratio(event_type) OVER w1h AS top1_ratio_type,
+               count_where(value, value > 100.0) OVER w10m AS cnt_big_10m
+        FROM events
+        WINDOW w1h AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW),
+               w10m AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)
+    """
+    spec = PipelineSpec(
+        sql=sql, sources=[SourceSpec("events", dataframe=ev)], execution_mode="request"
+    )
+    svc = spec.build_request_service(spark)
+    return svc.lookup(requests).select(
+        "request_id",
+        "user_id",
+        "sum_cate_1h",
+        "top3_value",
+        "top1_ratio_type",
+        "cnt_big_10m",
+    )
 
 
 @workload(
