@@ -495,12 +495,19 @@ def test_spec_fuzz_differential(spark, src_df, seed):
 
 
 def draw_request_spec(seed: int) -> dict:
-    """Request-mode-shaped spec: 1-2 RANGE windows over the same
-    partition/order (r12 multi-WINDOW serving), 2-4 calls across every
-    family the service compiles."""
+    """Request-mode-shaped spec: 1-2 windows over the same partition/order
+    (r12 multi-WINDOW serving), RANGE or ROWS (r13 — the reference's own
+    request bench is ROWS, window_operator_benchmark.rs:609-612), 2-4 calls
+    across every family the service compiles."""
     rng = random.Random(10_000 + seed)
     windows = []
     for i in range(rng.randint(1, 2)):
+        if rng.random() < 0.35:
+            windows.append(
+                {"name": f"w{i}", "kind": "rows", "n": rng.randint(1, 60),
+                 "pk": "user_id"}
+            )
+            continue
         n, unit = rng.choice(
             [(rng.randint(60, 900), "SECOND"), (rng.randint(2, 40), "MINUTE"),
              (rng.randint(1, 3), "HOUR")]
@@ -524,20 +531,35 @@ def test_request_mode_fuzz_matches_write_path(spark, src_df, seed):
     """The SAME random spec compiled two independent ways — the emitting
     write path (native Catalyst windows + batch sweep) and the request
     service (virtual-point retractable sweep over state) — must agree at
-    every existing event's own (key, ts): request rows never contribute,
-    so the lookup answer IS that row's write-path value."""
+    every existing event's own (key, ts). RANGE frames: request rows never
+    contribute, so the lookup answer IS that row's write-path value. ROWS
+    frames (r13): the virtual point consumes the current-row slot
+    (reference plain_points.rs:345-370), so its frame is the last n STATE
+    rows at-or-before — with the source's unique-ts-per-partition
+    guarantee, that equals the write-path value at ROWS n-1 PRECEDING; the
+    write twin decrements each ROWS window accordingly."""
     from pyspark.sql import functions as F
 
     spec = draw_request_spec(seed)
-    p = PipelineSpec(
-        sql=spec_sql(spec), sources=[SourceSpec("src", dataframe=src_df)]
+    write_spec = {
+        "windows": [
+            {**w, "n": w["n"] - 1} if w["kind"] == "rows" else w
+            for w in spec["windows"]
+        ],
+        "calls": spec["calls"],
+    }
+    p_write = PipelineSpec(
+        sql=spec_sql(write_spec), sources=[SourceSpec("src", dataframe=src_df)]
     )
     aliases = [c["alias"] for c in spec["calls"]]
     write = {
         r["event_id"]: r
-        for r in p.build(spark).filter(F.col("event_id") % 5 == 0).collect()
+        for r in p_write.build(spark).filter(F.col("event_id") % 5 == 0).collect()
     }
     assert write
+    p = PipelineSpec(
+        sql=spec_sql(spec), sources=[SourceSpec("src", dataframe=src_df)]
+    )
     svc = p.build_request_service(spark)
     try:
         requests = src_df.filter(F.col("event_id") % 5 == 0).select(

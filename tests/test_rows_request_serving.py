@@ -1,0 +1,262 @@
+"""ROWS-frame request serving (r13 — VERDICT #1).
+
+The reference's request benchmark IS this shape: ``ROWS 10000 PRECEDING``,
+plain MIN/MAX, ExecutionMode::Request (reference
+window_operator_benchmark.rs:609-612), planned by ``plan_rows_points``
+(aggregates/plain_points.rs:183-262). Semantics at a virtual point
+(plain_points.rs:345-370): window_size = preceding + 1
+(bucket_index.rs:485-499); the virtual point takes the current-row slot, so
+the frame is the last ``preceding`` STATE rows at-or-before the request
+cursor — rows at exactly the request ts count as at-or-before (the
+``Cursor(ts, u64::MAX)`` seek), and request rows never consume stored
+positions.
+
+Covers: the native two-pass position-axis path (point_in_time_lookup), the
+sweep path (point_in_time_ml_lookup), the SQL front end
+(build_request_service), and a brute-force pandas oracle for all of them,
+including co-timestamped state rows (tiebreak), co-keyed near-time request
+flooding (the position-displacement hazard the old unguarded union path
+had), requests before any state, and the preceding=0 edge.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from volga_spark.operators.request import (
+    masked,
+    point_in_time_lookup,
+    point_in_time_ml_lookup,
+)
+from volga_spark.operators.window import rows_frame
+
+
+def _state_pdf() -> pd.DataFrame:
+    base = datetime(2024, 5, 1)
+    rows = []
+    i = 0
+    for u in (1, 2):
+        for k in range(40):
+            # duplicate timestamps every 4th row -> the tiebreak matters
+            ts = base + timedelta(seconds=30 * (k - (k % 4 == 3)))
+            rows.append(
+                {
+                    "user_id": u,
+                    "ts": ts,
+                    "seq": i,
+                    "value": float((i * 7) % 50) - 10.0,
+                }
+            )
+            i += 1
+    return pd.DataFrame(rows)
+
+
+def _requests_pdf(state: pd.DataFrame) -> pd.DataFrame:
+    base = datetime(2024, 5, 1)
+    reqs = []
+    rid = 0
+    for u in (1, 2, 3):  # user 3 has NO state
+        for k in (-2, 0, 3, 7, 15, 39, 80):
+            # -2: before any state; 0/3/…: exactly ON a state ts (the
+            # at-or-before tie case); 80: after all state
+            reqs.append(
+                {
+                    "request_id": rid,
+                    "user_id": u,
+                    "ts": base + timedelta(seconds=30 * k),
+                }
+            )
+            rid += 1
+    # co-keyed request flood at one shared ts: every one of these must see
+    # the SAME frame (requests must not displace state rows)
+    for j in range(6):
+        reqs.append(
+            {
+                "request_id": rid,
+                "user_id": 1,
+                "ts": base + timedelta(seconds=30 * 10),
+            }
+        )
+        rid += 1
+    return pd.DataFrame(reqs)
+
+
+def _oracle(state: pd.DataFrame, reqs: pd.DataFrame, n: int) -> dict[int, dict]:
+    """Brute-force reference model: last n state rows at-or-before rts by
+    (ts, seq)."""
+    out = {}
+    for r in reqs.itertuples():
+        s = state[(state.user_id == r.user_id) & (state.ts <= r.ts)]
+        s = s.sort_values(["ts", "seq"]).tail(n)
+        out[r.request_id] = {
+            "cnt": len(s),
+            "sum": None if s.empty else round(float(s.value.sum()), 6),
+            "min": None if s.empty else float(s.value.min()),
+            "max": None if s.empty else float(s.value.max()),
+        }
+    return out
+
+
+STATE_PDF = _state_pdf()
+REQS_PDF = _requests_pdf(STATE_PDF)
+
+
+@pytest.fixture(scope="module")
+def state_df(spark):
+    return spark.createDataFrame(STATE_PDF).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def reqs_df(spark):
+    return spark.createDataFrame(REQS_PDF).localCheckpoint()
+
+
+@pytest.mark.parametrize("n", [0, 1, 5, 23, 1000])
+def test_native_rows_lookup_matches_bruteforce(spark, state_df, reqs_df, n):
+    got = point_in_time_lookup(
+        state_df.select("user_id", "ts", "seq", "value"),
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=rows_frame(n),
+        tiebreak="seq",
+        agg_builder=lambda w: {
+            "cnt": F.count(masked("value")).over(w),
+            "s": F.sum(masked("value")).over(w),
+            "mn": F.min(masked("value")).over(w),
+            "mx": F.max(masked("value")).over(w),
+        },
+    ).collect()
+    want = _oracle(STATE_PDF, REQS_PDF, n)
+    assert len(got) == len(REQS_PDF)
+    for row in got:
+        w = want[row["request_id"]]
+        assert row["cnt"] == w["cnt"], (n, row)
+        if w["cnt"] == 0:
+            assert row["s"] is None and row["mn"] is None and row["mx"] is None
+        else:
+            assert abs(row["s"] - w["sum"]) < 1e-9, (n, row, w)
+            assert row["mn"] == w["min"] and row["mx"] == w["max"], (n, row, w)
+
+
+@pytest.mark.parametrize("n", [1, 5, 23])
+def test_sweep_rows_lookup_matches_bruteforce(spark, state_df, reqs_df, n):
+    from volga_spark.functions.sliding import SlidingSpec
+
+    class _Sum:  # local class -> cloudpickled by value
+        def __init__(self):
+            self.s = 0.0
+            self.n = 0
+
+        def add(self, v):
+            if v is None or v != v:
+                return
+            self.s += v
+            self.n += 1
+
+        def retract(self, v):
+            if v is None or v != v:
+                return
+            self.s -= v
+            self.n -= 1
+
+        def result(self):
+            return self.s if self.n else None
+
+    specs = [SlidingSpec("s", _Sum, ["__v"], "double")]
+    got = point_in_time_ml_lookup(
+        state_df.select("user_id", "ts", "seq", "value"),
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=rows_frame(n),
+        specs=specs,
+        prepared={"__v": F.col("value")},
+        tiebreak="seq",
+    ).collect()
+    want = _oracle(STATE_PDF, REQS_PDF, n)
+    assert len(got) == len(REQS_PDF)
+    for row in got:
+        w = want[row["request_id"]]
+        if w["cnt"] == 0:
+            assert row["s"] is None, (n, row)
+        else:
+            assert abs(float(row["s"]) - w["sum"]) < 1e-9, (n, row, w)
+
+
+def test_request_service_serves_rows_frames(spark, state_df, reqs_df):
+    """The SQL front end compiles a ROWS window (the reference bench shape:
+    plain MIN/MAX over ROWS N PRECEDING) into a working service, mixed with
+    a RANGE window in the same spec (two sweeps joined on request_id)."""
+    from volga_spark.api import PipelineSpec, SourceSpec
+
+    sql = """
+        SELECT user_id,
+               min(value) OVER wr AS mn_rows,
+               max(value) OVER wr AS mx_rows,
+               count(value) OVER wr AS cnt_rows,
+               sum(value) OVER wt AS sum_5m
+        FROM st
+        WINDOW wr AS (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+               wt AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW)
+    """
+    spec = PipelineSpec(
+        sql=sql,
+        sources=[SourceSpec("st", dataframe=state_df)],
+        execution_mode="request",
+    )
+    svc = spec.build_request_service(spark, tiebreak="seq")
+    try:
+        got = {r["request_id"]: r for r in svc.lookup(reqs_df).collect()}
+    finally:
+        svc.close()
+    want = _oracle(STATE_PDF, REQS_PDF, 7)
+    assert len(got) == len(REQS_PDF)
+    for rid, row in got.items():
+        w = want[rid]
+        assert row["cnt_rows"] == w["cnt"], (rid, row, w)
+        if w["cnt"]:
+            assert row["mn_rows"] == w["min"] and row["mx_rows"] == w["max"]
+        else:
+            assert row["mn_rows"] is None and row["mx_rows"] is None
+        # RANGE leg: trailing 5 minutes of state
+        r = REQS_PDF[REQS_PDF.request_id == rid].iloc[0]
+        s = STATE_PDF[
+            (STATE_PDF.user_id == r.user_id)
+            & (STATE_PDF.ts <= r.ts)
+            & (STATE_PDF.ts >= r.ts - timedelta(minutes=5))
+        ]
+        if s.empty:
+            assert row["sum_5m"] is None
+        else:
+            assert abs(float(row["sum_5m"]) - float(s.value.sum())) < 1e-9
+
+
+def test_rows_flood_requests_share_one_frame(spark, state_df, reqs_df):
+    """The six co-keyed co-timestamped flood requests must all return the
+    identical frame — the failure mode of a naive union ROWS window is that
+    each flood request displaces state rows from its neighbours' frames."""
+    got = point_in_time_lookup(
+        state_df.select("user_id", "ts", "seq", "value"),
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=rows_frame(5),
+        tiebreak="seq",
+        agg_builder=lambda w: {
+            "cnt": F.count(masked("value")).over(w),
+            "s": F.sum(masked("value")).over(w),
+        },
+    ).collect()
+    flood_ids = REQS_PDF.request_id.tail(6).tolist()
+    flood = [r for r in got if r["request_id"] in flood_ids]
+    assert len(flood) == 6
+    assert len({(r["cnt"], r["s"]) for r in flood}) == 1
+    assert flood[0]["cnt"] == 5

@@ -429,7 +429,9 @@ class PipelineSpec:
             event_time=tuple(et) if et else None,
         )
 
-    def build_request_service(self, spark: SparkSession) -> "PipelineRequestService":
+    def build_request_service(
+        self, spark: SparkSession, tiebreak: str | list[str] | None = None
+    ) -> "PipelineRequestService":
         """ExecutionMode::Request — the reference's ``to_request_mode`` graph
         rewrite (reference src/api/logical_graph.rs:356-494): compile the
         SAME spec into a point-in-time serving object instead of an emitting
@@ -441,13 +443,20 @@ class PipelineSpec:
         ``get_features`` / ``key_cols`` / ``ts_col``), so
         ``api.serving.FeatureServer`` serves it over HTTP unchanged.
 
-        Scope: every referenced WINDOW must be a RANGE frame over the same
-        (partition, order) — one state table, one point-in-time axis.
-        Multi-WINDOW SQL is served since r12: windows sharing a frame
-        length ride one virtual-point sweep, distinct lengths become one
-        sweep each, joined on request_id at lookup. ROWS frames stay
-        rejected by design — a virtual point has no row position (the
-        reference likewise serves only time-based lookups through tiles).
+        Scope: every referenced WINDOW must share the same (partition,
+        order) — one state table, one point-in-time axis. Multi-WINDOW SQL
+        is served since r12: windows sharing a frame ride one
+        virtual-point sweep, distinct frames become one sweep each, joined
+        on request_id at lookup. ROWS frames are served since r13 — the
+        reference's own request benchmark is exactly this shape
+        (``ROWS 10000 PRECEDING`` in Request mode,
+        window_operator_benchmark.rs:609-612, planned by plan_rows_points,
+        plain_points.rs:183-262): at a virtual point the frame is the last
+        ``preceding`` STATE rows at-or-before the request cursor (the
+        request consumes the current-row slot, never a stored position).
+        ``tiebreak`` (state columns) orders co-timestamped state rows for
+        ROWS frames — the reference's ``__seq_no``; without it, ROWS
+        results are only deterministic when (key, ts) is unique.
         """
         from volga_spark.functions.accumulators import MinMaxAcc, _absent
         from volga_spark.functions.sliding import _self_contained_udfs
@@ -581,16 +590,11 @@ class PipelineSpec:
         # sweep, distinct lengths become one sweep each, joined on
         # request_id at lookup.
         keys = order = None
-        groups: dict[int, list] = {}
-        frames: dict[int, RangeFrame] = {}
+        groups: dict = {}  # Frame (frozen dataclass, hashable) -> specs
         for wname, spec in per_call:
             if wname not in windows:
                 raise ValueError(f"request mode: WINDOW {wname} not declared")
             w_keys, w_order, w_frame, _ = windows[wname]
-            if not isinstance(w_frame, RangeFrame):
-                raise ValueError(
-                    "request-mode lookups are time-based: RANGE frames only"
-                )
             if keys is None:
                 keys, order = w_keys, w_order
             elif (w_keys, w_order) != (keys, order):
@@ -598,24 +602,31 @@ class PipelineSpec:
                     "request mode serves one (partition, order) state; "
                     f"windows disagree: {(keys, order)} vs {(w_keys, w_order)}"
                 )
-            groups.setdefault(w_frame.micros, []).append(spec)
-            frames[w_frame.micros] = w_frame
+            groups.setdefault(w_frame, []).append(spec)
         table_m = re.search(r"FROM\s+(\w+)", sql, re.IGNORECASE)
         if not table_m:
             raise ValueError("cannot find FROM table")
         state = spark.table(table_m.group(1))
-        ordered = sorted(groups)
+        # deterministic sweep order: RANGE frames by length, then ROWS by
+        # row count (each distinct frame is one virtual-point sweep)
+        ordered = sorted(
+            groups,
+            key=lambda f: (1, f.preceding)
+            if not isinstance(f, RangeFrame)
+            else (0, f.micros),
+        )
         first = ordered[0]
         alias_order = [s.name for _, s in per_call]
         return PipelineRequestService(
             state,
             keys,
             order,
-            frames[first],
+            first,
             groups[first],
             prepared,
-            extra_groups=[(frames[m], groups[m]) for m in ordered[1:]],
+            extra_groups=[(f, groups[f]) for f in ordered[1:]],
             alias_order=alias_order,
+            tiebreak=tiebreak,
         )
 
     def build(self, spark: SparkSession) -> DataFrame:
@@ -733,6 +744,7 @@ class PipelineRequestService:
         prepared,
         extra_groups=None,
         alias_order=None,
+        tiebreak=None,
     ):
         self.state = state
         self.key_cols = list(key_cols)
@@ -749,6 +761,7 @@ class PipelineRequestService:
         ]
         self._alias_order = list(alias_order or [s.name for s in self.specs])
         self.prepared = prepared
+        self.tiebreak = tiebreak
         self._cached = False
 
     def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
@@ -769,6 +782,7 @@ class PipelineRequestService:
                     specs=specs,
                     prepared=self.prepared,
                     request_id_col=request_id_col,
+                    tiebreak=self.tiebreak,
                 )
             )
         base = outs[0]

@@ -106,14 +106,18 @@ def apply_sliding_aggs(
     of rows — the batch analogue of the reference's time-bucketed state
     (reference src/storage/batch_store.rs:18-24).
 
-    ``request_col`` (RANGE frames only): request-mode evaluation at virtual
-    points (reference window_request_operator.rs:110-120,
+    ``request_col``: request-mode evaluation at virtual points (reference
+    window_request_operator.rs:110-120,
     aggregates/point_request_merge.rs). Rows where the column is 1 are
     *requests*: emitted but never added/retracted into the accumulators;
     rows where it is 0 are *state*: swept through the accumulators but not
     emitted. The result is each UDAF evaluated against the trailing window
     of state as of each request timestamp — same one-shuffle plan as the
-    write path.
+    write path. For ROWS frames the request occupies the frame's
+    current-row slot (no stored position), so its frame is the last
+    ``preceding`` state rows at-or-before its cursor (reference
+    plain_points.rs:345-370); pass ``tiebreak`` starting with the request
+    flag so requests sort after state rows at equal ts.
     """
     _self_contained_udfs()
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
@@ -122,11 +126,15 @@ def apply_sliding_aggs(
     for name, expr in (prepared or {}).items():
         work = work.withColumn(name, expr)
 
-    if request_col is not None and not isinstance(frame, RangeFrame):
-        # a virtual point has no row position, so ROWS-frame request
-        # semantics are undefined — the reference only serves RANGE lookups
-        # through tiles as well
-        raise ValueError("request_col requires a RANGE frame")
+    # request_col + ROWS frames (r13): a virtual point consumes the frame's
+    # CURRENT ROW slot but no stored position — the frame at a request is
+    # the last ``preceding`` STATE rows at-or-before its (ts, tiebreak)
+    # cursor (reference plan_rows_points / produce_aggregates_from_ranges,
+    # plain_points.rs:183-262,345-370: stored_rows = window_size - 1 with
+    # window_size = preceding + 1, bucket_index.rs:485-499). Handled by the
+    # state-position ring in run_sweep_arrays; callers must tiebreak the
+    # sort so request rows land AFTER state rows at equal ts (the
+    # reference's last_row_le_ts_in_range seeks Cursor(ts, u64::MAX)).
 
     input_cols = sorted({c for s in specs for c in s.inputs})
     ts_col = "__ts_micros"
@@ -327,10 +335,30 @@ def run_sweep_arrays(
                 retract(lo)
                 lo += 1
             emit(i)
-    else:
+    elif add_mask is None:
         for i in range(n):
             add(i)
             if i - length - 1 >= 0:
                 retract(i - length - 1)
+            emit(i)
+    else:
+        # request-mode ROWS sweep: only state rows (add_mask True) occupy
+        # frame positions; the virtual point takes the current-row slot, so
+        # the accumulators hold the last ``length`` state rows when a
+        # request emits (reference plain_points.rs:345-370 — stored_rows =
+        # window_size - 1 at a virtual point). State rows older than the
+        # last ``length`` can never re-enter a later request's frame, so a
+        # ring of positions keeps the sweep O(n) like the write path.
+        cap = length
+        ring: list[int] = [0] * (cap + 1)
+        head = tail = 0  # ring holds state indices in [tail, head)
+        for i in range(n):
+            if add_mask[i]:
+                add(i)
+                ring[head % (cap + 1)] = i
+                head += 1
+                if head - tail > cap:
+                    retract(ring[tail % (cap + 1)])
+                    tail += 1
             emit(i)
     return outs

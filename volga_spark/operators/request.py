@@ -17,9 +17,10 @@ request batch; single-key lookups prune to one partition.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from volga_spark.operators.window import Frame, event_window
+from volga_spark.operators.window import Frame, RowsFrame, event_window
 
 REQ_FLAG = "__is_request"
 
@@ -32,6 +33,7 @@ def point_in_time_lookup(
     frame: Frame,
     agg_builder,
     request_id_col: str = "request_id",
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Evaluate window aggregates at each request's (key, ts) point.
 
@@ -39,8 +41,24 @@ def point_in_time_lookup(
     expressions (use ``masked(col)`` for inputs so request rows never
     contribute). Returns one row per request. ``requests`` must carry the
     key columns, ``ts_col`` and a request id.
+
+    ROWS frames (r13): a virtual point occupies the frame's CURRENT ROW
+    slot but no stored position, so its frame is the last ``preceding``
+    STATE rows at-or-before (ts, tiebreak) — request rows must never
+    consume frame positions (reference plan_rows_points,
+    plain_points.rs:183-262,345-370: stored_rows = window_size - 1, with
+    rows at exactly the request ts counting as at-or-before). A raw ROWS
+    frame over the union would let co-keyed requests displace state rows;
+    instead state rows get a ``row_number`` position, each request is
+    assigned the position of the newest state row at-or-before it (an
+    as-of max over the union), and the aggregates run a RANGE frame over
+    the integer POSITION axis — fully JVM-side, one hash exchange on the
+    key, two in-partition sorts. ``tiebreak`` orders co-timestamped state
+    rows (the reference's ``__seq_no``); required for determinism when
+    (key, ts) is not unique.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
     state_cols = [c for c in state.columns if c not in keys and c != ts_col]
 
     s = state.select(
@@ -57,8 +75,54 @@ def point_in_time_lookup(
         F.lit(1).alias(REQ_FLAG),
         F.col(request_id_col).cast("long"),
     )
-    combined = s.unionByName(r)
-    w = event_window(keys, ts_col, frame)
+    if isinstance(frame, RowsFrame):
+        pos = "__state_pos"
+        s = s.withColumn(
+            pos,
+            F.row_number().over(
+                W.partitionBy(*keys).orderBy(
+                    F.col(ts_col), *[F.col(t) for t in ties]
+                )
+            ),
+        )
+        r = r.withColumn(pos, F.lit(None).cast("int"))
+        combined = s.unionByName(r)
+        # as-of position: newest state row at-or-before each request —
+        # ordering (ts, flag) puts requests after ALL state rows sharing
+        # their ts (the reference seeks Cursor(ts, u64::MAX)); max() makes
+        # the assignment insensitive to intra-tie arrangement
+        w_asof = (
+            W.partitionBy(*keys)
+            .orderBy(F.col(ts_col), F.col(REQ_FLAG))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        combined = combined.withColumn(
+            "__pos_val", F.coalesce(F.max(pos).over(w_asof), F.lit(0))
+        )
+        if frame.preceding == 0:
+            # ROWS 0 PRECEDING: the virtual point IS the whole frame — zero
+            # stored rows; park requests below every state position so the
+            # single-point range sees only co-parked requests (all NULLs)
+            combined = combined.withColumn(
+                "__pos_val",
+                F.when(F.col(REQ_FLAG) == 1, F.lit(-1)).otherwise(
+                    F.col("__pos_val")
+                ),
+            )
+            span = 0
+        else:
+            span = frame.preceding - 1
+        # RANGE over the position axis: a request anchored at pos p frames
+        # state positions [p - preceding + 1, p] — exactly the last
+        # ``preceding`` state rows; co-located requests contribute NULLs
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__pos_val"))
+            .rangeBetween(-span, 0)
+        )
+    else:
+        combined = s.unionByName(r)
+        w = event_window(keys, ts_col, frame)
     out = combined.select(
         *keys,
         ts_col,
@@ -78,6 +142,7 @@ def point_in_time_ml_lookup(
     specs,
     prepared: dict[str, Column] | None = None,
     request_id_col: str = "request_id",
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Evaluate the ML UDAF library (cate/top sweep specs) at each request's
     (key, ts) virtual point — the reference's WindowRequestOperator over its
@@ -90,26 +155,35 @@ def point_in_time_ml_lookup(
     never reach the accumulators). One hash shuffle on the key; requests
     ride the same exchange as state — identical plan shape to the write
     path, so serving scales exactly like the window computation itself.
+
+    ROWS frames are served (r13): the sweep gives requests the frame's
+    current-row slot and its last ``preceding`` STATE rows (reference
+    plain_points.rs:345-370). The union is sorted (ts, request-flag,
+    tiebreak) so requests land after co-timestamped state rows, matching
+    the reference's Cursor(ts, u64::MAX) seek; ``tiebreak`` (state
+    columns, e.g. a sequence number) orders co-timestamped state rows.
     """
     from volga_spark.functions.sliding import apply_sliding_aggs
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
 
     s = state
     for name, expr in (prepared or {}).items():
         s = s.withColumn(name, expr)
     input_cols = sorted({c for spec in specs for c in spec.inputs})
+    nulled = list(dict.fromkeys([*ties, *input_cols]))
     s = s.select(
         *keys,
         ts_col,
-        *input_cols,
+        *nulled,
         F.lit(0).alias(REQ_FLAG),
         F.lit(None).cast("long").alias(request_id_col),
     )
     r = requests.select(
         *keys,
         ts_col,
-        *[F.lit(None).cast(dict(s.dtypes)[c]).alias(c) for c in input_cols],
+        *[F.lit(None).cast(dict(s.dtypes)[c]).alias(c) for c in nulled],
         F.lit(1).alias(REQ_FLAG),
         F.col(request_id_col).cast("long"),
     )
@@ -122,6 +196,7 @@ def point_in_time_ml_lookup(
         specs=specs,
         passthrough=[request_id_col, *keys, ts_col],
         request_col=REQ_FLAG,
+        tiebreak=[REQ_FLAG, *ties],
     )
 
 
@@ -153,6 +228,7 @@ class FeatureService:
         frame,
         agg_builder,
         cache: bool = True,
+        tiebreak: str | list[str] | None = None,
     ):
         self.state = state
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -160,6 +236,7 @@ class FeatureService:
         self.frame = frame
         self.agg_builder = agg_builder
         self.cache = cache
+        self.tiebreak = tiebreak  # orders co-timestamped state (ROWS frames)
         self._cached = False
 
     def _ensure_cached(self) -> None:
@@ -185,6 +262,7 @@ class FeatureService:
             frame=self.frame,
             agg_builder=self.agg_builder,
             request_id_col=request_id_col,
+            tiebreak=self.tiebreak,
         )
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:

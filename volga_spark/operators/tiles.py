@@ -456,6 +456,19 @@ class TiledFeatureService:
         cache: bool = True,
         granularities: list[str] | None = None,
     ):
+        if not isinstance(frame, RangeFrame):
+            # the reference likewise serves ROWS points WITHOUT tiles —
+            # plan_rows_points loads the whole bucket span raw
+            # (PointDataPlan::Whole, plain_points.rs:183-262) and ignores
+            # tile accumulators; our equivalents are
+            # operators.request.point_in_time_lookup / the PipelineSpec
+            # request service, both of which serve RowsFrame since r13
+            raise ValueError(
+                "TiledFeatureService serves RANGE frames only (tiles "
+                "pre-aggregate time intervals, not row positions); use "
+                "point_in_time_lookup or PipelineSpec.build_request_service "
+                "for ROWS-frame lookups"
+            )
         self.events = events
         self.tiles = tiles
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)

@@ -11,7 +11,7 @@ from volga_spark.operators.request import (
     point_in_time_lookup,
     point_in_time_ml_lookup,
 )
-from volga_spark.operators.window import cents, range_frame
+from volga_spark.operators.window import cents, range_frame, rows_frame
 from volga_spark.tables import load_table
 from volga_spark.workloads import workload
 
@@ -23,23 +23,48 @@ from volga_spark.workloads import workload
             SELECT event_id AS request_id, user_id,
                    ts + INTERVAL 1 SECOND AS rts
             FROM events WHERE event_id % 10 = 0
+        ),
+        base AS (
+            SELECT q.request_id, q.user_id,
+                   count(e.value) AS cnt_1h,
+                   sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_1h,
+                   min(e.value) AS min_1h,
+                   max(e.value) AS max_1h
+            FROM req q LEFT JOIN events e
+              ON e.user_id = q.user_id
+             AND e.ts >= q.rts - INTERVAL 1 HOUR AND e.ts <= q.rts
+            GROUP BY q.request_id, q.user_id
+        ),
+        rows_pairs AS (
+            SELECT q.request_id, e.value AS v,
+                   row_number() OVER (PARTITION BY q.request_id
+                       ORDER BY e.ts DESC, e.event_id DESC) AS rk
+            FROM req q JOIN events e
+              ON e.user_id = q.user_id AND e.ts <= q.rts
+        ),
+        rows_agg AS (
+            SELECT request_id, count(*) AS cnt_r100,
+                   sum(CAST(round(v * 100) AS BIGINT)) / 100.0 AS sum_r100,
+                   min(v) AS min_r100,
+                   max(v) AS max_r100
+            FROM rows_pairs WHERE rk <= 100 GROUP BY request_id
         )
-        SELECT q.request_id, q.user_id,
-               count(e.value) AS cnt_1h,
-               sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_1h,
-               min(e.value) AS min_1h,
-               max(e.value) AS max_1h
-        FROM req q LEFT JOIN events e
-          ON e.user_id = q.user_id
-         AND e.ts >= q.rts - INTERVAL 1 HOUR AND e.ts <= q.rts
-        GROUP BY q.request_id, q.user_id
+        SELECT b.request_id, b.user_id, b.cnt_1h, b.sum_1h, b.min_1h, b.max_1h,
+               coalesce(ra.cnt_r100, 0) AS cnt_r100,
+               ra.sum_r100, ra.min_r100, ra.max_r100
+        FROM base b LEFT JOIN rows_agg ra ON ra.request_id = b.request_id
     """,
     tags=("request",),
 )
 def q_request_point_lookup(spark, sf_dir):
     """Every 10th event +1s becomes a request point; SUM/COUNT/MIN/MAX over
     the trailing 1h of state evaluated at that virtual timestamp (reference
-    request_source_e2e_test shape)."""
+    request_source_e2e_test shape). r13 'rows' leg: the same natives over
+    ``ROWS 100 PRECEDING`` — the reference's own request-benchmark frame
+    shape (window_operator_benchmark.rs:609-612 runs ROWS 10000 PRECEDING
+    in Request mode, planned by plan_rows_points): the frame at a virtual
+    point is the last 100 state rows at-or-before rts by (ts, event_id),
+    request rows never consuming stored positions."""
     ev = load_table(spark, sf_dir, "events")
     state = ev.select("user_id", "ts", "value")
     requests = ev.filter(F.col("event_id") % 10 == 0).select(
@@ -47,7 +72,7 @@ def q_request_point_lookup(spark, sf_dir):
         "user_id",
         (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
     )
-    return point_in_time_lookup(
+    base = point_in_time_lookup(
         state,
         requests,
         key_cols="user_id",
@@ -61,6 +86,25 @@ def q_request_point_lookup(spark, sf_dir):
             "max_1h": F.max(masked("value")).over(w),
         },
     ).select("request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h")
+    rows_leg = point_in_time_lookup(
+        ev.select("user_id", "ts", "event_id", "value"),
+        requests,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=rows_frame(100),
+        tiebreak="event_id",
+        agg_builder=lambda w: {
+            "cnt_r100": F.count(masked("value")).over(w),
+            "sum_r100": F.sum(F.round(masked("value") * 100).cast("long")).over(w)
+            / F.lit(100.0),
+            "min_r100": F.min(masked("value")).over(w),
+            "max_r100": F.max(masked("value")).over(w),
+        },
+    ).select("request_id", "cnt_r100", "sum_r100", "min_r100", "max_r100")
+    return base.join(rows_leg, "request_id").select(
+        "request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h",
+        "cnt_r100", "sum_r100", "min_r100", "max_r100",
+    )
 
 
 @workload(
