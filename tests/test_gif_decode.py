@@ -200,3 +200,73 @@ def test_gif_lzw_raw_layer_width_boundaries():
                 )[:n].tolist()
             data = _LzwWriter(mcs).compress(seq)
             assert _gif_lzw_decode(mcs, data, len(seq)) == seq, (mcs, kind)
+
+
+def _encode_subframe_gif(
+    screen: tuple[int, int],
+    frame_plane: np.ndarray,
+    frame_pos: tuple[int, int],
+    gct: np.ndarray | None,
+    bg_idx: int,
+    local_pal: np.ndarray | None,
+) -> bytes:
+    """Single sub-screen frame at (left, top) with independent global/local
+    color tables and an explicit header background color index."""
+    sh, sw = screen
+    h, w = frame_plane.shape
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    if gct is not None:
+        bits = max(1, int(len(gct) - 1).bit_length())
+        out += bytes([0x80 | (bits - 1), bg_idx, 0])
+        out += gct.tobytes()
+    else:
+        out += bytes([0x00, bg_idx, 0])
+    top, left = frame_pos
+    out += b"\x2c"
+    out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    pal = local_pal if local_pal is not None else gct
+    bits = max(1, int(len(pal) - 1).bit_length())
+    out += bytes([(0x80 | (bits - 1)) if local_pal is not None else 0])
+    if local_pal is not None:
+        out += local_pal.tobytes()
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    data = _LzwWriter(min_code).compress(frame_plane.reshape(-1).tolist())
+    out += bytes([len(data)]) + data + b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_local_palette_frame_ignores_header_background_index():
+    """r13 advisor: the GIF89a background color index is defined against
+    the GLOBAL color table only; a sub-screen frame carrying a LOCAL
+    palette must composite onto fill 0, not local_pal[bg_idx]."""
+    gct = np.array(
+        [[10, 10, 10], [20, 20, 20], [200, 0, 0], [0, 200, 0]], dtype=np.uint8
+    )
+    lpal = np.array(
+        [[1, 2, 3], [50, 60, 70], [99, 99, 99], [7, 8, 9]], dtype=np.uint8
+    )
+    frame = np.array([[1, 2], [3, 1]], dtype=np.uint8)
+    payload = _encode_subframe_gif((6, 6), frame, (1, 1), gct, 2, lpal)
+    img = decode_gif(payload)
+    # background = local palette index 0, NOT lpal[2] (and certainly not a
+    # GCT color — the frame's pixels resolve through the local table)
+    assert np.array_equal(img[0, 0], lpal[0])
+    assert np.array_equal(img[5, 5], lpal[0])
+    assert np.array_equal(img[1, 1], lpal[1])
+    assert np.array_equal(img[1, 2], lpal[2])
+    assert np.array_equal(img[2, 2], lpal[1])
+
+
+def test_gif_global_palette_frame_keeps_header_background_index():
+    """Counterpart: with the GCT active, the header bg index IS the fill."""
+    gct = np.array(
+        [[10, 10, 10], [20, 20, 20], [200, 0, 0], [0, 200, 0]], dtype=np.uint8
+    )
+    frame = np.array([[1, 0], [0, 1]], dtype=np.uint8)
+    payload = _encode_subframe_gif((5, 5), frame, (2, 2), gct, 3, None)
+    img = decode_gif(payload)
+    assert np.array_equal(img[0, 0], gct[3])
+    assert np.array_equal(img[2, 2], gct[1])

@@ -1,0 +1,199 @@
+"""Cross-implementation serving fuzzer (r13 — VERDICT #4).
+
+The q_request_* oracles pin FIXED shapes; this harness draws randomized
+(frame length × ladder geometry × state distribution × request batch)
+shapes and runs the SAME lookup through every serving implementation:
+
+  1. the native union-window path (point_in_time_lookup) — the baseline,
+  2. flat single-level tiles (tiled_lookup, granularities=None),
+  3. the ladder with the PRECOMPUTED COVER TEMPLATE (the serving default),
+  4. the ladder with the CARRY-CHAIN cover (the >1M-template-row fallback),
+  5. the TiledFeatureService with an explicit multi-shard split.
+
+All five must agree bit-for-bit (counts are longs; sums go through the
+cents rule so the doubles are exact; min/max are picks). Seed count:
+FUZZ_SERVING_SEEDS env (CI default 6; deep sweeps crank it).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from volga_spark.operators.request import masked, point_in_time_lookup
+from volga_spark.operators.tiles import (
+    TiledFeatureService,
+    build_cover_template,
+    build_tile_ladder,
+    cover_template_eligible,
+    tiled_lookup,
+)
+from volga_spark.operators.window import RangeFrame, interval_to_micros
+
+_SEEDS = int(os.environ.get("FUZZ_SERVING_SEEDS", "6"))
+
+# (frame, ladder levels) — every ladder is divisibility-valid and the
+# template is eligible for some, not others, so both cover decompositions
+# get drawn
+_FRAMES = [
+    ("30 minutes", ["1 minute", "10 minutes"]),
+    ("2 hours", ["1 minute", "30 minutes"]),
+    ("1 hour", ["30 seconds", "5 minutes"]),
+    ("45 minutes", ["15 seconds", "3 minutes"]),
+    ("3 hours", ["2 minutes", "60 minutes"]),
+]
+
+
+def _draw(seed: int):
+    rng = random.Random(7_000 + seed)
+    frame_s, levels = _FRAMES[seed % len(_FRAMES)]
+    n_users = rng.randint(2, 6)
+    n_rows = rng.randint(150, 500)
+    base = datetime(2024, 7, 1)
+    span_s = rng.randint(3600, 6 * 3600)
+    state = pd.DataFrame(
+        {
+            "user_id": [rng.randrange(n_users) for _ in range(n_rows)],
+            "ts": [
+                base + timedelta(seconds=rng.randrange(span_s))
+                for _ in range(n_rows)
+            ],
+            "value": [
+                round(rng.uniform(-50, 150), 2) for _ in range(n_rows)
+            ],
+        }
+    )
+    n_req = rng.randint(20, 60)
+    reqs = []
+    for rid in range(n_req):
+        mode = rng.random()
+        if mode < 0.15:  # key with no state
+            u, ts = n_users + 1, base + timedelta(seconds=rng.randrange(span_s))
+        elif mode < 0.3:  # before any state
+            u, ts = rng.randrange(n_users), base - timedelta(seconds=rng.randint(1, 600))
+        elif mode < 0.5:  # exactly ON a state row's ts (at-or-before tie)
+            row = state.iloc[rng.randrange(len(state))]
+            u, ts = int(row.user_id), row.ts
+        else:
+            u, ts = rng.randrange(n_users), base + timedelta(
+                seconds=rng.randrange(span_s + 1800)
+            )
+        reqs.append({"request_id": rid, "user_id": u, "ts": ts})
+    return frame_s, levels, state, pd.DataFrame(reqs)
+
+
+def _native(spark, state_df, reqs_df, frame: RangeFrame) -> dict:
+    out = point_in_time_lookup(
+        state_df,
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=frame,
+        agg_builder=lambda w: {
+            "cnt": F.count(masked("value")).over(w),
+            "sum_value": F.sum(F.round(masked("value") * 100).cast("long")).over(w)
+            / F.lit(100.0),
+            "min_value": F.min(masked("value")).over(w),
+            "max_value": F.max(masked("value")).over(w),
+        },
+    ).collect()
+    return {r["request_id"]: r for r in out}
+
+
+def _check(name: str, got_rows, want: dict, seed: int):
+    got = {r["request_id"]: r for r in got_rows}
+    assert set(got) == set(want), f"seed {seed} {name}: request id sets differ"
+    bad = []
+    for rid, w in want.items():
+        g = got[rid]
+        for c in ("cnt", "sum_value", "min_value", "max_value"):
+            gv, wv = g[c], w[c]
+            # tiled path returns cnt=0 + NULL aggs for no-match requests,
+            # the native path count() is also 0 — exact compare throughout
+            if gv != wv and not (gv is None and wv is None):
+                bad.append((rid, c, gv, wv))
+    assert not bad, f"seed {seed} {name}: {len(bad)} mismatches, first 5: {bad[:5]}"
+
+
+@pytest.mark.parametrize("seed", range(_SEEDS))
+def test_all_serving_impls_agree(spark, seed):
+    frame_s, levels, state_pdf, reqs_pdf = _draw(seed)
+    frame = RangeFrame(frame_s)
+    gs = [interval_to_micros(x) for x in levels]
+    state_df = spark.createDataFrame(state_pdf).localCheckpoint()
+    reqs_df = spark.createDataFrame(reqs_pdf).localCheckpoint()
+
+    want = _native(spark, state_df, reqs_df, frame)
+
+    # 2. flat single-level tiles
+    flat = tiled_lookup(
+        state_df,
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=frame,
+        granularity=levels[0],
+    ).collect()
+    _check("flat-tiles", flat, want, seed)
+
+    # 3+4. ladder, both cover decompositions
+    tiles = build_tile_ladder(state_df, ["user_id"], "ts", "value", levels)
+    if cover_template_eligible(frame.micros, gs):
+        tpl = build_cover_template(spark, frame.micros, gs)
+        templ = tiled_lookup(
+            state_df,
+            reqs_df,
+            key_cols="user_id",
+            ts_col="ts",
+            value_col="value",
+            frame=frame,
+            granularity=levels[0],
+            granularities=levels,
+            tiles=tiles,
+            cover_template=tpl,
+        ).collect()
+        _check("ladder-template", templ, want, seed)
+    chain_sink: list = []
+    chain = tiled_lookup(
+        state_df,
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=frame,
+        granularity=levels[0],
+        granularities=levels,
+        tiles=tiles,
+        cover_template=None,
+        _barrier_sink=chain_sink,
+    ).collect()
+    _check("ladder-carry-chain", chain, want, seed)
+    for f in chain_sink:
+        f.unpersist()
+
+    # 5. the service front end with an explicit multi-shard split
+    svc = TiledFeatureService(
+        state_df,
+        tiles,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=frame,
+        granularity=levels[0],
+        granularities=levels,
+    )
+    try:
+        sharded = svc.lookup(reqs_df, shards=3).collect()
+        _check("service-sharded", sharded, want, seed)
+        # and the auto path with the n_requests hint (r13: pin retained)
+        hinted = svc.lookup(reqs_df, n_requests=len(reqs_pdf)).collect()
+        _check("service-hinted", hinted, want, seed)
+    finally:
+        svc.close()

@@ -653,6 +653,57 @@ def test_sharded_lookup_pins_nondeterministic_request_frames(spark, sf_dir):
     svc.close()
 
 
+def test_hint_resolved_single_shard_still_pins_nondeterministic_batch(
+    spark, sf_dir
+):
+    """r13 advisor (medium): an n_requests hint that resolves auto_shards
+    to 1 used to SKIP the batch pin, but even a single-shard tiled_lookup
+    evaluates the request frame in multiple jobs (broadcast probe build +
+    the final left join) — a non-deterministic request plan re-evaluated
+    between them yields dropped or NULL-featured rows. The pin is now kept
+    on every auto-resolved path; only an explicit shards=1 skips it."""
+    from volga_spark.operators.tiles import (
+        TiledFeatureService,
+        auto_shards,
+        build_tile_ladder,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gs = ["1 minute", "1 hour"]
+    svc = TiledFeatureService(
+        ev,
+        build_tile_ladder(ev, ["user_id"], "ts", "value", gs),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=range_frame("25 HOURS"),
+        granularities=gs,
+    )
+    assert auto_shards(30, svc.probe_rows_per_request()) == 1
+    for trial in range(3):
+        req = (
+            ev.orderBy(F.rand())
+            .limit(30)
+            .select(
+                F.monotonically_increasing_id().alias("request_id"),
+                "user_id",
+                "ts",
+            )
+        )
+        rows = svc.lookup(req, n_requests=30).collect()
+        assert len(rows) == 30, trial
+        assert len({r["request_id"] for r in rows}) == 30, trial
+        # every matched request must carry features: a probe/left-join
+        # mismatch from re-evaluation shows up as NULL-featured rows for
+        # requests whose key has state
+        assert all(r["cnt"] is not None for r in rows), trial
+    # pin bookkeeping: exactly one live request pin (this thread's last
+    # batch), released on close
+    assert sum(len(v) for v in svc._batch_pin_rdd_ids.values()) == 1
+    svc.close()
+    assert not svc._batch_pin_rdd_ids
+
+
 def test_cover_template_matches_cover_buckets():
     """r12: the precomputed template must reproduce cover_buckets for
     EVERY reachable (b_first, b_last) — randomized rts/window sweep over

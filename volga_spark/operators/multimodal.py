@@ -460,11 +460,15 @@ def decode_gif(payload: bytes, rgb: bool = True) -> np.ndarray:
                 out_rows[order] = plane
                 plane = out_rows
             if (left, top) != (0, 0) or (w, h) != (sw, sh):
-                # composite onto the logical screen: background color
-                # index from the header (0 when it points past the
-                # palette — per spec it is only meaningful with a GCT)
+                # composite onto the logical screen: per GIF89a the header
+                # background color index is defined against the GLOBAL
+                # color table only — when the frame brought its own local
+                # palette the index would land on an unrelated color, so
+                # fill with 0 instead (r13 advisor)
                 fill = (
-                    bg_idx if pal is not None and bg_idx < len(pal) else 0
+                    bg_idx
+                    if gct is not None and pal is gct and bg_idx < len(pal)
+                    else 0
                 )
                 canvas = np.full((sh, sw), fill, dtype=np.uint8)
                 canvas[top : top + h, left : left + w] = plane

@@ -435,6 +435,18 @@ def build_serving_state(
     return t.unionByName(r)
 
 
+def _checkpoint_rdd_id(df: DataFrame) -> int:
+    """The persisted RDD id behind an (eager) ``localCheckpoint`` result.
+
+    The checkpoint returns a DataFrame whose ANALYZED plan is a
+    ``LogicalRDD`` wrapping exactly the RDD that was persisted, so the id
+    is read off the plan — no global getPersistentRDDs diff, hence no race
+    with concurrent persists elsewhere on the SparkContext (r13 advisor).
+    JVM-plan introspection only; never touches Python ``DataFrame.rdd``
+    (banned engine-wide — see caching.py)."""
+    return int(df._jdf.queryExecution().analyzed().rdd().id())
+
+
 class TiledFeatureService:
     """Request-serving over TILED state — the reference's "queryable state"
     loop (README feature list + window_request_operator.rs): the streaming
@@ -537,22 +549,16 @@ class TiledFeatureService:
             )
             if self.cache:
                 sc = st.sparkSession.sparkContext
-                # capture under the pins lock: a concurrent lookup's
-                # request-pin checkpoint interleaving here would be
-                # claimed as state blocks and mis-released at close
-                with self._pins_lock:
-                    before = {
-                        int(k)
-                        for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-                    }
-                    st = st.coalesce(sc.defaultParallelism).localCheckpoint(
-                        eager=True
-                    )
-                    after = {
-                        int(k)
-                        for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-                    }
-                    self._ckpt_rdd_ids = after - before
+                st = st.coalesce(sc.defaultParallelism).localCheckpoint(
+                    eager=True
+                )
+                # r13 (advisor): take the checkpoint's rdd id straight off
+                # the returned DataFrame's analyzed plan (a LogicalRDD
+                # wrapping exactly the persisted RDD) — the old
+                # before/after getPersistentRDDs diff could claim a
+                # concurrent persist from ANOTHER service/user on the same
+                # SparkContext and mis-release it at close
+                self._ckpt_rdd_ids = {_checkpoint_rdd_id(st)}
                 self._cached = True
             self._state = st
         if (
@@ -677,11 +683,14 @@ class TiledFeatureService:
 
         ``n_requests`` (r12) is a caller-supplied batch-size hint: auto
         mode resolves the shard count from it WITHOUT the per-batch
-        ``count()`` job, and a hint that resolves to one shard skips the
-        batch pin entirely (single-scan plans don't need the determinism
-        pin). Online callers know their batch size (``get_features``
-        passes ``len(points)``); the hint only sizes the shard split, so
-        an inexact value affects performance, never results.
+        ``count()`` job. The batch pin is kept on every auto-resolved
+        path — even one shard evaluates the request frame in multiple
+        jobs (probe build + final left join), so only an EXPLICIT
+        ``shards=1`` (the caller asserting a deterministic request plan)
+        skips it (r13 advisor fix). Online callers know their batch size
+        (``get_features`` passes ``len(points)``); the hint only sizes
+        the shard split, so an inexact value affects performance, never
+        results.
 
         The multi-scan pin is an eager ``localCheckpoint`` of a DERIVED
         frame, never a ``persist`` of the caller's own DataFrame object
@@ -695,30 +704,31 @@ class TiledFeatureService:
         # callers each keep their in-flight pins — see __init__ note)
         self._release_batch_pins(all_threads=False)
         tid = threading.get_ident()
-        if shards is None and n_requests is not None:
+        auto = shards is None
+        if auto and n_requests is not None:
             shards = auto_shards(n_requests, self.probe_rows_per_request())
-        if shards is None or shards > 1:
-            # multi-scan path: pin the batch via an EAGER localCheckpoint —
-            # it materializes the batch before any shard filter scans it
-            # (the determinism guarantee) AND truncates the caller's
-            # request plan to a LogicalRDD, so the dozen downstream
-            # Dataset creations and every per-job optimizer pass stop
-            # re-walking it (measured: the request-frame subtree was a
-            # visible slice of the 1k-batch driver floor). The checkpoint
-            # never touches the caller's own DataFrame or cache entry;
-            # blocks are released per batch by rdd id (DataFrame.unpersist
-            # cannot release checkpoint blocks).
-            sc = requests.sparkSession.sparkContext
-            with self._pins_lock:  # serialize id capture across threads
-                before = {
-                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-                }
-                requests = requests.localCheckpoint(eager=True)
-                after = {
-                    int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-                }
-                self._batch_pin_rdd_ids.setdefault(tid, set()).update(
-                    after - before
+        if auto or shards > 1:
+            # pin the batch via an EAGER localCheckpoint: it materializes
+            # the batch ONCE before anything scans it — the determinism
+            # guarantee — AND truncates the caller's request plan to a
+            # LogicalRDD, so the dozen downstream Dataset creations and
+            # every per-job optimizer pass stop re-walking it (measured:
+            # the request-frame subtree was a visible slice of the
+            # 1k-batch driver floor). Pinned on EVERY auto-resolved path,
+            # including an n_requests hint that resolves to one shard
+            # (r13 advisor): even a single-shard tiled_lookup evaluates
+            # the request frame in multiple jobs (broadcast probe build +
+            # final left join), so an unpinned non-deterministic request
+            # plan (rand()/sampling) could drop or NULL rows between
+            # them. Only an EXPLICIT shards=1 skips the pin — that caller
+            # asserts a deterministic plan. The checkpoint never touches
+            # the caller's own DataFrame or cache entry; blocks are
+            # released per batch by rdd id (DataFrame.unpersist cannot
+            # release checkpoint blocks).
+            requests = requests.localCheckpoint(eager=True)
+            with self._pins_lock:
+                self._batch_pin_rdd_ids.setdefault(tid, set()).add(
+                    _checkpoint_rdd_id(requests)
                 )
             if shards is None:
                 n = requests.count()
