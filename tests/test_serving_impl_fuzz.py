@@ -197,3 +197,50 @@ def test_all_serving_impls_agree(spark, seed):
         _check("service-hinted", hinted, want, seed)
     finally:
         svc.close()
+
+
+def test_materialized_lookup_has_no_consume_cadence(spark):
+    """r13 (VERDICT #3): lookup(materialize=True) returns a collected
+    pyarrow.Table — holding the previous batch's materialized result past
+    the caller's next lookup is safe (the eager-pin cadence applies only
+    to live DataFrame results), and all three front ends agree with their
+    live-plan twins."""
+    import pyarrow as pa
+
+    frame_s, levels, state_pdf, reqs_pdf = _draw(0)
+    frame = RangeFrame(frame_s)
+    state_df = spark.createDataFrame(state_pdf).localCheckpoint()
+    reqs_df = spark.createDataFrame(reqs_pdf).localCheckpoint()
+    want = _native(spark, state_df, reqs_df, frame)
+
+    svc = TiledFeatureService(
+        state_df,
+        build_tile_ladder(state_df, ["user_id"], "ts", "value", levels),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=frame,
+        granularity=levels[0],
+        granularities=levels,
+    )
+    try:
+        first = svc.lookup(reqs_df, n_requests=len(reqs_pdf), materialize=True)
+        assert isinstance(first, pa.Table)
+        # issue ANOTHER lookup, then consume the FIRST result — with a live
+        # DataFrame this exact sequence raises
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; materialized results are data
+        svc.lookup(reqs_df, n_requests=len(reqs_pdf), materialize=True)
+        _check("materialized-stale", first.to_pylist(), want, 0)
+        # no pins left behind by materialized batches
+        assert sum(len(v) for v in svc._batch_pin_rdd_ids.values()) == 0
+        assert sum(len(v) for v in svc._batch_pins.values()) == 0
+        # get_features rides the materialized path
+        pts = [
+            (int(r.request_id), int(r.user_id), r.ts.to_pydatetime())
+            for r in reqs_pdf.itertuples()
+        ][:5]
+        feats = {d["request_id"]: d for d in svc.get_features(spark, pts)}
+        for rid, d in feats.items():
+            assert d["cnt"] == want[rid]["cnt"]
+    finally:
+        svc.close()

@@ -764,7 +764,15 @@ class PipelineRequestService:
         self.tiebreak = tiebreak
         self._cached = False
 
-    def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+    def lookup(
+        self,
+        requests: DataFrame,
+        request_id_col: str = "request_id",
+        materialize: bool = False,
+    ):
+        """``materialize=True`` (r13) returns a collected ``pyarrow.Table``
+        instead of a live DataFrame — data, not a plan; the HTTP path's
+        choice."""
         from volga_spark.operators.request import point_in_time_ml_lookup
 
         if not self._cached:
@@ -793,9 +801,10 @@ class PipelineRequestService:
                 ),
                 request_id_col,
             )
-        return base.select(
+        out = base.select(
             request_id_col, *self.key_cols, self.ts_col, *self._alias_order
         )
+        return out.toArrow() if materialize else out
 
     def close(self) -> None:
         if self._cached:
@@ -806,4 +815,4 @@ class PipelineRequestService:
         """points = [(request_id, key..., ts)] → list of feature dicts."""
         cols = ["request_id", *self.key_cols, self.ts_col]
         req = spark.createDataFrame(points, cols)
-        return [r.asDict() for r in self.lookup(req).collect()]
+        return self.lookup(req, materialize=True).to_pylist()

@@ -252,9 +252,17 @@ class FeatureService:
             self.state.unpersist()
             self._cached = False
 
-    def lookup(self, requests: DataFrame, request_id_col: str = "request_id") -> DataFrame:
+    def lookup(
+        self,
+        requests: DataFrame,
+        request_id_col: str = "request_id",
+        materialize: bool = False,
+    ):
+        """``materialize=True`` (r13) returns a collected ``pyarrow.Table``
+        instead of a live DataFrame — data, not a plan; the HTTP path's
+        choice."""
         self._ensure_cached()
-        return point_in_time_lookup(
+        out = point_in_time_lookup(
             self.state,
             requests,
             key_cols=self.key_cols,
@@ -264,9 +272,10 @@ class FeatureService:
             request_id_col=request_id_col,
             tiebreak=self.tiebreak,
         )
+        return out.toArrow() if materialize else out
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
         """points = [(request_id, key..., ts)] → list of feature dicts."""
         cols = ["request_id", *self.key_cols, self.ts_col]
         req = spark.createDataFrame(points, cols)
-        return [r.asDict() for r in self.lookup(req).collect()]
+        return self.lookup(req, materialize=True).to_pylist()

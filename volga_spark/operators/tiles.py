@@ -660,7 +660,8 @@ class TiledFeatureService:
         request_id_col: str = "request_id",
         shards: int | None = None,
         n_requests: int | None = None,
-    ) -> DataFrame:
+        materialize: bool = False,
+    ):
         """Answer one request batch. ``shards > 1`` splits the batch into
         hash-disjoint sub-lookups unioned back together — the escape hatch
         for the plan's one scale bound: the probe frame (requests ×
@@ -698,7 +699,13 @@ class TiledFeatureService:
         ('cannot change storage level') or silently evict their cache
         entry when the pin is released. The checkpoint also truncates the
         request plan for every downstream analysis/optimizer pass (r12
-        floor work); its blocks are released per batch by rdd id."""
+        floor work); its blocks are released per batch by rdd id.
+
+        ``materialize=True`` (r13) returns a fully-collected
+        ``pyarrow.Table`` instead of a live DataFrame and releases this
+        batch's pins immediately — no consume-before-next-lookup cadence,
+        the ergonomic choice for small online batches (the HTTP path uses
+        it). Leave False when the result feeds further Spark plans."""
         self._ensure_cached()
         # release only THIS caller thread's previous batch (concurrent
         # callers each keep their in-flight pins — see __init__ note)
@@ -770,17 +777,25 @@ class TiledFeatureService:
         if sink:
             with self._pins_lock:
                 self._batch_pins.setdefault(tid, []).extend(sink)
-        return out
+        if not materialize:
+            return out
+        # materialize=True (r13, VERDICT #3): collect to an Arrow table and
+        # release THIS batch's pins immediately — the caller holds data,
+        # not a live plan, so the eager-pin cadence ("consume before your
+        # next lookup or fail loudly") no longer applies to them. The HTTP
+        # path materializes anyway; this skips its extra collect round trip.
+        tbl = out.toArrow()
+        self._release_batch_pins(all_threads=False)
+        return tbl
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
         """points = [(request_id, key..., ts)] → list of feature dicts."""
         cols = ["request_id", *self.key_cols, self.ts_col]
         req = spark.createDataFrame(points, cols)
         # the online caller knows its batch size — skip the count job
-        return [
-            r.asDict()
-            for r in self.lookup(req, n_requests=len(points)).collect()
-        ]
+        return self.lookup(
+            req, n_requests=len(points), materialize=True
+        ).to_pylist()
 
 
 def tiled_lookup(
