@@ -129,44 +129,50 @@ def _write_chunks(spark, df, out_dir, ts_col, n_chunks, key_col, id_col, flush):
 
     if flush:
         # two rounds of far-future punctuation rows per key (MAX_WATERMARK
-        # stand-in); non-null defaults — nulls would poison numeric state
-        keys = [
-            r[0] for r in df.select(key_col).distinct().orderBy(key_col).collect()
-        ]
-        max_ts = df.agg(F.max(ts_col)).first()[0]
-
-        def _default(dt):
-            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-                return 0
-            if isinstance(dt, (T.FloatType, T.DoubleType)):
-                return 0.0
-            if isinstance(dt, T.BooleanType):
-                return False
-            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-                return max_ts
-            return ""
-
+        # stand-in); non-null defaults — nulls would poison numeric state.
+        # Built DISTRIBUTEDLY (r13, VERDICT #5): distinct keys + literal
+        # default columns, written straight to parquet — the old
+        # collect-keys-then-createDataFrame round trip was
+        # data-proportional in key cardinality, so at 100x keys the
+        # HARNESS (not the engine) became the bottleneck. The only driver
+        # materialization left is the single-row max(ts) aggregate.
         import datetime
 
+        max_ts = df.agg(F.max(ts_col)).first()[0]
+        kdf = df.select(key_col).distinct()
+
         for delta_h in (1, 2):
-            rows = []
-            for k in keys:
-                row = {f.name: _default(f.dataType) for f in df.schema.fields}
-                # punctuation means "end of stream": EVERY time column jumps
-                # to the far-future mark, not just the chunk-order column —
-                # with a separate arrival/event-time pair, leaving event time
-                # at max_ts would hold the watermark one lateness short of
-                # closing the final window
-                for f in df.schema.fields:
-                    if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-                        row[f.name] = max_ts + datetime.timedelta(hours=delta_h)
-                row[key_col] = k
-                row[ts_col] = max_ts + datetime.timedelta(hours=delta_h)
-                if id_col:
-                    row[id_col] = SENTINEL_ID
-                rows.append(row)
-            sdf = spark.createDataFrame(rows, schema=df.schema)
-            sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+            # punctuation means "end of stream": EVERY time column jumps
+            # to the far-future mark, not just the chunk-order column —
+            # with a separate arrival/event-time pair, leaving event time
+            # at max_ts would hold the watermark one lateness short of
+            # closing the final window
+            punct_ts = max_ts + datetime.timedelta(hours=delta_h)
+            cols = []
+            for f in df.schema.fields:
+                if f.name == key_col:
+                    cols.append(F.col(key_col))
+                    continue
+                dt = f.dataType
+                if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                    v = F.lit(punct_ts).cast(dt)
+                elif id_col and f.name == id_col:
+                    v = F.lit(SENTINEL_ID).cast(dt)
+                elif isinstance(
+                    dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+                ):
+                    v = F.lit(0).cast(dt)
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    v = F.lit(0.0).cast(dt)
+                elif isinstance(dt, T.BooleanType):
+                    v = F.lit(False)
+                else:
+                    v = F.lit("").cast(dt)
+                cols.append(v.alias(f.name))
+            # coalesce(1): a punctuation round must be ONE chunk file (the
+            # stream replays files in order) — a single write task over
+            # one row per key, never a driver-side row list
+            kdf.select(*cols).coalesce(1).write.mode("overwrite").parquet(tmp)
             part = sorted(glob.glob(os.path.join(tmp, "part-*")))[0]
             dst = os.path.join(out_dir, f"chunk_{chunk_no:04d}.parquet")
             shutil.move(part, dst)
