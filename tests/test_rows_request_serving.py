@@ -260,3 +260,63 @@ def test_rows_flood_requests_share_one_frame(spark, state_df, reqs_df):
     assert len(flood) == 6
     assert len({(r["cnt"], r["s"]) for r in flood}) == 1
     assert flood[0]["cnt"] == 5
+
+
+@pytest.mark.parametrize("n", [1, 3, 5, 23, 1000])
+def test_rows_index_lookup_matches_bruteforce(spark, state_df, reqs_df, n):
+    """The block-decomposed position index (the O(1)-per-request scale path
+    for the reference's ROWS request-bench shape) must match the
+    brute-force model on the same tie/flood/empty-frame cases as the
+    two-pass native path — including frames that start exactly at a block
+    boundary (same-block prefix case) and frames spanning one boundary."""
+    from volga_spark.operators.rows_index import rows_lookup
+    from volga_spark.operators.window import rows_frame as rf
+
+    got = rows_lookup(
+        state_df.select("user_id", "ts", "seq", "value"),
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(n),
+        tiebreak="seq",
+    ).collect()
+    want = _oracle(STATE_PDF, REQS_PDF, n)
+    assert len(got) == len(REQS_PDF)
+    for row in got:
+        w = want[row["request_id"]]
+        assert row["cnt"] == w["cnt"], (n, row, w)
+        if w["cnt"] == 0:
+            assert row["sum_value"] is None
+            assert row["min_value"] is None and row["max_value"] is None
+        else:
+            assert abs(row["sum_value"] - w["sum"]) < 1e-9, (n, row, w)
+            assert row["min_value"] == w["min"], (n, row, w)
+            assert row["max_value"] == w["max"], (n, row, w)
+
+
+def test_rows_feature_service_duck_type(spark, state_df, reqs_df):
+    from volga_spark.operators.rows_index import RowsFeatureService
+    from volga_spark.operators.window import rows_frame as rf
+
+    svc = RowsFeatureService(
+        state_df.select("user_id", "ts", "seq", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(7),
+        tiebreak="seq",
+    )
+    try:
+        want = _oracle(STATE_PDF, REQS_PDF, 7)
+        tbl = svc.lookup(reqs_df, materialize=True)
+        for d in tbl.to_pylist():
+            assert d["cnt"] == want[d["request_id"]]["cnt"]
+        pts = [
+            (int(r.request_id), int(r.user_id), r.ts.to_pydatetime())
+            for r in REQS_PDF.itertuples()
+        ][:4]
+        for d in svc.get_features(spark, pts):
+            assert d["cnt"] == want[d["request_id"]]["cnt"]
+    finally:
+        svc.close()

@@ -1,0 +1,314 @@
+"""ROWS-frame request serving from a block-decomposed position index —
+the scale path for the reference's own request-benchmark shape
+(``ROWS 10000 PRECEDING``, plain MIN/MAX, ExecutionMode::Request —
+reference src/runtime/tests/window_operator_benchmark.rs:609-612).
+
+Why not a plain Spark window: Spark's sliding-frame evaluation rebuilds
+the aggregate buffer over the whole frame for every row (no retraction),
+so ``RANGE BETWEEN -(N-1) AND 0`` over the position axis costs O(n·N) —
+measured 4.4s per 200k-row batch at N=10000 vs 0.26s at N=10 (r13,
+profile_rows_serving.py). The reference instead PLANS each virtual point
+against per-bucket row counts (``bucket_span_for_rows_window``,
+src/storage/index/bucket_index.rs:297-327) and loads just enough raw
+buckets. The Spark-first equivalent pre-computes, once per (state, N):
+
+  - ``rn``: the (ts, tiebreak) row position per key (the reference's
+    ``__seq_no`` cursor order),
+  - ``cum_cnt`` / ``cum_cents``: running count(value) / sum(cents) —
+    GROWING frames, which Spark accumulates in O(n),
+  - block id ``blk = (rn-1) div N`` and per-(key, block) PREFIX min/max
+    (from block start) plus SUFFIX min/max (to block end) — also growing
+    frames after a per-block sort.
+
+A trailing window of N rows ending at position p starts at l = max(1,
+p-N+1) and, with block size exactly N, either starts AT a block boundary
+(then ``prefix[p]`` covers [l, p] alone) or spans exactly one boundary
+(then the answer is ``least(suffix[l], prefix[p])``) — the classic
+two-block sliding-RMQ decomposition. Sums/counts are cumulative
+differences: ``cum[p] - cum[l-1]``. Every per-request aggregate is
+therefore O(1) after an as-of position assignment, and the whole lookup
+is native JVM: one union-window pass for the as-of (requests never
+consume positions — they ride the (ts, flag, rn) sort after co-timestamped
+state, matching the reference's Cursor(ts, u64::MAX) seek), one
+broadcast-probed equi-join fetching the l-row, one re-attach join.
+
+At 100 TB the index build is the same one hash shuffle the write-path
+window does; lookups scale with (index + batch) like the RANGE tile
+path, not with N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from volga_spark.operators.window import RowsFrame
+
+_IDX_COLS = ["__rn", "__cents", "__cum_cnt", "__cum_cents", "__pmin", "__pmax", "__smin", "__smax"]
+
+
+def build_rows_index(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    preceding: int,
+    tiebreak: str | list[str] | None = None,
+) -> DataFrame:
+    """Positioned + block-decomposed state for trailing-``preceding``-row
+    lookups. One hash shuffle on the key; three in-partition sorted window
+    passes, all GROWING frames (O(n)). The block size equals ``preceding``
+    — the index is frame-specific, like the reference's per-window state.
+    """
+    if preceding < 1:
+        raise ValueError("rows index needs preceding >= 1")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    v = F.col(value_col)
+    w_rn = W.partitionBy(*keys).orderBy(F.col(ts_col), *[F.col(t) for t in ties])
+    df = events.select(
+        *keys,
+        ts_col,
+        value_col,
+        F.row_number().over(w_rn).alias("__rn"),
+        F.round(v * 100).cast("long").alias("__cents"),
+    )
+    df = df.withColumn("__blk", F.expr(f"(__rn - 1) div {preceding}"))
+    grow = W.partitionBy(*keys).orderBy("__rn").rowsBetween(W.unboundedPreceding, 0)
+    pref = (
+        W.partitionBy(*keys, "__blk")
+        .orderBy("__rn")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    suff = (
+        W.partitionBy(*keys, "__blk")
+        .orderBy(F.col("__rn").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return df.select(
+        *keys,
+        ts_col,
+        "__rn",
+        "__cents",
+        # count __cents, not the raw value: cents is null exactly when the
+        # value is null/NaN (NaN ≡ null engine rule), keeping the running
+        # count consistent with the l-row indicator used at lookup
+        F.count("__cents").over(grow).alias("__cum_cnt"),
+        F.sum("__cents").over(grow).alias("__cum_cents"),
+        F.min(value_col).over(pref).alias("__pmin"),
+        F.max(value_col).over(pref).alias("__pmax"),
+        F.min(value_col).over(suff).alias("__smin"),
+        F.max(value_col).over(suff).alias("__smax"),
+    )
+
+
+def rows_lookup(
+    events: DataFrame,
+    requests: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    frame: RowsFrame,
+    request_id_col: str = "request_id",
+    tiebreak: str | list[str] | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """COUNT/SUM(cents)/MIN/MAX over the last ``frame.preceding`` state
+    rows at-or-before each request's (ts, tiebreak) cursor — the virtual
+    point consuming the current-row slot, never a stored position
+    (reference plain_points.rs:345-370). Same output contract as the
+    RANGE ``tiled_lookup``: request_id, keys, cnt / sum_value / min_value
+    / max_value. Pass a prebuilt ``index`` (see :class:`RowsFeatureService`)
+    to skip the per-call index build."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    n = frame.preceding
+    if index is None:
+        index = build_rows_index(
+            events, keys, ts_col, value_col, n, tiebreak=tiebreak
+        )
+
+    # --- as-of position assignment over the (ts, flag, rn)-sorted union ---
+    s = index.select(
+        *keys,
+        ts_col,
+        "__rn",
+        "__cum_cnt",
+        "__cum_cents",
+        "__pmin",
+        "__pmax",
+        F.lit(0).alias("__flag"),
+        F.lit(None).cast("long").alias(request_id_col),
+    )
+    r = requests.select(
+        *keys,
+        ts_col,
+        F.lit(None).cast("int").alias("__rn"),
+        F.lit(None).cast("bigint").alias("__cum_cnt"),
+        F.lit(None).cast("bigint").alias("__cum_cents"),
+        F.lit(None).cast(dict(index.dtypes)["__pmin"]).alias("__pmin"),
+        F.lit(None).cast(dict(index.dtypes)["__pmax"]).alias("__pmax"),
+        F.lit(1).alias("__flag"),
+        F.col(request_id_col).cast("long"),
+    )
+    asof = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("__flag"), F.col("__rn"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # max(rn) = the newest state position at-or-before; the last() values
+    # ride the same frame and are non-null exactly on state rows, and the
+    # sort's rn tiebreak makes "last state row" == "row at max rn"
+    reqp = (
+        s.unionByName(r)
+        .select(
+            *keys,
+            ts_col,
+            F.col(request_id_col),
+            F.col("__flag"),
+            F.coalesce(F.max("__rn").over(asof), F.lit(0)).alias("__p"),
+            F.last("__cum_cnt", ignorenulls=True).over(asof).alias("__cnt_p"),
+            F.last("__cum_cents", ignorenulls=True).over(asof).alias("__cents_p"),
+            F.last("__pmin", ignorenulls=True).over(asof).alias("__pmin_p"),
+            F.last("__pmax", ignorenulls=True).over(asof).alias("__pmax_p"),
+        )
+        .filter(F.col("__flag") == 1)
+        .drop("__flag")
+        .withColumn("__l1", F.greatest(F.col("__p") - n, F.lit(0)))
+        .withColumn("__l", F.col("__l1") + 1)
+    )
+
+    # --- fetch the frame-start row (suffix mins + cum at l-1) ------------
+    # inner probe with the REQUEST side broadcast (one index scan), then a
+    # broadcast left join re-attaches requests whose frame starts at the
+    # key's first row (l-row values unneeded there) or whose key has no
+    # state at all — the same plan shape as the RANGE tiled_lookup
+    lrow = index.join(
+        F.broadcast(
+            reqp.select(request_id_col, *keys, F.col("__l").alias("__rn"))
+        ),
+        keys + ["__rn"],
+    ).select(
+        request_id_col,
+        F.col("__smin").alias("__smin_l"),
+        F.col("__smax").alias("__smax_l"),
+        # cum at l-1 = cum at l minus the l-row's own contribution; __cents
+        # is null exactly when the value is null/NaN (the engine-wide
+        # NaN ≡ null rule), so it doubles as the count indicator
+        (
+            F.col("__cum_cnt")
+            - F.when(F.col("__cents").isNotNull(), 1).otherwise(0)
+        ).alias("__cnt_l1"),
+        (F.col("__cum_cents") - F.coalesce(F.col("__cents"), F.lit(0))).alias(
+            "__cents_l1"
+        ),
+    )
+    out = reqp.join(F.broadcast(lrow), request_id_col, "left")
+
+    same_blk = F.expr(f"((__l - 1) div {n}) = ((__p - 1) div {n})")
+    empty = F.col("__p") == 0
+    cnt = F.when(empty, F.lit(0)).otherwise(
+        F.col("__cnt_p") - F.coalesce(F.col("__cnt_l1"), F.lit(0))
+    )
+    cents = F.col("__cents_p") - F.coalesce(F.col("__cents_l1"), F.lit(0))
+    mn = F.when(same_blk, F.col("__pmin_p")).otherwise(
+        F.least(F.col("__smin_l"), F.col("__pmin_p"))
+    )
+    mx = F.when(same_blk, F.col("__pmax_p")).otherwise(
+        F.greatest(F.col("__smax_l"), F.col("__pmax_p"))
+    )
+    return out.select(
+        request_id_col,
+        *keys,
+        cnt.alias("cnt"),
+        F.when(cnt > 0, cents).alias("__c"),
+        F.when(~empty & (cnt > 0), mn).alias("min_value"),
+        F.when(~empty & (cnt > 0), mx).alias("max_value"),
+    ).selectExpr(
+        request_id_col,
+        *keys,
+        "cnt",
+        "__c / 100.0D as sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
+class RowsFeatureService:
+    """Request serving over a pinned ROWS-frame position index — the
+    counterpart of :class:`~volga_spark.operators.tiles.TiledFeatureService`
+    for ``ROWS N PRECEDING`` lookups (the reference request benchmark's
+    frame). Builds :func:`build_rows_index` once, localCheckpoints it
+    (plan truncation + block-cache pin, the r12 serving-floor recipe), and
+    answers batches through :func:`rows_lookup`. Duck-typed to
+    ``FeatureService`` (lookup / get_features / key_cols / ts_col), so the
+    HTTP ``FeatureServer`` serves it unchanged."""
+
+    def __init__(
+        self,
+        events: DataFrame,
+        key_cols,
+        ts_col: str,
+        value_col: str,
+        frame: RowsFrame,
+        tiebreak: str | list[str] | None = None,
+        cache: bool = True,
+    ):
+        if not isinstance(frame, RowsFrame):
+            raise ValueError(
+                "RowsFeatureService serves ROWS frames; use "
+                "TiledFeatureService / FeatureService for RANGE lookups"
+            )
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.frame = frame
+        self._index = build_rows_index(
+            events, self.key_cols, ts_col, value_col, frame.preceding, tiebreak
+        )
+        self._ckpt_ids: set[int] = set()
+        if cache:
+            sc = events.sparkSession.sparkContext
+            self._index = self._index.coalesce(
+                sc.defaultParallelism
+            ).localCheckpoint(eager=True)
+            from volga_spark.operators.tiles import _checkpoint_rdd_id
+
+            self._ckpt_ids = {_checkpoint_rdd_id(self._index)}
+
+    def lookup(
+        self,
+        requests: DataFrame,
+        request_id_col: str = "request_id",
+        materialize: bool = False,
+    ):
+        out = rows_lookup(
+            None,
+            requests,
+            key_cols=self.key_cols,
+            ts_col=self.ts_col,
+            value_col=self.value_col,
+            frame=self.frame,
+            request_id_col=request_id_col,
+            index=self._index,
+        )
+        return out.toArrow() if materialize else out
+
+    def get_features(self, spark, points: list[tuple]) -> list[dict]:
+        cols = ["request_id", *self.key_cols, self.ts_col]
+        req = spark.createDataFrame(points, cols)
+        return self.lookup(req, materialize=True).to_pylist()
+
+    def close(self) -> None:
+        if not self._ckpt_ids:
+            return
+        try:
+            sc = self._index.sparkSession.sparkContext
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in self._ckpt_ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist()
+        except Exception:  # noqa: BLE001 — release must never fail close
+            pass
+        self._ckpt_ids = set()

@@ -86,21 +86,28 @@ def q_request_point_lookup(spark, sf_dir):
             "max_1h": F.max(masked("value")).over(w),
         },
     ).select("request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h")
-    rows_leg = point_in_time_lookup(
+    # the ROWS leg runs the BLOCK-DECOMPOSED position index — the serving
+    # default for this frame shape (the naive union-window pays Spark's
+    # O(n·N) sliding-frame recompute; see operators/rows_index.py). The
+    # two-pass native path is pinned equal to the same brute-force model
+    # in tests/test_rows_request_serving.py.
+    from volga_spark.operators.rows_index import rows_lookup
+
+    rows_leg = rows_lookup(
         ev.select("user_id", "ts", "event_id", "value"),
         requests,
         key_cols="user_id",
         ts_col="ts",
+        value_col="value",
         frame=rows_frame(100),
         tiebreak="event_id",
-        agg_builder=lambda w: {
-            "cnt_r100": F.count(masked("value")).over(w),
-            "sum_r100": F.sum(F.round(masked("value") * 100).cast("long")).over(w)
-            / F.lit(100.0),
-            "min_r100": F.min(masked("value")).over(w),
-            "max_r100": F.max(masked("value")).over(w),
-        },
-    ).select("request_id", "cnt_r100", "sum_r100", "min_r100", "max_r100")
+    ).select(
+        "request_id",
+        F.col("cnt").alias("cnt_r100"),
+        F.col("sum_value").alias("sum_r100"),
+        F.col("min_value").alias("min_r100"),
+        F.col("max_value").alias("max_r100"),
+    )
     return base.join(rows_leg, "request_id").select(
         "request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h",
         "cnt_r100", "sum_r100", "min_r100", "max_r100",
