@@ -199,6 +199,145 @@ def test_all_serving_impls_agree(spark, seed):
         svc.close()
 
 
+def _draw_rows(seed: int):
+    """ROWS-frame shapes: duplicate timestamps (the tiebreak matters), ~10%
+    null values (null rows OCCUPY frame positions but don't count), co-keyed
+    request floods at one shared ts (the position-displacement hazard), keys
+    with no state, requests before any state, and n spanning the same-block
+    prefix case (frame start exactly at a block boundary) through n larger
+    than any key's history."""
+    rng = random.Random(23_000 + seed)
+    n = rng.choice([1, 2, 3, 5, 8, 13, 40, 10_000])
+    n_users = rng.randint(2, 5)
+    n_rows = rng.randint(120, 400)
+    base = datetime(2024, 7, 1)
+    grid = rng.choice([5, 30, 60])  # coarse grid -> frequent duplicate ts
+    slots = rng.randint(20, 80)
+    state = pd.DataFrame(
+        {
+            "user_id": [rng.randrange(n_users) for _ in range(n_rows)],
+            "ts": [
+                base + timedelta(seconds=grid * rng.randrange(slots))
+                for _ in range(n_rows)
+            ],
+            "seq": list(range(n_rows)),
+            "value": [
+                None if rng.random() < 0.1 else round(rng.uniform(-50, 150), 2)
+                for _ in range(n_rows)
+            ],
+        }
+    )
+    reqs = []
+    rid = 0
+    for _ in range(rng.randint(20, 50)):
+        mode = rng.random()
+        if mode < 0.12:
+            u, ts = n_users + 1, base + timedelta(seconds=rng.randrange(grid * slots))
+        elif mode < 0.24:
+            u, ts = rng.randrange(n_users), base - timedelta(seconds=rng.randint(1, 600))
+        elif mode < 0.5:  # exactly ON a state ts (at-or-before tie)
+            row = state.iloc[rng.randrange(len(state))]
+            u, ts = int(row.user_id), row.ts
+        else:
+            u, ts = rng.randrange(n_users), base + timedelta(
+                seconds=rng.randrange(grid * slots + 900)
+            )
+        reqs.append({"request_id": rid, "user_id": u, "ts": ts})
+        rid += 1
+    flood_ts = base + timedelta(seconds=grid * (slots // 2))
+    for _ in range(5):  # co-keyed co-timestamped flood
+        reqs.append({"request_id": rid, "user_id": 0, "ts": flood_ts})
+        rid += 1
+    return n, state, pd.DataFrame(reqs)
+
+
+def _rows_oracle(state: pd.DataFrame, reqs: pd.DataFrame, n: int) -> dict:
+    out = {}
+    for r in reqs.itertuples():
+        s = state[(state.user_id == r.user_id) & (state.ts <= r.ts)]
+        s = s.sort_values(["ts", "seq"]).tail(n)
+        cnt = int(s.value.notna().sum())
+        out[r.request_id] = {
+            "cnt": cnt,
+            "sum_value": None if cnt == 0 else round(float(s.value.sum()), 6),
+            "min_value": None if cnt == 0 else float(s.value.min()),
+            "max_value": None if cnt == 0 else float(s.value.max()),
+        }
+    return out
+
+
+@pytest.mark.parametrize("seed", range(_SEEDS))
+def test_rows_serving_impls_agree(spark, seed):
+    """r13: every ROWS-frame serving implementation — the two-pass native
+    path, the block-decomposed position index (fresh build AND the pinned
+    RowsFeatureService with materialize=True) — against the brute-force
+    last-n-state-rows model."""
+    from volga_spark.operators.rows_index import RowsFeatureService, rows_lookup
+    from volga_spark.operators.window import rows_frame
+
+    n, state_pdf, reqs_pdf = _draw_rows(seed)
+    state_df = spark.createDataFrame(state_pdf).localCheckpoint()
+    reqs_df = spark.createDataFrame(reqs_pdf).localCheckpoint()
+    want = _rows_oracle(state_pdf, reqs_pdf, n)
+
+    def _chk(name, rows):
+        got = {r["request_id"]: r for r in rows}
+        assert set(got) == set(want), f"seed {seed} {name}: id sets differ"
+        bad = []
+        for rid, w in want.items():
+            g = got[rid]
+            for c in ("cnt", "min_value", "max_value"):
+                if g[c] != w[c] and not (g[c] is None and w[c] is None):
+                    bad.append((rid, c, g[c], w[c]))
+            gs, ws = g["sum_value"], w["sum_value"]
+            if (gs is None) != (ws is None) or (
+                gs is not None and abs(gs - ws) > 1e-9
+            ):
+                bad.append((rid, "sum_value", gs, ws))
+        assert not bad, f"seed {seed} n={n} {name}: {bad[:5]}"
+
+    native = point_in_time_lookup(
+        state_df,
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        frame=rows_frame(n),
+        tiebreak="seq",
+        agg_builder=lambda w: {
+            "cnt": F.count(masked("value")).over(w),
+            "sum_value": F.sum(F.round(masked("value") * 100).cast("long")).over(w)
+            / F.lit(100.0),
+            "min_value": F.min(masked("value")).over(w),
+            "max_value": F.max(masked("value")).over(w),
+        },
+    ).collect()
+    _chk("rows-native", native)
+
+    idx = rows_lookup(
+        state_df,
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rows_frame(n),
+        tiebreak="seq",
+    ).collect()
+    _chk("rows-index", idx)
+
+    svc = RowsFeatureService(
+        state_df,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rows_frame(n),
+        tiebreak="seq",
+    )
+    try:
+        _chk("rows-service", svc.lookup(reqs_df, materialize=True).to_pylist())
+    finally:
+        svc.close()
+
+
 def test_materialized_lookup_has_no_consume_cadence(spark):
     """r13 (VERDICT #3): lookup(materialize=True) returns a collected
     pyarrow.Table — holding the previous batch's materialized result past

@@ -92,8 +92,10 @@ def build_rows_index(
         "__rn",
         "__cents",
         # count __cents, not the raw value: cents is null exactly when the
-        # value is null/NaN (NaN ≡ null engine rule), keeping the running
-        # count consistent with the l-row indicator used at lookup
+        # value is null, keeping the running count consistent with the
+        # l-row indicator used at lookup. A float NaN state value fails
+        # LOUDLY here (ANSI cast overflow) — the same posture as every
+        # other cents path (tiles.py) and the native masked() sum.
         F.count("__cents").over(grow).alias("__cum_cnt"),
         F.sum("__cents").over(grow).alias("__cum_cents"),
         F.min(value_col).over(pref).alias("__pmin"),
@@ -129,14 +131,21 @@ def rows_lookup(
         )
 
     # --- as-of position assignment over the (ts, flag, rn)-sorted union ---
+    # The p-row's index values ride ONE struct that is non-null exactly on
+    # state rows: carrying the four columns separately through
+    # last(ignorenulls=True) is WRONG — __pmin/__pmax are legitimately NULL
+    # on a state row whose block-prefix is all null VALUES, and the
+    # null-skip would land on an older row's prefix (possibly a previous
+    # block), silently widening the frame (r13 fuzzer find, seed 24).
+    vt = dict(index.dtypes)["__pmin"]
+    st_type = (
+        f"struct<__cum_cnt:bigint,__cum_cents:bigint,__pmin:{vt},__pmax:{vt}>"
+    )
     s = index.select(
         *keys,
         ts_col,
         "__rn",
-        "__cum_cnt",
-        "__cum_cents",
-        "__pmin",
-        "__pmax",
+        F.struct("__cum_cnt", "__cum_cents", "__pmin", "__pmax").alias("__st"),
         F.lit(0).alias("__flag"),
         F.lit(None).cast("long").alias(request_id_col),
     )
@@ -144,10 +153,7 @@ def rows_lookup(
         *keys,
         ts_col,
         F.lit(None).cast("int").alias("__rn"),
-        F.lit(None).cast("bigint").alias("__cum_cnt"),
-        F.lit(None).cast("bigint").alias("__cum_cents"),
-        F.lit(None).cast(dict(index.dtypes)["__pmin"]).alias("__pmin"),
-        F.lit(None).cast(dict(index.dtypes)["__pmax"]).alias("__pmax"),
+        F.lit(None).cast(st_type).alias("__st"),
         F.lit(1).alias("__flag"),
         F.col(request_id_col).cast("long"),
     )
@@ -156,9 +162,9 @@ def rows_lookup(
         .orderBy(F.col(ts_col), F.col("__flag"), F.col("__rn"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    # max(rn) = the newest state position at-or-before; the last() values
-    # ride the same frame and are non-null exactly on state rows, and the
-    # sort's rn tiebreak makes "last state row" == "row at max rn"
+    # max(rn) = the newest state position at-or-before; the struct rides
+    # the same frame, and the sort's rn tiebreak makes "last state row" ==
+    # "row at max rn"
     reqp = (
         s.unionByName(r)
         .select(
@@ -167,13 +173,18 @@ def rows_lookup(
             F.col(request_id_col),
             F.col("__flag"),
             F.coalesce(F.max("__rn").over(asof), F.lit(0)).alias("__p"),
-            F.last("__cum_cnt", ignorenulls=True).over(asof).alias("__cnt_p"),
-            F.last("__cum_cents", ignorenulls=True).over(asof).alias("__cents_p"),
-            F.last("__pmin", ignorenulls=True).over(asof).alias("__pmin_p"),
-            F.last("__pmax", ignorenulls=True).over(asof).alias("__pmax_p"),
+            F.last("__st", ignorenulls=True).over(asof).alias("__stp"),
         )
         .filter(F.col("__flag") == 1)
         .drop("__flag")
+        .select(
+            "*",
+            F.col("__stp.__cum_cnt").alias("__cnt_p"),
+            F.col("__stp.__cum_cents").alias("__cents_p"),
+            F.col("__stp.__pmin").alias("__pmin_p"),
+            F.col("__stp.__pmax").alias("__pmax_p"),
+        )
+        .drop("__stp")
         .withColumn("__l1", F.greatest(F.col("__p") - n, F.lit(0)))
         .withColumn("__l", F.col("__l1") + 1)
     )
@@ -193,8 +204,9 @@ def rows_lookup(
         F.col("__smin").alias("__smin_l"),
         F.col("__smax").alias("__smax_l"),
         # cum at l-1 = cum at l minus the l-row's own contribution; __cents
-        # is null exactly when the value is null/NaN (the engine-wide
-        # NaN ≡ null rule), so it doubles as the count indicator
+        # is null exactly when the value is null, so it doubles as the
+        # count indicator (NaN never reaches here — the cents cast threw
+        # at index build, matching every other cents path)
         (
             F.col("__cum_cnt")
             - F.when(F.col("__cents").isNotNull(), 1).otherwise(0)
