@@ -63,6 +63,25 @@ def main() -> None:
         tiebreak="seq",
     )
     print(f"index build+pin: {time.time() - t0:.3f}s")
+    # the SQL front end at the same shape: min/max over ROWS 10000
+    # PRECEDING routes through the index (r13); sweep twin for comparison
+    from volga_spark.api import PipelineSpec, SourceSpec  # noqa: E402
+
+    sql = f"""
+        SELECT key, min(value) OVER w AS mn, max(value) OVER w AS mx
+        FROM st
+        WINDOW w AS (PARTITION BY key ORDER BY ts
+                 ROWS BETWEEN {PRECEDING} PRECEDING AND CURRENT ROW)
+    """
+    spec = PipelineSpec(
+        sql=sql,
+        sources=[SourceSpec("st", dataframe=state)],
+        execution_mode="request",
+    )
+    sql_idx = spec.build_request_service(spark, tiebreak="seq")
+    sql_sweep = spec.build_request_service(spark, tiebreak="seq")
+    sql_sweep._index_routed = [False]  # force the Python-sweep twin
+
     span_s = N_RECORDS / 10.0
     for n_req in (1_000, 10_000, 50_000, 200_000):
         req = (
@@ -79,7 +98,14 @@ def main() -> None:
             )
             .localCheckpoint(eager=True)
         )
-        for name, svc in (("naive", naive), ("index", indexed)):
+        for name, svc in (
+            ("naive", naive),
+            ("index", indexed),
+            ("sql-idx", sql_idx),
+            ("sql-sweep", sql_sweep),
+        ):
+            if name == "sql-sweep" and n_req > 1_000:
+                continue  # O(state) python sweep per batch — one point suffices
             if name == "naive" and n_req > 10_000:
                 # O(n·N) path: the per-batch cost is flat (~5s) — skip the
                 # big batches, the point is the comparison
@@ -99,6 +125,8 @@ def main() -> None:
             )
     naive.close()
     indexed.close()
+    sql_idx.close()
+    sql_sweep.close()
     spark.stop()
 
 

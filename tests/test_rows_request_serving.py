@@ -320,3 +320,67 @@ def test_rows_feature_service_duck_type(spark, state_df, reqs_df):
             assert d["cnt"] == want[d["request_id"]]["cnt"]
     finally:
         svc.close()
+
+
+def test_sql_rows_minmax_group_routes_through_index(spark, state_df, reqs_df):
+    """r13: a ROWS group whose calls are all plain min/max/count serves
+    from the block-decomposed position index (the O(1)-per-request path —
+    the reference request bench's own shape), while a ROWS group carrying
+    sum/avg stays on the sweep (cents quantization of arbitrary SQL
+    expressions would change float-sum semantics). The routing decision is
+    pinned here; value parity is pinned by the request-mode spec fuzzer
+    and test_request_service_serves_rows_frames."""
+    from volga_spark.api import PipelineSpec, SourceSpec
+
+    def _svc(sql):
+        spec = PipelineSpec(
+            sql=sql,
+            sources=[SourceSpec("st", dataframe=state_df)],
+            execution_mode="request",
+        )
+        return spec.build_request_service(spark, tiebreak="seq")
+
+    eligible = _svc(
+        """
+        SELECT user_id,
+               min(value) OVER w AS mn, max(value) OVER w AS mx,
+               count(*) OVER w AS n_rows
+        FROM st
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        """
+    )
+    try:
+        assert eligible._index_routed == [True]
+        got = {r["request_id"]: r for r in eligible.lookup(reqs_df).collect()}
+        assert eligible._rows_indexes and eligible._index_ckpt_ids
+        want = _oracle(STATE_PDF, REQS_PDF, 9)
+        for rid, row in got.items():
+            w = want[rid]
+            assert row["mn"] == w["min"] and row["mx"] == w["max"], (rid, row, w)
+            # count(*) counts frame POSITIONS (state rows), not non-null
+            # values — with this corpus (no nulls) they coincide
+            assert row["n_rows"] == w["cnt"], (rid, row, w)
+    finally:
+        eligible.close()
+    assert not eligible._index_ckpt_ids and not eligible._rows_indexes
+
+    mixed = _svc(
+        """
+        SELECT user_id, sum(value) OVER w AS s, min(value) OVER w AS mn
+        FROM st
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        """
+    )
+    try:
+        assert mixed._index_routed == [False]
+        got = {r["request_id"]: r for r in mixed.lookup(reqs_df).collect()}
+        want = _oracle(STATE_PDF, REQS_PDF, 9)
+        for rid, row in got.items():
+            w = want[rid]
+            assert row["mn"] == w["min"], (rid, row, w)
+            if w["cnt"]:
+                assert abs(float(row["s"]) - w["sum"]) < 1e-9, (rid, row, w)
+    finally:
+        mixed.close()

@@ -547,6 +547,7 @@ class PipelineSpec:
 
         per_call: list = []  # (window name, spec) in SQL order
         prepared: dict = {}
+        native_meta: dict = {}  # alias -> (op, prepared input col)
         for start, end, fn, argstr, m_over in _find_calls(sql):
             if m_over is None:
                 continue
@@ -570,6 +571,7 @@ class PipelineSpec:
                     col = f"__req_{alias}"
                     prepared[col] = F.expr(args[0]).cast("double")
                     inputs = [col]
+                native_meta[alias] = (fnl, inputs[0])  # rows-index routing
                 per_call.append(
                     (
                         wname,
@@ -627,6 +629,7 @@ class PipelineSpec:
             extra_groups=[(f, groups[f]) for f in ordered[1:]],
             alias_order=alias_order,
             tiebreak=tiebreak,
+            native_meta=native_meta,
         )
 
     def build(self, spark: SparkSession) -> DataFrame:
@@ -745,7 +748,10 @@ class PipelineRequestService:
         extra_groups=None,
         alias_order=None,
         tiebreak=None,
+        native_meta=None,
     ):
+        from volga_spark.operators.window import RowsFrame
+
         self.state = state
         self.key_cols = list(key_cols)
         self.ts_col = ts_col
@@ -763,6 +769,27 @@ class PipelineRequestService:
         self.prepared = prepared
         self.tiebreak = tiebreak
         self._cached = False
+        # ROWS groups whose calls are all plain min/max/count serve from a
+        # block-decomposed position index (operators/rows_index.py) — O(1)
+        # per request instead of the O(state)-per-batch Python sweep; the
+        # reference's own request bench (ROWS 10000 PRECEDING, MIN/MAX) is
+        # exactly this shape. sum/avg/stddev ROWS groups stay on the sweep
+        # (cents quantization of arbitrary SQL expressions would change
+        # float-sum semantics), as do all ML UDAF families.
+        self._native_meta = dict(native_meta or {})
+        self._index_routed = [
+            isinstance(f, RowsFrame)
+            and f.preceding >= 1
+            and bool(g)
+            and all(
+                s.name in self._native_meta
+                and self._native_meta[s.name][0] in ("count", "min", "max")
+                for s in g
+            )
+            for f, g in self._groups
+        ]
+        self._rows_indexes: dict = {}  # group idx -> pinned index DataFrame
+        self._index_ckpt_ids: set[int] = set()
 
     def lookup(
         self,
@@ -775,11 +802,16 @@ class PipelineRequestService:
         choice."""
         from volga_spark.operators.request import point_in_time_ml_lookup
 
-        if not self._cached:
+        if not all(self._index_routed) and not self._cached:
             self.state = self.state.persist()
             self._cached = True
         outs = []
-        for frame, specs in self._groups:
+        for gi, (frame, specs) in enumerate(self._groups):
+            if self._index_routed[gi]:
+                outs.append(
+                    self._index_lookup(gi, frame, specs, requests, request_id_col)
+                )
+                continue
             outs.append(
                 point_in_time_ml_lookup(
                     self.state,
@@ -806,10 +838,76 @@ class PipelineRequestService:
         )
         return out.toArrow() if materialize else out
 
+    def _index_lookup(self, gi, frame, specs, requests, request_id_col):
+        """Serve one min/max/count-only ROWS group from a pinned
+        block-decomposed position index, built lazily on first lookup over
+        the group's prepared input columns."""
+        from volga_spark.operators.rows_index import (
+            build_rows_index,
+            rows_index_lookup,
+        )
+
+        cols = list(dict.fromkeys(self._native_meta[s.name][1] for s in specs))
+        idx = self._rows_indexes.get(gi)
+        if idx is None:
+            s = self.state
+            for name, expr in self.prepared.items():
+                s = s.withColumn(name, expr)
+            ties = (
+                [self.tiebreak]
+                if isinstance(self.tiebreak, str)
+                else list(self.tiebreak or [])
+            )
+            s = s.select(
+                *dict.fromkeys([*self.key_cols, self.ts_col, *ties, *cols])
+            )
+            idx = build_rows_index(
+                s,
+                self.key_cols,
+                self.ts_col,
+                cols,
+                frame.preceding,
+                tiebreak=self.tiebreak,
+                sums=False,
+            )
+            sc = idx.sparkSession.sparkContext
+            idx = idx.coalesce(sc.defaultParallelism).localCheckpoint(eager=True)
+            from volga_spark.operators.tiles import _checkpoint_rdd_id
+
+            self._index_ckpt_ids.add(_checkpoint_rdd_id(idx))
+            self._rows_indexes[gi] = idx
+        outputs = [
+            (s_.name, *self._native_meta[s_.name]) for s_ in specs
+        ]
+        return rows_index_lookup(
+            idx,
+            requests,
+            self.key_cols,
+            self.ts_col,
+            cols,
+            frame,
+            outputs,
+            request_id_col=request_id_col,
+            sums=False,
+            include_ts=True,
+        )
+
     def close(self) -> None:
         if self._cached:
             self.state.unpersist()
             self._cached = False
+        if self._index_ckpt_ids:
+            try:
+                sc = self.state.sparkSession.sparkContext
+                jmap = sc._jsc.getPersistentRDDs()
+                for rid in self._index_ckpt_ids:
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist()
+            except Exception:  # noqa: BLE001 — release must never fail close
+                pass
+            self._index_ckpt_ids = set()
+            self._rows_indexes = {}
 
     def get_features(self, spark, points: list[tuple]) -> list[dict]:
         """points = [(request_id, key..., ts)] → list of feature dicts."""

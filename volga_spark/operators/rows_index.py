@@ -10,12 +10,13 @@ measured 4.4s per 200k-row batch at N=10000 vs 0.26s at N=10 (r13,
 profile_rows_serving.py). The reference instead PLANS each virtual point
 against per-bucket row counts (``bucket_span_for_rows_window``,
 src/storage/index/bucket_index.rs:297-327) and loads just enough raw
-buckets. The Spark-first equivalent pre-computes, once per (state, N):
+buckets. The Spark-first equivalent pre-computes, once per (state, N),
+for each value column:
 
   - ``rn``: the (ts, tiebreak) row position per key (the reference's
     ``__seq_no`` cursor order),
-  - ``cum_cnt`` / ``cum_cents``: running count(value) / sum(cents) —
-    GROWING frames, which Spark accumulates in O(n),
+  - running count (and, for the sum-bearing single-column API, a running
+    cents sum) — GROWING frames, which Spark accumulates in O(n),
   - block id ``blk = (rn-1) div N`` and per-(key, block) PREFIX min/max
     (from block start) plus SUFFIX min/max (to block end) — also growing
     frames after a per-block sort.
@@ -35,6 +36,13 @@ broadcast-probed equi-join fetching the l-row, one re-attach join.
 At 100 TB the index build is the same one hash shuffle the write-path
 window does; lookups scale with (index + batch) like the RANGE tile
 path, not with N.
+
+SUM semantics note: the single-column :func:`rows_lookup` API sums via
+the engine-wide cents rule (exact for 2-decimal feature values, the same
+contract as the RANGE tile path). The SQL front end routes only
+min/max/count-shaped ROWS groups here — cumulative-difference float sums
+are NOT the same floating-point object as a per-frame sum, so sum/avg/
+stddev over arbitrary SQL expressions stay on the sweep path.
 """
 
 from __future__ import annotations
@@ -45,36 +53,45 @@ from pyspark.sql import functions as F
 
 from volga_spark.operators.window import RowsFrame
 
-_IDX_COLS = ["__rn", "__cents", "__cum_cnt", "__cum_cents", "__pmin", "__pmax", "__smin", "__smax"]
+# ops the generic index lookup can answer exactly for ANY column dtype;
+# "sum" additionally requires the cents columns (sums=True at build)
+INDEX_OPS = ("count", "sum", "min", "max")
 
 
 def build_rows_index(
     events: DataFrame,
     key_cols: str | list[str],
     ts_col: str,
-    value_col: str,
+    value_cols: str | list[str],
     preceding: int,
     tiebreak: str | list[str] | None = None,
+    sums: bool = True,
 ) -> DataFrame:
     """Positioned + block-decomposed state for trailing-``preceding``-row
-    lookups. One hash shuffle on the key; three in-partition sorted window
-    passes, all GROWING frames (O(n)). The block size equals ``preceding``
-    — the index is frame-specific, like the reference's per-window state.
+    lookups over one or more value columns. One hash shuffle on the key;
+    three in-partition sorted window passes shared by every column, all
+    GROWING frames (O(n)). The block size equals ``preceding`` — the index
+    is frame-specific, like the reference's per-window state.
+
+    ``sums=False`` skips the cents columns (min/max/count-only indexes for
+    the SQL front end, where cents quantization of arbitrary expressions
+    would be wrong).
     """
     if preceding < 1:
         raise ValueError("rows index needs preceding >= 1")
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
-    v = F.col(value_col)
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
     w_rn = W.partitionBy(*keys).orderBy(F.col(ts_col), *[F.col(t) for t in ties])
-    df = events.select(
+    base_sel = [
         *keys,
         ts_col,
-        value_col,
+        *cols,
         F.row_number().over(w_rn).alias("__rn"),
-        F.round(v * 100).cast("long").alias("__cents"),
+    ]
+    df = events.select(*base_sel).withColumn(
+        "__blk", F.expr(f"(__rn - 1) div {preceding}")
     )
-    df = df.withColumn("__blk", F.expr(f"(__rn - 1) div {preceding}"))
     grow = W.partitionBy(*keys).orderBy("__rn").rowsBetween(W.unboundedPreceding, 0)
     pref = (
         W.partitionBy(*keys, "__blk")
@@ -86,66 +103,77 @@ def build_rows_index(
         .orderBy(F.col("__rn").desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    return df.select(
-        *keys,
-        ts_col,
-        "__rn",
-        "__cents",
-        # count __cents, not the raw value: cents is null exactly when the
-        # value is null, keeping the running count consistent with the
-        # l-row indicator used at lookup. A float NaN state value fails
-        # LOUDLY here (ANSI cast overflow) — the same posture as every
+    out = [*keys, ts_col, F.col("__rn")]
+    for i, c in enumerate(cols):
+        v = F.col(c)
+        # __nn: the row's own count contribution — used at lookup to turn
+        # cum(l) into cum(l-1). A float NaN state value fails LOUDLY in
+        # the cents cast below (ANSI overflow) — the same posture as every
         # other cents path (tiles.py) and the native masked() sum.
-        F.count("__cents").over(grow).alias("__cum_cnt"),
-        F.sum("__cents").over(grow).alias("__cum_cents"),
-        F.min(value_col).over(pref).alias("__pmin"),
-        F.max(value_col).over(pref).alias("__pmax"),
-        F.min(value_col).over(suff).alias("__smin"),
-        F.max(value_col).over(suff).alias("__smax"),
-    )
+        out.append(v.isNotNull().cast("int").alias(f"__nn{i}"))
+        out.append(F.count(c).over(grow).alias(f"__ccnt{i}"))
+        if sums:
+            cents = F.round(v * 100).cast("long")
+            out.append(cents.alias(f"__cents{i}"))
+            out.append(F.sum(cents).over(grow).alias(f"__csum{i}"))
+        out.append(F.min(c).over(pref).alias(f"__pmin{i}"))
+        out.append(F.max(c).over(pref).alias(f"__pmax{i}"))
+        out.append(F.min(c).over(suff).alias(f"__smin{i}"))
+        out.append(F.max(c).over(suff).alias(f"__smax{i}"))
+    return df.select(*out)
 
 
-def rows_lookup(
-    events: DataFrame,
+def rows_index_lookup(
+    index: DataFrame,
     requests: DataFrame,
     key_cols: str | list[str],
     ts_col: str,
-    value_col: str,
+    value_cols: str | list[str],
     frame: RowsFrame,
+    outputs: list[tuple[str, str, str | None]],
     request_id_col: str = "request_id",
-    tiebreak: str | list[str] | None = None,
-    index: DataFrame | None = None,
+    sums: bool = True,
+    include_ts: bool = False,
 ) -> DataFrame:
-    """COUNT/SUM(cents)/MIN/MAX over the last ``frame.preceding`` state
-    rows at-or-before each request's (ts, tiebreak) cursor — the virtual
-    point consuming the current-row slot, never a stored position
-    (reference plain_points.rs:345-370). Same output contract as the
-    RANGE ``tiled_lookup``: request_id, keys, cnt / sum_value / min_value
-    / max_value. Pass a prebuilt ``index`` (see :class:`RowsFeatureService`)
-    to skip the per-call index build."""
+    """Generic index probe: each ``(alias, op, column)`` in ``outputs``
+    (op in :data:`INDEX_OPS`) is answered over the last ``frame.preceding``
+    state rows at-or-before each request's (ts, tiebreak) cursor — the
+    virtual point consuming the current-row slot, never a stored position
+    (reference plain_points.rs:345-370)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
     n = frame.preceding
-    if index is None:
-        index = build_rows_index(
-            events, keys, ts_col, value_col, n, tiebreak=tiebreak
-        )
+    for alias, op, c in outputs:
+        if op not in INDEX_OPS:
+            raise ValueError(f"rows index cannot answer {op!r} ({alias})")
+        if op == "sum" and not sums:
+            raise ValueError(f"index built without sums cannot answer {alias}")
 
     # --- as-of position assignment over the (ts, flag, rn)-sorted union ---
     # The p-row's index values ride ONE struct that is non-null exactly on
-    # state rows: carrying the four columns separately through
+    # state rows: carrying the columns separately through
     # last(ignorenulls=True) is WRONG — __pmin/__pmax are legitimately NULL
     # on a state row whose block-prefix is all null VALUES, and the
     # null-skip would land on an older row's prefix (possibly a previous
     # block), silently widening the frame (r13 fuzzer find, seed 24).
-    vt = dict(index.dtypes)["__pmin"]
-    st_type = (
-        f"struct<__cum_cnt:bigint,__cum_cents:bigint,__pmin:{vt},__pmax:{vt}>"
-    )
+    dt = dict(index.dtypes)
+    st_fields: list[str] = []
+    st_cols: list[str] = []
+    for i in range(len(cols)):
+        st_cols.append(f"__ccnt{i}")
+        st_fields.append(f"__ccnt{i}:bigint")
+        if sums:
+            st_cols.append(f"__csum{i}")
+            st_fields.append(f"__csum{i}:bigint")
+        for part in ("__pmin", "__pmax"):
+            st_cols.append(f"{part}{i}")
+            st_fields.append(f"{part}{i}:{dt[f'{part}{i}']}")
+    st_type = "struct<" + ",".join(st_fields) + ">"
     s = index.select(
         *keys,
         ts_col,
         "__rn",
-        F.struct("__cum_cnt", "__cum_cents", "__pmin", "__pmax").alias("__st"),
+        F.struct(*st_cols).alias("__st"),
         F.lit(0).alias("__flag"),
         F.lit(None).cast("long").alias(request_id_col),
     )
@@ -179,10 +207,7 @@ def rows_lookup(
         .drop("__flag")
         .select(
             "*",
-            F.col("__stp.__cum_cnt").alias("__cnt_p"),
-            F.col("__stp.__cum_cents").alias("__cents_p"),
-            F.col("__stp.__pmin").alias("__pmin_p"),
-            F.col("__stp.__pmax").alias("__pmax_p"),
+            *[F.col(f"__stp.{c}").alias(f"{c}_p") for c in st_cols],
         )
         .drop("__stp")
         .withColumn("__l1", F.greatest(F.col("__p") - n, F.lit(0)))
@@ -191,58 +216,94 @@ def rows_lookup(
 
     # --- fetch the frame-start row (suffix mins + cum at l-1) ------------
     # inner probe with the REQUEST side broadcast (one index scan), then a
-    # broadcast left join re-attaches requests whose frame starts at the
-    # key's first row (l-row values unneeded there) or whose key has no
-    # state at all — the same plan shape as the RANGE tiled_lookup
+    # broadcast left join re-attaches requests whose frame is empty (p=0,
+    # no l-row exists) — the same plan shape as the RANGE tiled_lookup
+    lsel = [F.col(request_id_col)]
+    for i in range(len(cols)):
+        lsel.append(F.col(f"__smin{i}").alias(f"__smin{i}_l"))
+        lsel.append(F.col(f"__smax{i}").alias(f"__smax{i}_l"))
+        # cum at l-1 = cum at l minus the l-row's own contribution
+        lsel.append((F.col(f"__ccnt{i}") - F.col(f"__nn{i}")).alias(f"__cntl1_{i}"))
+        if sums:
+            lsel.append(
+                (
+                    F.col(f"__csum{i}") - F.coalesce(F.col(f"__cents{i}"), F.lit(0))
+                ).alias(f"__csuml1_{i}")
+            )
     lrow = index.join(
         F.broadcast(
             reqp.select(request_id_col, *keys, F.col("__l").alias("__rn"))
         ),
         keys + ["__rn"],
-    ).select(
-        request_id_col,
-        F.col("__smin").alias("__smin_l"),
-        F.col("__smax").alias("__smax_l"),
-        # cum at l-1 = cum at l minus the l-row's own contribution; __cents
-        # is null exactly when the value is null, so it doubles as the
-        # count indicator (NaN never reaches here — the cents cast threw
-        # at index build, matching every other cents path)
-        (
-            F.col("__cum_cnt")
-            - F.when(F.col("__cents").isNotNull(), 1).otherwise(0)
-        ).alias("__cnt_l1"),
-        (F.col("__cum_cents") - F.coalesce(F.col("__cents"), F.lit(0))).alias(
-            "__cents_l1"
-        ),
-    )
+    ).select(*lsel)
     out = reqp.join(F.broadcast(lrow), request_id_col, "left")
 
     same_blk = F.expr(f"((__l - 1) div {n}) = ((__p - 1) div {n})")
     empty = F.col("__p") == 0
-    cnt = F.when(empty, F.lit(0)).otherwise(
-        F.col("__cnt_p") - F.coalesce(F.col("__cnt_l1"), F.lit(0))
-    )
-    cents = F.col("__cents_p") - F.coalesce(F.col("__cents_l1"), F.lit(0))
-    mn = F.when(same_blk, F.col("__pmin_p")).otherwise(
-        F.least(F.col("__smin_l"), F.col("__pmin_p"))
-    )
-    mx = F.when(same_blk, F.col("__pmax_p")).otherwise(
-        F.greatest(F.col("__smax_l"), F.col("__pmax_p"))
-    )
-    return out.select(
-        request_id_col,
-        *keys,
-        cnt.alias("cnt"),
-        F.when(cnt > 0, cents).alias("__c"),
-        F.when(~empty & (cnt > 0), mn).alias("min_value"),
-        F.when(~empty & (cnt > 0), mx).alias("max_value"),
-    ).selectExpr(
-        request_id_col,
-        *keys,
-        "cnt",
-        "__c / 100.0D as sum_value",
-        "min_value",
-        "max_value",
+    exprs = []
+    for alias, op, c in outputs:
+        i = cols.index(c)
+        cnt = F.when(empty, F.lit(0)).otherwise(
+            F.col(f"__ccnt{i}_p") - F.coalesce(F.col(f"__cntl1_{i}"), F.lit(0))
+        )
+        if op == "count":
+            exprs.append(cnt.cast("long").alias(alias))
+        elif op == "sum":
+            cents = F.col(f"__csum{i}_p") - F.coalesce(
+                F.col(f"__csuml1_{i}"), F.lit(0)
+            )
+            exprs.append((F.when(cnt > 0, cents) / F.lit(100.0)).alias(alias))
+        elif op == "min":
+            mn = F.when(same_blk, F.col(f"__pmin{i}_p")).otherwise(
+                F.least(F.col(f"__smin{i}_l"), F.col(f"__pmin{i}_p"))
+            )
+            exprs.append(F.when(~empty & (cnt > 0), mn).alias(alias))
+        else:  # max
+            mx = F.when(same_blk, F.col(f"__pmax{i}_p")).otherwise(
+                F.greatest(F.col(f"__smax{i}_l"), F.col(f"__pmax{i}_p"))
+            )
+            exprs.append(F.when(~empty & (cnt > 0), mx).alias(alias))
+    sel = [request_id_col, *keys]
+    if include_ts:
+        sel.append(ts_col)
+    return out.select(*sel, *exprs)
+
+
+def rows_lookup(
+    events: DataFrame,
+    requests: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    frame: RowsFrame,
+    request_id_col: str = "request_id",
+    tiebreak: str | list[str] | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """COUNT/SUM(cents)/MIN/MAX over the last ``frame.preceding`` state
+    rows at-or-before each request's (ts, tiebreak) cursor. Same output
+    contract as the RANGE ``tiled_lookup``: request_id, keys, cnt /
+    sum_value / min_value / max_value. Pass a prebuilt ``index`` (see
+    :class:`RowsFeatureService`) to skip the per-call index build."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if index is None:
+        index = build_rows_index(
+            events, keys, ts_col, value_col, frame.preceding, tiebreak=tiebreak
+        )
+    return rows_index_lookup(
+        index,
+        requests,
+        keys,
+        ts_col,
+        [value_col],
+        frame,
+        outputs=[
+            ("cnt", "count", value_col),
+            ("sum_value", "sum", value_col),
+            ("min_value", "min", value_col),
+            ("max_value", "max", value_col),
+        ],
+        request_id_col=request_id_col,
     )
 
 
