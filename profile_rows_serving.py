@@ -63,6 +63,17 @@ def main() -> None:
         tiebreak="seq",
     )
     print(f"index build+pin: {time.time() - t0:.3f}s")
+    t0 = time.time()
+    bucketed = RowsFeatureService(
+        state,
+        key_cols="key",
+        ts_col="ts",
+        value_col="value",
+        frame=rows_frame(PRECEDING),
+        tiebreak="seq",
+        bucket="auto",
+    )
+    print(f"bucketed build+pin: {time.time() - t0:.3f}s")
     # the SQL front end at the same shape: min/max over ROWS 10000
     # PRECEDING routes through the index (r13); sweep twin for comparison
     from volga_spark.api import PipelineSpec, SourceSpec  # noqa: E402
@@ -101,6 +112,7 @@ def main() -> None:
         for name, svc in (
             ("naive", naive),
             ("index", indexed),
+            ("index-bkt", bucketed),
             ("sql-idx", sql_idx),
             ("sql-sweep", sql_sweep),
         ):
@@ -125,6 +137,7 @@ def main() -> None:
             )
     naive.close()
     indexed.close()
+    bucketed.close()
     sql_idx.close()
     sql_sweep.close()
     spark.stop()

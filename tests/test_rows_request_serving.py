@@ -384,3 +384,72 @@ def test_sql_rows_minmax_group_routes_through_index(spark, state_df, reqs_df):
                 assert abs(float(row["s"]) - w["sum"]) < 1e-9, (rid, row, w)
     finally:
         mixed.close()
+
+
+@pytest.mark.parametrize(
+    "n,bucket",
+    [
+        (5, "auto"),
+        (5, "1 second"),     # many buckets: part-B summary dominates
+        (5, "1 hour"),       # one bucket: part-A edge probe dominates
+        (1, "2 minutes"),
+        (23, "30 seconds"),
+        (1000, "auto"),
+    ],
+)
+def test_bucketed_asof_matches_bruteforce(spark, state_df, reqs_df, n, bucket):
+    """r13: the bucketed as-of (in-bucket edge probe + dense previous-bucket
+    carry summary — the reference's bucket-index seek,
+    bucket_span_for_rows_window) must match the brute-force model at every
+    granularity: requests before any state miss both joins (p=0), requests
+    past the last bucket clamp high, co-timestamped ties resolve by rn."""
+    from volga_spark.operators.rows_index import rows_lookup
+    from volga_spark.operators.window import rows_frame as rf
+
+    got = rows_lookup(
+        state_df.select("user_id", "ts", "seq", "value"),
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(n),
+        tiebreak="seq",
+        bucket=bucket,
+    ).collect()
+    want = _oracle(STATE_PDF, REQS_PDF, n)
+    assert len(got) == len(REQS_PDF)
+    for row in got:
+        w = want[row["request_id"]]
+        assert row["cnt"] == w["cnt"], (n, bucket, row, w)
+        if w["cnt"] == 0:
+            assert row["sum_value"] is None
+            assert row["min_value"] is None and row["max_value"] is None
+        else:
+            assert abs(row["sum_value"] - w["sum"]) < 1e-9, (n, bucket, row, w)
+            assert row["min_value"] == w["min"], (n, bucket, row, w)
+            assert row["max_value"] == w["max"], (n, bucket, row, w)
+
+
+def test_bucketed_service_pins_and_matches(spark, state_df, reqs_df):
+    from volga_spark.operators.rows_index import RowsFeatureService
+    from volga_spark.operators.window import rows_frame as rf
+
+    svc = RowsFeatureService(
+        state_df.select("user_id", "ts", "seq", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(7),
+        tiebreak="seq",
+        bucket="auto",
+    )
+    try:
+        assert svc._summary is not None and len(svc._ckpt_ids) == 2
+        want = _oracle(STATE_PDF, REQS_PDF, 7)
+        for d in svc.lookup(reqs_df, materialize=True).to_pylist():
+            w = want[d["request_id"]]
+            assert d["cnt"] == w["cnt"]
+            if w["cnt"]:
+                assert d["min_value"] == w["min"] and d["max_value"] == w["max"]
+    finally:
+        svc.close()

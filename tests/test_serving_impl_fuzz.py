@@ -324,6 +324,21 @@ def test_rows_serving_impls_agree(spark, seed):
     ).collect()
     _chk("rows-index", idx)
 
+    bucket = random.Random(31_000 + seed).choice(
+        ["auto", "30 seconds", "10 minutes", "6 hours"]
+    )
+    bk = rows_lookup(
+        state_df,
+        reqs_df,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rows_frame(n),
+        tiebreak="seq",
+        bucket=bucket,
+    ).collect()
+    _chk(f"rows-bucketed[{bucket}]", bk)
+
     svc = RowsFeatureService(
         state_df,
         key_cols="user_id",

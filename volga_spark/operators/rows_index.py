@@ -58,6 +58,113 @@ from volga_spark.operators.window import RowsFrame
 INDEX_OPS = ("count", "sum", "min", "max")
 
 
+def _st_cols(n_cols: int, sums: bool) -> list[str]:
+    """The per-column cumulative/prefix columns a position p's answer needs."""
+    out: list[str] = []
+    for i in range(n_cols):
+        out.append(f"__ccnt{i}")
+        if sums:
+            out.append(f"__csum{i}")
+        out.append(f"__pmin{i}")
+        out.append(f"__pmax{i}")
+    return out
+
+
+def _bucket_micros(bucket: int | str | None) -> int | None:
+    """``"auto"`` → None (builder picks from the state span), interval
+    string → micros, int → micros as-is."""
+    if bucket is None or bucket == "auto":
+        return None
+    if isinstance(bucket, str):
+        from volga_spark.operators.window import interval_to_micros
+
+        return interval_to_micros(bucket)
+    return int(bucket)
+
+
+def _bkt(ts_col: str, bucket_micros: int):
+    """Time bucket id with exact FLOOR division (negative-epoch safe)."""
+    from volga_spark.operators.tiles import fdiv
+
+    return fdiv(F.unix_micros(F.col(ts_col).cast("timestamp")), bucket_micros)
+
+
+def build_rows_bucket_summary(
+    index: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_cols: str | list[str],
+    bucket_micros: int | None = None,
+    sums: bool = True,
+    target_buckets: int = 1024,
+    max_buckets: int = 1 << 20,
+) -> tuple[DataFrame, int, int]:
+    """Dense per-(key, bucket) carry summary over a rows index — the
+    Spark-first analogue of the reference's bucket index with per-bucket
+    row counts (``bucket_span_for_rows_window``,
+    src/storage/index/bucket_index.rs:297-327). For every key and every
+    time bucket from the key's first state row to the GLOBAL last bucket,
+    one row carries the newest position at-or-before the bucket's end (rn
+    + its cumulative/prefix values). The bucketed lookup strategy then
+    answers any as-of with two EQUALITY joins (no per-batch global sort):
+    an in-bucket edge probe plus this summary at bucket-1.
+
+    Returns ``(summary, bucket_micros, gmax)``; pass the tuple as
+    ``summary=`` to :func:`rows_index_lookup`. Summary size is
+    keys × buckets — ``target_buckets`` sizes the auto granularity;
+    ``max_buckets`` guards a too-fine explicit ``bucket_micros``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    stc = _st_cols(len(cols), sums)
+    mm = index.agg(
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("hi"),
+    ).collect()[0]
+    if mm["lo"] is None:  # empty state: any request resolves to p=0
+        empty = (
+            index.limit(0)
+            .select(*keys, F.lit(0).cast("long").alias("__bkt"), "__rn", *stc)
+        )
+        return empty, bucket_micros or 1, 0
+    span = mm["hi"] - mm["lo"]
+    if bucket_micros is None:
+        bucket_micros = max(span // target_buckets, 1)
+    if span // bucket_micros + 1 > max_buckets:
+        raise ValueError(
+            f"rows bucket summary would span {span // bucket_micros + 1} "
+            f"buckets (> {max_buckets}); coarsen bucket_micros"
+        )
+    gmax = mm["hi"] // bucket_micros  # Python // floors, negative-safe
+    per = (
+        index.withColumn("__bkt", _bkt(ts_col, bucket_micros))
+        .groupBy(*keys, "__bkt")
+        .agg(
+            F.max_by(F.struct("__rn", *stc), F.col("__rn")).alias("__sm")
+        )
+    )
+    lead_w = W.partitionBy(*keys).orderBy("__bkt")
+    dense = (
+        per.withColumn(
+            "__next", F.coalesce(F.lead("__bkt").over(lead_w), F.lit(gmax + 1))
+        )
+        .select(
+            *keys,
+            F.col("__sm"),
+            F.explode(
+                F.sequence(F.col("__bkt"), F.col("__next") - 1)
+            ).alias("__bkt"),
+        )
+        .select(
+            *keys,
+            "__bkt",
+            F.col("__sm.__rn").alias("__rn"),
+            *[F.col(f"__sm.{c}").alias(c) for c in stc],
+        )
+    )
+    return dense, bucket_micros, gmax
+
+
 def build_rows_index(
     events: DataFrame,
     key_cols: str | list[str],
@@ -134,12 +241,20 @@ def rows_index_lookup(
     request_id_col: str = "request_id",
     sums: bool = True,
     include_ts: bool = False,
+    summary: tuple[DataFrame, int, int] | None = None,
 ) -> DataFrame:
     """Generic index probe: each ``(alias, op, column)`` in ``outputs``
     (op in :data:`INDEX_OPS`) is answered over the last ``frame.preceding``
     state rows at-or-before each request's (ts, tiebreak) cursor — the
     virtual point consuming the current-row slot, never a stored position
-    (reference plain_points.rs:345-370)."""
+    (reference plain_points.rs:345-370).
+
+    Two as-of strategies: without ``summary``, one union-window pass sorts
+    state ∪ batch per lookup (simple, O((S+B)·log) per batch); with a
+    :func:`build_rows_bucket_summary` tuple, the as-of is two EQUALITY
+    joins (in-bucket edge probe + previous-bucket carry summary — the
+    reference's bucket-index seek), so no per-batch global sort of state
+    and per-batch join work is O(B × bucket occupancy)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
     n = frame.preceding
@@ -148,64 +263,123 @@ def rows_index_lookup(
             raise ValueError(f"rows index cannot answer {op!r} ({alias})")
         if op == "sum" and not sums:
             raise ValueError(f"index built without sums cannot answer {alias}")
+    st_cols = _st_cols(len(cols), sums)
 
-    # --- as-of position assignment over the (ts, flag, rn)-sorted union ---
-    # The p-row's index values ride ONE struct that is non-null exactly on
-    # state rows: carrying the columns separately through
-    # last(ignorenulls=True) is WRONG — __pmin/__pmax are legitimately NULL
-    # on a state row whose block-prefix is all null VALUES, and the
-    # null-skip would land on an older row's prefix (possibly a previous
-    # block), silently widening the frame (r13 fuzzer find, seed 24).
-    dt = dict(index.dtypes)
-    st_fields: list[str] = []
-    st_cols: list[str] = []
-    for i in range(len(cols)):
-        st_cols.append(f"__ccnt{i}")
-        st_fields.append(f"__ccnt{i}:bigint")
-        if sums:
-            st_cols.append(f"__csum{i}")
-            st_fields.append(f"__csum{i}:bigint")
-        for part in ("__pmin", "__pmax"):
-            st_cols.append(f"{part}{i}")
-            st_fields.append(f"{part}{i}:{dt[f'{part}{i}']}")
-    st_type = "struct<" + ",".join(st_fields) + ">"
-    s = index.select(
-        *keys,
-        ts_col,
-        "__rn",
-        F.struct(*st_cols).alias("__st"),
-        F.lit(0).alias("__flag"),
-        F.lit(None).cast("long").alias(request_id_col),
-    )
-    r = requests.select(
-        *keys,
-        ts_col,
-        F.lit(None).cast("int").alias("__rn"),
-        F.lit(None).cast(st_type).alias("__st"),
-        F.lit(1).alias("__flag"),
-        F.col(request_id_col).cast("long"),
-    )
-    asof = (
-        W.partitionBy(*keys)
-        .orderBy(F.col(ts_col), F.col("__flag"), F.col("__rn"))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    # max(rn) = the newest state position at-or-before; the struct rides
-    # the same frame, and the sort's rn tiebreak makes "last state row" ==
-    # "row at max rn"
-    reqp = (
-        s.unionByName(r)
-        .select(
+    if summary is None:
+        # --- as-of over the (ts, flag, rn)-sorted union --------------------
+        # The p-row's index values ride ONE struct that is non-null exactly
+        # on state rows: carrying the columns separately through
+        # last(ignorenulls=True) is WRONG — __pmin/__pmax are legitimately
+        # NULL on a state row whose block-prefix is all null VALUES, and the
+        # null-skip would land on an older row's prefix (possibly a previous
+        # block), silently widening the frame (r13 fuzzer find, seed 24).
+        dt = dict(index.dtypes)
+        st_fields = []
+        for c in st_cols:
+            st_fields.append(f"{c}:{dt[c]}")
+        st_type = "struct<" + ",".join(st_fields) + ">"
+        s = index.select(
             *keys,
             ts_col,
-            F.col(request_id_col),
-            F.col("__flag"),
-            F.coalesce(F.max("__rn").over(asof), F.lit(0)).alias("__p"),
-            F.last("__st", ignorenulls=True).over(asof).alias("__stp"),
+            "__rn",
+            F.struct(*st_cols).alias("__st"),
+            F.lit(0).alias("__flag"),
+            F.lit(None).cast("long").alias(request_id_col),
         )
-        .filter(F.col("__flag") == 1)
-        .drop("__flag")
-        .select(
+        r = requests.select(
+            *keys,
+            ts_col,
+            F.lit(None).cast("int").alias("__rn"),
+            F.lit(None).cast(st_type).alias("__st"),
+            F.lit(1).alias("__flag"),
+            F.col(request_id_col).cast("long"),
+        )
+        asof = (
+            W.partitionBy(*keys)
+            .orderBy(F.col(ts_col), F.col("__flag"), F.col("__rn"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        # max(rn) = the newest state position at-or-before; the struct rides
+        # the same frame, and the sort's rn tiebreak makes "last state row"
+        # == "row at max rn"
+        reqp = (
+            s.unionByName(r)
+            .select(
+                *keys,
+                ts_col,
+                F.col(request_id_col),
+                F.col("__flag"),
+                F.coalesce(F.max("__rn").over(asof), F.lit(0)).alias("__p"),
+                F.last("__st", ignorenulls=True).over(asof).alias("__stp"),
+            )
+            .filter(F.col("__flag") == 1)
+            .drop("__flag")
+        )
+    else:
+        # --- bucketed as-of: two equality joins, no per-batch state sort ---
+        # part A seeks the request's own (high-clamped) bucket and takes the
+        # newest at-or-before row in it; part B reads the dense carry
+        # summary at bucket-1. A wins whenever it matches (its positions
+        # are strictly newer); requests before a key's first bucket miss
+        # both joins and resolve to the empty frame.
+        sm, g_micros, gmax = summary
+        rq = requests.select(
+            F.col(request_id_col).cast("long"), *keys, ts_col
+        ).withColumn(
+            "__abkt", F.least(_bkt(ts_col, g_micros), F.lit(gmax))
+        )
+        ib = index.withColumn("__bkt", _bkt(ts_col, g_micros))
+        prq = rq.select(
+            request_id_col,
+            *[F.col(k).alias(f"__rk_{k}") for k in keys],
+            F.col(ts_col).alias("__rts"),
+            "__abkt",
+        )
+        conds = [ib[k] == prq[f"__rk_{k}"] for k in keys]
+        conds.append(ib["__bkt"] == prq["__abkt"])
+        conds.append(ib[ts_col] <= prq["__rts"])
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        pa = (
+            ib.join(F.broadcast(prq), cond)
+            .groupBy(request_id_col)
+            .agg(
+                F.max("__rn").alias("__pa"),
+                F.max_by(F.struct(*st_cols), F.col("__rn")).alias("__sta"),
+            )
+        )
+        pb = sm.join(
+            F.broadcast(
+                rq.select(
+                    request_id_col,
+                    *keys,
+                    (F.col("__abkt") - 1).alias("__bkt"),
+                )
+            ),
+            keys + ["__bkt"],
+        ).select(
+            request_id_col,
+            F.col("__rn").alias("__pb"),
+            F.struct(*st_cols).alias("__stb"),
+        )
+        reqp = (
+            rq.drop("__abkt")
+            .join(F.broadcast(pa), request_id_col, "left")
+            .join(F.broadcast(pb), request_id_col, "left")
+            .select(
+                *keys,
+                ts_col,
+                F.col(request_id_col),
+                F.coalesce("__pa", "__pb", F.lit(0)).alias("__p"),
+                F.when(F.col("__pa").isNotNull(), F.col("__sta"))
+                .otherwise(F.col("__stb"))
+                .alias("__stp"),
+            )
+        )
+
+    reqp = (
+        reqp.select(
             "*",
             *[F.col(f"__stp.{c}").alias(f"{c}_p") for c in st_cols],
         )
@@ -279,16 +453,25 @@ def rows_lookup(
     request_id_col: str = "request_id",
     tiebreak: str | list[str] | None = None,
     index: DataFrame | None = None,
+    bucket: int | str | None = None,
 ) -> DataFrame:
     """COUNT/SUM(cents)/MIN/MAX over the last ``frame.preceding`` state
     rows at-or-before each request's (ts, tiebreak) cursor. Same output
     contract as the RANGE ``tiled_lookup``: request_id, keys, cnt /
     sum_value / min_value / max_value. Pass a prebuilt ``index`` (see
-    :class:`RowsFeatureService`) to skip the per-call index build."""
+    :class:`RowsFeatureService`) to skip the per-call index build;
+    ``bucket`` ("auto", an interval string, or micros) switches the as-of
+    to the bucketed two-join strategy (summary built per call — prefer the
+    service for repeated lookups)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if index is None:
         index = build_rows_index(
             events, keys, ts_col, value_col, frame.preceding, tiebreak=tiebreak
+        )
+    summary = None
+    if bucket is not None:
+        summary = build_rows_bucket_summary(
+            index, keys, ts_col, [value_col], bucket_micros=_bucket_micros(bucket)
         )
     return rows_index_lookup(
         index,
@@ -304,6 +487,7 @@ def rows_lookup(
             ("max_value", "max", value_col),
         ],
         request_id_col=request_id_col,
+        summary=summary,
     )
 
 
@@ -326,6 +510,7 @@ class RowsFeatureService:
         frame: RowsFrame,
         tiebreak: str | list[str] | None = None,
         cache: bool = True,
+        bucket: int | str | None = None,
     ):
         if not isinstance(frame, RowsFrame):
             raise ValueError(
@@ -340,14 +525,31 @@ class RowsFeatureService:
             events, self.key_cols, ts_col, value_col, frame.preceding, tiebreak
         )
         self._ckpt_ids: set[int] = set()
+        self._summary: tuple | None = None
+        sc = events.sparkSession.sparkContext
         if cache:
-            sc = events.sparkSession.sparkContext
             self._index = self._index.coalesce(
                 sc.defaultParallelism
             ).localCheckpoint(eager=True)
             from volga_spark.operators.tiles import _checkpoint_rdd_id
 
             self._ckpt_ids = {_checkpoint_rdd_id(self._index)}
+        if bucket is not None:
+            sm, g, gmax = build_rows_bucket_summary(
+                self._index,
+                self.key_cols,
+                ts_col,
+                [value_col],
+                bucket_micros=_bucket_micros(bucket),
+            )
+            if cache:
+                sm = sm.coalesce(sc.defaultParallelism).localCheckpoint(
+                    eager=True
+                )
+                from volga_spark.operators.tiles import _checkpoint_rdd_id
+
+                self._ckpt_ids.add(_checkpoint_rdd_id(sm))
+            self._summary = (sm, g, gmax)
 
     def lookup(
         self,
@@ -355,15 +557,22 @@ class RowsFeatureService:
         request_id_col: str = "request_id",
         materialize: bool = False,
     ):
-        out = rows_lookup(
-            None,
+        c = self.value_col
+        out = rows_index_lookup(
+            self._index,
             requests,
-            key_cols=self.key_cols,
-            ts_col=self.ts_col,
-            value_col=self.value_col,
-            frame=self.frame,
+            self.key_cols,
+            self.ts_col,
+            [c],
+            self.frame,
+            outputs=[
+                ("cnt", "count", c),
+                ("sum_value", "sum", c),
+                ("min_value", "min", c),
+                ("max_value", "max", c),
+            ],
             request_id_col=request_id_col,
-            index=self._index,
+            summary=self._summary,
         )
         return out.toArrow() if materialize else out
 

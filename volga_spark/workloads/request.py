@@ -51,7 +51,10 @@ from volga_spark.workloads import workload
         )
         SELECT b.request_id, b.user_id, b.cnt_1h, b.sum_1h, b.min_1h, b.max_1h,
                coalesce(ra.cnt_r100, 0) AS cnt_r100,
-               ra.sum_r100, ra.min_r100, ra.max_r100
+               ra.sum_r100, ra.min_r100, ra.max_r100,
+               coalesce(ra.cnt_r100, 0) AS cnt_r100b,
+               ra.sum_r100 AS sum_r100b, ra.min_r100 AS min_r100b,
+               ra.max_r100 AS max_r100b
         FROM base b LEFT JOIN rows_agg ra ON ra.request_id = b.request_id
     """,
     tags=("request",),
@@ -108,9 +111,35 @@ def q_request_point_lookup(spark, sf_dir):
         F.col("min_value").alias("min_r100"),
         F.col("max_value").alias("max_r100"),
     )
-    return base.join(rows_leg, "request_id").select(
-        "request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h",
-        "cnt_r100", "sum_r100", "min_r100", "max_r100",
+    # 'rows-bucketed' leg (r13): the SAME frame answered through the
+    # bucketed as-of (in-bucket edge probe + dense previous-bucket carry
+    # summary — the reference's bucket-index seek, bucket_span_for_rows
+    # _window); must hash-match the identical DuckDB aggregation. The odd
+    # granularity exercises bucket-boundary clamping at every sf.
+    rows_bkt = rows_lookup(
+        ev.select("user_id", "ts", "event_id", "value"),
+        requests,
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rows_frame(100),
+        tiebreak="event_id",
+        bucket="7 minutes",
+    ).select(
+        "request_id",
+        F.col("cnt").alias("cnt_r100b"),
+        F.col("sum_value").alias("sum_r100b"),
+        F.col("min_value").alias("min_r100b"),
+        F.col("max_value").alias("max_r100b"),
+    )
+    return (
+        base.join(rows_leg, "request_id")
+        .join(rows_bkt, "request_id")
+        .select(
+            "request_id", "user_id", "cnt_1h", "sum_1h", "min_1h", "max_1h",
+            "cnt_r100", "sum_r100", "min_r100", "max_r100",
+            "cnt_r100b", "sum_r100b", "min_r100b", "max_r100b",
+        )
     )
 
 
