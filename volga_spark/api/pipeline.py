@@ -843,13 +843,14 @@ class PipelineRequestService:
         block-decomposed position index, built lazily on first lookup over
         the group's prepared input columns."""
         from volga_spark.operators.rows_index import (
+            build_rows_bucket_summary,
             build_rows_index,
             rows_index_lookup,
         )
 
         cols = list(dict.fromkeys(self._native_meta[s.name][1] for s in specs))
-        idx = self._rows_indexes.get(gi)
-        if idx is None:
+        cached = self._rows_indexes.get(gi)
+        if cached is None:
             s = self.state
             for name, expr in self.prepared.items():
                 s = s.withColumn(name, expr)
@@ -875,7 +876,16 @@ class PipelineRequestService:
             from volga_spark.operators.tiles import _checkpoint_rdd_id
 
             self._index_ckpt_ids.add(_checkpoint_rdd_id(idx))
-            self._rows_indexes[gi] = idx
+            # bucketed as-of (the reference's bucket-index seek): pinned
+            # dense carry summary, so lookups need no per-batch state sort
+            sm, g, gmax = build_rows_bucket_summary(
+                idx, self.key_cols, self.ts_col, cols, sums=False
+            )
+            sm = sm.coalesce(sc.defaultParallelism).localCheckpoint(eager=True)
+            self._index_ckpt_ids.add(_checkpoint_rdd_id(sm))
+            cached = (idx, (sm, g, gmax))
+            self._rows_indexes[gi] = cached
+        idx, summary = cached
         outputs = [
             (s_.name, *self._native_meta[s_.name]) for s_ in specs
         ]
@@ -890,6 +900,7 @@ class PipelineRequestService:
             request_id_col=request_id_col,
             sums=False,
             include_ts=True,
+            summary=summary,
         )
 
     def close(self) -> None:
