@@ -453,3 +453,103 @@ def test_bucketed_service_pins_and_matches(spark, state_df, reqs_df):
                 assert d["min_value"] == w["min"] and d["max_value"] == w["max"]
     finally:
         svc.close()
+
+
+def test_concurrent_rows_lookups_share_one_service(spark, state_df, reqs_df):
+    """K concurrent callers against ONE RowsFeatureService: lookups are
+    pure reads over service-level pins (index + summary) — no per-batch
+    pin lifecycle at all, so there is no consume-cadence and no
+    cross-thread release hazard by construction. Every thread must get
+    exact values for its own batch."""
+    import threading
+
+    from volga_spark.operators.rows_index import RowsFeatureService
+    from volga_spark.operators.window import rows_frame as rf
+
+    svc = RowsFeatureService(
+        state_df.select("user_id", "ts", "seq", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(7),
+        tiebreak="seq",
+        bucket="auto",
+    )
+    want = _oracle(STATE_PDF, REQS_PDF, 7)
+    errors: list = []
+
+    def caller(k: int) -> None:
+        try:
+            for _ in range(3):
+                for d in svc.lookup(reqs_df, materialize=True).to_pylist():
+                    w = want[d["request_id"]]
+                    assert d["cnt"] == w["cnt"], (k, d, w)
+                    if w["cnt"]:
+                        assert d["min_value"] == w["min"], (k, d, w)
+        except Exception as ex:  # noqa: BLE001 — surfaced to the main thread
+            errors.append((k, ex))
+
+    try:
+        threads = [threading.Thread(target=caller, args=(k,)) for k in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+    finally:
+        svc.close()
+    assert not svc._ckpt_ids
+
+
+def test_http_serves_rows_service(spark, state_df):
+    """The HTTP FeatureServer serves the duck-typed RowsFeatureService
+    unchanged (lookup/get_features/key_cols/ts_col)."""
+    import json
+    import urllib.request
+
+    from volga_spark.api.serving import FeatureServer
+    from volga_spark.operators.rows_index import RowsFeatureService
+    from volga_spark.operators.window import rows_frame as rf
+
+    svc = RowsFeatureService(
+        state_df.select("user_id", "ts", "seq", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(5),
+        tiebreak="seq",
+        bucket="auto",
+    )
+    want = _oracle(STATE_PDF, REQS_PDF, 5)
+    pts = REQS_PDF.head(6)
+    try:
+        with FeatureServer(spark, svc) as srv:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/features",
+                data=json.dumps(
+                    {
+                        "requests": [
+                            {
+                                "request_id": int(r.request_id),
+                                "user_id": int(r.user_id),
+                                "ts": r.ts.isoformat(),
+                            }
+                            for r in pts.itertuples()
+                        ]
+                    }
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                assert resp.status == 200
+                body = json.loads(resp.read())
+        feats = {f["request_id"]: f for f in body["features"]}
+        assert len(feats) == len(pts)
+        for rid, f in feats.items():
+            w = want[rid]
+            assert f["cnt"] == w["cnt"], (rid, f, w)
+            if w["cnt"]:
+                assert f["min_value"] == w["min"] and f["max_value"] == w["max"]
+    finally:
+        svc.close()
