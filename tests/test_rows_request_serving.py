@@ -553,3 +553,58 @@ def test_http_serves_rows_service(spark, state_df):
                 assert f["min_value"] == w["min"] and f["max_value"] == w["max"]
     finally:
         svc.close()
+
+
+def test_rows_service_refresh_swaps_state(spark, state_df, reqs_df):
+    """refresh(new_state) rebuilds + repins index and summary without
+    replacing the service object (the HTTP server keeps serving through
+    the swap); old pins are released, materialized pre-refresh results
+    stay valid data."""
+    from volga_spark.operators.rows_index import RowsFeatureService
+    from volga_spark.operators.window import rows_frame as rf
+
+    svc = RowsFeatureService(
+        state_df.select("user_id", "ts", "seq", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(7),
+        tiebreak="seq",
+        bucket="auto",
+    )
+    try:
+        before = svc.lookup(reqs_df, materialize=True).to_pylist()
+        old_ids = set(svc._ckpt_ids)
+        assert len(old_ids) == 2
+
+        # append a late batch: new rows after every existing ts for user 1
+        extra = STATE_PDF.copy()
+        extra = extra[extra.user_id == 1].tail(3).copy()
+        extra["ts"] = extra["ts"] + pd.Timedelta(hours=2)
+        extra["seq"] = extra["seq"] + 10_000
+        extra["value"] = 999.0
+        new_state = pd.concat([STATE_PDF, extra], ignore_index=True)
+        svc.refresh(spark.createDataFrame(new_state).localCheckpoint())
+        assert svc._ckpt_ids and svc._ckpt_ids.isdisjoint(old_ids)
+
+        want = _oracle(new_state, REQS_PDF, 7)
+        after = {
+            d["request_id"]: d
+            for d in svc.lookup(reqs_df, materialize=True).to_pylist()
+        }
+        for rid, d in after.items():
+            w = want[rid]
+            assert d["cnt"] == w["cnt"], (rid, d, w)
+            if w["cnt"]:
+                assert d["max_value"] == w["max"], (rid, d, w)
+        # pre-refresh materialized results are plain data, still readable
+        assert {d["request_id"] for d in before} == set(after)
+        # a late request sees the appended rows after refresh
+        late = spark.createDataFrame(
+            [(9_999, 1, (STATE_PDF.ts.max() + pd.Timedelta(hours=3)).to_pydatetime())],
+            "request_id long, user_id long, ts timestamp",
+        )
+        got = svc.lookup(late, materialize=True).to_pylist()[0]
+        assert got["max_value"] == 999.0
+    finally:
+        svc.close()

@@ -521,35 +521,73 @@ class RowsFeatureService:
         self.ts_col = ts_col
         self.value_col = value_col
         self.frame = frame
-        self._index = build_rows_index(
-            events, self.key_cols, ts_col, value_col, frame.preceding, tiebreak
-        )
+        self._tiebreak = tiebreak
+        self._cache = cache
+        self._bucket = bucket
         self._ckpt_ids: set[int] = set()
         self._summary: tuple | None = None
+        self._build(events)
+
+    def _build(self, events: DataFrame) -> None:
+        self._index = build_rows_index(
+            events,
+            self.key_cols,
+            self.ts_col,
+            self.value_col,
+            self.frame.preceding,
+            self._tiebreak,
+        )
         sc = events.sparkSession.sparkContext
-        if cache:
+        if self._cache:
+            from volga_spark.operators.tiles import _checkpoint_rdd_id
+
             self._index = self._index.coalesce(
                 sc.defaultParallelism
             ).localCheckpoint(eager=True)
-            from volga_spark.operators.tiles import _checkpoint_rdd_id
-
-            self._ckpt_ids = {_checkpoint_rdd_id(self._index)}
-        if bucket is not None:
+            self._ckpt_ids.add(_checkpoint_rdd_id(self._index))
+        if self._bucket is not None:
             sm, g, gmax = build_rows_bucket_summary(
                 self._index,
                 self.key_cols,
-                ts_col,
-                [value_col],
-                bucket_micros=_bucket_micros(bucket),
+                self.ts_col,
+                [self.value_col],
+                bucket_micros=_bucket_micros(self._bucket),
             )
-            if cache:
+            if self._cache:
+                from volga_spark.operators.tiles import _checkpoint_rdd_id
+
                 sm = sm.coalesce(sc.defaultParallelism).localCheckpoint(
                     eager=True
                 )
-                from volga_spark.operators.tiles import _checkpoint_rdd_id
-
                 self._ckpt_ids.add(_checkpoint_rdd_id(sm))
             self._summary = (sm, g, gmax)
+
+    def refresh(self, events: DataFrame) -> None:
+        """Swap in a new state snapshot (the streaming write path's latest
+        upsert) without replacing the service object — the HTTP
+        ``FeatureServer`` keeps serving through the swap. Rebuilds and
+        pins the index (+ summary), then releases the OLD pins: callers
+        holding LIVE DataFrames from pre-refresh lookups fail loudly
+        (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), the engine-wide eager-pin
+        contract; ``materialize=True`` results are data and stay valid."""
+        old = set(self._ckpt_ids)
+        self._ckpt_ids = set()
+        self._summary = None
+        self._build(events)
+        self._release(old)
+
+    def _release(self, ids: set[int]) -> None:
+        if not ids:
+            return
+        try:
+            sc = self._index.sparkSession.sparkContext
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist()
+        except Exception:  # noqa: BLE001 — release must never fail
+            pass
 
     def lookup(
         self,
@@ -582,15 +620,5 @@ class RowsFeatureService:
         return self.lookup(req, materialize=True).to_pylist()
 
     def close(self) -> None:
-        if not self._ckpt_ids:
-            return
-        try:
-            sc = self._index.sparkSession.sparkContext
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in self._ckpt_ids:
-                jrdd = jmap.get(rid)
-                if jrdd is not None:
-                    jrdd.unpersist()
-        except Exception:  # noqa: BLE001 — release must never fail close
-            pass
+        self._release(self._ckpt_ids)
         self._ckpt_ids = set()
