@@ -328,7 +328,14 @@ def rows_index_lookup(
         ).withColumn(
             "__abkt", F.least(_bkt(ts_col, g_micros), F.lit(gmax))
         )
-        ib = index.withColumn("__bkt", _bkt(ts_col, g_micros))
+        # a pinned index that already carries __bkt (service builds at a
+        # known granularity) skips the per-row timestamp arithmetic on the
+        # per-batch scan
+        ib = (
+            index
+            if "__bkt" in index.columns
+            else index.withColumn("__bkt", _bkt(ts_col, g_micros))
+        )
         prq = rq.select(
             request_id_col,
             *[F.col(k).alias(f"__rk_{k}") for k in keys],
@@ -537,6 +544,28 @@ class RowsFeatureService:
             self.frame.preceding,
             self._tiebreak,
         )
+        g = None
+        if self._bucket is not None:
+            g = _bucket_micros(self._bucket)
+            if g is None:  # auto: size from the state span (1-row agg)
+                mm = events.agg(
+                    F.min(
+                        F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+                    ).alias("lo"),
+                    F.max(
+                        F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+                    ).alias("hi"),
+                ).collect()[0]
+                g = (
+                    max((mm["hi"] - mm["lo"]) // 1024, 1)
+                    if mm["lo"] is not None
+                    else 1
+                )
+            # bake the bucket id into the pinned index: the per-batch
+            # in-bucket probe then scans without timestamp arithmetic
+            self._index = self._index.withColumn(
+                "__bkt", _bkt(self.ts_col, g)
+            )
         sc = events.sparkSession.sparkContext
         if self._cache:
             from volga_spark.operators.tiles import _checkpoint_rdd_id
@@ -551,7 +580,7 @@ class RowsFeatureService:
                 self.key_cols,
                 self.ts_col,
                 [self.value_col],
-                bucket_micros=_bucket_micros(self._bucket),
+                bucket_micros=g,
             )
             if self._cache:
                 from volga_spark.operators.tiles import _checkpoint_rdd_id
