@@ -96,20 +96,29 @@ def test_no_dataframe_rdd_probe():
     root = pathlib.Path(__file__).resolve().parents[1] / "volga_spark"
     offenders = []
     for path in root.rglob("*.py"):
-        toks = tokenize.generate_tokens(io.StringIO(path.read_text()).readline)
-        prev = None
-        for tok in toks:
+        toks = list(
+            tokenize.generate_tokens(io.StringIO(path.read_text()).readline)
+        )
+        for i, tok in enumerate(toks):
             # `.rdd` in code = an OP '.' immediately followed by NAME 'rdd';
-            # strings/docstrings/comments never tokenize that way.
+            # strings/docstrings/comments never tokenize that way. The ban
+            # targets the Python DataFrame.rdd PROPERTY — a `.rdd(` METHOD
+            # call is JVM-plan introspection (LogicalRDD.rdd() in
+            # _checkpoint_rdd_id, the r12-advisor checkpoint-id capture)
+            # and never touches the Python property.
             if (
-                prev is not None
-                and prev.type == tokenize.OP
-                and prev.string == "."
+                i > 0
+                and toks[i - 1].type == tokenize.OP
+                and toks[i - 1].string == "."
                 and tok.type == tokenize.NAME
                 and tok.string == "rdd"
+                and not (
+                    i + 1 < len(toks)
+                    and toks[i + 1].type == tokenize.OP
+                    and toks[i + 1].string == "("
+                )
             ):
                 offenders.append(f"{path}:{tok.start[0]}: {tok.line.strip()}")
-            prev = tok
     assert not offenders, offenders
 
 
