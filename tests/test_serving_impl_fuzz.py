@@ -13,6 +13,12 @@ shapes and runs the SAME lookup through every serving implementation:
 All five must agree bit-for-bit (counts are longs; sums go through the
 cents rule so the doubles are exact; min/max are picks). Seed count:
 FUZZ_SERVING_SEEDS env (CI default 6; deep sweeps crank it).
+
+ROWS frames (r13) get the same treatment in
+:func:`test_rows_serving_impls_agree`: the two-pass native path, the
+block-decomposed position index (union as-of AND the bucketed
+bucket-index seek at random granularities), and the pinned
+RowsFeatureService, all against a brute-force last-n-state-rows model.
 """
 
 from __future__ import annotations
