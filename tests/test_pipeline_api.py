@@ -477,3 +477,55 @@ def test_request_mode_serves_multi_window_sql(spark, sf_dir):
                 )
             else:
                 assert g == w, (rid, c, g, w)
+
+
+def test_equal_micros_windows_merge_into_one_sweep(spark, sf_dir):
+    """r13 review: frame groups key on SEMANTIC length, so RANGE '1 hour'
+    and RANGE '60 minutes' merge into ONE virtual-point sweep (the
+    dataclass key split them into two O(state) sweeps); values must equal
+    the write path either way."""
+    from volga_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sql = """
+        SELECT user_id,
+               sum(value) OVER w1 AS s_1h,
+               count(value) OVER w2 AS c_60m
+        FROM events
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '60' MINUTE PRECEDING AND CURRENT ROW)
+    """
+    spec = PipelineSpec(
+        sql=sql,
+        sources=[SourceSpec("events", dataframe=ev)],
+        execution_mode="request",
+    )
+    write = {
+        r["event_id"]: r
+        for r in PipelineSpec(
+            sql=sql.replace("SELECT user_id,", "SELECT event_id,"),
+            sources=[SourceSpec("events", dataframe=ev)],
+        )
+        .build(spark)
+        .filter(F.col("event_id") % 13 == 0)
+        .collect()
+    }
+    assert write
+    svc = spec.build_request_service(spark)
+    try:
+        assert len(svc._groups) == 1  # merged: same micros, one sweep
+        req = ev.filter(F.col("event_id") % 13 == 0).select(
+            F.col("event_id").alias("request_id"), "user_id", "ts"
+        )
+        got = {r["request_id"]: r for r in svc.lookup(req).collect()}
+    finally:
+        svc.close()
+    assert set(got) == set(write)
+    for rid, w in write.items():
+        g = got[rid]
+        assert g["c_60m"] == w["c_60m"], (rid, g, w)
+        assert abs(float(g["s_1h"]) - float(w["s_1h"])) <= 1e-9 * max(
+            1.0, abs(float(w["s_1h"]))
+        ), (rid, g, w)

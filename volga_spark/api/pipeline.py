@@ -592,7 +592,18 @@ class PipelineSpec:
         # sweep, distinct lengths become one sweep each, joined on
         # request_id at lookup.
         keys = order = None
-        groups: dict = {}  # Frame (frozen dataclass, hashable) -> specs
+        # group by SEMANTIC frame key (micros / row count), not the Frame
+        # dataclass: RANGE '1 hour' and RANGE '60 minutes' are the same
+        # sweep and must merge (r13 review find — the dataclass key split
+        # them into two O(state) sweeps)
+        def _frame_key(f):
+            return (
+                (1, f.preceding)
+                if not isinstance(f, RangeFrame)
+                else (0, f.micros)
+            )
+
+        groups: dict = {}  # frame key -> [representative Frame, specs]
         for wname, spec in per_call:
             if wname not in windows:
                 raise ValueError(f"request mode: WINDOW {wname} not declared")
@@ -604,29 +615,24 @@ class PipelineSpec:
                     "request mode serves one (partition, order) state; "
                     f"windows disagree: {(keys, order)} vs {(w_keys, w_order)}"
                 )
-            groups.setdefault(w_frame, []).append(spec)
+            groups.setdefault(_frame_key(w_frame), [w_frame, []])[1].append(spec)
         table_m = re.search(r"FROM\s+(\w+)", sql, re.IGNORECASE)
         if not table_m:
             raise ValueError("cannot find FROM table")
         state = spark.table(table_m.group(1))
         # deterministic sweep order: RANGE frames by length, then ROWS by
         # row count (each distinct frame is one virtual-point sweep)
-        ordered = sorted(
-            groups,
-            key=lambda f: (1, f.preceding)
-            if not isinstance(f, RangeFrame)
-            else (0, f.micros),
-        )
-        first = ordered[0]
+        ordered = sorted(groups)
+        first_frame, first_specs = groups[ordered[0]]
         alias_order = [s.name for _, s in per_call]
         return PipelineRequestService(
             state,
             keys,
             order,
-            first,
-            groups[first],
+            first_frame,
+            first_specs,
             prepared,
-            extra_groups=[(f, groups[f]) for f in ordered[1:]],
+            extra_groups=[tuple(groups[k]) for k in ordered[1:]],
             alias_order=alias_order,
             tiebreak=tiebreak,
             native_meta=native_meta,
@@ -788,8 +794,14 @@ class PipelineRequestService:
             )
             for f, g in self._groups
         ]
-        self._rows_indexes: dict = {}  # group idx -> pinned index DataFrame
+        import threading
+
+        self._rows_indexes: dict = {}  # group idx -> (pinned index, summary)
         self._index_ckpt_ids: set[int] = set()
+        # serializes the one-time lazy index build: concurrent first
+        # lookups (the HTTP server is threaded) must not build and pin
+        # duplicate indexes (r13 review find)
+        self._index_lock = threading.Lock()
 
     def lookup(
         self,
@@ -843,48 +855,77 @@ class PipelineRequestService:
         block-decomposed position index, built lazily on first lookup over
         the group's prepared input columns."""
         from volga_spark.operators.rows_index import (
+            _bkt,
             build_rows_bucket_summary,
             build_rows_index,
             rows_index_lookup,
         )
 
         cols = list(dict.fromkeys(self._native_meta[s.name][1] for s in specs))
-        cached = self._rows_indexes.get(gi)
-        if cached is None:
-            s = self.state
-            for name, expr in self.prepared.items():
-                s = s.withColumn(name, expr)
-            ties = (
-                [self.tiebreak]
-                if isinstance(self.tiebreak, str)
-                else list(self.tiebreak or [])
-            )
-            s = s.select(
-                *dict.fromkeys([*self.key_cols, self.ts_col, *ties, *cols])
-            )
-            idx = build_rows_index(
-                s,
-                self.key_cols,
-                self.ts_col,
-                cols,
-                frame.preceding,
-                tiebreak=self.tiebreak,
-                sums=False,
-            )
-            sc = idx.sparkSession.sparkContext
-            idx = idx.coalesce(sc.defaultParallelism).localCheckpoint(eager=True)
-            from volga_spark.operators.tiles import _checkpoint_rdd_id
+        with self._index_lock:
+            cached = self._rows_indexes.get(gi)
+            if cached is None:
+                s = self.state
+                for name, expr in self.prepared.items():
+                    s = s.withColumn(name, expr)
+                ties = (
+                    [self.tiebreak]
+                    if isinstance(self.tiebreak, str)
+                    else list(self.tiebreak or [])
+                )
+                s = s.select(
+                    *dict.fromkeys([*self.key_cols, self.ts_col, *ties, *cols])
+                )
+                idx = build_rows_index(
+                    s,
+                    self.key_cols,
+                    self.ts_col,
+                    cols,
+                    frame.preceding,
+                    tiebreak=self.tiebreak,
+                    sums=False,
+                )
+                # resolve the auto bucket granularity and bake __bkt into
+                # the PINNED index, so the per-batch probe scan does no
+                # timestamp arithmetic (same recipe as
+                # RowsFeatureService._build)
+                mm = s.agg(
+                    F.min(
+                        F.expr(f"unix_micros(CAST({self.ts_col} AS TIMESTAMP))")
+                    ).alias("lo"),
+                    F.max(
+                        F.expr(f"unix_micros(CAST({self.ts_col} AS TIMESTAMP))")
+                    ).alias("hi"),
+                ).collect()[0]
+                g = (
+                    max((mm["hi"] - mm["lo"]) // 1024, 1)
+                    if mm["lo"] is not None
+                    else 1
+                )
+                idx = idx.withColumn("__bkt", _bkt(self.ts_col, g))
+                sc = idx.sparkSession.sparkContext
+                idx = idx.coalesce(sc.defaultParallelism).localCheckpoint(
+                    eager=True
+                )
+                from volga_spark.operators.tiles import _checkpoint_rdd_id
 
-            self._index_ckpt_ids.add(_checkpoint_rdd_id(idx))
-            # bucketed as-of (the reference's bucket-index seek): pinned
-            # dense carry summary, so lookups need no per-batch state sort
-            sm, g, gmax = build_rows_bucket_summary(
-                idx, self.key_cols, self.ts_col, cols, sums=False
-            )
-            sm = sm.coalesce(sc.defaultParallelism).localCheckpoint(eager=True)
-            self._index_ckpt_ids.add(_checkpoint_rdd_id(sm))
-            cached = (idx, (sm, g, gmax))
-            self._rows_indexes[gi] = cached
+                self._index_ckpt_ids.add(_checkpoint_rdd_id(idx))
+                # bucketed as-of (the reference's bucket-index seek):
+                # pinned dense carry summary — no per-batch state sort
+                sm, g, gmax = build_rows_bucket_summary(
+                    idx,
+                    self.key_cols,
+                    self.ts_col,
+                    cols,
+                    bucket_micros=g,
+                    sums=False,
+                )
+                sm = sm.coalesce(sc.defaultParallelism).localCheckpoint(
+                    eager=True
+                )
+                self._index_ckpt_ids.add(_checkpoint_rdd_id(sm))
+                cached = (idx, (sm, g, gmax))
+                self._rows_indexes[gi] = cached
         idx, summary = cached
         outputs = [
             (s_.name, *self._native_meta[s_.name]) for s_ in specs
@@ -908,15 +949,11 @@ class PipelineRequestService:
             self.state.unpersist()
             self._cached = False
         if self._index_ckpt_ids:
-            try:
-                sc = self.state.sparkSession.sparkContext
-                jmap = sc._jsc.getPersistentRDDs()
-                for rid in self._index_ckpt_ids:
-                    jrdd = jmap.get(rid)
-                    if jrdd is not None:
-                        jrdd.unpersist()
-            except Exception:  # noqa: BLE001 — release must never fail close
-                pass
+            from volga_spark.operators.tiles import release_checkpoint_ids
+
+            release_checkpoint_ids(
+                self.state.sparkSession.sparkContext, self._index_ckpt_ids
+            )
             self._index_ckpt_ids = set()
             self._rows_indexes = {}
 

@@ -89,11 +89,17 @@ def point_in_time_lookup(
         combined = s.unionByName(r)
         # as-of position: newest state row at-or-before each request —
         # ordering (ts, flag) puts requests after ALL state rows sharing
-        # their ts (the reference seeks Cursor(ts, u64::MAX)); max() makes
-        # the assignment insensitive to intra-tie arrangement
+        # their ts (the reference seeks Cursor(ts, u64::MAX)). pos joins
+        # the sort so co-timestamped STATE rows rank ascending by their
+        # own position: without it the intra-tie arrangement is
+        # UNSPECIFIED, and a state row sorted after a co-ts higher
+        # position would inherit that position via max-so-far, widening
+        # other frames (r13 review find; requests carry NULL pos and
+        # only read the max). max() keeps REQUEST rows insensitive to
+        # their own tie arrangement.
         w_asof = (
             W.partitionBy(*keys)
-            .orderBy(F.col(ts_col), F.col(REQ_FLAG))
+            .orderBy(F.col(ts_col), F.col(REQ_FLAG), F.col(pos))
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         combined = combined.withColumn(

@@ -194,7 +194,11 @@ def build_rows_index(
         *keys,
         ts_col,
         *cols,
-        F.row_number().over(w_rn).alias("__rn"),
+        # the block decomposition is only valid for THIS preceding count;
+        # the metadata lets lookups fail loudly on a mismatched index
+        F.row_number()
+        .over(w_rn)
+        .alias("__rn", metadata={"rows_index_preceding": preceding}),
     ]
     df = events.select(*base_sel).withColumn(
         "__blk", F.expr(f"(__rn - 1) div {preceding}")
@@ -263,6 +267,15 @@ def rows_index_lookup(
             raise ValueError(f"rows index cannot answer {op!r} ({alias})")
         if op == "sum" and not sums:
             raise ValueError(f"index built without sums cannot answer {alias}")
+    try:
+        built_n = index.schema["__rn"].metadata.get("rows_index_preceding")
+    except Exception:  # noqa: BLE001 — metadata is best-effort (old indexes)
+        built_n = None
+    if built_n is not None and built_n != n:
+        raise ValueError(
+            f"index was built for ROWS {built_n} PRECEDING, lookup asked for "
+            f"{n} — the block decomposition is frame-specific; rebuild"
+        )
     st_cols = _st_cols(len(cols), sums)
 
     if summary is None:
@@ -606,17 +619,9 @@ class RowsFeatureService:
         self._release(old)
 
     def _release(self, ids: set[int]) -> None:
-        if not ids:
-            return
-        try:
-            sc = self._index.sparkSession.sparkContext
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in ids:
-                jrdd = jmap.get(rid)
-                if jrdd is not None:
-                    jrdd.unpersist()
-        except Exception:  # noqa: BLE001 — release must never fail
-            pass
+        from volga_spark.operators.tiles import release_checkpoint_ids
+
+        release_checkpoint_ids(self._index.sparkSession.sparkContext, ids)
 
     def lookup(
         self,

@@ -447,6 +447,23 @@ def _checkpoint_rdd_id(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().analyzed().rdd().id())
 
 
+def release_checkpoint_ids(sc, ids) -> None:
+    """Targeted unpersist of checkpoint blocks by RDD id — never a blanket
+    clear of other callers' persistent RDDs, and never raises (releases run
+    from close()/serving paths). The single shared implementation for every
+    service's pin bookkeeping (tiled, rows, pipeline)."""
+    if not ids:
+        return
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist()
+    except Exception:  # noqa: BLE001 — release must never fail
+        pass
+
+
 class TiledFeatureService:
     """Request-serving over TILED state — the reference's "queryable state"
     loop (README feature list + window_request_operator.rs): the streaming
@@ -609,33 +626,17 @@ class TiledFeatureService:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — release must never fail serving
                 pass
-        if ids:
-            try:
-                jmap = (
-                    self.events.sparkSession.sparkContext._jsc.getPersistentRDDs()
-                )
-                for rid in ids:
-                    jrdd = jmap.get(rid)
-                    if jrdd is not None:
-                        jrdd.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        release_checkpoint_ids(self.events.sparkSession.sparkContext, ids)
 
     def close(self) -> None:
         self._release_batch_pins()
         if self._cached:
             # targeted release of the checkpoint blocks captured in
-            # _ensure_cached — never a blanket clear of other callers'
-            # persistent RDDs
-            try:
-                sc = self.events.sparkSession.sparkContext
-                jmap = sc._jsc.getPersistentRDDs()
-                for rid in getattr(self, "_ckpt_rdd_ids", ()):  # noqa: B007
-                    jrdd = jmap.get(rid)
-                    if jrdd is not None:
-                        jrdd.unpersist()
-            except Exception:  # noqa: BLE001 — release must never fail close
-                pass
+            # _ensure_cached
+            release_checkpoint_ids(
+                self.events.sparkSession.sparkContext,
+                getattr(self, "_ckpt_rdd_ids", ()),
+            )
             self._cached = False
         if self._cover_template is not None:
             try:
