@@ -608,3 +608,29 @@ def test_rows_service_refresh_swaps_state(spark, state_df, reqs_df):
         assert got["max_value"] == 999.0
     finally:
         svc.close()
+
+
+def test_bucketed_lookup_plan_has_no_window(spark, state_df, reqs_df):
+    """r13 plan pin: the bucketed as-of serves a lookup with NO window
+    node — the per-batch plan is equality joins + a bounded aggregation
+    over the in-bucket matches, never a sort/window over state. (The
+    union strategy, by contrast, pays one window pass per batch.)"""
+    from volga_spark.operators.rows_index import RowsFeatureService
+    from volga_spark.operators.window import rows_frame as rf
+
+    svc = RowsFeatureService(
+        state_df.select("user_id", "ts", "seq", "value"),
+        key_cols="user_id",
+        ts_col="ts",
+        value_col="value",
+        frame=rf(7),
+        tiebreak="seq",
+        bucket="auto",
+    )
+    try:
+        out = svc.lookup(reqs_df)
+        out.collect()  # finalize the AQE plan before inspecting (r05 rule)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan[:2000]
+    finally:
+        svc.close()

@@ -398,42 +398,57 @@ def rows_index_lookup(
             )
         )
 
-    reqp = (
-        reqp.select(
-            "*",
-            *[F.col(f"__stp.{c}").alias(f"{c}_p") for c in st_cols],
-        )
-        .drop("__stp")
-        .withColumn("__l1", F.greatest(F.col("__p") - n, F.lit(0)))
-        .withColumn("__l", F.col("__l1") + 1)
-    )
+    reqp = reqp.select(
+        "*",
+        *[F.col(f"__stp.{c}").alias(f"{c}_p") for c in st_cols],
+    ).drop("__stp")
 
-    # --- fetch the frame-start row (suffix mins + cum at l-1) ------------
-    # inner probe with the REQUEST side broadcast (one index scan), then a
-    # broadcast left join re-attaches requests whose frame is empty (p=0,
-    # no l-row exists) — the same plan shape as the RANGE tiled_lookup
-    lsel = [F.col(request_id_col)]
+    # --- ONE l-row probe carries the p-side fields through ---------------
+    # The frame-start (l-row) fetch broadcasts the WHOLE request-position
+    # frame (batch-sized) into one index equi-join; every p-side value
+    # rides the probe, and requests with an empty frame are recovered by a
+    # left join from the RAW request input. reqp therefore has exactly ONE
+    # consumer — the earlier shape (probe + a second reqp ⋈ lrow join)
+    # re-executed the entire as-of (the union window, or part A's index
+    # probe + part B) once per consumer (r13 plan audit).
+    # A p>0 request always matches exactly one l-row (positions are dense
+    # 1..max per key, l ≤ p); a p=0 request either matches the key's first
+    # row spuriously (gated by `empty` below) or, for a key with no state,
+    # misses and is recovered with NULL fields by the left join.
+    probe = reqp.select(
+        request_id_col,
+        *keys,
+        F.greatest(F.col("__p") - n, F.lit(0)).alias("__l1"),
+        "__p",
+        *[f"{c}_p" for c in st_cols],
+    ).withColumn("__rn", F.col("__l1") + 1)
+    fsel = [
+        F.col(request_id_col),
+        F.col("__p"),
+        F.col("__rn").alias("__l"),
+        *[F.col(f"{c}_p") for c in st_cols],
+    ]
     for i in range(len(cols)):
-        lsel.append(F.col(f"__smin{i}").alias(f"__smin{i}_l"))
-        lsel.append(F.col(f"__smax{i}").alias(f"__smax{i}_l"))
+        fsel.append(F.col(f"__smin{i}").alias(f"__smin{i}_l"))
+        fsel.append(F.col(f"__smax{i}").alias(f"__smax{i}_l"))
         # cum at l-1 = cum at l minus the l-row's own contribution
-        lsel.append((F.col(f"__ccnt{i}") - F.col(f"__nn{i}")).alias(f"__cntl1_{i}"))
+        fsel.append((F.col(f"__ccnt{i}") - F.col(f"__nn{i}")).alias(f"__cntl1_{i}"))
         if sums:
-            lsel.append(
+            fsel.append(
                 (
                     F.col(f"__csum{i}") - F.coalesce(F.col(f"__cents{i}"), F.lit(0))
                 ).alias(f"__csuml1_{i}")
             )
-    lrow = index.join(
-        F.broadcast(
-            reqp.select(request_id_col, *keys, F.col("__l").alias("__rn"))
-        ),
-        keys + ["__rn"],
-    ).select(*lsel)
-    out = reqp.join(F.broadcast(lrow), request_id_col, "left")
+    fetched = index.join(
+        F.broadcast(probe.drop("__l1")), keys + ["__rn"]
+    ).select(*fsel)
+    base_req = requests.select(
+        F.col(request_id_col).cast("long"), *keys, ts_col
+    )
+    out = base_req.join(F.broadcast(fetched), request_id_col, "left")
 
     same_blk = F.expr(f"((__l - 1) div {n}) = ((__p - 1) div {n})")
-    empty = F.col("__p") == 0
+    empty = F.col("__p").isNull() | (F.col("__p") == 0)
     exprs = []
     for alias, op, c in outputs:
         i = cols.index(c)
