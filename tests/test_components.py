@@ -75,3 +75,22 @@ def test_duplicate_and_reversed_edges(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src bigint, dst bigint")
     assert connected_components(df, "src", "dst").count() == 0
+
+
+def test_distributed_path_still_converges(spark, monkeypatch):
+    # force the star-contraction rounds even for a tiny graph (r13: small
+    # edge sets take the bounded local union-find fast path by default)
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "0")
+    edges = [(i, i + 1) for i in range(60)]
+    _check(spark, 61, edges)
+
+
+def test_local_and_distributed_paths_agree(spark, monkeypatch):
+    rng = random.Random(13)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    local = _spark_cc(spark, edges)
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "0")
+    dist = _spark_cc(spark, edges)
+    assert local == dist

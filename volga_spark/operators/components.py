@@ -21,8 +21,50 @@ survive executor loss across rounds.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _local_union_find(spark, e: DataFrame) -> DataFrame:
+    """Exact connected components of a small (driver-resident) edge set via
+    union-find with path compression + union-by-min-label. Returns the same
+    (node, component=min node id) set the distributed star rounds produce.
+    Only reachable under the documented ``SPARK_GRAFT_CC_LOCAL_MAX`` bound."""
+    from pyspark.sql import types as T
+
+    node_type = e.schema["src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    pdf = e.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min label keeps the root the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, out_schema)
 
 
 def _large_star(edges: DataFrame, w: int) -> DataFrame:
@@ -39,12 +81,17 @@ def _large_star(edges: DataFrame, w: int) -> DataFrame:
     mins = nbrs.groupBy("src").agg(
         F.least(F.min("dst"), F.col("src")).alias("m")
     )
+    # r13 optimization round: no trailing repartition+distinct here. The
+    # consumer is always `_small_star`, whose min-aggregation is
+    # duplicate-insensitive and whose own closing distinct dedups the
+    # round's output — large-star duplicates only thicken one shuffle's
+    # input marginally (bounded by |E|), while the dropped
+    # repartition+HashAggregate pair removes a full exchange + two
+    # aggregate stages from EVERY round (guide §2.4).
     return (
         nbrs.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .repartition(w, "src", "dst")
-        .distinct()
     )
 
 
@@ -100,6 +147,23 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # r13 optimization round — size-adaptive execution (the broadcast-join
+    # principle applied to the iteration): each star round costs a FIXED
+    # ~0.5s of driver planning + job scheduling regardless of |E|, so a
+    # few-hundred-edge graph (the common near-dup case after banding)
+    # spends seconds of pure overhead on data that fits in one task. When
+    # the deduped edge set is small enough to hold on the driver
+    # (bounded, default 200k edges ≈ 3 MB — far under the session's 64 MB
+    # broadcast threshold), run exact union-find locally instead of
+    # O(log n) distributed rounds; the distributed loop is unchanged for
+    # everything larger. The count below replaces round 1's materializing
+    # action, so the distributed path pays one extra cheap job at most.
+    # Result sets are identical (pinned by
+    # tests/test_components.py::test_local_and_distributed_paths_agree).
+    local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "200000"))
+    n_edges = e.count()
+    if n_edges <= local_max:
+        return _local_union_find(spark, e)
     prev_sig = None
     for _ in range(max_rounds):
         e = _small_star(_large_star(e, loop_width), loop_width).localCheckpoint(

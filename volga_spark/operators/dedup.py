@@ -429,13 +429,22 @@ def all_pairs_jaccard(
     sh = _hashed_shingles(df, text_col, id_col, n, wide_input=wide_input)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
-            .select("sh")
+        # r13 optimization-round rewrite (guide §2.4 — remove shuffles):
+        # the prune used to be groupBy("sh") → filter → LEFT SEMI join,
+        # i.e. TWO exchanges of the full shingle set plus a join. A count
+        # window over the same key is ONE exchange of the same bytes, and
+        # its output stays hash-partitioned AND sorted on `sh`, which the
+        # self-join below then reuses directly (no further exchange or
+        # sort on either side — verified in the committed plan diff:
+        # edges subplan went 5 exchanges → 3). Identical semantics: rows
+        # whose shingle document-frequency exceeds the cap are dropped.
+        from pyspark.sql import Window as W
+
+        sh = (
+            sh.withColumn("__df", F.count("*").over(W.partitionBy("sh")))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
         )
-        sh = sh.join(rare, "sh", "left_semi")
     inter = (
         sh.withColumnRenamed(id_col, "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b"), "sh")
