@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 # On a real cluster size this to ~2-3x total cores via the env var.
 STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
+
+def python_handler_width(spark: "SparkSession") -> int:
+    """Stream-shuffle width for queries whose per-batch payload is a heavy
+    PYTHON handler (the tiled windows): the full core count wins there
+    (~16% at sf0.1 on local[32]), but a HARD-CODED 32 mis-sizes the state
+    shuffle when the same bench runs at a lower core count (the driver
+    measures core-scaling) or on a cluster. Derive it from the scheduler's
+    actual parallelism instead (r13 optimization round, guide §2:
+    scale-adaptive partitioning, never a local-mode constant)."""
+    return max(int(spark.sparkContext.defaultParallelism), 1)
+
 # offset/commit logs + state snapshots go to tmpfs when available: the logs
 # are per-micro-batch fsync'd small files, pure latency on a local run (a
 # cluster would point this at fast local/HDFS storage via config instead)

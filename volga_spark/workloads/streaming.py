@@ -16,7 +16,11 @@ from volga_spark.functions.accumulators import MinMaxAcc
 from volga_spark.functions.cate_top import sum_cate
 from volga_spark.functions.sliding import SlidingSpec
 from volga_spark.operators.window import cents, range_frame, rows_frame
-from volga_spark.streaming.runner import run_available_now_to_memory, upsert_by_key
+from volga_spark.streaming.runner import (
+    python_handler_width,
+    run_available_now_to_memory,
+    upsert_by_key,
+)
 from volga_spark.streaming.sources import SENTINEL_ID, chunked_file_stream
 from volga_spark.streaming.stateful_window import sliding_window_stream
 from volga_spark.workloads import workload
@@ -297,10 +301,14 @@ def q_stream_tiled_window(spark, sf_dir):
         lateness="0 seconds",
         prepared={"vc": cents("value"), "cond": F.col("value") > 100.0},
     )
-    # width 32, not the stateful default 8: this query's per-batch payload
-    # is the PYTHON tile handler (~16 CPU-s of numpy sweep per run), so the
-    # full core count wins (~16% at sf0.1); JVM-stateful queries keep 8
-    res = run_available_now_to_memory(out, output_mode="append", stream_shuffle=32)
+    # full-core width, not the stateful default 8: this query's per-batch
+    # payload is the PYTHON tile handler (~16 CPU-s of numpy sweep per
+    # run), so the full core count wins (~16% at sf0.1); JVM-stateful
+    # queries keep 8. Width derives from the scheduler's parallelism
+    # (r13: scale-adaptive — the driver also benches at lower core counts)
+    res = run_available_now_to_memory(
+        out, output_mode="append", stream_shuffle=python_handler_width(spark)
+    )
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
         "event_id", "user_id", "ts", "cnt_7d", "sum_7d", "avg_7d",
         "min_7d", "max_7d", "sum_cate_7d", "topf_7d", "t1r_7d",
@@ -388,8 +396,11 @@ def q_stream_tiled_window_month(spark, sf_dir):
         lateness="0 seconds",
         prepared={"vc": cents("value")},
     )
-    # width 32: python-handler-bound, same rationale as q_stream_tiled_window
-    res = run_available_now_to_memory(out, output_mode="append", stream_shuffle=32)
+    # full-core width: python-handler-bound, same rationale (and the same
+    # scale-adaptive derivation) as q_stream_tiled_window
+    res = run_available_now_to_memory(
+        out, output_mode="append", stream_shuffle=python_handler_width(spark)
+    )
     return res.filter(F.col("event_id") != SENTINEL_ID).select(
         "event_id", "user_id", "ts", "cnt_21d", "sum_21d",
         "min_21d", "max_21d", "sum_cate_21d",
