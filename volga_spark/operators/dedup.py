@@ -427,7 +427,15 @@ def all_pairs_jaccard(
     exact oracle comparison is needed).
     """
     sh = _hashed_shingles(df, text_col, id_col, n, wide_input=wide_input)
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # r13: per-doc shingle counts ride the shingle rows (count window over
+    # the id — one exchange of the same bytes the old groupBy(id) agg
+    # shuffled) instead of being joined back onto the pair set after the
+    # self-join (which cost two more exchanges of the pairs + two joins).
+    # Sizes are attached BEFORE the optional stop-shingle prune: per-doc
+    # denominators stay unpruned, exactly as before.
+    from pyspark.sql import Window as W
+
+    sh = sh.withColumn("n_sh", F.count("*").over(W.partitionBy(id_col)))
     if max_shingle_freq is not None:
         # r13 optimization-round rewrite (guide §2.4 — remove shuffles):
         # the prune used to be groupBy("sh") → filter → LEFT SEMI join,
@@ -445,24 +453,26 @@ def all_pairs_jaccard(
             .filter(F.col("__df") <= max_shingle_freq)
             .drop("__df")
         )
+    sa = sh.select(
+        F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a")
+    )
+    sb = sh.select(
+        F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b")
+    )
     inter = (
-        sh.withColumnRenamed(id_col, "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b"), "sh")
+        sa.join(sb, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    na = counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
-    nb = counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
         )
-        .select("id_a", "id_b", "jaccard")
     )
+    return inter.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+    ).select("id_a", "id_b", "jaccard")
 
 
 def exact_jaccard_pairs(
@@ -913,18 +923,29 @@ def winnow_candidate_pairs(
         keep = hist.filter(F.col("df") <= max_fp_freq).select("fp")
         fps = fps.join(F.broadcast(keep), "fp", "left_semi")
         fps = fps.localCheckpoint(eager=False)
-    fa = fps.select(F.col(id_col).alias("id_a"), "fp")
-    fb = fps.select(F.col(id_col).alias("id_b"), "fp")
+    # r13 optimization round: per-doc fingerprint counts used to be a
+    # separate groupBy joined back onto the pair set TWICE (two more
+    # exchanges of the pairs plus two joins). Attach the count to each
+    # fps row with a window over the SAME pruned set instead (one
+    # exchange of the fps rows, same bytes the old groupBy shuffled) and
+    # carry it through the fingerprint join — the pair aggregate then
+    # reads it with max() (functionally dependent on the id). Identical
+    # output columns and values.
+    from pyspark.sql import Window as W
+
+    fpsn = fps.withColumn("n_fp", F.count("*").over(W.partitionBy(id_col)))
+    fa = fpsn.select(F.col(id_col).alias("id_a"), "fp", F.col("n_fp").alias("n_a"))
+    fb = fpsn.select(F.col(id_col).alias("id_b"), "fp", F.col("n_fp").alias("n_b"))
     pairs = (
         fa.join(fb, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_fps"))
+        .agg(
+            F.count("*").alias("shared_fps"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
-    counts = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
-    na = counts.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
-    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
-    pairs = pairs.join(na, "id_a").join(nb, "id_b")
     return pairs, n_pruned
 
 
