@@ -98,9 +98,16 @@ def minhash_signature(text: str, k: int, a: np.ndarray, b: np.ndarray, n: int = 
 
 
 def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int = 3) -> DataFrame:
-    """Append a `signature: array<bigint>` column (one mapInPandas pass).
-    Token md5 hashes are cached across the whole Arrow batch stream, so each
-    unique token is digested once per partition."""
+    """(id, signature array<bigint>) rows — one mapInPandas pass. Token md5
+    hashes are cached across the whole Arrow batch stream, so each unique
+    token is digested once per partition.
+
+    r13 optimization round: this used to JOIN the signatures back onto the
+    caller's frame — a full shuffle of the corpus INCLUDING the text column
+    on both join sides, paid by every caller even though all of them
+    immediately projected back down to (id, signature). The slim frame is
+    now returned directly (minimum bytes in AND out of the Python stage,
+    zero joins); a caller that wants other columns joins on the id itself."""
     import volga_spark.operators.dedup as _self
 
     register_by_value(_self)
@@ -124,8 +131,9 @@ def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int =
                     sigs.append(np.min(m, axis=1).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
-    sigs = widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)
-    return df.join(sigs, id_col)
+    return widen_for_python(df.select(id_col, text_col)).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def lsh_candidate_pairs(
@@ -208,20 +216,34 @@ def _simhash_batch(texts, tok_bits: dict) -> list[int]:
 
 
 def add_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``df``'s columns minus ``text_col``, plus ``simhash: bigint``.
+
+    r13 optimization round: the simhash used to come back via a JOIN onto
+    the caller's frame — a full shuffle of the corpus with the text column
+    riding both join sides. The Python stage now PASSES THROUGH every
+    non-text column instead (the text is consumed computing the hash and
+    never shipped back out), so there is no join and no exchange at all
+    beyond the widening round-robin. Callers that want text afterwards
+    re-select it from their own frame; none do."""
     import volga_spark.operators.dedup as _self
 
     register_by_value(_self)
-    schema = f"{id_col} bigint, simhash bigint"
+    from pyspark.sql import types as T
+
+    # a pre-existing simhash column (dedup outputs carry one) would collide
+    # with the appended one — the fresh hash wins, as with the old join path
+    keep = [f for f in df.schema.fields if f.name not in (text_col, "simhash")]
+    schema = T.StructType(keep + [T.StructField("simhash", T.LongType())])
+    keep_names = [f.name for f in keep]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok_bits: dict = {}
         for pdf in batches:
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "simhash": _simhash_batch(pdf[text_col], tok_bits)}
-            )
+            out = pdf[keep_names].copy()
+            out["simhash"] = _simhash_batch(pdf[text_col], tok_bits)
+            yield out
 
-    hashes = widen_for_python(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)
-    return df.join(hashes, id_col)
+    return widen_for_python(df).mapInPandas(gen, schema=schema)
 
 
 def simhash_candidates(
