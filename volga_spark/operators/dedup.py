@@ -139,11 +139,24 @@ def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int =
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
 ) -> DataFrame:
-    """Band the signature, bucket-join, emit candidate (a, b) id pairs.
+    """Band the signature, bucket the banded rows, emit candidate (a, b) id
+    pairs from within each bucket.
 
     bands*rows must equal the signature length. Collision probability for
     jaccard s is 1-(1-s^rows)^bands — 16x4 targets s ≳ 0.5.
-    """
+
+    r13 optimization round: this was a bucket SELF-JOIN — the banded rows
+    were checkpointed (the Python signature stage upstream would otherwise
+    run once per join side) and exchanged TWICE (once per side) plus
+    sorted for the sort-merge. Grouping each (band, bucket) once and
+    expanding the per-bucket id list to ordered pairs in-stage produces
+    the identical pair set with ONE exchange of the banded rows, no sort,
+    and — the banded rows now having a single consumer — no checkpoint, so
+    the signature stage feeds straight through. Per-bucket memory is the
+    id list (8 bytes/member); the quadratic pair EXPANSION is generated
+    pipelined, exactly as the join's output was, and hot buckets
+    concentrate in one task under either formulation (banding width is
+    the documented knob)."""
     banded = sig_df.select(
         F.col(id_col),
         F.posexplode(
@@ -153,21 +166,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "chunk"),
     ).select(id_col, "band", F.hash("band", "chunk").alias("bucket"))
-    # the banded rows feed BOTH sides of the self-join: without a checkpoint
-    # the Python signature stage upstream executes twice
-    banded = banded.localCheckpoint(eager=False)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -333,7 +340,10 @@ def simhash_candidates(
     if hot_bucket_threshold is not None:
         # hot buckets split by the next band's chunk; cold rows zero the
         # secondary so the extra equi-key is a no-op for them. The hot set
-        # (bucket ids over the threshold) is tiny → broadcast.
+        # (bucket ids over the threshold) is tiny → broadcast. The chunks
+        # feed two consumers here (the histogram and the pairing input) —
+        # pin them so the Python simhash stage upstream runs once.
+        chunks = chunks.localCheckpoint(eager=False)
         hot = (
             chunks.groupBy("band", "chunk")
             .count()
@@ -350,26 +360,35 @@ def simhash_candidates(
         )
     else:
         chunks = chunks.withColumn("chunk2", F.lit(0))
-    # both self-join sides read the chunks — checkpoint so the Python
-    # simhash stage upstream runs once, not twice
-    chunks = chunks.localCheckpoint(eager=False)
-    a, b = chunks.alias("a"), chunks.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.chunk2") == F.col("b.chunk2"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # r13 optimization round: the bucket SELF-JOIN (checkpoint + two
+    # exchanges + sort-merge) is now a single groupBy on the bucket key
+    # with the per-bucket member list expanded to ordered pairs in-stage —
+    # identical pair set, ONE exchange of the banded rows, no sort. The
+    # plain path has a single consumer, so the Python simhash stage feeds
+    # straight through with no checkpoint at all (the hot-split branch
+    # pins above, where the histogram adds a second consumer).
+    member = (
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+        if radius is not None
+        else F.struct(F.col(id_col).alias("id"))
     )
+    buckets = (
+        chunks.groupBy("band", "chunk", "chunk2")
+        .agg(F.collect_list(member).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    expanded = buckets.select(F.explode("ms").alias("a"), "ms").select(
+        "a", F.explode("ms").alias("b")
+    ).filter(F.col("a.id") < F.col("b.id"))
     if radius is None:
-        return joined.select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        return expanded.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).distinct()
     return (
-        joined.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+        expanded.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias(
                 "hamming"
             ),
         )
@@ -589,8 +608,24 @@ def duplicated_ngram_spans(
             ).otherwise(F.array().cast("array<bigint>"))
         ).alias("pos0", "gh"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")
-    dup = gh.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
-    dpos = gh.join(dup, "gh").select(id_col, "pos")
+    # r13 optimization round (guide §2.4): the duplicated-gram mark used to
+    # be groupBy("gh") → count>1 → join back onto the gram rows, and the
+    # per-doc position count a THIRD branch (its own aggregate + final
+    # join) — with the gram subtree unpinned, the CPU-heavy explode+hash
+    # pass executed once per branch (3×). A corpus-frequency count WINDOW
+    # over the gram key marks duplicated positions in the same exchange
+    # the groupBy paid (dense stride-1 grams are mostly unique, so the
+    # map-side partial aggregation the groupBy loses saved little), and
+    # the per-doc duplicated-position count rides the span chain's own
+    # id-partitioned window — one gram pass, two exchanges total, no
+    # joins, nothing pinned. Identical semantics: a position survives iff
+    # its gram occurs >1 times corpus-wide; n_dup_positions = surviving
+    # rows per document.
+    dpos = (
+        gh.withColumn("__cf", F.count("*").over(W.partitionBy("gh")))
+        .filter(F.col("__cf") > 1)
+        .select(id_col, "pos")
+    )
     w = W.partitionBy(id_col).orderBy("pos")
     marked = dpos.withColumn("prev", F.lag("pos").over(w)).withColumn(
         "new_span",
@@ -601,18 +636,19 @@ def duplicated_ngram_spans(
     sess = marked.withColumn(
         "span_id",
         F.sum("new_span").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).withColumn(
+        "n_dup_positions", F.count("*").over(W.partitionBy(id_col))
     )
     spans = sess.groupBy(id_col, "span_id").agg(
-        F.min("pos").alias("s"), (F.max("pos") + (n - 1)).alias("e")
+        F.min("pos").alias("s"),
+        (F.max("pos") + (n - 1)).alias("e"),
+        F.max("n_dup_positions").alias("n_dup_positions"),
     )
-    per_doc = spans.groupBy(id_col).agg(
+    return spans.groupBy(id_col).agg(
+        F.max("n_dup_positions").alias("n_dup_positions"),
         F.count("*").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
-    )
-    npos = dpos.groupBy(id_col).agg(F.count("*").alias("n_dup_positions"))
-    return per_doc.join(npos, id_col).select(
-        id_col, "n_dup_positions", "n_spans", "dup_tokens"
-    )
+    ).select(id_col, "n_dup_positions", "n_spans", "dup_tokens")
 
 
 def remove_duplicated_spans(
@@ -950,22 +986,34 @@ def winnow_candidate_pairs(
     # exchanges of the pairs plus two joins). Attach the count to each
     # fps row with a window over the SAME pruned set instead (one
     # exchange of the fps rows, same bytes the old groupBy shuffled) and
-    # carry it through the fingerprint join — the pair aggregate then
-    # reads it with max() (functionally dependent on the id). Identical
-    # output columns and values.
+    # carry it through the pairing — the pair aggregate then reads it
+    # with max() (functionally dependent on the id). Identical output
+    # columns and values. The fingerprint SELF-JOIN (two exchanges on fp
+    # + sort-merge) is likewise now one groupBy on fp with the per-
+    # fingerprint (id, n_fp) list expanded to ordered pairs in-stage —
+    # the same candidate multiset, one exchange fewer, no sort; per-
+    # fingerprint memory is bounded by the df cap the skew guard
+    # enforces (max_fp_freq) exactly where it used to bound the join's
+    # per-key blowup.
     from pyspark.sql import Window as W
 
     fpsn = fps.withColumn("n_fp", F.count("*").over(W.partitionBy(id_col)))
-    fa = fpsn.select(F.col(id_col).alias("id_a"), "fp", F.col("n_fp").alias("n_a"))
-    fb = fpsn.select(F.col(id_col).alias("id_b"), "fp", F.col("n_fp").alias("n_b"))
+    groups = fpsn.groupBy("fp").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col("n_fp").alias("n"))
+        ).alias("ms")
+    ).filter(F.size("ms") >= 2)
     pairs = (
-        fa.join(fb, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        groups.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
         .agg(
             F.count("*").alias("shared_fps"),
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
+            F.max("a.n").alias("n_a"),
+            F.max("b.n").alias("n_b"),
         )
     )
     return pairs, n_pruned
@@ -1277,12 +1325,17 @@ def within_set_verified_pairs(
     both call this, so candidate/verify behavior cannot drift between the
     declared twins. `grams` must carry (id_col, grams);
     ``broadcast_grams=True`` for micro-batch-sized sets."""
-    nb = banded.localCheckpoint(eager=False)
+    # r13 optimization round: same rewrite as lsh_candidate_pairs — the
+    # bucket self-join (checkpoint + two exchanges + sort) becomes one
+    # groupBy on the bucket key with in-stage pair expansion; identical
+    # pair set, single consumer, no pin needed.
     cand = (
-        nb.withColumnRenamed(id_col, "__a")
-        .join(nb.withColumnRenamed(id_col, "__b"), ["band", "bucket"])
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("__a"), "ids")
+        .select("__a", F.explode("ids").alias("__b"))
         .filter(F.col("__a") < F.col("__b"))
-        .select("__a", "__b")
         .distinct()
     )
     g = grams.select(F.col(id_col).alias("__gid"), "grams")

@@ -73,18 +73,28 @@ def bm25_topk(
     frame — broadcast. Returns (query_id, rank, doc_id, score_micro) with
     score_micro = Σ_t floor(idf·tfnorm·1e6) (exact BIGINT, see module doc).
     """
-    # one-shot path: pin the postings branch point inside the index build
-    # (the q_training_pipeline lesson; a standing index persists instead),
-    # then pin doclen too — it feeds both stats and the probe join.
-    postings, doclen, stats = bm25_index(
-        docs, id_col, text_col, pin=lambda df: df.localCheckpoint(eager=False)
+    # one-shot path (r13 optimization round): carry the document length ON
+    # the postings rows as a window sum over the doc key (dl = Σ tf) rather
+    # than as a separate doclen frame — the scorer then needs NO doclen
+    # join (which sort-merged the matched rows against doclen: two
+    # exchanges + two sorts per lookup), and the build pins ONE frame
+    # instead of two. stats reduces off the same pinned frame. A standing
+    # index still uses the 3-frame additive contract (`bm25_index`).
+    from pyspark.sql import Window
+
+    toks = tokenize(docs, id_col, text_col)
+    postings = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+        .localCheckpoint(eager=False)
     )
-    doclen = doclen.localCheckpoint(eager=False)
-    stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    stats = postings.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.sum("tf").alias("sum_dl"),
     )
     return bm25_topk_from_index(
-        (postings, doclen, stats), queries, k=k, k1=k1, b=b, id_col=id_col
+        (postings, None, stats), queries, k=k, k1=k1, b=b, id_col=id_col
     )
 
 
@@ -245,7 +255,10 @@ def bm25_topk_from_index(
 ) -> DataFrame:
     """Top-k from a prebuilt (postings, doclen, stats) index — the repeated-
     lookup path. Identical scoring to :func:`bm25_topk` (which is
-    equivalent to bm25_topk_from_index(bm25_index(docs), ...))."""
+    equivalent to bm25_topk_from_index(bm25_index(docs), ...)). When the
+    postings frame already carries a ``dl`` column (the one-shot
+    :func:`bm25_topk` build), pass ``doclen=None`` — the doclen join is
+    skipped entirely."""
     postings, doclen, stats = index
     qterms = (
         queries.select(
@@ -257,11 +270,11 @@ def bm25_topk_from_index(
     )
     matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
     df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        matched.join(F.broadcast(df_t), "term")
-        .join(doclen, id_col)
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(qterms), "term")
+    scored = matched.join(F.broadcast(df_t), "term")
+    if "dl" not in postings.columns:
+        scored = scored.join(doclen, id_col)
+    scored = scored.crossJoin(F.broadcast(stats)).join(
+        F.broadcast(qterms), "term"
     )
     contrib = F.expr(
         f"CAST(FLOOR(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"

@@ -250,9 +250,12 @@ def q_sft_prep(spark, sf_dir):
     At 100 TB the whole query is scan-bound except one small aggregation.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # branch point: conv feeds the render AND span legs — pin it so the
+    # text→turns split runs once, not per consumer (r13 optimization
+    # round; same discipline as the `gated` pin below)
     conv = turns_from_documents(
         docs, words_per_turn=_W, max_turns=_MAX_TURNS, system_prompt=_SYS
-    )
+    ).localCheckpoint(eager=False)
     rendered = render_conversations(conv)
 
     render_leg = rendered.select(
@@ -283,7 +286,13 @@ def q_sft_prep(spark, sf_dir):
             "1000 * CAST(size(array_distinct(split(coalesce(text, ''), ' ')))"
             " AS BIGINT) DIV size(split(coalesce(text, ''), ' '))"
         ).alias("score"),
-    )
+        # r13 optimization round: cands feeds SIX plan branches (pair leg,
+        # the two win-count join sides, both bt_margin_pairs join sides,
+        # grpo) — unpinned, each branch re-ran the corpus scan plus the
+        # double text split above. Pin the tiny reduced frame (3 numeric
+        # columns) so the text is split once; the branch discipline used
+        # throughout the repo.
+    ).localCheckpoint(eager=False)
     pair_leg = preference_pairs(
         cands, prompt_col="prompt_id", cand_col="cand", score_col="score"
     ).select(
@@ -301,9 +310,15 @@ def q_sft_prep(spark, sf_dir):
     # win count (rank-1 under the same (score, id) total order). s1 pins
     # bin + both win counts so the hash gate checks the BT statistics, not
     # just pair identity.
-    wins = bt_win_counts(
-        cands, prompt_col="prompt_id", cand_col="cand", score_col="score"
-    ).select("prompt_id", "cand", "wins")
+    # wins feeds BOTH bt_leg join sides — pin it so the rank window runs
+    # once (it reads the pinned cands, so this pin costs one tiny job)
+    wins = (
+        bt_win_counts(
+            cands, prompt_col="prompt_id", cand_col="cand", score_col="score"
+        )
+        .select("prompt_id", "cand", "wins")
+        .localCheckpoint(eager=False)
+    )
     btp = bt_margin_pairs(
         cands,
         prompt_col="prompt_id",
