@@ -79,6 +79,13 @@ BENCH_QUERIES = [
 # queries (q_mix_pack +ctx leg, q_sft_prep +grpo leg). The retry pass
 # (below) absorbs the documented multi-minute 2-4x ambient host bursts.
 # Full table + per-query provenance in BASELINE.md "r09 re-anchor".
+# r13 re-anchor (same r08-verdict discipline, applied after the r13
+# optimization round moved five queries down 14-35% structurally): those
+# five re-anchor to 1.4 x their r13 clean-run official (the conservative
+# in-sequence reading, NOT the faster standalone quiet minima), rounded
+# UP to 0.05. Rows whose tightened band would sit within 0.05 of the
+# recorded r13 official keep their old band (burst margin beats paper
+# tightness). Provenance: BASELINE.md "r13 re-anchor".
 BANDS = {
     "q_tpch_q1": 1.6,
     "q_filter_scan": 0.85,
@@ -99,23 +106,23 @@ BANDS = {
     # Band = 1.4 x 1.70 in-sequence ceiling.
     "q_dedup_approx_pairs": 2.4,
     "q_approx_sketches": 5.7,  # r09: anchored to the 4.04 official (exact-point legs)
-    "q_dedup_clusters": 6.55,
-    "q_dedup_substring_spans": 2.35,
+    "q_dedup_clusters": 4.7,  # r13: 1.4 x 3.347 official (-42% CC/shingle rework)
+    "q_dedup_substring_spans": 1.75,  # r13: 1.4 x 1.219 official (11->3 exchanges)
     "q_ann_brute_topk": 0.95,
     "q_text_analysis": 1.4,  # r09: creep profiled OVERHEAD-bound at sf0.1; plan pinned (test_plans/PLANS.md)
     "q_bm25_topk": 2.6,
     "q_mix_pack": 5.65,  # r09: +ctx ICLM leg (simhash pass + second pack); 4.03 official
     "q_hybrid_rrf": 3.2,
-    "q_training_pipeline": 2.3,
+    "q_training_pipeline": 1.95,  # r13: 1.4 x 1.384 official (rides the signature-stage rework)
     "q_temporal_join": 1.65,
-    "q_sft_prep": 3.7,  # r09: +grpo leg; 2.63 official
+    "q_sft_prep": 2.7,  # r13: 1.4 x 1.921 official (branch-point pins); r09 was 3.7
     "q_sessionize": 0.8,
     "q_pipeline_sql": 2.2,
     "q_agg_stages": 1.5,
     "q_stream_upsert_sink": 3.05,
     "q_stream_groupby_count": 2.0,
     "q_stream_sliding_window": 4.6,
-    "q_stream_tiled_window": 7.1,  # r09: vectorized sweep; 5.07-5.15 officials
+    "q_stream_tiled_window": 6.5,  # r13: 1.4 x 4.628 official (scale-adaptive width); r09 was 7.1
     "q_stream_tiled_window_month": 6.7,  # r09: vectorized sweep + trigger cut; 4.78 official
 }
 
