@@ -113,7 +113,7 @@ BANDS = {
     "q_bm25_topk": 2.6,
     "q_mix_pack": 5.65,  # r09: +ctx ICLM leg (simhash pass + second pack); 4.03 official
     "q_hybrid_rrf": 3.2,
-    "q_training_pipeline": 1.95,  # r13: 1.4 x 1.384 official (rides the signature-stage rework)
+    "q_training_pipeline": 1.95,  # r13: 1.4 x 1.384 official (slack removal only — steady 1.38-1.56 across r11-r13; none of its operators changed this round)
     "q_temporal_join": 1.65,
     "q_sft_prep": 2.7,  # r13: 1.4 x 1.921 official (branch-point pins); r09 was 3.7
     "q_sessionize": 0.8,
