@@ -397,28 +397,42 @@ def simhash_candidates(
     )
 
 
-def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) rows — distinct word n-grams per doc, native exprs."""
-    return df.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
-                    ),
-                )
-            )
-        ).alias("shingle"),
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, with_count: bool = False
+) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per doc, native exprs.
+
+    ``with_count=True`` additionally carries ``n_sh`` — the per-doc distinct
+    shingle count, taken MAP-SIDE as the size of the distinct array before
+    the explode (r14: replaces the count-window over the exploded rows,
+    which cost a full exchange + sort on the id; identical value — the
+    array is never empty by the sequence/greatest construction, so
+    explode_outer emits exactly size(arr) rows per doc)."""
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
+            ),
+        )
     )
+    d = df.select(F.col(id_col), arr.alias("__shs"))
+    cols = [F.col(id_col)]
+    if with_count:
+        cols.append(F.size("__shs").cast("bigint").alias("n_sh"))
+    return d.select(*cols, F.explode_outer("__shs").alias("shingle"))
 
 
 def _hashed_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int, wide_input: bool = False
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    wide_input: bool = False,
+    with_count: bool = False,
 ) -> DataFrame:
     """(id, sh) rows: 64-bit-hashed distinct word n-grams per doc, computed
     ONCE (localCheckpoint) because every Jaccard computation feeds it into
@@ -443,9 +457,10 @@ def _hashed_shingles(
     # downstream) on one core — widen first; `wide_input=True` skips the
     # exchange when the scan is already wide (multi-file corpus on a cluster)
     narrow = widen_for_python(narrow, known_wide=wide_input)
-    sh = _exploded_shingles(narrow, text_col, id_col, n).select(
-        id_col, F.xxhash64("shingle").alias("sh")
-    )
+    carry = ["n_sh"] if with_count else []
+    sh = _exploded_shingles(
+        narrow, text_col, id_col, n, with_count=with_count
+    ).select(id_col, *carry, F.xxhash64("shingle").alias("sh"))
     return sh.localCheckpoint(eager=False)
 
 
@@ -467,16 +482,15 @@ def all_pairs_jaccard(
     for pairs whose sole overlap was a stop shingle, so leave None when an
     exact oracle comparison is needed).
     """
-    sh = _hashed_shingles(df, text_col, id_col, n, wide_input=wide_input)
-    # r13: per-doc shingle counts ride the shingle rows (count window over
-    # the id — one exchange of the same bytes the old groupBy(id) agg
-    # shuffled) instead of being joined back onto the pair set after the
-    # self-join (which cost two more exchanges of the pairs + two joins).
-    # Sizes are attached BEFORE the optional stop-shingle prune: per-doc
+    # r14: per-doc shingle counts are computed MAP-SIDE (size of the
+    # per-doc distinct-gram array, carried through the explode and the
+    # checkpoint) — the r13 count-window over the exploded rows cost a
+    # full exchange + sort on the id; this costs 8 bytes/row. Sizes are
+    # attached BEFORE the optional stop-shingle prune: per-doc
     # denominators stay unpruned, exactly as before.
-    from pyspark.sql import Window as W
-
-    sh = sh.withColumn("n_sh", F.count("*").over(W.partitionBy(id_col)))
+    sh = _hashed_shingles(
+        df, text_col, id_col, n, wide_input=wide_input, with_count=True
+    )
     if max_shingle_freq is not None:
         # r13 optimization-round rewrite (guide §2.4 — remove shuffles):
         # the prune used to be groupBy("sh") → filter → LEFT SEMI join,
@@ -538,30 +552,39 @@ def exact_jaccard_pairs(
         .distinct()
     )
     df = df.join(F.broadcast(member_ids), id_col, "left_semi")
-    sh = _hashed_shingles(df, text_col, id_col, n)
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    # intersection counts via join on (pair, hashed shingle)
-    sh_a = sh.withColumnRenamed(id_col, "id_a")
-    sh_b = sh.withColumnRenamed(id_col, "id_b")
+    # r14: per-doc shingle counts ride the shingle rows map-side
+    # (with_count) and through the intersection aggregate via max() —
+    # this used to be a separate groupBy(id) joined back onto the final
+    # pair set TWICE (two joins + their exchanges). A candidate pair with
+    # ZERO shared shingles never reaches `inter`, but its Jaccard is
+    # 0/(n_a+n_b-0) = 0 regardless of the denominators, so the missing
+    # counts are irrelevant — coalesce(., 0.0) pins the identical value.
+    sh = _hashed_shingles(df, text_col, id_col, n, with_count=True)
+    sh_a = sh.select(
+        F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a")
+    )
+    sh_b = sh.select(
+        F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b")
+    )
     inter = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
-    na = counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
-    nb = counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
     return (
         pairs.join(inter, ["id_a", "id_b"], "left")
-        .fillna({"n_inter": 0})
-        .join(na, "id_a")
-        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
+            F.coalesce(
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                F.lit(0.0),
             ).alias("jaccard"),
         )
     )
@@ -937,7 +960,10 @@ def winnow_candidate_pairs(
     max_fp_freq: int = 128,
 ) -> tuple[DataFrame, int]:
     """(id_a, id_b, shared_fps) candidate pairs from a (doc, fingerprint)
-    table, with a SKEW GUARD on the fingerprint self-join.
+    table, with a SKEW GUARD on the fingerprint self-join. ``fps`` may
+    optionally carry a precomputed per-doc DISTINCT fingerprint count as
+    ``n_fp`` (map-side from an array column — r14); otherwise it is
+    derived with a count window here.
 
     The join generates Σ_fp df(fp)² candidate rows. Natural corpora spread
     df thinly, but boilerplate (shared headers/footers/license blocks)
@@ -959,6 +985,11 @@ def winnow_candidate_pairs(
     """
     import warnings
 
+    # r14: a caller whose fingerprints come from a per-doc ARRAY column can
+    # pass n_fp precomputed map-side (size(winnow_fps) — zero exchanges);
+    # the guard below recomputes it post-prune whenever the skew prune
+    # engages, so containment denominators always match the pruned set.
+    has_carried_n = "n_fp" in fps.columns
     # both join sides and the histogram read fps — checkpoint so the
     # fingerprint UDF runs once, not three times
     fps = fps.localCheckpoint(eager=False)
@@ -980,6 +1011,11 @@ def winnow_candidate_pairs(
         )
         keep = hist.filter(F.col("df") <= max_fp_freq).select("fp")
         fps = fps.join(F.broadcast(keep), "fp", "left_semi")
+        if has_carried_n:
+            # denominators must reflect the PRUNED per-doc sets — a
+            # map-side count carried from before the prune is stale here
+            fps = fps.drop("n_fp")
+            has_carried_n = False
         fps = fps.localCheckpoint(eager=False)
     # r13 optimization round: per-doc fingerprint counts used to be a
     # separate groupBy joined back onto the pair set TWICE (two more
@@ -995,9 +1031,14 @@ def winnow_candidate_pairs(
     # fingerprint memory is bounded by the df cap the skew guard
     # enforces (max_fp_freq) exactly where it used to bound the join's
     # per-key blowup.
-    from pyspark.sql import Window as W
+    if has_carried_n:
+        fpsn = fps
+    else:
+        from pyspark.sql import Window as W
 
-    fpsn = fps.withColumn("n_fp", F.count("*").over(W.partitionBy(id_col)))
+        fpsn = fps.withColumn(
+            "n_fp", F.count("*").over(W.partitionBy(id_col))
+        )
     groups = fpsn.groupBy("fp").agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("id"), F.col("n_fp").alias("n"))

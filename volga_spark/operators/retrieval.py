@@ -73,20 +73,30 @@ def bm25_topk(
     frame — broadcast. Returns (query_id, rank, doc_id, score_micro) with
     score_micro = Σ_t floor(idf·tfnorm·1e6) (exact BIGINT, see module doc).
     """
-    # one-shot path (r13 optimization round): carry the document length ON
-    # the postings rows as a window sum over the doc key (dl = Σ tf) rather
-    # than as a separate doclen frame — the scorer then needs NO doclen
-    # join (which sort-merged the matched rows against doclen: two
-    # exchanges + two sorts per lookup), and the build pins ONE frame
-    # instead of two. stats reduces off the same pinned frame. A standing
-    # index still uses the 3-frame additive contract (`bm25_index`).
-    from pyspark.sql import Window
+    # one-shot path (r14 optimization round): the document length IS the
+    # row's token count — dl = n_tokens(text) = Σ_t tf by the shared token
+    # definition (`functions/tokenize`) — so it is computed MAP-SIDE on the
+    # scan and carried through the postings groupBy as max(dl) (constant
+    # per doc, partial-aggregable). Zero extra exchanges: the r12 shape
+    # derived dl with a second aggregation + a doclen join per lookup
+    # (broadcast locally, SMJ at corpus scale), the r13 shape with a
+    # window sum (a second full exchange + sort of the postings). The
+    # scorer needs NO doclen join, and the build pins ONE frame. stats
+    # reduces off the same pinned frame. A standing index still uses the
+    # 3-frame additive contract (`bm25_index`).
+    from volga_spark.functions.tokenize import split_terms
 
-    toks = tokenize(docs, id_col, text_col)
+    arr = docs.select(
+        F.col(id_col), split_terms(text_col).alias("__terms")
+    )
+    toks = arr.select(
+        id_col,
+        F.size("__terms").cast("bigint").alias("dl"),
+        F.explode("__terms").alias("term"),
+    )
     postings = (
         toks.groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
         .localCheckpoint(eager=False)
     )
     stats = postings.agg(

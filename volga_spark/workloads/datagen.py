@@ -258,7 +258,15 @@ def q_approx_sketches(spark, sf_dir):
         F.lit(None).cast("double").alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
-    fps = sigs.select("doc_id", F.explode("winnow_fps").alias("fp"))
+    # n_fp rides map-side (size of the per-doc fingerprint array — the
+    # winnow generator emits distinct fps, so the array size IS the per-doc
+    # count); r14: saves winnow_candidate_pairs its count-window exchange +
+    # sort. The operator recomputes it itself if the skew prune engages.
+    fps = sigs.select(
+        "doc_id",
+        F.size("winnow_fps").cast("bigint").alias("n_fp"),
+        F.explode("winnow_fps").alias("fp"),
+    )
     # skew-guarded fingerprint join: Σdf² estimated from the df histogram,
     # hot (boilerplate) fingerprints pruned when it exceeds the limit
     wpairs, _ = winnow_candidate_pairs(fps, "doc_id")
