@@ -179,7 +179,13 @@ def bench_result_line(total: float, timings: dict, sf: float) -> dict:
     stdout line. Kept minimal (r10 verdict #1): the driver tail-captures
     ~2000 chars, so anything beyond {metric,value,unit,queries,sf} risks
     pushing the JSON out of the capture window. Telemetry lives in
-    BENCH_TELEMETRY_LAST.json instead."""
+    BENCH_TELEMETRY_LAST.json instead.
+
+    NOTE: the run id is deliberately NOT in this line — the line length is
+    contract-guarded against the driver's tail capture. Provenance lives
+    in the telemetry sidecar (`run_id`), which records the same timings so
+    a sidecar can always be matched to its headline line (r13 advisor:
+    the committed sidecar must identify which run it belongs to)."""
     return {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -315,6 +321,16 @@ def main() -> None:
     # write is best-effort — an unwritable script directory must not cost
     # the driver the whole run's single tail-captured result line.
     print(json.dumps(bench_result_line(total, timings, sf)))
+    # run id: stamped on stderr and into the sidecar TOGETHER WITH the
+    # recorded per-query timings, so any committed sidecar is verifiably
+    # the one belonging to a recorded official run (r13 advisor item: the
+    # working-tree sidecar had drifted to a different run's trials). Not
+    # in the stdout JSON — its key set is contract-guarded for the
+    # driver's tail capture (test_bench_final_line_fits_driver_tail).
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
+    print(f"# run_id {run_id}", file=sys.stderr)
     telemetry_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_TELEMETRY_LAST.json"
     )
@@ -322,7 +338,10 @@ def main() -> None:
         with open(telemetry_path, "w") as fh:
             json.dump(
                 {
+                    "run_id": run_id,
                     "sf": sf,
+                    "total": round(total, 3),
+                    "timings": timings,
                     "host": {"cpus": os.cpu_count(), "trials": tele.trials},
                 },
                 fh,

@@ -295,3 +295,49 @@ def test_add_signatures_matches_single_method_generators(spark, sf_dir):
         assert r["signature"] == mh[i]
         assert r["simhash"] == sh[i]
         assert set(r["winnow_fps"]) == wf[i]
+
+
+def test_lsh_hot_bucket_split_exact(spark, corpus):
+    """r14 memory guard: with hot_bucket_threshold set, buckets over the
+    threshold take the streaming SELF-JOIN path instead of materializing
+    the member list in one collect_list buffer — the pair set must be
+    IDENTICAL (the split is exact, unlike simhash's recall-trading
+    prefix-split)."""
+    sigs = add_minhash(corpus, "text", "doc_id", k=64).select(
+        "doc_id", "signature"
+    )
+    base = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    # threshold 1 forces EVERY multi-member bucket down the hot join path
+    forced = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", hot_bucket_threshold=1
+        ).collect()
+    }
+    assert forced == base and base, "hot-split changed the pair set"
+    # mixed regime: some buckets hot, some cold
+    mixed = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", hot_bucket_threshold=2
+        ).collect()
+    }
+    assert mixed == base
+
+
+def test_lsh_hot_bucket_no_collect_list_for_hot(spark):
+    """A degenerate bucket (every doc identical ⇒ all 16 bands collide)
+    above the threshold is paired via the join path: the pair COUNT is
+    exact and the grouped path's collect_list never sees the hot bucket.
+    2k identical docs ⇒ C(2000,2) pairs; list buffers stay ≤ threshold."""
+    import pandas as pd
+
+    n = 2000
+    rows = [(i, "same words everywhere all the time again and again") for i in range(n)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = add_minhash(docs, "text", "doc_id", k=64).select("doc_id", "signature")
+    pairs = lsh_candidate_pairs(sigs, "doc_id", hot_bucket_threshold=100)
+    assert pairs.count() == n * (n - 1) // 2

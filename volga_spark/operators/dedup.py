@@ -137,7 +137,11 @@ def add_minhash(df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int =
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows: int = 4,
+    hot_bucket_threshold: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket the banded rows, emit candidate (a, b) id
     pairs from within each bucket.
@@ -154,9 +158,27 @@ def lsh_candidate_pairs(
     and — the banded rows now having a single consumer — no checkpoint, so
     the signature stage feeds straight through. Per-bucket memory is the
     id list (8 bytes/member); the quadratic pair EXPANSION is generated
-    pipelined, exactly as the join's output was, and hot buckets
-    concentrate in one task under either formulation (banding width is
-    the documented knob)."""
+    pipelined, exactly as the join's output was.
+
+    ``hot_bucket_threshold`` (r14, the r13 verdict's memory guard): the
+    grouped shape materializes each bucket's FULL member list in one
+    aggregation buffer, and a single degenerate bucket (boilerplate
+    near-identical docs) of 10^8 members is ~800 MB in one task — an OOM
+    the old streaming self-join didn't have. With a threshold set, bucket
+    sizes are counted first and buckets ABOVE it take the old SELF-JOIN
+    path (streams the quadratic output, never holds the member list),
+    while cold buckets keep the cheap grouped expansion — the pair set is
+    IDENTICAL either way (exact hot-split, unlike simhash's recall-trading
+    prefix-split). Cost: one extra histogram aggregation + a checkpoint of
+    the banded rows, which is why it is opt-in: default from
+    ``$SPARK_GRAFT_LSH_HOT_BUCKET`` (unset locally — the bench corpus's
+    largest bucket is ~10 docs; set it to ~100k in production, where the
+    list buffer would reach the hundreds of MB that matter)."""
+    if hot_bucket_threshold is None:
+        import os
+
+        env = os.environ.get("SPARK_GRAFT_LSH_HOT_BUCKET", "")
+        hot_bucket_threshold = int(env) if env else None
     banded = sig_df.select(
         F.col(id_col),
         F.posexplode(
@@ -166,17 +188,42 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "chunk"),
     ).select(id_col, "band", F.hash("band", "chunk").alias("bucket"))
+    if hot_bucket_threshold is None:
+        cold, hot = banded, None
+    else:
+        # histogram + flag: the banded rows feed two consumers (histogram
+        # and pairing) — pin so the Python signature stage runs once; the
+        # hot bucket-id set is tiny by construction — broadcast
+        banded = banded.localCheckpoint(eager=False)
+        hot_ids = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > hot_bucket_threshold)
+            .select("band", "bucket", F.lit(True).alias("__hot"))
+        )
+        flagged = banded.join(
+            F.broadcast(hot_ids), ["band", "bucket"], "left"
+        ).localCheckpoint(eager=False)
+        cold = flagged.filter(F.col("__hot").isNull()).drop("__hot")
+        hot = flagged.filter(F.col("__hot")).drop("__hot")
     buckets = (
-        banded.groupBy("band", "bucket")
+        cold.groupBy("band", "bucket")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    return (
+    pairs = (
         buckets.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
+    if hot is not None:
+        a = hot.select("band", "bucket", F.col(id_col).alias("id_a"))
+        b = hot.select("band", "bucket", F.col(id_col).alias("id_b"))
+        hot_pairs = a.join(b, ["band", "bucket"]).filter(
+            F.col("id_a") < F.col("id_b")
+        ).select("id_a", "id_b")
+        pairs = pairs.unionByName(hot_pairs)
+    return pairs.distinct()
 
 
 def simhash64(text: str) -> int:

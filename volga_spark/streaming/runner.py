@@ -69,14 +69,34 @@ def _stream_shuffle(spark: SparkSession, width: int | str | None = None):
     measured fastest at 8 (state-store commit cost dominates), but queries
     whose per-batch payload is a PYTHON handler (the tiled windows: ~16
     CPU-s of numpy sweep per run) want the full core count — 32 measured
-    ~16% faster than 8 on the tiled pair at sf0.1."""
+    ~16% faster than 8 on the tiled pair at sf0.1.
+
+    r14: no-data micro-batches are disabled for every run-to-completion
+    stream driven through this harness. availableNow appends one empty
+    batch after the data is drained (its purpose: advance the watermark so
+    event-time state flushes) — but each batch costs the full framework
+    floor (~0.5-1 s locally: task launch + state-store open/commit per
+    partition), and every declared stream here either emits in complete
+    mode or flushes via explicit PUNCTUATION rows (chunked_file_stream
+    flush=True), so the empty batch does no work. Interleaved A/B at
+    sf0.1: upsert −21%, tiled −15/−21%, sliding −6%, with RESULT HASHES
+    identical across all queries (and the driver oracle re-verified). A
+    pipeline relying on watermark-only final flush (no punctuation) should
+    re-enable it per query."""
     key = "spark.sql.shuffle.partitions"
+    nokey = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get(key)
+    old_no = spark.conf.get(nokey, None)
     spark.conf.set(key, str(width) if width is not None else STREAM_SHUFFLE)
+    spark.conf.set(nokey, "false")
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        if old_no is None:
+            spark.conf.unset(nokey)
+        else:
+            spark.conf.set(nokey, old_no)
 
 
 def run_available_now_to_memory(
