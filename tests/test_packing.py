@@ -252,13 +252,16 @@ def test_repeats_deterministic_under_repartition(spark):
 
 
 def test_repeats_guard_raises_on_degenerate_plan(spark):
+    """r14: the pass plan is derived in-plan (no driver collect), so the
+    max_repeats guard is an assert_true folded into the plan's n_full
+    column — it fires on EXECUTION with the same max_repeats message."""
     import pytest
 
     from volga_spark.operators.packing import mixture_select_with_repeats
 
     d = _docs(spark, n=8)  # tiny corpus
-    with pytest.raises(ValueError, match="max_repeats"):
-        mixture_select_with_repeats(d, {"a": 1.0}, 10_000_000)
+    with pytest.raises(Exception, match="max_repeats"):
+        mixture_select_with_repeats(d, {"a": 1.0}, 10_000_000).collect()
 
 
 def test_repeats_compose_with_pack_sequences(spark):

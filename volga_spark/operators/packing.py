@@ -264,41 +264,63 @@ def mixture_select_with_repeats(
     treats each (id, copy_id) as its own stream element (ranks are
     distinct); callers needing a scalar key concat them.
 
-    Scale: the per-domain totals are ONE narrow aggregate collected
-    driver-side (bounded by the number of domains — document-scale data
-    never moves); full passes are a map-side explode (zero shuffles);
-    only the remainder pass pays the per-domain budget window, over a
-    single copy of the corpus. Output rows ∝ token_budget — the trainer's
-    own demand, irreducible. ``max_repeats`` guards a degenerate
-    weight/corpus combination (10^6 copies of a 3-doc domain) from
-    exploding the output; raise it deliberately if a recipe really wants
-    more than 64 epochs of a domain.
+    Scale: the per-domain pass plan (full passes = budget div T_d,
+    remainder = budget mod T_d) is derived IN-PLAN from one narrow
+    aggregate broadcast back onto the corpus rows — the same arithmetic
+    its DuckDB oracle twin runs in a CTE (r14: this used to be a
+    driver-side collect, i.e. a blocking job at query-construction time;
+    now the whole selection is one lazy DAG). Full passes are a map-side
+    explode (zero shuffles); only the remainder pass pays the per-domain
+    budget window, over a single copy of the corpus. Output rows ∝
+    token_budget — the trainer's own demand, irreducible. ``max_repeats``
+    guards a degenerate weight/corpus combination (10^6 copies of a 3-doc
+    domain) from exploding the output — enforced in-plan by an
+    assert_true folded into the load-bearing copy-list bound (a
+    standalone assert column would be pruned; see operators/tiles).
     """
     budgets = domain_budgets(weights, token_budget)
-    # pin the tokenized scan: the totals collect below materializes it once
-    # for all three consumers (totals, full-pass leg, remainder leg) — the
-    # repo's branch discipline (see pack_sequences)
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(domain_col)].cast("bigint")
+    # pin the tokenized scan: it feeds the plan aggregate, the full-pass
+    # leg, and the remainder leg — the repo's branch discipline
     d = (
         _with_tokens(docs, text_col)
         .filter(F.col(domain_col).isin(list(budgets)))
         .localCheckpoint(eager=False)
     )
-    # one narrow aggregate, rows == #domains (driver-side bound)
-    totals = {
-        r[0]: int(r[1])
-        for r in d.groupBy(domain_col).agg(F.sum("n_tokens")).collect()
-    }
-    # T >= 1 always: _with_tokens filters n_tokens > 0
-    n_full = {dom: budgets[dom] // T for dom, T in totals.items()}
-    over = [dom for dom, k in n_full.items() if k > max_repeats]
-    if over:
-        raise ValueError(
-            f"domains {over} need more than max_repeats={max_repeats} passes; "
-            "raise max_repeats if the recipe really wants that"
+    # per-domain pass plan, derived in-plan (rows == #domains, broadcast):
+    # n_full = budget div T_d, rem = budget mod T_d. T >= 1 always
+    # (_with_tokens filters n_tokens > 0). The max_repeats guard rides the
+    # n_full column itself so it cannot be column-pruned away.
+    plan = d.groupBy(domain_col).agg(F.sum("n_tokens").alias("__T"))
+    n_full_col = F.expr("__budget div __T")
+    plan = (
+        plan.withColumn("__budget", budget_expr)
+        .withColumn(
+            "__n_full",
+            (
+                n_full_col
+                + F.coalesce(
+                    F.assert_true(
+                        n_full_col <= F.lit(max_repeats),
+                        F.concat(
+                            F.lit("domain "),
+                            F.col(domain_col),
+                            F.lit(
+                                f" needs more than max_repeats={max_repeats} "
+                                "passes; raise max_repeats if the recipe "
+                                "really wants that"
+                            ),
+                        ),
+                    ).cast("bigint"),
+                    F.lit(0),
+                )
+            ).cast("int"),
         )
-    rem = {
-        dom: budgets[dom] - n_full[dom] * totals[dom] for dom in totals
-    }
+        .withColumn("__rem", F.expr("__budget % __T"))
+        .select(domain_col, "__n_full", "__rem")
+    )
 
     copy_rank = F.when(F.col("copy_id") == 0, _rank(id_col, seed)).otherwise(
         F.md5(
@@ -310,44 +332,43 @@ def mixture_select_with_repeats(
             )
         )
     )
-    n_full_map = F.create_map(*[F.lit(x) for kv in n_full.items() for x in kv])
-    n_full_expr = n_full_map[F.col(domain_col)].cast("int")
-    # full passes: map-side explode; sequence() only where n_full >= 1
-    # (sequence(0, -1) would count DOWN, not produce an empty array)
-    full = (
-        d.withColumn(
-            "copy_id",
-            F.explode(
-                F.when(
-                    n_full_expr >= 1, F.sequence(F.lit(0), n_full_expr - 1)
-                ).otherwise(F.expr("CAST(array() AS array<int>)"))
-            ),
+    # one copy list per row: copy_id 0..n_full-1 are full passes, copy_id ==
+    # n_full is the remainder-pass candidate row (filtered by its budget
+    # window below) — sequence(0, n_full) is always ascending since
+    # n_full >= 0
+    copies = (
+        d.join(F.broadcast(plan), domain_col)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("__n_full"))))
+        .withColumn("rank", copy_rank)
+    )
+    full = copies.filter(F.col("copy_id") < F.col("__n_full")).select(
+        id_col,
+        F.col(domain_col).alias("domain"),
+        "n_tokens",
+        "rank",
+        "copy_id",
+    )
+    # remainder pass: one budget window over copy n_full, fresh shuffle;
+    # domains with rem == 0 drop naturally (cum_prev >= 0 is never < 0)
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rem_out = (
+        copies.filter(F.col("copy_id") == F.col("__n_full"))
+        .withColumn(
+            "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )
+        .filter(F.col("cum_prev") < F.col("__rem"))
         .select(
             id_col,
             F.col(domain_col).alias("domain"),
             "n_tokens",
-            copy_rank.alias("rank"),
+            "rank",
             "copy_id",
         )
     )
-    # remainder pass: one budget window over copy k, fresh shuffle
-    rem_budgets = {dom: r for dom, r in rem.items() if r > 0}
-    if not rem_budgets:
-        return full
-    rem_src = d.filter(F.col(domain_col).isin(list(rem_budgets))).withColumn(
-        "copy_id", n_full_expr
-    )
-    rem_sel = budget_select_abs(
-        rem_src.withColumn("rank", copy_rank),
-        rem_budgets,
-        domain_col,
-        id_col,
-    )
-    # budget_select_abs drops copy_id; re-derive it (constant per domain)
-    rem_out = rem_sel.withColumn(
-        "copy_id", n_full_map[F.col("domain")].cast("int")
-    ).select(id_col, "domain", "n_tokens", "rank", "copy_id")
     return full.unionByName(rem_out)
 
 
