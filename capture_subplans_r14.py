@@ -65,7 +65,8 @@ def main():
     )
     try:
         wpairs = winnow_candidate_pairs(fps, "doc_id")[0]
-    except Exception:
+    except TypeError:
+        # pre-r14 signature (before-capture): no n_fp carry support
         wpairs = winnow_candidate_pairs(
             sigs.select("doc_id", F.explode("winnow_fps").alias("fp")),
             "doc_id",
