@@ -935,7 +935,12 @@ def test_assemble_trajectories_stream_equals_batch(spark):
             .parquet(os.path.join(root, "chunk*"))
         )
         out = assemble_trajectories_stream(stream, gap="30 minutes")
-        streamed = run_available_now_to_memory(out, output_mode="append")
+        # watermark-only flush (no punctuation rows): the final sessions
+        # only emit on the trailing empty batch, which the harness disables
+        # by default since r14 — opt back in for this pipeline
+        streamed = run_available_now_to_memory(
+            out, output_mode="append", no_data_batches=True
+        )
         got = [
             (r["trace_id"], r["trace_start"], r["turns"])
             for r in streamed.filter("trace_id >= 0").collect()

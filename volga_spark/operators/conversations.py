@@ -737,6 +737,13 @@ def assemble_trajectories_stream(
     in-flight trace is its buffered steps, GC'd by the watermark. Output:
     ``(trace_col, trace_start, out_col)`` — downstream render/spans/gate
     are stateless and run unchanged on the result (one-config-N-modes).
+
+    This is a WATERMARK-ONLY-FLUSH pipeline (append mode, no punctuation
+    rows): the last open sessions only emit once a later batch advances
+    the watermark past them. Drive it with
+    ``run_available_now_to_memory(..., no_data_batches=True)`` so the
+    availableNow trigger keeps its trailing empty batch (the harness
+    disables no-data batches by default — see streaming/runner).
     """
     s = steps.withWatermark(ts_col, lateness)
     packed = F.sort_array(

@@ -60,7 +60,11 @@ def _checkpoint_dir() -> str:
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession, width: int | str | None = None):
+def _stream_shuffle(
+    spark: SparkSession,
+    width: int | str | None = None,
+    no_data_batches: bool = False,
+):
     """Bound state-store instance count for local streaming runs (the default
     200 shuffle partitions mean 200 state stores per stateful query — pure
     overhead under local[N]; on a real cluster size this to ~2-3x cores).
@@ -71,24 +75,26 @@ def _stream_shuffle(spark: SparkSession, width: int | str | None = None):
     CPU-s of numpy sweep per run) want the full core count — 32 measured
     ~16% faster than 8 on the tiled pair at sf0.1.
 
-    r14: no-data micro-batches are disabled for every run-to-completion
-    stream driven through this harness. availableNow appends one empty
-    batch after the data is drained (its purpose: advance the watermark so
-    event-time state flushes) — but each batch costs the full framework
-    floor (~0.5-1 s locally: task launch + state-store open/commit per
-    partition), and every declared stream here either emits in complete
-    mode or flushes via explicit PUNCTUATION rows (chunked_file_stream
-    flush=True), so the empty batch does no work. Interleaved A/B at
-    sf0.1: upsert −21%, tiled −15/−21%, sliding −6%, with RESULT HASHES
-    identical across all queries (and the driver oracle re-verified). A
-    pipeline relying on watermark-only final flush (no punctuation) should
-    re-enable it per query."""
+    r14: no-data micro-batches are disabled by default for every
+    run-to-completion stream driven through this harness. availableNow
+    appends one empty batch after the data is drained (its purpose:
+    advance the watermark so event-time state flushes) — but each batch
+    costs the full framework floor (~0.5-1 s locally: task launch +
+    state-store open/commit per partition), and every declared stream
+    here either emits in complete mode or flushes via explicit
+    PUNCTUATION rows (chunked_file_stream flush=True), so the empty batch
+    does no work. Interleaved A/B at sf0.1: upsert −21%, tiled −15/−21%,
+    sliding −6%, with RESULT HASHES identical across all queries (and the
+    driver oracle re-verified). A pipeline relying on WATERMARK-ONLY
+    final flush (append mode, no punctuation rows — e.g.
+    ``assemble_trajectories_stream``) still needs the trailing empty
+    batch: pass ``no_data_batches=True`` for that query."""
     key = "spark.sql.shuffle.partitions"
     nokey = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get(key)
     old_no = spark.conf.get(nokey, None)
     spark.conf.set(key, str(width) if width is not None else STREAM_SHUFFLE)
-    spark.conf.set(nokey, "false")
+    spark.conf.set(nokey, "true" if no_data_batches else "false")
     try:
         yield
     finally:
@@ -104,13 +110,16 @@ def run_available_now_to_memory(
     output_mode: str = "complete",
     timeout_s: int = 300,
     stream_shuffle: int | None = None,
+    no_data_batches: bool = False,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink; return the
-    result as a (batch) DataFrame."""
+    result as a (batch) DataFrame. ``no_data_batches=True`` keeps the
+    trailing empty micro-batch — required by watermark-only-flush pipelines
+    (see :func:`_stream_shuffle`)."""
     name = f"vs_mem_{uuid.uuid4().hex[:10]}"
     spark = df.sparkSession
     ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark, stream_shuffle):
+    with _stream_shuffle(spark, stream_shuffle, no_data_batches):
         q = (
             df.writeStream.outputMode(output_mode)
             .format("memory")
