@@ -105,7 +105,7 @@ BANDS = {
     # the r09 driver 2.352 was ambient-elevated in-sequence, not drift.
     # Band = 1.4 x 1.70 in-sequence ceiling.
     "q_dedup_approx_pairs": 2.4,
-    "q_approx_sketches": 5.7,  # r09: anchored to the 4.04 official (exact-point legs)
+    "q_approx_sketches": 5.05,  # r14: 1.4 x 3.575 official (winnow n_fp carry + r13 banding confirmed; quiet re-read 3.190)
     "q_dedup_clusters": 4.7,  # r13: 1.4 x 3.347 official (-42% CC/shingle rework)
     "q_dedup_substring_spans": 1.75,  # r13: 1.4 x 1.219 official (11->3 exchanges)
     "q_ann_brute_topk": 0.95,
@@ -123,7 +123,7 @@ BANDS = {
     "q_stream_groupby_count": 2.0,
     "q_stream_sliding_window": 4.6,
     "q_stream_tiled_window": 6.5,  # r13: 1.4 x 4.628 official (scale-adaptive width); r09 was 7.1
-    "q_stream_tiled_window_month": 6.7,  # r09: vectorized sweep + trigger cut; 4.78 official
+    "q_stream_tiled_window_month": 6.6,  # r14: 1.4 x 4.714 quiet read (no-data batch removed); r09 was 6.7
 }
 
 
