@@ -328,6 +328,29 @@ def test_lsh_hot_bucket_split_exact(spark, corpus):
     assert mixed == base
 
 
+def test_lsh_hot_bucket_env_rejects_malformed_value(spark, corpus, monkeypatch):
+    """A malformed $SPARK_GRAFT_LSH_HOT_BUCKET names itself in the error
+    instead of surfacing a context-free int() ValueError from inside every
+    LSH call; surrounding whitespace is tolerated."""
+    import pytest
+
+    sigs = add_minhash(corpus, "text", "doc_id", k=64).select(
+        "doc_id", "signature"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LSH_HOT_BUCKET", "100k")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_LSH_HOT_BUCKET"):
+        lsh_candidate_pairs(sigs, "doc_id")
+    monkeypatch.setenv("SPARK_GRAFT_LSH_HOT_BUCKET", " 1 ")
+    base_env = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    monkeypatch.delenv("SPARK_GRAFT_LSH_HOT_BUCKET")
+    base = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    assert base_env == base and base
+
+
 def test_lsh_hot_bucket_no_collect_list_for_hot(spark):
     """A degenerate bucket (every doc identical ⇒ all 16 bands collide)
     above the threshold is paired via the join path: the pair COUNT is

@@ -264,6 +264,21 @@ def test_repeats_guard_raises_on_degenerate_plan(spark):
         mixture_select_with_repeats(d, {"a": 1.0}, 10_000_000).collect()
 
 
+def test_repeats_exact_multiple_budget_is_full_passes_only(spark):
+    """rem == 0 (budget an exact multiple of the domain total): the output
+    is exactly n_full full passes — no remainder rows, and the remainder
+    window's input is pruned in-plan (the __rem > 0 filter restores the
+    old driver-side early-exit)."""
+    from volga_spark.operators.packing import mixture_select_with_repeats
+
+    rows = [(i, "t1 t2 t3 t4", "a") for i in range(3)]  # T_a = 12 tokens
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = mixture_select_with_repeats(d, {"a": 1.0}, 24).collect()  # 2 x T_a
+    assert {r["copy_id"] for r in got} == {0, 1}
+    assert len(got) == 6  # every doc exactly twice
+    assert sum(r["n_tokens"] for r in got) == 24
+
+
 def test_repeats_compose_with_pack_sequences(spark):
     """The documented composition: upsampled selection → scalar (doc, copy)
     key → pack_sequences. Spans tile every copy's token run exactly and

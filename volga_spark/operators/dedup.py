@@ -177,8 +177,15 @@ def lsh_candidate_pairs(
     if hot_bucket_threshold is None:
         import os
 
-        env = os.environ.get("SPARK_GRAFT_LSH_HOT_BUCKET", "")
-        hot_bucket_threshold = int(env) if env else None
+        env = os.environ.get("SPARK_GRAFT_LSH_HOT_BUCKET", "").strip()
+        if env:
+            try:
+                hot_bucket_threshold = int(env)
+            except ValueError as ex:
+                raise ValueError(
+                    "SPARK_GRAFT_LSH_HOT_BUCKET must be an integer bucket-"
+                    f"size threshold, got {env!r}"
+                ) from ex
     banded = sig_df.select(
         F.col(id_col),
         F.posexplode(
@@ -606,6 +613,12 @@ def exact_jaccard_pairs(
     # ZERO shared shingles never reaches `inter`, but its Jaccard is
     # 0/(n_a+n_b-0) = 0 regardless of the denominators, so the missing
     # counts are irrelevant — coalesce(., 0.0) pins the identical value.
+    # PRECONDITION (was implicit in the removed inner count-joins): every
+    # pair id must exist in `df` — true for all in-repo callers, whose
+    # pairs derive from the same frame. A STALE pair whose id is absent
+    # from df now yields a (id_a, id_b, 0.0) row where the old shape
+    # dropped it; callers joining against a narrower corpus must
+    # semi-filter their pairs first.
     sh = _hashed_shingles(df, text_col, id_col, n, with_count=True)
     sh_a = sh.select(
         F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a")

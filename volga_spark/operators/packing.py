@@ -356,7 +356,13 @@ def mixture_select_with_repeats(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     rem_out = (
-        copies.filter(F.col("copy_id") == F.col("__n_full"))
+        # rem == 0 domains are pruned BEFORE the window (their candidate
+        # rows could never pass cum_prev < 0 anyway) — restores the old
+        # driver-side early-exit as an in-plan filter, so an exact-multiple
+        # budget pays no remainder exchange/sort for that domain
+        copies.filter(
+            (F.col("copy_id") == F.col("__n_full")) & (F.col("__rem") > 0)
+        )
         .withColumn(
             "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )

@@ -142,17 +142,21 @@ def _state_root() -> str:
 
 
 def run_foreach_batch(
-    stream: DataFrame, sink, timeout_s: int = 300
+    stream: DataFrame, sink, timeout_s: int = 300, no_data_batches: bool = False
 ) -> None:
     """Run a streaming frame to completion (availableNow) through a
     ``foreachBatch`` sink: scratch checkpoint, narrow stream-shuffle
     width, stop-on-timeout, checkpoint cleanup. THE one run-to-completion
     harness — every stateful maintainer (upsert, CDC, IVM, histogram,
     near-dup filter, index/tile sinks) drives its epoch-retry sink
-    through this, so the retry/cleanup discipline lives in one place."""
+    through this, so the retry/cleanup discipline lives in one place.
+    ``no_data_batches=True`` keeps the trailing empty micro-batch — same
+    watermark-only-flush escape hatch as ``run_available_now_to_memory``
+    (every in-repo sink is punctuation- or complete-mode-driven and keeps
+    the cheaper default)."""
     spark = stream.sparkSession
     ckpt = _checkpoint_dir()
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, no_data_batches=no_data_batches):
         q = (
             stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
